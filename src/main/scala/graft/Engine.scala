@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session factory for the graft engine.
+  *
+  * Defaults chosen for the judge harness (local[32], 128 GiB) but the
+  * knobs are the ones that matter on a real cluster too: AQE on (runtime
+  * shuffle-partition coalescing + skew-join splitting), UTC session time
+  * zone (oracle parity), shuffle partitions sized to the parallelism at
+  * hand rather than the 200 default.
+  */
+object Engine {
+  def session(appName: String = "graft",
+              cpus: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      // testdata events.parquet carries TIMESTAMP(NANOS); Spark only
+      // supports micros — read nanos as long, Tables.events converts.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
+
+/** Loader for the driver-provided parquet tables (TESTDATA.md).
+  *
+  * One parquet file per table under `$sfDir/`. Reading through here keeps
+  * scans declarative so Catalyst pushes filters and prunes columns into
+  * the parquet reader.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = apply(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = apply(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = apply(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
+  /** events.ts is TIMESTAMP(NANOS) in parquet; Spark reads it as nanos-long
+    * (see Engine config). Convert to a micros TimestampType with integer
+    * division — `div`, not `/`: double arithmetic would lose precision on
+    * epoch-nanos (~1.7e18 > 2^53).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.LongType
+    val raw = apply(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _        => raw
+    }
+  }
+  def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+}

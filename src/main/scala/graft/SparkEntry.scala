@@ -1,13 +1,608 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.{Compat, TextFunctions}
+import graft.operators._
+import graft.pipelines.Reconciliation
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the training-data extensions), each with a DuckDB
+  * oracle where the semantics are SQL-expressible.
+  *
+  * Determinism rules used throughout so the driver's hash compare is
+  * stable across engines:
+  *   - every query ends in a total-order `orderBy`;
+  *   - double aggregations go through DECIMAL (exact, order-independent)
+  *     and back to DOUBLE — see [[Compat.exactSum]];
+  *   - aliases are lowercase and identical between Spark and SQL.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private val D2 = DecimalType(27, 2)
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Reconciliation.detail(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- §2.8 aggregations -------------------------------------------
+    "q1_agg" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          Compat.exactSum(col("l_quantity"), 2).as("sum_qty"),
+          Compat.exactSum(col("l_extendedprice"), 2).as("sum_base_price"),
+          Compat.exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+            .as("sum_disc_price"),
+          Compat.exactSum(
+            col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6)
+            .as("sum_charge"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    "q3_top10" -> ((s, d) => {
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d).filter(col("o_orderdate") < lit("1998-07-01").cast("timestamp"))
+      val l = Tables.lineitem(s, d).filter(col("l_shipdate") > lit("1998-07-01").cast("timestamp"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(Compat.exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+    "q_a2_sortedset" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          Compat.exactSum(col("l_quantity"), 2).as("sum_qty"),
+          Compat.sortedSetJoin(col("l_linestatus")).as("statuses"))
+        .orderBy("l_returnflag")),
+    "q_a4_masked" -> ((s, d) =>
+      Aggs.maskedSums(Tables.lineitem(s, d), Seq(
+        "returned_qty" -> (col("l_returnflag") === "R"),
+        "qty_1997" -> (year(col("l_shipdate")) === 1997),
+        "high_disc_qty" -> (col("l_discount") > 0.05)
+      ), col("l_quantity").cast(D2))
+        .select(
+          col("returned_qty").cast("double").as("returned_qty"),
+          col("qty_1997").cast("double").as("qty_1997"),
+          col("high_disc_qty").cast("double").as("high_disc_qty"))),
+    "q_a7_window_count" -> ((s, d) =>
+      Dedup.withDuplicateCount(
+        Tables.documents(s, d).select("doc_id", "lang"), Seq("lang"), "lang_count")
+        .orderBy("doc_id")),
+    "q_a8_hist" -> ((s, d) =>
+      Aggs.histogram(Tables.orders(s, d), col("o_totalprice"), 20000.0)
+        .select(col("bucket").cast("long").as("bucket"), col("n"))
+        .orderBy("bucket")),
+    "q_a10_pivot" -> ((s, d) =>
+      Aggs.dynamicPivot(Tables.orders(s, d), "o_orderpriority", "o_orderstatus",
+        col("o_totalprice").cast(D2))
+        .select(col("o_orderpriority"),
+          col("F").cast("double").as("f_total"),
+          col("O").cast("double").as("o_total"),
+          col("P").cast("double").as("p_total"))
+        .orderBy("o_orderpriority")),
+    "q_a11_summary" -> ((s, d) =>
+      Aggs.summaryTable(Tables.orders(s, d), Seq(
+        "n_orders" -> count(lit(1)),
+        "total_value" -> sum(col("o_totalprice").cast(D2)).cast("double"),
+        "max_price" -> max(col("o_totalprice")),
+        "min_price" -> min(col("o_totalprice"))
+      )).orderBy("metric")),
+
+    // ---- §2.5 cleaning / scalar expressions ---------------------------
+    "q_c_clean" -> ((s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        Compat.normalizeId(col("event_type")).as("etype_norm"),
+        Compat.nullTokens(col("event_type")).as("etype_nn"),
+        coalesce(col("value"), lit(0.0)).as("value_filled"),
+        Compat.rowKey(Seq(col("event_type"), col("user_id"))).as("row_key"))
+        .orderBy("event_id")),
+    "q_c20_dates" -> ((s, d) =>
+      Tables.orders(s, d).filter(col("o_orderkey") < 100).select(
+        col("o_orderkey"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        add_months(col("o_orderdate"), 1).cast("timestamp").as("next_month"),
+        last_day(col("o_orderdate")).as("month_end"),
+        date_format(col("o_orderdate"), "MMMM").as("month_name"),
+        Compat.timestampCascade(
+          date_format(col("o_orderdate"), "MM/dd/yyyy"), "MM/dd/yyyy").as("parsed_back"))
+        .orderBy("o_orderkey")),
+
+    // ---- §2.6 duplicate handling -------------------------------------
+    "q_d2_dup_after_first" -> ((s, d) =>
+      Dedup.duplicatesAfterFirst(
+        Tables.lineitem(s, d).select("l_orderkey", "l_linenumber"),
+        Seq("l_orderkey"), Seq(col("l_linenumber")))
+        .orderBy("l_orderkey", "l_linenumber")),
+    "q_d3_dup_all" -> ((s, d) =>
+      Dedup.duplicatesAll(
+        Tables.lineitem(s, d).select("l_orderkey", "l_linenumber"),
+        Seq("l_orderkey"))
+        .orderBy("l_orderkey", "l_linenumber")),
+    "q_d4_dup_count" -> ((s, d) =>
+      Dedup.withDuplicateCount(
+        Tables.lineitem(s, d).select("l_orderkey", "l_linenumber"),
+        Seq("l_orderkey"))
+        .orderBy("l_orderkey", "l_linenumber")),
+    "q_d5_keepfirst" -> ((s, d) =>
+      Dedup.dedupKeepFirst(
+        Tables.lineitem(s, d).select("l_orderkey", "l_linenumber", "l_quantity"),
+        Seq("l_orderkey"), Seq(col("l_linenumber"), col("l_quantity")))
+        .orderBy("l_orderkey")),
+    "q_d6_prefer" -> ((s, d) =>
+      Dedup.dedupPrefer(
+        Tables.lineitem(s, d).select("l_orderkey", "l_linenumber", "l_returnflag"),
+        Seq("l_orderkey"), col("l_returnflag") === "R",
+        Seq(col("l_linenumber"), col("l_returnflag")))
+        .orderBy("l_orderkey")),
+    "q_d8_metric" -> ((s, d) =>
+      Dedup.duplicateMetric(Tables.documents(s, d), Seq("lang"))),
+    "q_dedup_exact" -> ((s, d) =>
+      TextDedup.exactGroups(Tables.documents(s, d), "text", "doc_id")
+        .orderBy("fp")),
+
+    // ---- §2.7 joins ---------------------------------------------------
+    "q_j1_left" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left")
+        .select(col("o_orderkey"), col("o_custkey"), col("c_name"),
+          col("c_mktsegment"), col("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+    "q_j3_right" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      o.join(c, o("o_custkey") === c("c_custkey"), "right")
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("c_custkey"), col("o_orderkey"))
+    }),
+    "q_j4_anti" -> ((s, d) =>
+      Joins.antiJoin(Tables.customer(s, d), Tables.orders(s, d), "c_custkey", "o_custkey")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+    "q_j5_semi" -> ((s, d) =>
+      Joins.semiJoin(Tables.customer(s, d), Tables.orders(s, d), "c_custkey", "o_custkey")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+    "q_j6_containment" -> ((s, d) => {
+      val c = Tables.customer(s, d).select("c_custkey", "c_name")
+      val sup = Tables.supplier(s, d)
+        .select(col("s_suppkey"), substring(col("s_name"), 9, 10).as("s_code"))
+      Joins.containmentJoin(c, sup, col("c_name"), col("s_code"),
+        Seq("c_custkey"), Seq(col("s_suppkey").asc_nulls_last))
+        .select(col("c_custkey"), col("s_suppkey"))
+        .orderBy("c_custkey")
+    }),
+    "q_j7_key_discovery" -> ((s, d) => {
+      val r1 = Joins.keyOverlapReport(Tables.customer(s, d), Tables.orders(s, d),
+        Seq("c_custkey" -> "o_custkey", "c_custkey" -> "o_orderkey"))
+      val r2 = Joins.keyOverlapReport(Tables.orders(s, d), Tables.lineitem(s, d),
+        Seq("o_orderkey" -> "l_orderkey"))
+      r1.unionByName(r2).orderBy("left_col", "right_col")
+    }),
+    "q_j8_union_common" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val a = o.select("o_orderkey", "o_custkey", "o_totalprice")
+      val b = o.filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+      Joins.unionOnCommon(a, b).orderBy("o_orderkey", "o_totalprice")
+    }),
+    "q_recon" -> ((s, d) => Reconciliation.detail(s, d)),
+    "q_recon_summary" -> ((s, d) => Reconciliation.summary(s, d)),
+
+    // ---- §2.4 filters -------------------------------------------------
+    "q_f_orders" -> ((s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_orderdate").between(
+          lit("1996-01-01").cast("timestamp"), lit("1997-12-31").cast("timestamp")))
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .filter(col("o_orderstatus") =!= "P")
+        .filter(col("o_orderpriority").rlike("^[12]-"))
+        .select("o_orderkey", "o_orderdate", "o_orderpriority", "o_orderstatus")
+        .orderBy("o_orderkey")),
+    "q_f3_nullkeep" -> ((s, d) =>
+      Tables.events(s, d)
+        .filter((col("value") < 50) || col("value").isNull)
+        .filter(col("event_type").isin("click", "view"))
+        .select("event_id", "value")
+        .orderBy("event_id")),
+
+    // ---- §2.3 projections / §2.9 sorts / §2.10 schema ----------------
+    "q_p_project" -> ((s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name").as("customer_name"))
+        .withColumn("src", lit("crm"))
+        .orderBy("c_custkey")),
+    "q_p5_rowid" -> ((s, d) =>
+      Tables.supplier(s, d)
+        .select(col("s_suppkey"),
+          row_number().over(Window.orderBy("s_suppkey")).as("row_id"))
+        .orderBy("s_suppkey")),
+    "q_o1_sort_limit" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy(col("l_quantity").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(20)),
+    "q_o3_top1" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_orderdate")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+        .limit(1)),
+    "q_v2_align" -> ((s, d) =>
+      SchemaOps.alignTo(Tables.customer(s, d), StructType(Seq(
+        StructField("c_custkey", LongType),
+        StructField("c_name", StringType),
+        StructField("loyalty_score", DoubleType))))
+        .orderBy("c_custkey")),
+    "q_w_running" -> ((s, d) => {
+      val byCust = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      Tables.orders(s, d).select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"),
+        row_number().over(byCust).as("rk"),
+        lag(col("o_totalprice"), 1).over(byCust).as("prev_price"),
+        sum(col("o_totalprice").cast(D2))
+          .over(byCust.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("running_spend"))
+        .orderBy("o_custkey", "rk")
+    }),
+
+    // ---- training-data: text analysis --------------------------------
+    "q_text_stats" -> ((s, d) => {
+      val q = TextFunctions.qualityStruct(col("text"))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        length(col("text")).as("char_len"),
+        q.getField("n_tokens").cast("long").as("n_tokens"),
+        q.getField("avg_token_len").as("avg_token_len"),
+        q.getField("punct_ratio").as("punct_ratio"),
+        q.getField("digit_ratio").as("digit_ratio"),
+        q.getField("stopword_ratio").as("stopword_ratio"),
+        TextFunctions.tokenCountBpeIsh(col("text")).as("bpe_tokens"))
+        .orderBy("doc_id")
+    }),
+    "q_lang_id" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"), col("lang"),
+        TextFunctions.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+    "q_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextFunctions.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    // ---- training-data: dedup ----------------------------------------
+    "q_jaccard_pairs" -> ((s, d) =>
+      TextDedup.jaccardPairs(Tables.documents(s, d), "text", "doc_id", n = 3, threshold = 0.8)
+        .orderBy("doc_a", "doc_b")),
+    "q_minhash_pairs" -> ((s, d) =>
+      TextDedup.minhashLshPairs(Tables.documents(s, d), "text", "doc_id",
+        n = 3, k = 32, bands = 8, threshold = 0.5)
+        .orderBy("doc_a", "doc_b")),
+    "q_simhash_pairs" -> ((s, d) =>
+      TextDedup.simhashPairs(Tables.documents(s, d), "text", "doc_id", maxHamming = 3)
+        .orderBy("doc_a", "doc_b")),
+
+    // ---- training-data: similarity search ----------------------------
+    "q_ann_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+    "q_ann_ivf" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 10),
+        e.filter(col("vec_id") % 25 === 0), "vec_id", "embedding", k = 5, nprobe = 4)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- training-data: multimodal plumbing (decode stubbed) ---------
+    "q_multimodal_meta" -> ((s, d) =>
+      Multimodal.probeMeta(s,
+        Multimodal.withFakeMedia(Tables.documents(s, d), "text"), "doc_id")
+        .orderBy("id")),
+    "q_frame_sample" -> ((s, d) =>
+      Multimodal.sampleFrames(s,
+        Multimodal.withFakeMedia(Tables.documents(s, d), "text"), "doc_id", 4)
+        .toDF().select(col("doc_id"), col("frame_idx"), size(col("feature")).as("dim"))
+        .orderBy("doc_id", "frame_idx")),
+
+    // ---- events / sessionization -------------------------------------
+    "q_events_hourly" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(
+          to_date(col("ts")).as("event_date"),
+          hour(col("ts")).as("hr"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), Compat.exactSum(col("value"), 4).as("total_value"))
+        .orderBy("event_date", "hr", "event_type")),
+    "q_events_sessions" -> ((s, d) =>
+      graft.streaming.EventStreams.sessionizeBatch(Tables.events(s, d), gapMs = 6 * 3600 * 1000L)
+        .select(col("user_id"), col("session_seq"), col("session_start"), col("session_end"),
+          col("n_events"),
+          col("total_value"))
+        .orderBy("user_id", "session_seq"))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(27,4))) AS DOUBLE) AS sum_disc_price,
+        | CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(27,6))) AS DOUBLE) AS sum_charge,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_top10" ->
+      """SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+        | CAST(SUM(CAST(l.l_extendedprice*(1-l.l_discount) AS DECIMAL(27,4))) AS DOUBLE) AS revenue
+        |FROM lineitem l JOIN orders o ON l.l_orderkey=o.o_orderkey
+        | JOIN customer c ON o.o_custkey=c.c_custkey
+        |WHERE c.c_mktsegment='BUILDING' AND o.o_orderdate < TIMESTAMP '1998-07-01'
+        | AND l.l_shipdate > TIMESTAMP '1998-07-01'
+        |GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        |ORDER BY revenue DESC, l.l_orderkey LIMIT 10""".stripMargin,
+    "q_a2_sortedset" ->
+      """SELECT l_returnflag,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS sum_qty,
+        | string_agg(DISTINCT l_linestatus, '; ' ORDER BY l_linestatus) AS statuses
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_a4_masked" ->
+      """SELECT
+        | CAST(SUM(CASE WHEN l_returnflag='R' THEN CAST(l_quantity AS DECIMAL(27,2)) END) AS DOUBLE) AS returned_qty,
+        | CAST(SUM(CASE WHEN EXTRACT(year FROM l_shipdate)=1997 THEN CAST(l_quantity AS DECIMAL(27,2)) END) AS DOUBLE) AS qty_1997,
+        | CAST(SUM(CASE WHEN l_discount>0.05 THEN CAST(l_quantity AS DECIMAL(27,2)) END) AS DOUBLE) AS high_disc_qty
+        |FROM lineitem""".stripMargin,
+    "q_a7_window_count" ->
+      """SELECT doc_id, lang, count(*) OVER (PARTITION BY lang) AS lang_count
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_a8_hist" ->
+      """SELECT CAST(floor(o_totalprice/20000)*20000 AS BIGINT) AS bucket, count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q_a10_pivot" ->
+      """SELECT o_orderpriority,
+        | CAST(SUM(CASE WHEN o_orderstatus='F' THEN CAST(o_totalprice AS DECIMAL(27,2)) END) AS DOUBLE) AS f_total,
+        | CAST(SUM(CASE WHEN o_orderstatus='O' THEN CAST(o_totalprice AS DECIMAL(27,2)) END) AS DOUBLE) AS o_total,
+        | CAST(SUM(CASE WHEN o_orderstatus='P' THEN CAST(o_totalprice AS DECIMAL(27,2)) END) AS DOUBLE) AS p_total
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_a11_summary" ->
+      """SELECT metric, value FROM (
+        | SELECT 'n_orders' AS metric, CAST(count(*) AS DOUBLE) AS value FROM orders
+        | UNION ALL SELECT 'total_value', CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) FROM orders
+        | UNION ALL SELECT 'max_price', max(o_totalprice) FROM orders
+        | UNION ALL SELECT 'min_price', min(o_totalprice) FROM orders
+        |) ORDER BY metric""".stripMargin,
+    "q_c_clean" ->
+      """SELECT event_id,
+        | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        | lower(regexp_replace(CAST(event_type AS VARCHAR), '\s+', '', 'g')) AS etype_norm,
+        | CASE WHEN trim(CAST(event_type AS VARCHAR)) IN ('','0') THEN NULL ELSE event_type END AS etype_nn,
+        | coalesce(value, 0.0) AS value_filled,
+        | concat_ws('|', coalesce(CAST(event_type AS VARCHAR),'nan'), coalesce(CAST(user_id AS VARCHAR),'nan')) AS row_key
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_c20_dates" ->
+      """SELECT o_orderkey,
+        | date_trunc('month', o_orderdate) AS month_start,
+        | o_orderdate + INTERVAL 1 MONTH AS next_month,
+        | last_day(o_orderdate) AS month_end,
+        | monthname(o_orderdate) AS month_name,
+        | strptime(strftime(o_orderdate, '%m/%d/%Y'), '%m/%d/%Y') AS parsed_back
+        |FROM orders WHERE o_orderkey < 100 ORDER BY o_orderkey""".stripMargin,
+    "q_d2_dup_after_first" ->
+      """SELECT l_orderkey, l_linenumber FROM (
+        | SELECT l_orderkey, l_linenumber,
+        |  row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS rn
+        | FROM lineitem) WHERE rn > 1 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_d3_dup_all" ->
+      """SELECT l_orderkey, l_linenumber FROM (
+        | SELECT l_orderkey, l_linenumber, count(*) OVER (PARTITION BY l_orderkey) AS n
+        | FROM lineitem) WHERE n > 1 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_d4_dup_count" ->
+      """SELECT l_orderkey, l_linenumber,
+        | count(*) OVER (PARTITION BY l_orderkey) AS duplicate_count
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_d5_keepfirst" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM (
+        | SELECT l_orderkey, l_linenumber, l_quantity,
+        |  row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity) AS rn
+        | FROM lineitem) WHERE rn = 1 ORDER BY l_orderkey""".stripMargin,
+    "q_d6_prefer" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag FROM (
+        | SELECT l_orderkey, l_linenumber, l_returnflag,
+        |  row_number() OVER (PARTITION BY l_orderkey
+        |   ORDER BY CASE WHEN l_returnflag='R' THEN 0 ELSE 1 END, l_linenumber, l_returnflag) AS rn
+        | FROM lineitem) WHERE rn = 1 ORDER BY l_orderkey""".stripMargin,
+    "q_d8_metric" ->
+      "SELECT count(*) - count(DISTINCT lang) AS duplicate_rows FROM documents",
+    "q_dedup_exact" ->
+      """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+        | min(doc_id) AS canonical_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+    "q_j1_left" ->
+      """SELECT o_orderkey, o_custkey, c_name, c_mktsegment, o_totalprice
+        |FROM orders LEFT JOIN customer ON o_custkey=c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_j3_right" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice
+        |FROM orders RIGHT JOIN customer ON o_custkey=c_custkey
+        |ORDER BY c_custkey, o_orderkey NULLS FIRST""".stripMargin,
+    "q_j4_anti" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey=c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_j5_semi" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey=c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_j6_containment" ->
+      """SELECT c_custkey, s_suppkey FROM (
+        | SELECT c.c_custkey, s.s_suppkey,
+        |  row_number() OVER (PARTITION BY c.c_custkey ORDER BY s.s_suppkey NULLS LAST) AS rn
+        | FROM customer c LEFT JOIN supplier s ON contains(c.c_name, substr(s.s_name, 9, 10))
+        |) WHERE rn = 1 ORDER BY c_custkey""".stripMargin,
+    "q_j7_key_discovery" ->
+      """SELECT * FROM (
+        | SELECT 'c_custkey' AS left_col, 'o_custkey' AS right_col,
+        |  (SELECT count(*) FROM (SELECT DISTINCT CAST(c_custkey AS VARCHAR) v FROM customer WHERE c_custkey IS NOT NULL) t
+        |   WHERE EXISTS (SELECT 1 FROM orders o WHERE CAST(o.o_custkey AS VARCHAR)=t.v)) AS overlap
+        | UNION ALL
+        | SELECT 'c_custkey', 'o_orderkey',
+        |  (SELECT count(*) FROM (SELECT DISTINCT CAST(c_custkey AS VARCHAR) v FROM customer WHERE c_custkey IS NOT NULL) t
+        |   WHERE EXISTS (SELECT 1 FROM orders o WHERE CAST(o.o_orderkey AS VARCHAR)=t.v))
+        | UNION ALL
+        | SELECT 'o_orderkey', 'l_orderkey',
+        |  (SELECT count(*) FROM (SELECT DISTINCT CAST(o_orderkey AS VARCHAR) v FROM orders WHERE o_orderkey IS NOT NULL) t
+        |   WHERE EXISTS (SELECT 1 FROM lineitem l WHERE CAST(l.l_orderkey AS VARCHAR)=t.v))
+        |) ORDER BY left_col, right_col""".stripMargin,
+    "q_j8_union_common" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus='F'
+        |ORDER BY o_orderkey, o_totalprice""".stripMargin,
+    "q_recon" ->
+      """WITH oa AS (
+        | SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS total_spend,
+        |  count(*) AS n_orders
+        | FROM orders GROUP BY o_custkey)
+        |SELECT c.c_custkey, c.c_acctbal, oa.o_custkey, oa.total_spend, oa.n_orders,
+        | CASE WHEN c.c_custkey IS NOT NULL AND oa.o_custkey IS NOT NULL THEN 'both'
+        |      WHEN oa.o_custkey IS NULL THEN 'left_only' ELSE 'right_only' END AS _merge
+        |FROM customer c FULL OUTER JOIN oa ON c.c_custkey=oa.o_custkey
+        |ORDER BY coalesce(c.c_custkey, oa.o_custkey)""".stripMargin,
+    "q_recon_summary" ->
+      """WITH oa AS (
+        | SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS total_spend,
+        |  count(*) AS n_orders
+        | FROM orders GROUP BY o_custkey),
+        |d AS (
+        | SELECT c.c_custkey, oa.o_custkey, oa.total_spend,
+        |  CASE WHEN c.c_custkey IS NOT NULL AND oa.o_custkey IS NOT NULL THEN 'both'
+        |       WHEN oa.o_custkey IS NULL THEN 'left_only' ELSE 'right_only' END AS _merge
+        | FROM customer c FULL OUTER JOIN oa ON c.c_custkey=oa.o_custkey)
+        |SELECT metric, value FROM (
+        | SELECT 'matched_spend' AS metric,
+        |  CAST(SUM(CASE WHEN _merge='both' THEN CAST(total_spend AS DECIMAL(27,2)) END) AS DOUBLE) AS value FROM d
+        | UNION ALL SELECT 'matched_customers', CAST(count(CASE WHEN _merge='both' THEN 1 END) AS DOUBLE) FROM d
+        | UNION ALL SELECT 'customer_only', CAST(count(CASE WHEN _merge='left_only' THEN 1 END) AS DOUBLE) FROM d
+        | UNION ALL SELECT 'order_only_spend',
+        |  coalesce(CAST(SUM(CASE WHEN _merge='right_only' THEN CAST(total_spend AS DECIMAL(27,2)) END) AS DOUBLE), 0.0) FROM d
+        | UNION ALL SELECT 'total_spend_all', CAST(SUM(CAST(total_spend AS DECIMAL(27,2))) AS DOUBLE) FROM d
+        |) ORDER BY metric""".stripMargin,
+    "q_f_orders" ->
+      """SELECT o_orderkey, o_orderdate, o_orderpriority, o_orderstatus
+        |FROM orders
+        |WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+        | AND o_orderpriority IN ('1-URGENT','2-HIGH')
+        | AND o_orderstatus <> 'P'
+        | AND regexp_matches(o_orderpriority, '^[12]-')
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_f3_nullkeep" ->
+      """SELECT event_id, value FROM events
+        |WHERE (value < 50 OR value IS NULL) AND event_type IN ('click','view')
+        |ORDER BY event_id""".stripMargin,
+    "q_p_project" ->
+      """SELECT c_custkey, c_name AS customer_name, 'crm' AS src
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_p5_rowid" ->
+      """SELECT s_suppkey, CAST(row_number() OVER (ORDER BY s_suppkey) AS INTEGER) AS row_id
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "q_o1_sort_limit" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |ORDER BY l_quantity DESC, l_orderkey, l_linenumber LIMIT 20""".stripMargin,
+    "q_o3_top1" ->
+      """SELECT o_orderkey, o_orderdate FROM orders
+        |ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1""".stripMargin,
+    "q_v2_align" ->
+      """SELECT c_custkey, c_name, CAST(NULL AS DOUBLE) AS loyalty_score
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_w_running" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        | CAST(row_number() OVER w AS INTEGER) AS rk,
+        | lag(o_totalprice, 1) OVER w AS prev_price,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2)))
+        |  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, rk""".stripMargin,
+    "q_text_stats" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents)
+        |SELECT doc_id,
+        | CAST(length(text) AS INTEGER) AS char_len,
+        | CAST(len(toks) AS BIGINT) AS n_tokens,
+        | CAST(length(text) AS DOUBLE) / greatest(CAST(len(toks) AS DOUBLE), 1.0) AS avg_token_len,
+        | CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+        |  / greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct_ratio,
+        | CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+        |  / greatest(CAST(length(text) AS DOUBLE), 1.0) AS digit_ratio,
+        | CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is','it','that','was'))) AS DOUBLE)
+        |  / greatest(CAST(len(toks) AS DOUBLE), 1.0) AS stopword_ratio,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS bpe_tokens
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q_fingerprint" ->
+      """SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_jaccard_pairs" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |  [ws[i]||'_'||ws[i+1]||'_'||ws[i+2] for i in range(1, len(ws)-1)])) AS s FROM w),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        | FROM sh a JOIN sh b ON a.s=b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        | CAST(common AS DOUBLE)/(sa.sz + sb.sz - common) AS jaccard
+        |FROM pairs JOIN sizes sa ON doc_a=sa.doc_id JOIN sizes sb ON doc_b=sb.doc_id
+        |WHERE CAST(common AS DOUBLE)/(sa.sz + sb.sz - common) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_ann_topk" ->
+      """WITH q AS (SELECT vec_id qid, embedding::DOUBLE[] qe FROM embeddings WHERE vec_id<10),
+        |c AS (SELECT vec_id nid, embedding::DOUBLE[] ce FROM embeddings),
+        |s AS (SELECT qid, nid,
+        |  list_reduce(list_transform(list_zip(qe, ce), x -> x[1]*x[2]), (a,b)->a+b)
+        |  / (sqrt(list_reduce(list_transform(qe, x->x*x),(a,b)->a+b))
+        |     * sqrt(list_reduce(list_transform(ce, x->x*x),(a,b)->a+b))) AS sim
+        | FROM q, c WHERE qid<>nid),
+        |r AS (SELECT qid AS query_id, nid AS neighbor_id, sim,
+        |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM s)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, sim
+        |FROM r WHERE rank<=5 ORDER BY query_id, rank""".stripMargin,
+    "q_events_hourly" ->
+      """SELECT CAST(ts AS DATE) AS event_date,
+        | CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hr, event_type,
+        | count(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1,2,3 ORDER BY event_date, hr, event_type""".stripMargin,
+    "q_events_sessions" ->
+      """WITH e AS (
+        | SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |  lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        | FROM events),
+        |f AS (
+        | SELECT user_id, ts, value,
+        |  CASE WHEN prev_ts IS NULL OR epoch_ms(ts) - epoch_ms(prev_ts) > 21600000
+        |       THEN 1 ELSE 0 END AS new_session
+        | FROM e),
+        |g AS (
+        | SELECT user_id, ts, value,
+        |  SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        | FROM f)
+        |SELECT user_id, session_seq, min(ts) AS session_start, max(ts) AS session_end,
+        | count(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS total_value
+        |FROM g GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin
+  )
 }

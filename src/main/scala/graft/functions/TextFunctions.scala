@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text primitives for the training-data operators (dedup, language id,
+  * quality scoring). Pure Catalyst built-ins — everything stays inside
+  * whole-stage codegen; no UDFs.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization, lowercased. */
+  def tokens(c: Column): Column = split(lower(trim(c)), "\\s+")
+
+  /** BPE-ish token count: words, numbers, and single non-space symbols
+    * counted separately (an approximation of subword tokenizer behavior
+    * good enough for budget estimation).
+    */
+  def tokenCountBpeIsh(c: Column): Column =
+    size(regexp_extract_all(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Distinct word n-gram shingles joined with '_'. Documents shorter than
+    * `n` words yield an empty array (guard needed: Spark's `sequence(1, k)`
+    * with k<1 would generate a DESCENDING sequence, not an empty one).
+    */
+  def shingles(c: Column, n: Int = 3): Column = {
+    val ws = tokens(c)
+    val grams = transform(
+      sequence(lit(1), size(ws) - (n - 1)),
+      i => concat_ws("_", (0 until n).map(j => element_at(ws, i + lit(j))): _*))
+    array_distinct(when(size(ws) >= n, grams).otherwise(array()))
+  }
+
+  /** Normalized-text fingerprint (exact-dup key): whitespace collapsed,
+    * lowercased, md5. 128-bit → collision-free at any realistic corpus size.
+    */
+  def fingerprint(c: Column): Column =
+    md5(lower(regexp_replace(trim(c), "\\s+", " ")))
+
+  /** 64-bit rolling-style fingerprint for cheap joins/partitioning. */
+  def fingerprint64(c: Column): Column =
+    xxhash64(lower(regexp_replace(trim(c), "\\s+", " ")))
+
+  /** Per-language stopword seed lists for the n-gram/stopword language-ID
+    * heuristic. Tiny on purpose: they broadcast as literals inside the
+    * expression tree.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it", "that", "was"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "no"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von", "mit", "den", "nicht", "ein"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "en", "un", "du", "une", "est"),
+    "zh" -> Seq("的", "了", "是", "我", "不", "在", "有", "他", "这", "中"))
+
+  /** Language-ID heuristic: score = fraction of tokens that are stopwords
+    * of each candidate language; argmax wins, "und" (undetermined) when no
+    * language scores above `minScore`.
+    */
+  def langId(c: Column, minScore: Double = 0.05): Column = {
+    val toks = tokens(c)
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val hits = size(filter(toks, t => t.isin(words: _*)))
+      struct((hits.cast("double") / greatest(size(toks), lit(1))).as("score"),
+        lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("score") >= minScore, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Quality signals: length, token stats, punctuation/digit ratios,
+    * English stopword ratio — the standard cheap pre-filters for a
+    * training-data pipeline.
+    */
+  def qualityStruct(c: Column): Column = {
+    val toks = tokens(c)
+    val nChars = length(c).cast("double")
+    val nTok = size(toks).cast("double")
+    val punct = regexp_count(c, lit("[.,;:!?]")).cast("double")
+    val digits = regexp_count(c, lit("[0-9]")).cast("double")
+    val stopHits = size(filter(toks, t => t.isin(stopwords("en"): _*)))
+    struct(
+      nChars.as("n_chars"),
+      nTok.as("n_tokens"),
+      (nChars / greatest(nTok, lit(1.0))).as("avg_token_len"),
+      (punct / greatest(nChars, lit(1.0))).as("punct_ratio"),
+      (digits / greatest(nChars, lit(1.0))).as("digit_ratio"),
+      (stopHits.cast("double") / greatest(nTok, lit(1.0))).as("stopword_ratio"))
+  }
+}

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join operator family (SURVEY.md §2.7, J1-J10).
+  *
+  * Scale notes baked into each helper:
+  *   - enrichment joins against small lookups take a `broadcast` flag —
+  *     the reference's lookups are 194-8,178 rows (BASELINE.md), which at
+  *     any scale stay broadcast-able; the fact side never shuffles.
+  *   - the full-outer reconciliation join shuffles both sides on the key —
+  *     correct and unavoidable; pre-aggregation below the join (done by
+  *     the caller, §3.1) keeps the shuffled volume at one-row-per-key.
+  *   - the containment theta-join is a BroadcastNestedLoopJoin and is only
+  *     safe while the lookup side broadcasts; for large×large use the
+  *     MinHash path in [[TextDedup]] instead.
+  */
+object Joins {
+
+  /** J2: full-outer join with a pandas `indicator=True` provenance column.
+    * `_merge ∈ {both, left_only, right_only}` drives the DOR↔VP
+    * reconciliation (DOP VP Compare.py:139-157).
+    *
+    * Implemented by tagging each side before the join so the indicator is
+    * null-safe even when joined columns are legitimately null.
+    */
+  def outerWithIndicator(left: DataFrame, right: DataFrame,
+                         leftKey: String, rightKey: String,
+                         indicatorCol: String = "_merge"): DataFrame = {
+    val l = left.withColumn("_l_present", lit(1))
+    val r = right.withColumn("_r_present", lit(1))
+    l.join(r, l(leftKey) === r(rightKey), "full_outer")
+      .withColumn(indicatorCol,
+        when(col("_l_present").isNotNull && col("_r_present").isNotNull, "both")
+          .when(col("_r_present").isNull, "left_only")
+          .otherwise("right_only"))
+      .drop("_l_present", "_r_present")
+  }
+
+  /** J4: anti-join — rows of `left` whose key has no match in `right`.
+    * (`~isin(other col)`, Saoirse Automation.ipynb:993-995.)
+    */
+  def antiJoin(left: DataFrame, right: DataFrame, leftKey: String, rightKey: String,
+               broadcastRight: Boolean = true): DataFrame = {
+    val r = if (broadcastRight) broadcast(right) else right
+    left.join(r, left(leftKey) === r(rightKey), "left_anti")
+  }
+
+  /** J5: semi-join — rows of `left` whose key appears in `right`. */
+  def semiJoin(left: DataFrame, right: DataFrame, leftKey: String, rightKey: String,
+               broadcastRight: Boolean = true): DataFrame = {
+    val r = if (broadcastRight) broadcast(right) else right
+    left.join(r, left(leftKey) === r(rightKey), "left_semi")
+  }
+
+  /** J6: containment theta-join with first-hit-wins semantics
+    * (Saoirse Automation.ipynb:1035-1049: unmatched ids matched where
+    * `ReferenceNum in Site Study ID`).
+    *
+    * Physical plan: BroadcastNestedLoopJoin (right side must be small).
+    * "First hit" is made deterministic by `pickOrder` over the right side.
+    */
+  def containmentJoin(left: DataFrame, right: DataFrame,
+                      haystack: Column, needle: Column,
+                      leftKeyForWindow: Seq[String],
+                      pickOrder: Seq[Column]): DataFrame = {
+    val joined = left.join(broadcast(right), haystack.contains(needle), "left")
+    val w = Window.partitionBy(leftKeyForWindow.map(col): _*).orderBy(pickOrder: _*)
+    joined.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
+  /** J7: join-key discovery — for candidate (leftCol, rightCol) pairs,
+    * report the distinct-value overlap so a caller can pick the best key.
+    * The reference brute-forces this with a cartesian pandas loop
+    * (Accruals Report.ipynb:234-292); here each candidate is one
+    * distinct-project + semi-join count, unioned into a report frame.
+    */
+  def keyOverlapReport(left: DataFrame, right: DataFrame,
+                       candidates: Seq[(String, String)]): DataFrame = {
+    val frames = candidates.map { case (lc, rc) =>
+      val lv = left.select(col(lc).cast("string").as("v")).na.drop().distinct()
+      val rv = right.select(col(rc).cast("string").as("v")).na.drop().distinct()
+      lv.join(rv, Seq("v"), "left_semi")
+        .agg(count(lit(1)).as("overlap"))
+        .select(lit(lc).as("left_col"), lit(rc).as("right_col"), col("overlap"))
+    }
+    frames.reduce(_ unionByName _)
+  }
+
+  /** J8: union of heterogeneous tables on their common columns
+    * (`pd.concat(join="inner")`, Study Startup Legacy Data merge.ipynb:1207).
+    * Column order follows `a`'s schema, like pandas.
+    */
+  def unionOnCommon(a: DataFrame, b: DataFrame): DataFrame = {
+    val common = a.columns.filter(b.columns.toSet)
+    a.select(common.map(col).toSeq: _*).unionByName(b.select(common.map(col).toSeq: _*))
+  }
+
+  /** J9: append union tolerating missing columns (filled with nulls). */
+  def appendUnion(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b, allowMissingColumns = true)
+}

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Schema/validation operators (SURVEY.md §2.10, V1-V2).
+  *
+  * The reference's only regression defense is a column-set drift check
+  * against last month's archived output (Saoirse Automation.ipynb:325-359)
+  * plus ensure-column-exists loops (DOP VP Compare.py:64-73). Both become
+  * first-class, fail-fast pipeline stages here.
+  */
+object SchemaOps {
+
+  final case class SchemaDriftException(missing: Set[String], unexpected: Set[String])
+    extends RuntimeException(
+      s"schema drift: missing=${missing.toSeq.sorted.mkString(",")} " +
+        s"unexpected=${unexpected.toSeq.sorted.mkString(",")}")
+
+  /** V1: column-set drift check — raise on mismatch vs the expected schema. */
+  def guard(df: DataFrame, expected: StructType): DataFrame = {
+    val have = df.columns.toSet
+    val want = expected.fieldNames.toSet
+    if (have != want) throw SchemaDriftException(want -- have, have -- want)
+    df
+  }
+
+  /** V2: ensure-columns-exist — add typed NULL columns for any missing
+    * field, then conform column order to the target schema.
+    */
+  def alignTo(df: DataFrame, target: StructType): DataFrame = {
+    val have = df.columns.toSet
+    val withMissing = target.fields.foldLeft(df) { (acc, f) =>
+      if (have(f.name)) acc else acc.withColumn(f.name, lit(null).cast(f.dataType))
+    }
+    withMissing.select(target.fieldNames.map(col).toSeq: _*)
+  }
+
+  /** P6-style conform: reorder/select to a stored column list. */
+  def conform(df: DataFrame, columnList: Seq[String]): DataFrame =
+    df.select(columnList.map(col): _*)
+
+  /** Add-missing-as-null without reordering, for drifting monthly drops. */
+  def ensureColumns(df: DataFrame, cols: Seq[(String, DataType)]): DataFrame =
+    cols.foldLeft(df) { case (acc, (n, t)) =>
+      if (acc.columns.contains(n)) acc else acc.withColumn(n, lit(null).cast(t))
+    }
+}

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`), for training-data curation (near-dup by embedding,
+  * retrieval-style filtering).
+  *
+  * Two paths with the same output shape (query_id, rank, neighbor_id, sim):
+  *   - [[bruteForceTopK]]: exact cosine top-k. The query side is
+  *     broadcast; cost is O(|corpus| · |queries| · dim) with zero
+  *     shuffles of the corpus — at 100 TB this is the right EXACT plan
+  *     whenever the query set is small (it streams the corpus once).
+  *   - [[ivfTopK]]: IVF-style two-stage search — corpus pre-assigned to
+  *     its nearest centroid, queries probe only the `nprobe` nearest
+  *     centroid partitions. Recall < 1, cost divided by ~nlist/nprobe.
+  *
+  * All math is Catalyst built-ins (`zip_with` + `aggregate` fold) over
+  * `array<double>`; per-row arithmetic is IEEE-deterministic.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * `queries`/`corpus`: (idCol, vecCol). Self-matches excluded.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int = 10): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("cvec"))
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qvec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qvec"), col("cvec")).as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+  }
+
+  /** IVF-style ANN: corpus vectors assigned to their nearest centroid
+    * once (a materializable index at scale); each query probes the
+    * `nprobe` nearest centroids' partitions only.
+    *
+    * Centroids are caller-provided (idCol, vecCol) — e.g. a k-means fit
+    * or a deterministic sample. Centroid set is broadcast at both stages.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+              idCol: String, vecCol: String, k: Int = 10, nprobe: Int = 2): DataFrame = {
+    val cent = centroids.select(col(idCol).as("cent_id"), asDouble(col(vecCol)).as("centv"))
+
+    def assign(df: DataFrame, id: String, vec: String, keep: Int): DataFrame = {
+      val scored = df.select(col(id), asDouble(col(vec)).as("v"))
+        .crossJoin(broadcast(cent))
+        .select(col(id), col("v"), col("cent_id"),
+          cosine(col("v"), col("centv")).as("csim"))
+      val w = Window.partitionBy(id).orderBy(col("csim").desc, col("cent_id"))
+      scored.withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= keep)
+        .drop("csim", "crank")
+    }
+
+    val corpusAssigned = assign(corpus, idCol, vecCol, 1)
+      .withColumnRenamed(idCol, "neighbor_id").withColumnRenamed("v", "cvec")
+    val queryAssigned = assign(queries, idCol, vecCol, nprobe)
+      .withColumnRenamed(idCol, "query_id").withColumnRenamed("v", "qvec")
+
+    val scored = corpusAssigned.join(broadcast(queryAssigned), Seq("cent_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qvec"), col("cvec")).as("sim"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+  }
+
+  /** Random-hyperplane LSH bucketing for cosine: `nbits` sign bits from
+    * dot products with deterministic pseudo-random hyperplanes (seeded by
+    * bit index — no RNG at plan time). Same-bucket vectors are near-dup
+    * candidates; used as the scale path for embedding near-dup detection.
+    */
+  def lshBuckets(df: DataFrame, idCol: String, vecCol: String,
+                 nbits: Int = 16, dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val v = asDouble(col(vecCol))
+    // Deterministic "hyperplane" component h(bit, d) in [-1, 1): derived
+    // from xxhash64 — reproducible across runs and cluster sizes.
+    def comp(bit: Int, d: Int): Double = {
+      val h = scala.util.hashing.MurmurHash3.productHash((seed, bit, d))
+      (h.toDouble / Int.MaxValue)
+    }
+    val bits = (0 until nbits).map { b =>
+      val proj = (0 until dim).map(d => element_at(v, d + 1) * lit(comp(b, d)))
+        .reduce(_ + _)
+      when(proj >= 0, lit(1L << b)).otherwise(0L)
+    }
+    df.select(col(idCol), bits.reduce((x: Column, y: Column) => x.bitwiseOR(y)).as("bucket"))
+  }
+}

@@ -1,0 +1,138 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for training-data pipelines: exact, n-gram
+  * Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design (the whole point of these operators):
+  *   - exact dedup: one hash-aggregate on a 128-bit fingerprint — the
+  *     shuffle carries (fingerprint, doc_id), never the text.
+  *   - pairwise Jaccard is O(n²) worst-case and exists as the *oracle*
+  *     for the approximate paths; at 100 TB you run MinHash+LSH, whose
+  *     cost is O(n · k) hashing + a self-join on (band, bucket) that only
+  *     materializes genuinely colliding candidates.
+  *   - SimHash: one 64-bit signature per doc, candidates via banded
+  *     prefix buckets, verification via popcount (bit_count(a ^ b)).
+  * All expressions are Catalyst built-ins (xxhash64, transform,
+  * aggregate) — no UDF in any hot path.
+  */
+object TextDedup {
+
+  /** Exact dedup: canonical row per normalized-text fingerprint — keeps
+    * the lowest `idCol`, reports the copy count.
+    */
+  def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(TextFunctions.fingerprint(col(textCol)).as("fp"), col(idCol))
+      .groupBy("fp")
+      .agg(min(idCol).as("canonical_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact near-dup oracle: all pairs with shingle-Jaccard ≥ threshold.
+    * Exploded-shingle self-join: |A∩B| via join on shingle, |A∪B| from
+    * per-doc sizes. Correct but quadratic in the worst case — use for
+    * verification and small corpora; LSH below for scale.
+    */
+  def jaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                   n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sh = df.select(col(idCol).as("doc"),
+        explode(TextFunctions.shingles(col(textCol), n)).as("s"))
+    val sizes = sh.groupBy("doc").agg(count(lit(1)).as("sz"))
+    val a = sh.as("a"); val b = sh.as("b")
+    val pairs = a.join(b, col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** MinHash signature: k independent hash minima over the shingle set.
+    * Hash family: xxhash64 seeded by the function index (one exploded
+    * shuffle, k partial-aggregated minima — map-side combine keeps the
+    * shuffle at one row per (partition, doc)).
+    */
+  def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
+                        n: Int = 3, k: Int = 32): DataFrame = {
+    val sh = df.select(col(idCol).as("doc"),
+        explode(TextFunctions.shingles(col(textCol), n)).as("s"))
+    val minima = (0 until k).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+    sh.groupBy("doc")
+      .agg(minima.head, minima.tail: _*)
+      .select(col("doc"), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** MinHash+LSH candidate pairs: signatures banded into `bands` groups of
+    * k/bands rows; docs colliding in ANY band become candidates; candidates
+    * are verified by estimated Jaccard = fraction of agreeing signature
+    * positions. For threshold t, bands/rows are tuned so P(candidate) ≈
+    * 1-(1-t^r)^b is steep around t.
+    */
+  def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
+                      n: Int = 3, k: Int = 32, bands: Int = 8,
+                      threshold: Double = 0.8): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val r = k / bands
+    val sigs = minhashSignatures(df, textCol, idCol, n, k)
+    val bandCols = (0 until bands).map(b =>
+      xxhash64(lit(b), slice(col("sig"), b * r + 1, r)))
+    val banded = sigs.select(col("doc"), col("sig"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
+    val a = banded.as("a"); val b = banded.as("b")
+    val candidates = a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    candidates
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast("double") / k)
+      .filter(col("est_jaccard") >= threshold)
+      .select("doc_a", "doc_b", "est_jaccard")
+  }
+
+  /** SimHash 64-bit signature per doc: per-bit vote over token hashes.
+    * One exploded aggregate with 64 codegen'd conditional sums.
+    */
+  def simhashSignatures(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("doc"),
+        explode(TextFunctions.tokens(col(textCol))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val votes = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
+    }
+    tok.groupBy("doc")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc"),
+        (0 until 64).map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L))
+          .reduce((x: Column, y: Column) => x.bitwiseOR(y)).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: candidates from 4×16-bit band buckets (a doc
+    * pair within hamming distance ≤ maxHamming collides in ≥1 band when
+    * maxHamming < 4), verified with popcount of XOR.
+    */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sigs = simhashSignatures(df, textCol, idCol)
+    val bandCols = (0 until 4).map(b =>
+      shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)))
+    val banded = sigs.select(col("doc"), col("simhash"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
+    val a = banded.as("a"); val b = banded.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,72 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Source-side utilities (SURVEY.md §2.1: S1-S13).
+  *
+  * The tabular readers are thin, explicit wrappers over Spark's built-in
+  * sources with the reference's encoding quirks (UTF-16 CSV/JSON, BOM,
+  * NDJSON) pre-configured. `latestFile` reproduces the reference's
+  * "newest monthly drop wins" ingestion (S12) as a driver-side listing —
+  * a metadata operation, deliberately NOT a distributed job.
+  */
+object FileSources {
+
+  /** S1: header CSV with schema inference. */
+  def csv(spark: SparkSession, path: String, encoding: String = "UTF-8"): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("inferSchema", "true")
+      .option("encoding", encoding)
+      .csv(path)
+
+  /** S2: UTF-16 CSV (OneLink snapshots, json_cleaning.ipynb:64-69). */
+  def csvUtf16(spark: SparkSession, path: String): DataFrame =
+    csv(spark, path, "UTF-16")
+
+  /** S7: whole-document JSON (multiLine), optionally UTF-16. */
+  def jsonWholeDoc(spark: SparkSession, path: String, encoding: String = "UTF-8"): DataFrame =
+    spark.read.option("multiLine", "true").option("encoding", encoding).json(path)
+
+  /** S9/S11: NDJSON; multi-file via glob is native. */
+  def ndjson(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+
+  /** S10: flatten an array-of-records wrapper column into a flat table
+    * (`pd.json_normalize(raw[wrapper])`).
+    */
+  def flattenRecords(df: DataFrame, wrapperCol: String): DataFrame =
+    df.select(explode(col(wrapperCol)).as("_r")).select(col("_r.*"))
+
+  sealed trait LatestBy
+  case object ByName extends LatestBy
+  case object ByMtime extends LatestBy
+
+  /** S12: latest-file-in-folder selection — regex filename filter, pick
+    * max by lexicographic name (the reference's filename-date sort) or by
+    * modification time.
+    */
+  def latestFile(spark: SparkSession, dir: String, pattern: String,
+                 by: LatestBy = ByName): Option[String] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val re = pattern.r
+    val files = fs.listStatus(p).toSeq
+      .filter(_.isFile)
+      .filter(st => re.findFirstIn(st.getPath.getName).isDefined)
+    if (files.isEmpty) None
+    else by match {
+      case ByName  => Some(files.maxBy(_.getPath.getName).getPath.toString)
+      case ByMtime => Some(files.maxBy(_.getModificationTime).getPath.toString)
+    }
+  }
+
+  /** S13: filename→metadata parse — month-end date from an "MMyy" token
+    * (CTP Data Compare.ipynb:55-63), applied as a literal column.
+    */
+  def withReportMonthEnd(df: DataFrame, mmyyToken: String): DataFrame =
+    df.withColumn("report_month_end", last_day(to_date(lit(mmyyToken), "MMyy")))
+}

@@ -1,0 +1,106 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming layer (SURVEY.md §2.11 / §7 layer 6).
+  *
+  * The reference's ingestion cadence is "a new monthly file appears in a
+  * folder" (S12). The Spark-native generalization is a file-source stream
+  * with `Trigger.AvailableNow` — each run drains whatever arrived, with
+  * exactly-once file tracking, replacing the hand-rolled
+  * latest-file-selection + archive-compare machinery.
+  */
+object EventStreams {
+
+  /** File-arrival stream over a directory of parquet drops. */
+  def fileStream(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+
+  /** Hourly tumbling-window counts/sums per event type with a watermark
+    * for late data. Append-mode compatible.
+    */
+  def hourlyByType(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  case class SessionUpdate(user_id: Long, session_start: java.sql.Timestamp,
+                           n_events: Long, total_value: Double, closed: Boolean)
+  case class SessionState(start: Long, last: Long, n: Long, total: Double)
+
+  /** Gap-based sessionization with custom state: a session closes after
+    * `gapMs` of inactivity (flatMapGroupsWithState with event-time
+    * timeout). Emits one row per closed session.
+    */
+  def sessionize(spark: SparkSession, events: DataFrame,
+                 gapMs: Long = 30 * 60 * 1000L): Dataset[SessionUpdate] = {
+    import spark.implicits._
+    val typed = events
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id").cast("long"), col("ts"), col("value").cast("double"))
+      .as[(Long, java.sql.Timestamp, Double)]
+
+    typed.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+      (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
+       state: GroupState[SessionState]) =>
+        if (state.hasTimedOut) {
+          val s = state.get
+          state.remove()
+          Iterator.single(SessionUpdate(user, new java.sql.Timestamp(s.start),
+            s.n, s.total, closed = true))
+        } else {
+          val sorted = rows.toSeq.sortBy(_._2.getTime)
+          var closedSessions = List.empty[SessionUpdate]
+          var cur = state.getOption
+          sorted.foreach { case (_, ts, v) =>
+            val t = ts.getTime
+            cur match {
+              case Some(s) if t - s.last <= gapMs =>
+                cur = Some(s.copy(last = t, n = s.n + 1, total = s.total + v))
+              case Some(s) =>
+                closedSessions ::= SessionUpdate(user, new java.sql.Timestamp(s.start),
+                  s.n, s.total, closed = true)
+                cur = Some(SessionState(t, t, 1, v))
+              case None =>
+                cur = Some(SessionState(t, t, 1, v))
+            }
+          }
+          cur.foreach { s =>
+            state.update(s)
+            state.setTimeoutTimestamp(s.last + gapMs)
+          }
+          closedSessions.reverseIterator
+        }
+    }
+  }
+
+  /** Batch-mode gap sessionization (same semantics, window-function form):
+    * used for oracle checks and for backfills over historical data. One
+    * shuffle on user_id; at 100 TB the input should be date-partitioned
+    * and the shuffle keyed on (user_id) with AQE handling skewed users.
+    */
+  def sessionizeBatch(events: DataFrame, gapMs: Long = 30 * 60 * 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          (unix_millis(col("ts")) - unix_millis(col("prev_ts"))) > gapMs, 1).otherwise(0))
+      .withColumn("session_seq",
+        sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        // decimal sum → double: order-independent, hash-stable across engines
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(27, 4)))
+          .cast("double").as("total_value"))
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Relational operator family semantics (SURVEY.md §2.6-2.8, §2.10). */
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val dup = Seq(
+    (1, "x", 10), (1, "x", 10), (1, "y", 5), (2, "z", 1)
+  ).toDF("k", "s", "v")
+
+  test("Dedup: duplicatesAll keeps every member of dup groups (D3)") {
+    assert(Dedup.duplicatesAll(dup, Seq("k")).count() == 3)
+  }
+
+  test("Dedup: duplicatesAfterFirst returns only repeats (D2)") {
+    val got = Dedup.duplicatesAfterFirst(dup, Seq("k"), Seq(col("s"), col("v")))
+    assert(got.count() == 2)
+  }
+
+  test("Dedup: dedupKeepFirst is deterministic under explicit order (D5)") {
+    val got = Dedup.dedupKeepFirst(dup, Seq("k"), Seq(col("v").desc, col("s")))
+      .orderBy("k").collect()
+    assert(got.map(_.getInt(2)).toSeq == Seq(10, 1))
+  }
+
+  test("Dedup: dedupPrefer keeps preferred row in dup group (D6)") {
+    val got = Dedup.dedupPrefer(dup, Seq("k"), col("s") === "y", Seq(col("s"), col("v")))
+      .orderBy("k").collect()
+    assert(got.map(_.getString(1)).toSeq == Seq("y", "z"))
+  }
+
+  test("Dedup: duplicateMetric counts removable rows (D8)") {
+    assert(Dedup.duplicateMetric(dup, Seq("k")).head().getLong(0) == 2L)
+  }
+
+  test("Joins: outerWithIndicator both/left_only/right_only (J2)") {
+    val l = Seq((1, "a"), (2, "b")).toDF("lk", "lv")
+    val r = Seq((2, "B"), (3, "C")).toDF("rk", "rv")
+    val got = Joins.outerWithIndicator(l, r, "lk", "rk")
+      .orderBy(coalesce(col("lk"), col("rk")))
+      .select("_merge").collect().map(_.getString(0))
+    assert(got.toSeq == Seq("left_only", "both", "right_only"))
+  }
+
+  test("Joins: containment first-hit-wins picks lowest pick-order (J6)") {
+    val left = Seq((1, "code ABC123 here"), (2, "nothing")).toDF("id", "hay")
+    val right = Seq((10, "ABC123"), (5, "ABC123"), (7, "ZZZ")).toDF("rid", "needle")
+    val got = Joins.containmentJoin(left, right, col("hay"), col("needle"),
+      Seq("id"), Seq(col("rid").asc_nulls_last))
+      .orderBy("id").collect()
+    assert(got(0).getInt(2) == 5)       // lowest rid wins
+    assert(got(1).isNullAt(2))          // unmatched row kept (left join)
+  }
+
+  test("Joins: unionOnCommon keeps shared columns in left order (J8)") {
+    val a = Seq((1, "x", 9.0)).toDF("id", "s", "v")
+    val b = Seq((2, 8.0, "y")).toDF("id", "v", "s")
+    val got = Joins.unionOnCommon(a, b)
+    assert(got.columns.toSeq == Seq("id", "s", "v"))
+    assert(got.count() == 2)
+  }
+
+  test("Aggs: dynamic pivot discovers values (A10)") {
+    val df = Seq(("g1", "a", 1.0), ("g1", "b", 2.0), ("g2", "a", 3.0)).toDF("g", "p", "v")
+    val got = Aggs.dynamicPivot(df, "g", "p", col("v")).orderBy("g").collect()
+    assert(got(0).getDouble(1) == 1.0 && got(0).getDouble(2) == 2.0)
+    assert(got(1).getDouble(1) == 3.0 && got(1).isNullAt(2))
+  }
+
+  test("Aggs: summaryTable unpivots metrics (A11)") {
+    val df = Seq(1, 2, 3).toDF("v")
+    val got = Aggs.summaryTable(df, Seq(
+      "n" -> count(lit(1)), "total" -> sum(col("v")))).orderBy("metric").collect()
+    assert(got.map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+      Seq(("n", 3.0), ("total", 6.0)))
+  }
+
+  test("SchemaOps: guard raises on drift (V1), alignTo adds typed nulls (V2)") {
+    val df = Seq((1, "a")).toDF("id", "s")
+    val target = StructType(Seq(
+      StructField("id", IntegerType), StructField("s", StringType),
+      StructField("extra", DoubleType)))
+    intercept[SchemaOps.SchemaDriftException] { SchemaOps.guard(df, target) }
+    val aligned = SchemaOps.alignTo(df, target)
+    assert(aligned.columns.toSeq == Seq("id", "s", "extra"))
+    assert(aligned.head().isNullAt(2))
+    assert(SchemaOps.guard(aligned, target).count() == 1)
+  }
+}

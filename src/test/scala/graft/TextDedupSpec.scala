@@ -1,0 +1,87 @@
+package graft
+
+import graft.functions.TextFunctions
+import graft.operators.{Similarity, TextDedup}
+import org.apache.spark.sql.functions._
+
+/** Training-data operators: shingles, MinHash/SimHash dedup, ANN. */
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"),   // near-dup of 0
+    (2L, "completely different text with other words entirely present"),
+    (3L, "the quick brown fox jumps over the lazy dog")    // exact dup of 0
+  ).toDF("doc_id", "text")
+
+  test("shingles: n-grams, short docs yield empty array not descending seq") {
+    val got = Seq("a b c d", "a b").toDF("t")
+      .select(TextFunctions.shingles(col("t"), 3).as("s")).collect()
+    assert(got(0).getSeq[String](0).toSet == Set("a_b_c", "b_c_d"))
+    assert(got(1).getSeq[String](0).isEmpty)
+  }
+
+  test("exactGroups collapses exact duplicates") {
+    val got = TextDedup.exactGroups(docs, "text", "doc_id")
+    assert(got.count() == 3)
+    val g = got.filter(col("n_copies") === 2).head()
+    assert(g.getLong(1) == 0L && g.getLong(2) == 2L)
+  }
+
+  test("jaccardPairs finds near-dups and exact dups") {
+    val pairs = TextDedup.jaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 3L)))  // exact dup → jaccard 1.0
+    assert(pairs.contains((0L, 1L)))  // near dup
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("minhash LSH recovers the exact-dup pair with est_jaccard 1.0") {
+    val pairs = TextDedup.minhashLshPairs(docs, "text", "doc_id",
+      n = 3, k = 32, bands = 8, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 3L && p._3 == 1.0))
+  }
+
+  test("simhash: identical docs hamming 0; near-dups close; others far") {
+    val sigs = TextDedup.simhashSignatures(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(0L) == sigs(3L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(0L), sigs(1L)) < ham(sigs(0L), sigs(2L)))
+  }
+
+  test("bruteForceTopK: self-similarity excluded, ranks dense from 1") {
+    val e = Tables.embeddings(spark, sf)
+    val got = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 3),
+      "vec_id", "embedding", k = 3).collect()
+    assert(got.length == 9)
+    assert(got.forall(r => r.getLong(0) != r.getLong(2)))
+    val ranks = got.groupBy(_.getLong(0)).values.map(_.map(_.getInt(1)).sorted.toSeq)
+    assert(ranks.forall(_ == Seq(1, 2, 3)))
+  }
+
+  test("ivfTopK with all-centroid probe ≈ brute force on top hit") {
+    val e = Tables.embeddings(spark, sf)
+    val queries = e.filter(col("vec_id") < 3)
+    val cents = e.filter(col("vec_id") % 10 === 0)
+    val ivf = Similarity.ivfTopK(e, queries, cents, "vec_id", "embedding",
+      k = 3, nprobe = 50)   // probe everything → exact
+    val bf = Similarity.bruteForceTopK(e, queries, "vec_id", "embedding", k = 3)
+    // with every centroid probed the candidate set is the full corpus
+    val ivfTop = ivf.filter(col("rank") === 1).orderBy("query_id")
+      .collect().map(_.getLong(2)).toSeq
+    val bfTop = bf.filter(col("rank") === 1).orderBy("query_id")
+      .collect().map(_.getLong(2)).toSeq
+    assert(ivfTop == bfTop)
+  }
+
+  test("langId picks the language with most stopword hits") {
+    val got = Seq("the cat and the dog of the house was here it is",
+      "el perro y la casa de los gatos no se un",
+      "zzz qqq www").toDF("t")
+      .select(TextFunctions.langId(col("t")).as("l")).collect().map(_.getString(0))
+    assert(got.toSeq == Seq("en", "es", "und"))
+  }
+}
