@@ -28,7 +28,9 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val selected = if (args.nonEmpty) SparkEntry.queries.filter(q => args.contains(q._1))
+                   else SparkEntry.queries
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>

@@ -69,10 +69,20 @@ object Similarity {
         .crossJoin(broadcast(cent))
         .select(col(id), col("v"), col("cent_id"),
           cosine(col("v"), col("centv")).as("csim"))
-      val w = Window.partitionBy(id).orderBy(col("csim").desc, col("cent_id"))
-      scored.withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= keep)
-        .drop("csim", "crank")
+      if (keep == 1) {
+        // struct-max aggregation instead of a window sort: map-side
+        // combinable, no per-partition sort of |corpus|·|centroids| rows.
+        // Tie-break = lowest cent_id (negated inside the max struct).
+        scored.groupBy(id)
+          .agg(max(struct(col("csim"), negate(col("cent_id")).as("nc"))).as("m"),
+            first(col("v")).as("v"))
+          .select(col(id), col("v"), negate(col("m.nc")).as("cent_id"))
+      } else {
+        val w = Window.partitionBy(id).orderBy(col("csim").desc, col("cent_id"))
+        scored.withColumn("crank", row_number().over(w))
+          .filter(col("crank") <= keep)
+          .drop("csim", "crank")
+      }
     }
 
     val corpusAssigned = assign(corpus, idCol, vecCol, 1)

@@ -36,13 +36,28 @@ object TextDedup {
     */
   def jaccardPairs(df: DataFrame, textCol: String, idCol: String,
                    n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    // Join on the 64-bit shingle hash, not the shingle string: the
+    // exploded self-join shuffles 8-byte keys instead of ~8·n-byte
+    // strings. Counts are unchanged short of an xxhash64 collision
+    // *within one document pair* (~2^-64 per shingle pair — negligible).
     val sh = df.select(col(idCol).as("doc"),
-        explode(TextFunctions.shingles(col(textCol), n)).as("s"))
+        explode(TextFunctions.shingles(col(textCol), n)).as("s0"))
+      .select(col("doc"), xxhash64(col("s0")).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("doc").agg(count(lit(1)).as("sz"))
-    val a = sh.as("a"); val b = sh.as("b")
-    val pairs = a.join(b, col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
-      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+    // Group each shingle's posting list once and emit doc pairs from it,
+    // instead of a self-join: one shuffle on the shingle hash, no
+    // sort-merge of the exploded table against itself. Singleton
+    // shingles (the vast majority) are dropped before any pair work.
+    val postings = sh.groupBy("s").agg(sort_array(collect_set(col("doc"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+    val pairs = postings.select(explode(expr(
+        "flatten(transform(ds, (x, i) -> transform(slice(ds, i + 2, size(ds)), " +
+          "y -> struct(x AS a, y AS b))))")).as("p"))
+      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .agg(count(lit(1)).as("common"))
+    // no broadcast hint: at 100 TB the per-doc size table is itself large;
+    // AQE converts these to broadcast joins at runtime when small enough.
     pairs
       .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
@@ -53,15 +68,23 @@ object TextDedup {
   }
 
   /** MinHash signature: k independent hash minima over the shingle set.
-    * Hash family: xxhash64 seeded by the function index (one exploded
-    * shuffle, k partial-aggregated minima — map-side combine keeps the
-    * shuffle at one row per (partition, doc)).
+    *
+    * Hash family: ONE xxhash64 over the shingle STRING, then k cheap
+    * re-hashes of that 8-byte value (`xxhash64(h, i)`). Hashing a long k
+    * times is far cheaper than hashing a ~8·n-byte string k times — the
+    * thing that keeps the map side cheap when the corpus is 100 TB.
+    * (An affine `a·h+b` family would be cheaper still but Spark 4 runs
+    * ANSI mode where the deliberate wrap-around multiply throws.)
+    * One exploded shuffle; map-side partial `min` keeps the shuffle at
+    * one row per (partition, doc).
     */
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
                         n: Int = 3, k: Int = 32): DataFrame = {
     val sh = df.select(col(idCol).as("doc"),
-        explode(TextFunctions.shingles(col(textCol), n)).as("s"))
-    val minima = (0 until k).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+        explode(TextFunctions.shingles(col(textCol), n)).as("s0"))
+      .select(col("doc"), xxhash64(col("s0")).as("h"))
+    val minima = (0 until k).map(i =>
+      min(xxhash64(col("h"), lit(i))).as(s"h$i"))
     sh.groupBy("doc")
       .agg(minima.head, minima.tail: _*)
       .select(col("doc"), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
@@ -78,7 +101,10 @@ object TextDedup {
                       threshold: Double = 0.8): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
+    // persist: the banded frame feeds both sides of the candidate
+    // self-join — without it the whole shingle+signature pipeline runs twice
     val sigs = minhashSignatures(df, textCol, idCol, n, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandCols = (0 until bands).map(b =>
       xxhash64(lit(b), slice(col("sig"), b * r + 1, r)))
     val banded = sigs.select(col("doc"), col("sig"),
