@@ -103,4 +103,40 @@ object Joins {
   /** J9: append union tolerating missing columns (filled with nulls). */
   def appendUnion(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b, allowMissingColumns = true)
+
+  /** Skew-safe equi-join by key salting: the skewed left side gets a
+    * random-but-deterministic salt in [0, buckets), the right side is
+    * replicated `buckets` times, and the join key becomes (key, salt) —
+    * splitting a hot key's rows across `buckets` reducers.
+    *
+    * AQE's skew-join handling covers sort-merge joins automatically;
+    * explicit salting remains necessary for skewed *aggregations* and for
+    * engines/paths AQE doesn't cover, so the engine ships it as a
+    * first-class operator.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 buckets: Int = 16, joinType: String = "inner"): DataFrame = {
+    val salted = left.withColumn("_salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(buckets)))
+    val replicated = right.withColumn("_salt",
+      explode(sequence(lit(0L), lit((buckets - 1).toLong))))
+    salted.join(replicated, Seq(key, "_salt"), joinType).drop("_salt")
+  }
+
+  /** P5: sequential row ids continued across tables — the reference
+    * assigns `range(1, n+1)` to one frame and `range(n+1, n+m+1)` to the
+    * next (Study Startup Legacy Data merge.ipynb:41-45,1181-1192).
+    * Order must be explicit (pandas relied on file order). Implemented
+    * per-frame with row_number over the given ordering plus the running
+    * offset of the preceding frames' counts.
+    */
+  def sequentialRowIds(frames: Seq[DataFrame], orderBy: Seq[Column],
+                       idCol: String = "row_id"): Seq[DataFrame] = {
+    val counts = frames.map(_.count())
+    val offsets = counts.scanLeft(0L)(_ + _)
+    frames.zip(offsets).map { case (df, off) =>
+      val w = Window.orderBy(orderBy: _*)
+      df.withColumn(idCol, row_number().over(w).cast("long") + off)
+    }
+  }
 }

@@ -1,0 +1,244 @@
+package graft.sources
+
+import java.io.{BufferedOutputStream, FileOutputStream}
+import java.nio.charset.StandardCharsets
+import java.util.zip.{ZipEntry, ZipFile, ZipOutputStream}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+/** Minimal XLSX connector, pure JDK (java.util.zip + SAX) — no external
+  * dependency (this container has no POI; XLSX is a zip of XML parts).
+  *
+  * Covers the reference's Excel surface (SURVEY.md S4-S6, K2-K3):
+  *   - read: sheet by name or first, `skipRows`, 1..k header rows with
+  *     forward-fill + "_"-join flattening (the 4-row hierarchical header
+  *     of Financial Snapshot Preprocess.ipynb:195-256), shared & inline
+  *     strings, all columns ingested as StringType (the reference's
+  *     pandas `object` ingest; downstream coercion via Compat).
+  *   - write: one sheet per DataFrame, inline strings, header row.
+  *
+  * Deliberately driver-side: the reference reads/writes small report
+  * workbooks (hundreds..tens of thousands of rows). Large tabular data
+  * belongs in parquet; this connector exists for format parity, with a
+  * row-count guard to fail fast on misuse.
+  */
+object Excel {
+
+  val maxDriverRows = 1000000
+
+  // ---- read ----------------------------------------------------------
+
+  /** Read one sheet into a DataFrame of strings.
+    * @param headerRows 0 → synthesized c0..cN names; 1 → plain header;
+    *                   k>1 → hierarchical header flattened by
+    *                   forward-filling each header row and joining
+    *                   non-empty parts with "_" (pandas tidy() parity).
+    */
+  def read(spark: SparkSession, path: String, sheet: Option[String] = None,
+           skipRows: Int = 0, headerRows: Int = 1): DataFrame = {
+    val rows = readSheetCells(path, sheet).drop(skipRows)
+    if (rows.isEmpty)
+      return spark.createDataFrame(new java.util.ArrayList[Row](), StructType(Nil))
+    val width = rows.map(_.length).max
+    val padded = rows.map(r => r.padTo(width, ""))
+
+    val (names, data) =
+      if (headerRows == 0) ((0 until width).map(i => s"c$i"), padded)
+      else {
+        val headers = padded.take(headerRows).map(forwardFill)
+        val flat = (0 until width).map { i =>
+          val parts = headers.map(_(i)).filter(_.nonEmpty)
+          if (parts.isEmpty) s"c$i" else parts.mkString("_")
+        }
+        (dedupeNames(flat), padded.drop(headerRows))
+      }
+    val schema = StructType(names.map(n => StructField(n, StringType, nullable = true)))
+    val javaRows = data.map(r =>
+      Row.fromSeq(r.map(v => if (v.isEmpty) null else v)): Row).asJava
+    spark.createDataFrame(javaRows, schema)
+  }
+
+  /** Sheet names in workbook order. */
+  def sheetNames(path: String): Seq[String] = {
+    val zf = new ZipFile(path)
+    try workbookSheets(zf).map(_._1)
+    finally zf.close()
+  }
+
+  private def forwardFill(r: Seq[String]): Seq[String] =
+    r.scanLeft("") { (prev, v) => if (v.nonEmpty) v else prev }.drop(1)
+
+  private def dedupeNames(names: Seq[String]): Seq[String] = {
+    val seen = mutable.Map.empty[String, Int]
+    names.map { n =>
+      val k = seen.getOrElse(n, 0)
+      seen(n) = k + 1
+      if (k == 0) n else s"${n}_$k"
+    }
+  }
+
+  /** (sheetName, partName) pairs from workbook.xml + its rels. */
+  private def workbookSheets(zf: ZipFile): Seq[(String, String)] = {
+    def entryText(name: String): Option[String] =
+      Option(zf.getEntry(name)).map { e =>
+        new String(zf.getInputStream(e).readAllBytes(), StandardCharsets.UTF_8)
+      }
+    val wb = entryText("xl/workbook.xml").getOrElse(
+      throw new IllegalArgumentException("not an xlsx: missing xl/workbook.xml"))
+    val rels = entryText("xl/_rels/workbook.xml.rels").getOrElse("")
+    val relMap = """<Relationship[^>]*Id="([^"]+)"[^>]*Target="([^"]+)"""".r
+      .findAllMatchIn(rels).map(m => m.group(1) -> m.group(2)).toMap ++
+      """<Relationship[^>]*Target="([^"]+)"[^>]*Id="([^"]+)"""".r
+        .findAllMatchIn(rels).map(m => m.group(2) -> m.group(1)).toMap
+    """<sheet[^>]*name="([^"]+)"[^>]*r:id="([^"]+)"""".r.findAllMatchIn(wb).map { m =>
+      val target = relMap.getOrElse(m.group(2), "worksheets/sheet1.xml")
+      val part = if (target.startsWith("/")) target.drop(1)
+                 else if (target.startsWith("xl/")) target else s"xl/$target"
+      m.group(1) -> part
+    }.toSeq
+  }
+
+  /** All cell values of a sheet as row-major strings (sparse cells → ""). */
+  private def readSheetCells(path: String, sheet: Option[String]): Seq[Seq[String]] = {
+    val zf = new ZipFile(path)
+    try {
+      val sheets = workbookSheets(zf)
+      val part = sheet match {
+        case Some(name) => sheets.find(_._1 == name).map(_._2).getOrElse(
+          throw new IllegalArgumentException(
+            s"sheet '$name' not found; have ${sheets.map(_._1).mkString(", ")}"))
+        case None => sheets.headOption.map(_._2).getOrElse("xl/worksheets/sheet1.xml")
+      }
+      val shared: IndexedSeq[String] = Option(zf.getEntry("xl/sharedStrings.xml")).map { e =>
+        val xml = new String(zf.getInputStream(e).readAllBytes(), StandardCharsets.UTF_8)
+        """<si>(.*?)</si>""".r.findAllMatchIn(xml)
+          .map(m => """<t[^>]*>([^<]*)</t>""".r.findAllMatchIn(m.group(1))
+            .map(t => unescape(t.group(1))).mkString)
+          .toIndexedSeq
+      }.getOrElse(IndexedSeq.empty)
+
+      val sheetXml = new String(
+        zf.getInputStream(zf.getEntry(part)).readAllBytes(), StandardCharsets.UTF_8)
+      val rowRe = """(?s)<row[^>]*>(.*?)</row>""".r
+      val cellRe = """(?s)<c(\s[^>]*?)?(?:/>|>(.*?)</c>)""".r
+      rowRe.findAllMatchIn(sheetXml).map { rm =>
+        val cells = mutable.ArrayBuffer.empty[(Int, String)]
+        cellRe.findAllMatchIn(rm.group(1)).foreach { cm =>
+          val attrs = Option(cm.group(1)).getOrElse("")
+          val body = Option(cm.group(2)).getOrElse("")
+          val ref = """r="([A-Z]+)\d+"""".r.findFirstMatchIn(attrs).map(_.group(1))
+          val idx = ref.map(colIndex).getOrElse(cells.size)
+          val t = """t="([^"]+)"""".r.findFirstMatchIn(attrs).map(_.group(1)).getOrElse("n")
+          val v = t match {
+            case "inlineStr" =>
+              """<t[^>]*>([^<]*)</t>""".r.findAllMatchIn(body)
+                .map(m => unescape(m.group(1))).mkString
+            case "s" =>
+              """<v>([^<]*)</v>""".r.findFirstMatchIn(body)
+                .map(m => shared(m.group(1).trim.toInt)).getOrElse("")
+            case _ =>
+              """<v>([^<]*)</v>""".r.findFirstMatchIn(body)
+                .map(m => unescape(m.group(1))).getOrElse("")
+          }
+          cells += ((idx, v))
+        }
+        if (cells.isEmpty) Seq.empty[String]
+        else {
+          val width = cells.map(_._1).max + 1
+          val arr = Array.fill(width)("")
+          cells.foreach { case (i, v) => arr(i) = v }
+          arr.toSeq
+        }
+      }.toSeq
+    } finally zf.close()
+  }
+
+  private def colIndex(ref: String): Int =
+    ref.foldLeft(0)((acc, c) => acc * 26 + (c - 'A' + 1)) - 1
+
+  // ---- write ---------------------------------------------------------
+
+  /** K2: single-sheet workbook. */
+  def write(df: DataFrame, path: String, sheetName: String = "Sheet1"): Unit =
+    writeWorkbook(Seq(sheetName -> df), path)
+
+  /** K3: multi-sheet workbook (Summary / Matched / Detail fan-out shape).
+    * Collects each frame to the driver — guarded; this is a report sink,
+    * not a data sink.
+    */
+  def writeWorkbook(sheets: Seq[(String, DataFrame)], path: String): Unit = {
+    val zos = new ZipOutputStream(new BufferedOutputStream(new FileOutputStream(path)))
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(content.getBytes(StandardCharsets.UTF_8))
+      zos.closeEntry()
+    }
+    try {
+      val n = sheets.size
+      put("[Content_Types].xml",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+          """<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">""" +
+          """<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>""" +
+          """<Default Extension="xml" ContentType="application/xml"/>""" +
+          """<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>""" +
+          (1 to n).map(i =>
+            s"""<Override PartName="/xl/worksheets/sheet$i.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""")
+            .mkString +
+          """</Types>""")
+      put("_rels/.rels",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+          """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+          """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>""" +
+          """</Relationships>""")
+      put("xl/workbook.xml",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+          """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets>""" +
+          sheets.zipWithIndex.map { case ((name, _), i) =>
+            s"""<sheet name="${escape(name)}" sheetId="${i + 1}" r:id="rId${i + 1}"/>"""
+          }.mkString + """</sheets></workbook>""")
+      put("xl/_rels/workbook.xml.rels",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+          """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+          (1 to n).map(i =>
+            s"""<Relationship Id="rId$i" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet$i.xml"/>""")
+            .mkString + """</Relationships>""")
+      sheets.zipWithIndex.foreach { case ((_, df), i) =>
+        put(s"xl/worksheets/sheet${i + 1}.xml", sheetXml(df))
+      }
+    } finally zos.close()
+  }
+
+  private def sheetXml(df: DataFrame): String = {
+    val header = df.columns.toSeq
+    val rows = df.limit(maxDriverRows + 1).collect()
+    require(rows.length <= maxDriverRows,
+      s"Excel sink is a driver-side report writer; got > $maxDriverRows rows — write parquet/csv instead")
+    val sb = new StringBuilder
+    sb ++= """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>"""
+    sb ++= """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>"""
+    def cell(v: Any): String = v match {
+      case null => "<c/>"   // placeholder keeps later cells in position
+      case d: Double => s"<c><v>$d</v></c>"
+      case f: Float => s"<c><v>$f</v></c>"
+      case x: Number => s"<c><v>$x</v></c>"
+      case b: Boolean => s"<c t=\"inlineStr\"><is><t>$b</t></is></c>"
+      case other => s"<c t=\"inlineStr\"><is><t>${escape(other.toString)}</t></is></c>"
+    }
+    sb ++= "<row>" + header.map(h => cell(h)).mkString + "</row>"
+    rows.foreach { r =>
+      sb ++= "<row>" + (0 until r.length).map(i => cell(r.get(i))).mkString + "</row>"
+    }
+    sb ++= "</sheetData></worksheet>"
+    sb.result()
+  }
+
+  private def escape(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;")
+
+  private def unescape(s: String): String =
+    s.replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
+      .replace("&apos;", "'").replace("&amp;", "&")
+}

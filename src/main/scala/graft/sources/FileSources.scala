@@ -14,17 +14,47 @@ import org.apache.spark.sql.functions._
   */
 object FileSources {
 
-  /** S1: header CSV with schema inference. */
-  def csv(spark: SparkSession, path: String, encoding: String = "UTF-8"): DataFrame =
-    spark.read
+  /** S1: header CSV with schema inference. Multi-byte encodings (UTF-16)
+    * need an explicit lineSep so record splitting happens in the target
+    * charset, not on raw single-byte newlines.
+    */
+  def csv(spark: SparkSession, path: String, encoding: String = "UTF-8"): DataFrame = {
+    val r = spark.read
       .option("header", "true")
       .option("inferSchema", "true")
       .option("encoding", encoding)
-      .csv(path)
+    val r2 = if (encoding.toUpperCase.startsWith("UTF-16")) r.option("lineSep", "\n") else r
+    r2.csv(path)
+  }
 
-  /** S2: UTF-16 CSV (OneLink snapshots, json_cleaning.ipynb:64-69). */
-  def csvUtf16(spark: SparkSession, path: String): DataFrame =
-    csv(spark, path, "UTF-16")
+  /** S2: UTF-16 CSV (OneLink snapshots, json_cleaning.ipynb:64-69).
+    *
+    * Java's `"\n".getBytes("UTF-16")` prepends a BOM, so the generic
+    * "UTF-16" charset can never match a record separator mid-file. Sniff
+    * the BOM driver-side, read with the byte-order-explicit charset
+    * (whose getBytes emits no BOM), and strip the BOM character that then
+    * leaks into the first header name.
+    */
+  def csvUtf16(spark: SparkSession, path: String): DataFrame = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val first = {
+      val matches = fs.globStatus(p)
+      val f = if (matches != null && matches.nonEmpty) matches.head.getPath else p
+      val st = if (fs.getFileStatus(f).isDirectory)
+        fs.listStatus(f).filter(_.isFile).head.getPath else f
+      val in = fs.open(st)
+      try { val b = new Array[Byte](2); in.readFully(0, b); b } finally in.close()
+    }
+    val enc = if (first(0) == 0xFE.toByte && first(1) == 0xFF.toByte) "UTF-16BE"
+              else "UTF-16LE"
+    val df = csv(spark, path, enc)
+    df.columns.headOption match {
+      case Some(h) if h.startsWith("\uFEFF") =>
+        df.withColumnRenamed(h, h.stripPrefix("\uFEFF"))
+      case _ => df
+    }
+  }
 
   /** S7: whole-document JSON (multiLine), optionally UTF-16. */
   def jsonWholeDoc(spark: SparkSession, path: String, encoding: String = "UTF-8"): DataFrame =

@@ -1,0 +1,47 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Sink-side utilities (SURVEY.md §2.2).
+  *
+  * K1 single-file CSV parity: the reference's `to_csv(path, index=False)`
+  * produces ONE file. `coalesce(1)` gives single-file output without a
+  * full shuffle (narrow dependency); the part file is then renamed to the
+  * requested path. Only for report-sized outputs — a 100 TB result goes
+  * through `df.write` partitioned, never through one file.
+  */
+object Sinks {
+
+  /** K1: write a single CSV file at exactly `path` (header, UTF-8). */
+  def writeSingleCsv(df: DataFrame, path: String, encoding: String = "UTF-8"): Unit = {
+    val tmp = path + "_tmpdir"
+    df.coalesce(1).write.mode(SaveMode.Overwrite)
+      .option("header", "true").option("encoding", encoding)
+      .csv(tmp)
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val fs = new Path(tmp).getFileSystem(conf)
+    val part = fs.listStatus(new Path(tmp))
+      .map(_.getPath).find(_.getName.startsWith("part-"))
+      .getOrElse(throw new IllegalStateException(s"no part file under $tmp"))
+    val dest = new Path(path)
+    if (fs.exists(dest)) fs.delete(dest, false)
+    fs.rename(part, dest)
+    fs.delete(new Path(tmp), true)
+  }
+
+  /** K5: console report — formatted summary rows (the reference's primary
+    * human output in DOP VP Compare.py:188-223). Small frames only.
+    */
+  def consoleReport(df: DataFrame, title: String, maxRows: Int = 100): String = {
+    val header = df.columns.mkString(" | ")
+    val lines = df.limit(maxRows).collect().map(_.toSeq.map {
+      case null => "NULL"
+      case d: Double => f"$d%,.2f"
+      case x => x.toString
+    }.mkString(" | "))
+    val out = (Seq(s"== $title ==", header) ++ lines).mkString("\n")
+    println(out)
+    out
+  }
+}

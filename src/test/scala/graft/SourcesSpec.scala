@@ -1,0 +1,102 @@
+package graft
+
+import graft.operators.Joins
+import graft.sources.{Excel, FileSources, Sinks}
+import org.apache.spark.sql.functions._
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+/** Excel connector, sinks, encodings, salting, row-id utilities. */
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Excel: single-sheet roundtrip preserves values; numbers stay numeric cells") {
+    val dir = Files.createTempDirectory("xlsx").toString
+    val df = Seq((1L, "alpha", 1.5), (2L, "be<ta> & co", 2.25), (3L, null.asInstanceOf[String], 0.0))
+      .toDF("id", "name", "score")
+    Excel.write(df, s"$dir/t.xlsx")
+    val back = Excel.read(spark, s"$dir/t.xlsx")
+    assert(back.columns.toSeq == Seq("id", "name", "score"))
+    val rows = back.orderBy("id").collect()
+    assert(rows.length == 3)
+    assert(rows(1).getString(1) == "be<ta> & co")   // XML escaping roundtrip
+    assert(rows(0).getString(2) == "1.5")           // all-string ingest
+    assert(rows(2).isNullAt(1))                     // empty cell → null
+  }
+
+  test("Excel: multi-sheet workbook (K3) with sheet selection and names") {
+    val dir = Files.createTempDirectory("xlsx").toString
+    val a = Seq(("x", 1)).toDF("k", "v")
+    val b = Seq(("y", 2), ("z", 3)).toDF("k", "v")
+    Excel.writeWorkbook(Seq("Summary" -> a, "Detail" -> b), s"$dir/wb.xlsx")
+    assert(Excel.sheetNames(s"$dir/wb.xlsx") == Seq("Summary", "Detail"))
+    assert(Excel.read(spark, s"$dir/wb.xlsx", Some("Detail")).count() == 2)
+    assert(Excel.read(spark, s"$dir/wb.xlsx", Some("Summary")).head().getString(0) == "x")
+    intercept[IllegalArgumentException] {
+      Excel.read(spark, s"$dir/wb.xlsx", Some("Nope"))
+    }
+  }
+
+  test("Excel: skipRows + hierarchical 2-row header flattening (S6)") {
+    val dir = Files.createTempDirectory("xlsx").toString
+    // preamble rows, then a 2-row header: group row (sparse) + leaf row
+    val raw = Seq(
+      Seq("report generated", "", ""),
+      Seq("ignore me", "", ""),
+      Seq("Budget", "", "Actuals"),
+      Seq("Q1", "Q2", "Q1"),
+      Seq("1", "2", "3"),
+      Seq("4", "5", "6"))
+    val df = raw.map(r => (r(0), r(1), r(2))).toDF("a", "b", "c")
+    Excel.write(df.select(col("a"), col("b"), col("c")), s"$dir/h.xlsx")
+    // re-read skipping the synthetic header row written by write() plus 2 preamble rows
+    val back = Excel.read(spark, s"$dir/h.xlsx", skipRows = 3, headerRows = 2)
+    // forward-fill: Budget,Budget,Actuals over Q1,Q2,Q1 → Budget_Q1, Budget_Q2, Actuals_Q1
+    assert(back.columns.toSeq == Seq("Budget_Q1", "Budget_Q2", "Actuals_Q1"))
+    assert(back.collect().map(_.toSeq).toSeq ==
+      Seq(Seq("1", "2", "3"), Seq("4", "5", "6")))
+  }
+
+  test("Sinks: writeSingleCsv produces exactly one file readable back (K1)") {
+    val dir = Files.createTempDirectory("csv").toString
+    val df = Seq((1, "a"), (2, "b")).toDF("id", "s")
+    Sinks.writeSingleCsv(df, s"$dir/out.csv")
+    assert(Files.isRegularFile(Paths.get(s"$dir/out.csv")))
+    val back = FileSources.csv(spark, s"$dir/out.csv")
+    assert(back.count() == 2 && back.columns.toSeq == Seq("id", "s"))
+  }
+
+  test("UTF-16 CSV scan (S2)") {
+    val dir = Files.createTempDirectory("u16").toString
+    Files.write(Paths.get(s"$dir/one.csv"),
+      "k,v\nä,1\nb,2\n".getBytes(StandardCharsets.UTF_16))
+    val df = FileSources.csvUtf16(spark, s"$dir/one.csv")
+    assert(df.columns.toSeq == Seq("k", "v"))
+    assert(df.orderBy("v").head().getString(0) == "ä")
+  }
+
+  test("NDJSON scan (S9) with multi-file glob (S11)") {
+    val dir = Files.createTempDirectory("nd").toString
+    Files.writeString(Paths.get(s"$dir/a.ndjson"), "{\"x\":1}\n{\"x\":2}\n")
+    Files.writeString(Paths.get(s"$dir/b.ndjson"), "{\"x\":3}\n")
+    assert(FileSources.ndjson(spark, s"$dir/*.ndjson").count() == 3)
+  }
+
+  test("saltedJoin matches plain join results") {
+    val l = Seq((1, "a"), (1, "b"), (2, "c")).toDF("k", "lv")
+    val r = Seq((1, "X"), (2, "Y")).toDF("k", "rv")
+    val plain = l.join(r, Seq("k")).select("k", "lv", "rv")
+      .collect().map(_.toSeq).toSet
+    val salted = Joins.saltedJoin(l, r, "k", buckets = 4)
+      .select("k", "lv", "rv").collect().map(_.toSeq).toSet
+    assert(salted == plain)
+  }
+
+  test("sequentialRowIds continue across frames (P5)") {
+    val a = Seq("x", "y").toDF("s")
+    val b = Seq("z").toDF("s")
+    val Seq(wa, wb) = Joins.sequentialRowIds(Seq(a, b), Seq(col("s")))
+    assert(wa.select("row_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    assert(wb.select("row_id").collect().map(_.getLong(0)).toSeq == Seq(3L))
+  }
+}
