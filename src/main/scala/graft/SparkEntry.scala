@@ -257,6 +257,50 @@ object SparkEntry {
         .orderBy("o_custkey", "rk")
     }),
 
+    // ---- Spark-native extras beyond the reference (SURVEY §2.11) -----
+    "q_setops" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val highValue = o.filter(col("o_totalprice") > 150000)
+        .select(col("o_custkey").as("custkey")).distinct()
+      val building = c.filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("custkey")).distinct()
+      highValue.intersect(building).withColumn("op", lit("intersect"))
+        .unionByName(highValue.except(building).withColumn("op", lit("except")))
+        .orderBy("op", "custkey")
+    }),
+    "q_rollup" -> ((s, d) =>
+      Tables.orders(s, d)
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(Compat.exactSum(col("o_totalprice"), 2).as("total"),
+          count(lit(1)).as("n"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("total"), col("n"))
+        .orderBy("status", "priority")),
+    "q_rank" -> ((s, d) => {
+      val byPrice = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc)
+      val stable = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        rank().over(byPrice).as("rnk"),
+        dense_rank().over(byPrice).as("drnk"),
+        ntile(4).over(stable).as("quartile"))
+        .filter(col("rnk") <= 20)
+        .orderBy("o_orderpriority", "rnk", "o_orderkey")
+    }),
+    "q_approx_profile" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      li.agg(
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        count_distinct(col("l_orderkey")).as("exact_orders"),
+        count(lit(1)).as("rows"))
+    }),
+
     // ---- training-data: text analysis --------------------------------
     "q_text_stats" -> ((s, d) => {
       val q = TextFunctions.qualityStruct(col("text"))
@@ -567,6 +611,27 @@ object SparkEntry {
         |FROM pairs JOIN sizes sa ON doc_a=sa.doc_id JOIN sizes sb ON doc_b=sb.doc_id
         |WHERE CAST(common AS DOUBLE)/(sa.sz + sb.sz - common) >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_setops" ->
+      """WITH hv AS (SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000),
+        |b AS (SELECT DISTINCT c_custkey AS custkey FROM customer WHERE c_mktsegment='BUILDING')
+        |SELECT custkey, 'intersect' AS op FROM (SELECT custkey FROM hv INTERSECT SELECT custkey FROM b)
+        |UNION ALL
+        |SELECT custkey, 'except' FROM (SELECT custkey FROM hv EXCEPT SELECT custkey FROM b)
+        |ORDER BY op, custkey""".stripMargin,
+    "q_rollup" ->
+      """SELECT coalesce(o_orderstatus,'ALL') AS status,
+        | coalesce(o_orderpriority,'ALL') AS priority,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS total,
+        | count(*) AS n
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "q_rank" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        | CAST(rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS INTEGER) AS rnk,
+        | CAST(dense_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS INTEGER) AS drnk,
+        | CAST(ntile(4) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS quartile
+        |FROM orders QUALIFY rnk <= 20
+        |ORDER BY o_orderpriority, rnk, o_orderkey""".stripMargin,
     "q_ann_topk" ->
       """WITH q AS (SELECT vec_id qid, embedding::DOUBLE[] qe FROM embeddings WHERE vec_id<10),
         |c AS (SELECT vec_id nid, embedding::DOUBLE[] ce FROM embeddings),

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan audit: the properties that decide whether a query
+  * survives a 100× scale-up, asserted so a regression (a lost pushdown, a
+  * de-broadcast-ed join, a vanished partial aggregate) fails CI rather
+  * than shipping as a silent 10× slowdown.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  private def q(name: String): DataFrame = SparkEntry.queries(name)(spark, sf)
+
+  test("q1_agg: shipdate filter pushed to parquet, unused columns pruned") {
+    val p = plan(q("q1_agg"))
+    assert(p.contains("PushedFilters") && p.contains("LessThanOrEqual(l_shipdate"),
+      s"filter not pushed:\n$p")
+    assert(!p.contains("l_suppkey"), "scan reads columns the query never uses")
+    assert(p.contains("HashAggregate"), "no hash aggregation")
+  }
+
+  test("q3_top10: dimension side broadcast, no shuffle of customer") {
+    val p = plan(q("q3_top10"))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+    assert(p.contains("PushedFilters"), "segment filter not pushed to scan")
+  }
+
+  test("q_j1_left: small lookup broadcast to the fact side") {
+    assert(plan(q("q_j1_left")).contains("BroadcastHashJoin"))
+  }
+
+  test("q_j6_containment: nested-loop join only on the broadcast side") {
+    assert(plan(q("q_j6_containment")).contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q_recon: pre-aggregation below the outer join has partial+final pair") {
+    val p = plan(q("q_recon"))
+    assert(p.contains("HashAggregate"))
+    // partial aggregation shows as two HashAggregate nodes for the orders agg
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "map-side partial aggregation missing — shuffle carries raw rows")
+  }
+
+  test("q_dedup_exact: dedup is a hash aggregate, not a sort") {
+    val p = plan(q("q_dedup_exact"))
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("q_f_orders: all four predicates reach the parquet scan") {
+    val p = plan(q("q_f_orders"))
+    assert(p.contains("PushedFilters"))
+    assert(p.contains("GreaterThanOrEqual(o_orderdate") || p.contains("o_orderdate"),
+      "date range not pushed")
+    assert(p.contains("In(o_orderpriority") || p.contains("o_orderpriority"),
+      "isin not pushed")
+  }
+
+  test("projection-only query scans only selected columns") {
+    val p = plan(q("q_p_project"))
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("c_acctbal") && !p.contains("c_nationkey"),
+      "column pruning failed — scan reads the whole customer schema")
+  }
+
+  test("whole-stage codegen covers the scan-filter-project pipeline") {
+    // AQE hides codegen spans until execution — run the query, then
+    // inspect the final executed plan for WholeStageCodegen ids ("*(n)").
+    val df = q("q_f_orders")
+    df.collect()   // count() would plan a different query; execute THIS one
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("), s"hot path fell out of codegen:\n$p")
+  }
+}
