@@ -362,6 +362,31 @@ object SparkEntry {
         .toDF().select(col("doc_id"), col("frame_idx"), size(col("feature")).as("dim"))
         .orderBy("doc_id", "frame_idx")),
 
+    // ---- as-of join + corpus curation --------------------------------
+    "q_asof" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = Dedup.dedupKeepFirst(
+        ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts", "value"),
+        Seq("user_id", "ts"), Seq(col("event_id").desc))
+      AsOf.join(clicks, purchases, "user_id", "user_id", "ts", "ts",
+        Seq("event_id", "value"), col("event_id"))
+        .orderBy("event_id")
+    }),
+    "q_curate" -> ((s, d) => {
+      val fp = TextFunctions.fingerprint(col("text"))
+      val toks = size(TextFunctions.tokens(col("text")))
+      val w = Window.partitionBy("fp").orderBy("doc_id")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), fp.as("fp"), toks.as("n_tokens"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("n_tokens") >= 30)
+        .select("doc_id", "lang", "n_tokens")
+        .orderBy("doc_id")
+    }),
+
     // ---- events / sessionization -------------------------------------
     "q_events_hourly" -> ((s, d) =>
       Tables.events(s, d)
@@ -644,6 +669,26 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM s)
         |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, sim
         |FROM r WHERE rank<=5 ORDER BY query_id, rank""".stripMargin,
+    "q_asof" ->
+      """WITH p0 AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+        |  FROM events WHERE event_type='purchase'),
+        |p AS (SELECT user_id, ts, event_id, value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        |  FROM p0) WHERE rn = 1),
+        |c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type='click')
+        |SELECT c.event_id, c.user_id, c.ts,
+        | p.event_id AS asof_event_id, p.value AS asof_value
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin,
+    "q_curate" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+        |  CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS INTEGER) AS n_tokens
+        | FROM documents)
+        |SELECT doc_id, lang, n_tokens FROM (
+        | SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM t)
+        |WHERE rn = 1 AND n_tokens >= 30 ORDER BY doc_id""".stripMargin,
     "q_events_hourly" ->
       """SELECT CAST(ts AS DATE) AS event_date,
         | CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hr, event_type,
