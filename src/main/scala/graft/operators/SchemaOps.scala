@@ -46,4 +46,15 @@ object SchemaOps {
     cols.foldLeft(df) { case (acc, (n, t)) =>
       if (acc.columns.contains(n)) acc else acc.withColumn(n, lit(null).cast(t))
     }
+
+  /** V4: spot-check a grand total against a known-good value (the
+    * reference's printed Tableau cross-checks) — fail-fast assertion.
+    */
+  def assertTotal(df: DataFrame, c: String, expected: Double,
+                  tolerance: Double = 1e-6): DataFrame = {
+    val got = df.agg(sum(col(c)).cast("double")).head().getDouble(0)
+    require(math.abs(got - expected) <= tolerance,
+      f"total check failed on '$c': got $got%.4f expected $expected%.4f")
+    df
+  }
 }
