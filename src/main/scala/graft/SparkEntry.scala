@@ -658,12 +658,14 @@ object SparkEntry {
         |FROM orders QUALIFY rnk <= 20
         |ORDER BY o_orderpriority, rnk, o_orderkey""".stripMargin,
     "q_ann_topk" ->
-      """WITH q AS (SELECT vec_id qid, embedding::DOUBLE[] qe FROM embeddings WHERE vec_id<10),
-        |c AS (SELECT vec_id nid, embedding::DOUBLE[] ce FROM embeddings),
+      """WITH q0 AS (SELECT vec_id qid, embedding::DOUBLE[] qe FROM embeddings WHERE vec_id<10),
+        |c0 AS (SELECT vec_id nid, embedding::DOUBLE[] ce FROM embeddings),
+        |q AS (SELECT qid, list_transform(qe,
+        |  x -> x / sqrt(list_reduce(list_transform(qe, y->y*y),(a,b)->a+b))) AS qn FROM q0),
+        |c AS (SELECT nid, list_transform(ce,
+        |  x -> x / sqrt(list_reduce(list_transform(ce, y->y*y),(a,b)->a+b))) AS cn FROM c0),
         |s AS (SELECT qid, nid,
-        |  list_reduce(list_transform(list_zip(qe, ce), x -> x[1]*x[2]), (a,b)->a+b)
-        |  / (sqrt(list_reduce(list_transform(qe, x->x*x),(a,b)->a+b))
-        |     * sqrt(list_reduce(list_transform(ce, x->x*x),(a,b)->a+b))) AS sim
+        |  list_reduce(list_transform(list_zip(qn, cn), x -> x[1]*x[2]), (a,b)->a+b) AS sim
         | FROM q, c WHERE qid<>nid),
         |r AS (SELECT qid AS query_id, nid AS neighbor_id, sim,
         |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM s)

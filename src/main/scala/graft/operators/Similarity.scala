@@ -33,19 +33,30 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
+  /** Project (id, unit-normalized vector). The norm is materialized as a
+    * column in a previous projection, NOT referenced inside the divide
+    * lambda — a lambda-internal `norm(v)` would be re-evaluated per
+    * element (O(dim²), the same trap as TextFunctions.shingles).
+    * Normalize-once also removes the per-pair norm recomputation from
+    * every similarity join: cosine degrades to a plain dot product.
+    */
+  private def normalized(df: DataFrame, idCol: String, vecCol: String,
+                         idAs: String, vecAs: String): DataFrame =
+    df.select(col(idCol).as(idAs), asDouble(col(vecCol)).as("_v"))
+      .withColumn("_n", norm(col("_v")))
+      .select(col(idAs), transform(col("_v"), x => x / col("_n")).as(vecAs))
+
   /** Exact top-k cosine neighbors for each query vector.
     * `queries`/`corpus`: (idCol, vecCol). Self-matches excluded.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int = 10): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      asDouble(col(vecCol)).as("cvec"))
-    val q = queries.select(col(idCol).as("query_id"),
-      asDouble(col(vecCol)).as("qvec"))
+    val c = normalized(corpus, idCol, vecCol, "neighbor_id", "cvec")
+    val q = normalized(queries, idCol, vecCol, "query_id", "qvec")
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qvec"), col("cvec")).as("sim"))
+        dot(col("qvec"), col("cvec")).as("sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -62,13 +73,13 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
               idCol: String, vecCol: String, k: Int = 10, nprobe: Int = 2): DataFrame = {
-    val cent = centroids.select(col(idCol).as("cent_id"), asDouble(col(vecCol)).as("centv"))
+    val cent = normalized(centroids, idCol, vecCol, "cent_id", "centv")
 
-    def assign(df: DataFrame, id: String, vec: String, keep: Int): DataFrame = {
-      val scored = df.select(col(id), asDouble(col(vec)).as("v"))
+    def assign(dfn: DataFrame, id: String, keep: Int): DataFrame = {
+      val scored = dfn
         .crossJoin(broadcast(cent))
         .select(col(id), col("v"), col("cent_id"),
-          cosine(col("v"), col("centv")).as("csim"))
+          dot(col("v"), col("centv")).as("csim"))
       if (keep == 1) {
         // struct-max aggregation instead of a window sort: map-side
         // combinable, no per-partition sort of |corpus|·|centroids| rows.
@@ -85,15 +96,17 @@ object Similarity {
       }
     }
 
-    val corpusAssigned = assign(corpus, idCol, vecCol, 1)
-      .withColumnRenamed(idCol, "neighbor_id").withColumnRenamed("v", "cvec")
-    val queryAssigned = assign(queries, idCol, vecCol, nprobe)
-      .withColumnRenamed(idCol, "query_id").withColumnRenamed("v", "qvec")
+    val corpusAssigned = assign(
+        normalized(corpus, idCol, vecCol, "neighbor_id", "v"), "neighbor_id", 1)
+      .withColumnRenamed("v", "cvec")
+    val queryAssigned = assign(
+        normalized(queries, idCol, vecCol, "query_id", "v"), "query_id", nprobe)
+      .withColumnRenamed("v", "qvec")
 
     val scored = corpusAssigned.join(broadcast(queryAssigned), Seq("cent_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qvec"), col("cvec")).as("sim"))
+        dot(col("qvec"), col("cvec")).as("sim"))
       .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))

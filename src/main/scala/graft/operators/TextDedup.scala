@@ -51,11 +51,15 @@ object TextDedup {
     // shingles (the vast majority) are dropped before any pair work.
     val postings = sh.groupBy("s").agg(sort_array(collect_set(col("doc"))).as("ds"))
       .filter(size(col("ds")) > 1)
+    // pair key packed into one long (doc ids < 2^32): single-word
+    // group-by key, cheaper to hash and shuffle than a two-field struct
     val pairs = postings.select(explode(expr(
         "flatten(transform(ds, (x, i) -> transform(slice(ds, i + 2, size(ds)), " +
-          "y -> struct(x AS a, y AS b))))")).as("p"))
-      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+          "y -> shiftleft(x, 32) | y)))")).as("pk"))
+      .groupBy("pk")
       .agg(count(lit(1)).as("common"))
+      .select(shiftright(col("pk"), 32).as("doc_a"),
+        col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("doc_b"), col("common"))
     // no broadcast hint: at 100 TB the per-doc size table is itself large;
     // AQE converts these to broadcast joins at runtime when small enough.
     pairs
