@@ -84,6 +84,24 @@ object TextDedup {
     */
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
                         n: Int = 3, k: Int = 32): DataFrame = {
+    graft.plans.MinHashSig.register(df.sparkSession)
+    // one-pass native expression (graft.plans.MinHashSig): signature per
+    // row with NO shuffle — the explode+groupBy(min×k) formulation costs
+    // an exchange over every (doc, shingle) pair. Docs with no shingles
+    // (shorter than n words) are excluded, matching the aggregate form.
+    val sh = df.select(col(idCol).as("doc"),
+        TextFunctions.shingles(col(textCol), n).as("_sh"))
+      .filter(size(col("_sh")) > 0)
+    sh.select(col("doc"),
+      call_function("minhash_sig", col("_sh"), lit(k)).as("sig"))
+  }
+
+  /** Shuffle-based signature formulation (explode → groupBy partial min):
+    * kept for cross-checking the native expression and for engines where
+    * custom expressions are unavailable.
+    */
+  def minhashSignaturesAgg(df: DataFrame, textCol: String, idCol: String,
+                           n: Int = 3, k: Int = 32): DataFrame = {
     val sh = df.select(col(idCol).as("doc"),
         explode(TextFunctions.shingles(col(textCol), n)).as("s0"))
       .select(col("doc"), xxhash64(col("s0")).as("h"))
