@@ -387,6 +387,31 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_vocab" -> ((s, d) => {
+      val tok = Tables.documents(s, d).select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("token"))
+      tok.groupBy("token")
+        .agg(count(lit(1)).as("tf"), count_distinct(col("doc_id")).as("df"))
+        .orderBy(col("tf").desc, col("token"))
+        .limit(100)
+    }),
+    "q_sample_strat" -> ((s, d) =>
+      // deterministic 20% sample per language stratum — reproducible
+      // across engines/cluster sizes, unlike rng-based df.sample
+      Tables.documents(s, d)
+        .filter(TextFunctions.hashSampleFilter(col("doc_id"), 0.2))
+        .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
+        .orderBy("lang")),
+    "q_embed_neardup" -> ((s, d) => {
+      val buckets = Similarity.lshBuckets(
+        Tables.embeddings(s, d), "vec_id", "embedding", nbits = 12)
+      val a = buckets.as("a"); val b = buckets.as("b")
+      a.join(b, col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- events / sessionization -------------------------------------
     "q_events_hourly" -> ((s, d) =>
       Tables.events(s, d)
@@ -671,6 +696,12 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM s)
         |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, sim
         |FROM r WHERE rank<=5 ORDER BY query_id, rank""".stripMargin,
+    "q_vocab" ->
+      """WITH tok AS (SELECT doc_id,
+        |  unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        | FROM documents)
+        |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+        |FROM tok GROUP BY token ORDER BY tf DESC, token LIMIT 100""".stripMargin,
     "q_asof" ->
       """WITH p0 AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
         |  FROM events WHERE event_type='purchase'),

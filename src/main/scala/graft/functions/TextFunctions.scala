@@ -76,6 +76,26 @@ object TextFunctions {
     when(best.getField("score") >= minScore, best.getField("lang")).otherwise(lit("und"))
   }
 
+  /** PII redaction: emails, US-style phone numbers, and long digit runs
+    * (card/SSN-ish) replaced with typed tags. Patterns avoid lookaround
+    * so they behave identically under Java regex and RE2.
+    */
+  def redactPii(c: Column): Column = {
+    val email = regexp_replace(c,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val phone = regexp_replace(email,
+      "\\+?[0-9]{1,2}[-. ]?\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}", "<PHONE>")
+    regexp_replace(phone, "[0-9]{9,16}", "<NUM>")
+  }
+
+  /** Deterministic hash-based sampling: keep a row iff
+    * `xxhash64(key, salt) mod 10000 < rate·10000`. Reproducible across
+    * runs, engines, and cluster sizes — unlike `df.sample`, whose output
+    * depends on partitioning. The basis of stratified corpus mixing.
+    */
+  def hashSampleFilter(key: Column, rate: Double, salt: Int = 0): Column =
+    pmod(xxhash64(key, lit(salt)), lit(10000)) < (rate * 10000).toInt
+
   /** Quality signals: length, token stats, punctuation/digit ratios,
     * English stopword ratio — the standard cheap pre-filters for a
     * training-data pipeline.

@@ -30,6 +30,26 @@ object Sinks {
     fs.delete(new Path(tmp), true)
   }
 
+  /** Training-shard writer — the output side of a 100 TB pipeline:
+    * hive-style partition directories on `partitionCols` (enables
+    * partition-pruned downstream reads), range-repartitioned on
+    * `shardBy` into `shards` files per partition with rows sorted within
+    * each shard (stable ordering for reproducible training runs),
+    * bounded file sizes via maxRecordsPerFile.
+    */
+  def writeShards(df: DataFrame, path: String, partitionCols: Seq[String],
+                  shardBy: String, shards: Int,
+                  maxRecordsPerFile: Long = 5000000L): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.repartitionByRange(shards, col(shardBy))
+      .sortWithinPartitions(shardBy)
+      .write
+      .partitionBy(partitionCols: _*)
+      .option("maxRecordsPerFile", maxRecordsPerFile.toString)
+      .mode(SaveMode.Overwrite)
+      .parquet(path)
+  }
+
   /** K5: console report — formatted summary rows (the reference's primary
     * human output in DOP VP Compare.py:188-223). Small frames only.
     */
