@@ -30,6 +30,25 @@ object EventStreams {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Streaming exact dedup with bounded state: duplicates arriving within
+    * the watermark horizon are dropped; state for keys older than the
+    * watermark is evicted. The streaming counterpart of batch
+    * `dropDuplicates` — at 100 TB/day the watermark IS the memory bound.
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+                  watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Stream-static enrichment join: the static dimension is re-read per
+    * micro-batch (picking up slowly-changing updates); the stream side
+    * never blocks on it. Broadcast applies as in batch.
+    */
+  def enrichStream(events: DataFrame, dim: DataFrame,
+                   eventKey: String, dimKey: String): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim),
+      events(eventKey) === dim(dimKey), "left")
+
   case class SessionUpdate(user_id: Long, session_start: java.sql.Timestamp,
                            n_events: Long, total_value: Double, closed: Boolean)
   case class SessionState(start: Long, last: Long, n: Long, total: Double)

@@ -1,0 +1,56 @@
+package graft
+
+import graft.pipelines.DuplicatesReport
+import graft.streaming.EventStreams
+import org.apache.spark.sql.functions._
+
+/** Streaming dedup, stream-static join, duplicates-report pipeline. */
+class StreamingDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("dedupStream drops in-watermark duplicates, keeps distinct keys") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp)]
+    src.addData((1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:00:30")),
+      (2L, ts("2024-01-01 10:01:00")))
+    val q = EventStreams.dedupStream(
+        src.toDF().toDF("event_id", "ts"), Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dedup_out").select("event_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == Seq(1L, 2L))
+  }
+
+  test("stream-static enrichment join attaches dimension per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, java.sql.Timestamp)]
+    src.addData((1L, 0L, ts("2024-01-01 10:00:00")), (2L, 9999L, ts("2024-01-01 10:01:00")))
+    val dim = Tables.customer(spark, sf).select(col("c_custkey"), col("c_mktsegment"))
+    val q = EventStreams.enrichStream(
+        src.toDF().toDF("event_id", "user_id", "ts"), dim, "user_id", "c_custkey")
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("enrich_out").orderBy("event_id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getString(4) != null)  // custkey 0 exists → enriched
+    assert(rows(1).isNullAt(4))           // 9999 not a customer → left-join null
+  }
+
+  test("duplicates report: all copies + group sizes on composite key") {
+    val df = Seq((1, "a"), (1, "a"), (1, "a"), (2, "b")).toDF("k", "s")
+    val rep = DuplicatesReport.report(df, Seq("k", "s"))
+    val rows = rep.collect()
+    assert(rows.length == 3)
+    assert(rows.forall(_.getLong(3) == 3L))
+    assert(DuplicatesReport.lineitemReport(spark, sf).columns.contains("duplicate_count"))
+  }
+}
