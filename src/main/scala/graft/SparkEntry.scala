@@ -292,6 +292,45 @@ object SparkEntry {
         .filter(col("rnk") <= 20)
         .orderBy("o_orderpriority", "rnk", "o_orderkey")
     }),
+    "q_percentiles" -> ((s, d) =>
+      // Spark `percentile` and DuckDB `quantile_cont` share the linear
+      // interpolation at rank q*(n-1) — verified bit-exact.
+      Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(expr("percentile(l_extendedprice, 0.5)").as("med_price"),
+          expr("percentile(l_extendedprice, 0.95)").as("p95_price"),
+          expr("percentile(l_quantity, 0.5)").as("med_qty"))
+        .orderBy("l_returnflag")),
+    "q_stats" -> ((s, d) => {
+      // decimal-exact moment sums, then the closed-form variance/corr in
+      // double — deterministic under any partitioning, unlike stddev/corr
+      // aggregates whose float accumulation order varies
+      val x = col("l_quantity"); val y = col("l_extendedprice")
+      Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          Compat.exactSum(x, 6).as("sx"),
+          Compat.exactSum(x * x, 6).as("sxx"),
+          Compat.exactSum(y, 6).as("sy"),
+          Compat.exactSum(y * y, 6).as("syy"),
+          Compat.exactSum(x * y, 6).as("sxy"))
+        .select(col("l_returnflag"),
+          (col("sx") / col("n")).as("mean_qty"),
+          sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+            .as("sd_qty"),
+          // rounded: C++ FMA contraction perturbs the last ulp vs the JVM
+          round((col("sxy") - col("sx") * col("sy") / col("n")) /
+            (sqrt(col("sxx") - col("sx") * col("sx") / col("n")) *
+              sqrt(col("syy") - col("sy") * col("sy") / col("n"))), 12)
+            .as("corr_qty_price"))
+        .orderBy("l_returnflag")
+    }),
+    "q_skew_report" -> ((s, d) =>
+      Tables.orders(s, d).groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"))
+        .agg(max(col("n")).as("max_per_key"),
+          min(col("n")).as("min_per_key"),
+          (sum(col("n")).cast("double") / count(lit(1))).as("mean_per_key"),
+          expr("percentile(n, 0.99)").as("p99_per_key"))),
     "q_approx_profile" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
       li.agg(
@@ -696,6 +735,33 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM s)
         |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, sim
         |FROM r WHERE rank<=5 ORDER BY query_id, rank""".stripMargin,
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        | quantile_cont(l_extendedprice, 0.5) AS med_price,
+        | quantile_cont(l_extendedprice, 0.95) AS p95_price,
+        | quantile_cont(l_quantity, 0.5) AS med_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_stats" ->
+      """WITH m AS (SELECT l_returnflag,
+        |  CAST(count(*) AS DOUBLE) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sx,
+        |  CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sxx,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS sy,
+        |  CAST(SUM(CAST(l_extendedprice*l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS syy,
+        |  CAST(SUM(CAST(l_quantity*l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS sxy
+        | FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        | (sx / n) AS mean_qty,
+        | sqrt((sxx - sx * sx / n) / (n - 1)) AS sd_qty,
+        | round((sxy - sx * sy / n) /
+        |  (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)), 12) AS corr_qty_price
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+    "q_skew_report" ->
+      """WITH c AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey)
+        |SELECT max(n) AS max_per_key, min(n) AS min_per_key,
+        | CAST(SUM(n) AS DOUBLE) / count(*) AS mean_per_key,
+        | quantile_cont(n, 0.99) AS p99_per_key
+        |FROM c""".stripMargin,
     "q_vocab" ->
       """WITH tok AS (SELECT doc_id,
         |  unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
