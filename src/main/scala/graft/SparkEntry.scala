@@ -558,7 +558,9 @@ object SparkEntry {
         |   ORDER BY CASE WHEN l_returnflag='R' THEN 0 ELSE 1 END, l_linenumber, l_returnflag) AS rn
         | FROM lineitem) WHERE rn = 1 ORDER BY l_orderkey""".stripMargin,
     "q_d8_metric" ->
-      "SELECT count(*) - count(DISTINCT lang) AS duplicate_rows FROM documents",
+      // coalesce: Spark counts a null key as its own duplicate group
+      // (pandas duplicated() semantics); bare count(DISTINCT) would not
+      "SELECT count(*) - count(DISTINCT coalesce(lang, chr(1))) AS duplicate_rows FROM documents",
     "q_dedup_exact" ->
       """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
         | min(doc_id) AS canonical_id, count(*) AS n_copies

@@ -84,7 +84,7 @@ object TextFunctions {
     val email = regexp_replace(c,
       "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
     val phone = regexp_replace(email,
-      "\\+?[0-9]{1,2}[-. ]?\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}", "<PHONE>")
+      "(\\+?[0-9]{1,2}[-. ])?\\(?[0-9]{3}\\)?[-. ]?[0-9]{3}[-. ][0-9]{4}", "<PHONE>")
     regexp_replace(phone, "[0-9]{9,16}", "<NUM>")
   }
 

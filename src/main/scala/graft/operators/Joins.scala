@@ -116,6 +116,11 @@ object Joins {
     */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
                  buckets: Int = 16, joinType: String = "inner"): DataFrame = {
+    // right/full outer would emit every unmatched right row once per
+    // replica — only join types that never null-extend the right side
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi")(joinType.toLowerCase),
+      s"saltedJoin replicates the right side; '$joinType' would duplicate unmatched right rows")
     val salted = left.withColumn("_salt",
       pmod(xxhash64(monotonically_increasing_id()), lit(buckets)))
     val replicated = right.withColumn("_salt",

@@ -40,6 +40,11 @@ object TextDedup {
     // exploded self-join shuffles 8-byte keys instead of ~8·n-byte
     // strings. Counts are unchanged short of an xxhash64 collision
     // *within one document pair* (~2^-64 per shingle pair — negligible).
+    // persisted because both the size table and the posting lists read it;
+    // deliberately NOT unpersisted here — the frames returned are lazy and
+    // unpersisting before the caller's action would recompute the pipeline
+    // twice. Callers running many dedup jobs in one session should
+    // spark.catalog.clearCache() between them.
     val sh = df.select(col(idCol).as("doc"),
         explode(TextFunctions.shingles(col(textCol), n)).as("s0"))
       .select(col("doc"), xxhash64(col("s0")).as("s"))

@@ -113,8 +113,8 @@ object Excel {
       }
       val shared: IndexedSeq[String] = Option(zf.getEntry("xl/sharedStrings.xml")).map { e =>
         val xml = new String(zf.getInputStream(e).readAllBytes(), StandardCharsets.UTF_8)
-        """<si>(.*?)</si>""".r.findAllMatchIn(xml)
-          .map(m => """<t[^>]*>([^<]*)</t>""".r.findAllMatchIn(m.group(1))
+        """(?s)<si>(.*?)</si>""".r.findAllMatchIn(xml)
+          .map(m => """(?s)<t[^>]*>([^<]*)</t>""".r.findAllMatchIn(m.group(1))
             .map(t => unescape(t.group(1))).mkString)
           .toIndexedSeq
       }.getOrElse(IndexedSeq.empty)

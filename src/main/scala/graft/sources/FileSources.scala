@@ -18,12 +18,14 @@ object FileSources {
     * need an explicit lineSep so record splitting happens in the target
     * charset, not on raw single-byte newlines.
     */
-  def csv(spark: SparkSession, path: String, encoding: String = "UTF-8"): DataFrame = {
+  def csv(spark: SparkSession, path: String, encoding: String = "UTF-8",
+          lineSep: String = "\n"): DataFrame = {
     val r = spark.read
       .option("header", "true")
       .option("inferSchema", "true")
       .option("encoding", encoding)
-    val r2 = if (encoding.toUpperCase.startsWith("UTF-16")) r.option("lineSep", "\n") else r
+    val r2 = if (encoding.toUpperCase.startsWith("UTF-16"))
+      r.option("lineSep", lineSep) else r
     r2.csv(path)
   }
 
@@ -38,17 +40,24 @@ object FileSources {
   def csvUtf16(spark: SparkSession, path: String): DataFrame = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val first = {
+    val head = {
       val matches = fs.globStatus(p)
       val f = if (matches != null && matches.nonEmpty) matches.head.getPath else p
       val st = if (fs.getFileStatus(f).isDirectory)
         fs.listStatus(f).filter(_.isFile).head.getPath else f
       val in = fs.open(st)
-      try { val b = new Array[Byte](2); in.readFully(0, b); b } finally in.close()
+      try {
+        val len = math.min(fs.getFileStatus(st).getLen, 8192L).toInt
+        val b = new Array[Byte](len); in.readFully(0, b); b
+      } finally in.close()
     }
-    val enc = if (first(0) == 0xFE.toByte && first(1) == 0xFF.toByte) "UTF-16BE"
-              else "UTF-16LE"
-    val df = csv(spark, path, enc)
+    val enc = if (head.length >= 2 && head(0) == 0xFE.toByte && head(1) == 0xFF.toByte)
+      "UTF-16BE" else "UTF-16LE"
+    // Windows exports are CRLF: record separator must match the file, or
+    // every row's last field keeps a trailing \r
+    val text = new String(head, enc)
+    val sep = if (text.contains("\r\n")) "\r\n" else "\n"
+    val df = csv(spark, path, enc, sep)
     df.columns.headOption match {
       case Some(h) if h.startsWith("\uFEFF") =>
         df.withColumnRenamed(h, h.stripPrefix("\uFEFF"))

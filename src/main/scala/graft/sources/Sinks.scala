@@ -25,8 +25,12 @@ object Sinks {
       .map(_.getPath).find(_.getName.startsWith("part-"))
       .getOrElse(throw new IllegalStateException(s"no part file under $tmp"))
     val dest = new Path(path)
-    if (fs.exists(dest)) fs.delete(dest, false)
-    fs.rename(part, dest)
+    if (fs.exists(dest) && !fs.delete(dest, false))
+      throw new java.io.IOException(s"could not replace existing $path")
+    val parent = dest.getParent
+    if (parent != null && !fs.exists(parent)) fs.mkdirs(parent)
+    if (!fs.rename(part, dest))
+      throw new java.io.IOException(s"rename $part -> $dest failed")
     fs.delete(new Path(tmp), true)
   }
 
@@ -41,8 +45,11 @@ object Sinks {
                   shardBy: String, shards: Int,
                   maxRecordsPerFile: Long = 5000000L): Unit = {
     import org.apache.spark.sql.functions.col
+    // sort key must LEAD with the partition columns: the dynamic-partition
+    // writer requires ordering on them and would otherwise insert its own
+    // non-stable sort, discarding the shardBy ordering entirely
     df.repartitionByRange(shards, col(shardBy))
-      .sortWithinPartitions(shardBy)
+      .sortWithinPartitions((partitionCols :+ shardBy).map(col): _*)
       .write
       .partitionBy(partitionCols: _*)
       .option("maxRecordsPerFile", maxRecordsPerFile.toString)

@@ -82,7 +82,11 @@ object EventStreams {
             val t = ts.getTime
             cur match {
               case Some(s) if t - s.last <= gapMs =>
-                cur = Some(s.copy(last = t, n = s.n + 1, total = s.total + v))
+                // max: a later micro-batch can deliver an in-gap but
+                // out-of-order event; regressing `last` would shrink the
+                // timeout and close the session prematurely
+                cur = Some(s.copy(last = math.max(s.last, t),
+                  n = s.n + 1, total = s.total + v))
               case Some(s) =>
                 closedSessions ::= SessionUpdate(user, new java.sql.Timestamp(s.start),
                   s.n, s.total, closed = true)

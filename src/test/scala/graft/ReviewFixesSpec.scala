@@ -1,0 +1,114 @@
+package graft
+
+import graft.operators.Joins
+import graft.sources.{Excel, FileSources, Sinks}
+import graft.streaming.EventStreams
+import org.apache.spark.sql.functions._
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+/** Regression tests for the round-1 code-review findings. */
+class ReviewFixesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("redactPii catches phones without a country prefix") {
+    val got = Seq(
+      "call 415-555-1234 now",
+      "call (415) 555-1234 now",
+      "call +1 (415) 555-1234 now").toDF("t")
+      .select(graft.functions.TextFunctions.redactPii(col("t")).as("r"))
+      .collect().map(_.getString(0))
+    assert(got.forall(_.contains("<PHONE>")), got.toSeq.toString)
+  }
+
+  test("Excel shared strings with embedded newlines keep index alignment") {
+    val dir = Files.createTempDirectory("ss").toString
+    val path = s"$dir/shared.xlsx"
+    // handcraft a workbook using sharedStrings where entry 0 contains \n
+    val zos = new ZipOutputStream(new java.io.FileOutputStream(path))
+    def put(n: String, c: String): Unit = {
+      zos.putNextEntry(new ZipEntry(n)); zos.write(c.getBytes(StandardCharsets.UTF_8)); zos.closeEntry()
+    }
+    put("[Content_Types].xml",
+      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"><Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/><Default Extension="xml" ContentType="application/xml"/><Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/><Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/></Types>""")
+    put("_rels/.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/></Relationships>""")
+    put("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>""")
+    put("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/></Relationships>""")
+    put("xl/sharedStrings.xml",
+      "<?xml version=\"1.0\"?><sst><si><t>line1\nline2</t></si><si><t>second</t></si></sst>")
+    put("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData><row><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row><row><c r="A2" t="s"><v>1</v></c><c r="B2" t="s"><v>0</v></c></row></sheetData></worksheet>""")
+    zos.close()
+    val back = Excel.read(spark, path, headerRows = 0)
+    val rows = back.collect()
+    assert(rows(0).getString(0) == "line1\nline2" && rows(0).getString(1) == "second")
+    assert(rows(1).getString(0) == "second" && rows(1).getString(1) == "line1\nline2")
+  }
+
+  test("writeSingleCsv creates missing parent dirs instead of silently losing output") {
+    val dir = Files.createTempDirectory("csvp").toString
+    val df = Seq((1, "a")).toDF("id", "s")
+    Sinks.writeSingleCsv(df, s"$dir/nested/deeper/out.csv")
+    assert(Files.isRegularFile(Paths.get(s"$dir/nested/deeper/out.csv")))
+  }
+
+  test("saltedJoin rejects join types that null-extend the right side") {
+    val l = Seq((1, "a")).toDF("k", "lv")
+    val r = Seq((1, "X")).toDF("k", "rv")
+    intercept[IllegalArgumentException] {
+      Joins.saltedJoin(l, r, "k", 4, "full_outer")
+    }
+    assert(Joins.saltedJoin(l, r, "k", 4, "left").count() == 1)
+  }
+
+  test("writeShards keeps within-file ordering on the shard key") {
+    val dir = Files.createTempDirectory("ord").toString
+    Sinks.writeShards(Tables.documents(spark, sf), s"$dir/out",
+      Seq("lang"), "doc_id", shards = 2)
+    // read each physical file alone and assert doc_id is non-decreasing
+    val files = Files.walk(Paths.get(s"$dir/out")).iterator()
+    var checked = 0
+    files.forEachRemaining { f =>
+      if (f.toString.endsWith(".parquet")) {
+        val ids = spark.read.parquet(f.toString)
+          .select("doc_id").collect().map(_.getLong(0))
+        assert(ids.sameElements(ids.sorted), s"unsorted shard $f")
+        checked += 1
+      }
+    }
+    assert(checked > 0)
+  }
+
+  test("UTF-16 CRLF CSV: no trailing CR in the last column") {
+    val dir = Files.createTempDirectory("u16crlf").toString
+    Files.write(Paths.get(s"$dir/win.csv"),
+      "k,v\r\na,1\r\nb,2\r\n".getBytes(StandardCharsets.UTF_16LE))
+    val df = FileSources.csvUtf16(spark, s"$dir/win.csv")
+    assert(df.columns.toSeq == Seq("k", "v"))
+    val vs = df.orderBy("k").collect()
+    assert(vs.map(_.get(1).toString).toSeq == Seq("1", "2"), vs.mkString(","))
+  }
+
+  test("sessionize: out-of-order in-gap event does not shrink the timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, Double)]
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    src.addData((1L, ts("2024-01-01 10:00:00"), 1.0), (1L, ts("2024-01-01 10:20:00"), 1.0))
+    src.addData((1L, ts("2024-01-01 10:05:00"), 1.0))  // out of order, in gap
+    src.addData((1L, ts("2024-01-01 10:45:00"), 1.0))  // within gap of 10:20
+    src.addData((1L, ts("2024-01-01 20:00:00"), 1.0))  // far future closes session
+    val q = EventStreams.sessionize(spark, src.toDF().toDF("user_id", "ts", "value"),
+      gapMs = 30 * 60000)
+      .writeStream.format("memory").queryName("ooo_out").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val closed = spark.table("ooo_out").collect()
+    // all four early events belong to ONE session (10:45 is within 30m of 10:20)
+    assert(closed.exists(r => r.getLong(2) == 4), closed.mkString(";"))
+  }
+}
