@@ -152,20 +152,17 @@ object TextDedup {
   }
 
   /** SimHash 64-bit signature per doc: per-bit vote over token hashes.
-    * One exploded aggregate with 64 codegen'd conditional sums.
+    * One-pass native expression (graft.plans.SimHashSig) — no shuffle;
+    * the old explode + 64-conditional-sum aggregate carried 64 partial
+    * columns per (partition, doc) through an exchange. Bit-compatible
+    * with that formulation (same XXH64 seed-42 token hashes, ties → 0).
+    * Empty docs are excluded, matching the aggregate form.
     */
   def simhashSignatures(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val tok = df.select(col(idCol).as("doc"),
-        explode(TextFunctions.tokens(col(textCol))).as("t"))
-      .withColumn("h", xxhash64(col("t")))
-    val votes = (0 until 64).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
-    }
-    tok.groupBy("doc")
-      .agg(votes.head, votes.tail: _*)
-      .select(col("doc"),
-        (0 until 64).map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L))
-          .reduce((x: Column, y: Column) => x.bitwiseOR(y)).as("simhash"))
+    graft.plans.SimHashSig.register(df.sparkSession)
+    df.select(col(idCol).as("doc"), TextFunctions.tokens(col(textCol)).as("_t"))
+      .filter(size(col("_t")) > 0)
+      .select(col("doc"), call_function("simhash_sig", col("_t")).as("simhash"))
   }
 
   /** SimHash near-dup pairs: candidates from 4×16-bit band buckets (a doc

@@ -55,6 +55,24 @@ class MinHashSigSpec extends SparkSpec {
     assert(pairs.exists(p => p._1 == 0L && p._2 == 3L && p._3 == 1.0))
   }
 
+  test("SimHashSig codegen and interpreted eval agree; no shuffle") {
+    graft.plans.SimHashSig.register(spark)
+    val df = docs.select(col("doc_id"),
+      call_function("simhash_sig", split(col("text"), " ")).as("sig"))
+    val codegen = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interp = docs.select(col("doc_id"),
+        call_function("simhash_sig", split(col("text"), " ")).as("sig"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(codegen == interp)
+    } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    val plan = graft.operators.TextDedup
+      .simhashSignatures(docs, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
   test("expression signatures have no shuffle in the plan") {
     val sigs = TextDedup.minhashSignatures(docs, "text", "doc_id")
     val plan = sigs.queryExecution.executedPlan.toString
