@@ -123,14 +123,18 @@ object Similarity {
                  nbits: Int = 16, dim: Int = 64, seed: Long = 42L): DataFrame = {
     val v = asDouble(col(vecCol))
     // Deterministic "hyperplane" component h(bit, d) in [-1, 1): derived
-    // from xxhash64 — reproducible across runs and cluster sizes.
+    // from a plan-time hash — reproducible across runs and cluster sizes.
     def comp(bit: Int, d: Int): Double = {
       val h = scala.util.hashing.MurmurHash3.productHash((seed, bit, d))
       (h.toDouble / Int.MaxValue)
     }
+    // one zip_with dot per bit against a literal hyperplane array — a
+    // compact expression tree (the per-element `element_at(v, i) * w_i`
+    // sum-of-768-terms formulation compiled slowly and re-read v per term)
     val bits = (0 until nbits).map { b =>
-      val proj = (0 until dim).map(d => element_at(v, d + 1) * lit(comp(b, d)))
-        .reduce(_ + _)
+      val plane = typedLit((0 until dim).map(d => comp(b, d)))
+      val proj = aggregate(zip_with(v, plane, (x, w) => x * w),
+        lit(0.0), (acc, x) => acc + x)
       when(proj >= 0, lit(1L << b)).otherwise(0L)
     }
     df.select(col(idCol), bits.reduce((x: Column, y: Column) => x.bitwiseOR(y)).as("bucket"))
