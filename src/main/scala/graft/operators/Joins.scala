@@ -82,8 +82,16 @@ object Joins {
   def keyOverlapReport(left: DataFrame, right: DataFrame,
                        candidates: Seq[(String, String)]): DataFrame = {
     val frames = candidates.map { case (lc, rc) =>
-      val lv = left.select(col(lc).cast("string").as("v")).na.drop().distinct()
-      val rv = right.select(col(rc).cast("string").as("v")).na.drop().distinct()
+      // cast to string only when the candidate columns' types differ —
+      // the cast exists to make heterogeneous keys comparable, and for
+      // same-type keys it would just block pushdown and cost per-row work
+      val sameType = left.schema(lc).dataType == right.schema(rc).dataType
+      def side(df: DataFrame, c: String) = {
+        val v = if (sameType) col(c) else col(c).cast("string")
+        df.select(v.as("v")).na.drop().distinct()
+      }
+      val lv = side(left, lc)
+      val rv = side(right, rc)
       lv.join(rv, Seq("v"), "left_semi")
         .agg(count(lit(1)).as("overlap"))
         .select(lit(lc).as("left_col"), lit(rc).as("right_col"), col("overlap"))
