@@ -98,4 +98,52 @@ object PropertySpec extends Properties("graft") {
         .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
       plain == salted
     }
+
+  private val eventGen: Gen[List[(Long, Int, Double)]] =
+    Gen.listOfN(25, for {
+      u <- Gen.choose(0L, 3L)
+      t <- Gen.choose(0, 1000)
+      v <- Gen.choose(0, 100)
+    } yield (u, t, v.toDouble))
+
+  property("AsOf.join == brute-force latest-at-or-before per row") =
+    Prop.forAll(eventGen, eventGen) { (ls, rs) =>
+      import java.sql.Timestamp
+      def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+      // unique right (key, ts) via max tie-break id, mirroring the operator contract
+      val left = ls.zipWithIndex.map { case ((u, t, _), i) => (i.toLong, u, ts(t)) }
+        .toDF("event_id", "user_id", "ts")
+      val right = rs.zipWithIndex.map { case ((u, t, v), i) => (i.toLong + 1000, u, ts(t), v) }
+        .toDF("event_id", "user_id", "ts", "value")
+      val rightDedup = Dedup.dedupKeepFirst(right, Seq("user_id", "ts"),
+        Seq(col("event_id").desc))
+      val got = operators.AsOf.join(left, rightDedup, "user_id", "user_id", "ts", "ts",
+        Seq("event_id", "value"), col("event_id"))
+        .collect().map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+
+      val rdd = rs.zipWithIndex.map { case ((u, t, v), i) => (i.toLong + 1000, u, t, v) }
+        .groupBy(x => (x._2, x._3)).view.mapValues(_.maxBy(_._1)).values.toList
+      ls.zipWithIndex.forall { case ((u, t, _), i) =>
+        val candidates = rdd.filter(r => r._2 == u && r._3 <= t)
+        val expect = if (candidates.isEmpty) None
+          else Some(candidates.maxBy(r => (r._3, r._1))._1)
+        got(i.toLong) == expect
+      }
+    }
+
+  private val wordGen: Gen[List[String]] =
+    Gen.listOfN(12, Gen.oneOf("a", "b", "c", "d", "e", "f"))
+
+  property("jaccardPairs: symmetric key order, values in [threshold, 1]") =
+    Prop.forAll(Gen.listOfN(6, wordGen)) { docs =>
+      val df = docs.zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val pairs = operators.TextDedup.jaccardPairs(df, "text", "doc_id",
+        n = 2, threshold = 0.3).collect()
+      pairs.forall { r =>
+        r.getLong(0) < r.getLong(1) &&
+          r.getDouble(2) >= 0.3 && r.getDouble(2) <= 1.0
+      }
+    }
+
 }
