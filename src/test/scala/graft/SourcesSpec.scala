@@ -75,6 +75,15 @@ class SourcesSpec extends SparkSpec {
     assert(df.orderBy("v").head().getString(0) == "ä")
   }
 
+  test("UTF-8-BOM CSV scan (S3): BOM does not leak into the first header") {
+    val dir = Files.createTempDirectory("u8bom").toString
+    Files.write(Paths.get(s"$dir/sig.csv"),
+      ("\uFEFF" + "k,v\na,1\n").getBytes(StandardCharsets.UTF_8))
+    val df = FileSources.csv(spark, s"$dir/sig.csv")
+    assert(df.columns.toSeq == Seq("k", "v"), df.columns.toSeq.toString)
+    assert(df.head().getString(0) == "a")
+  }
+
   test("NDJSON scan (S9) with multi-file glob (S11)") {
     val dir = Files.createTempDirectory("nd").toString
     Files.writeString(Paths.get(s"$dir/a.ndjson"), "{\"x\":1}\n{\"x\":2}\n")
