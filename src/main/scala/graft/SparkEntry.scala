@@ -225,9 +225,10 @@ object SparkEntry {
         .withColumn("src", lit("crm"))
         .orderBy("c_custkey")),
     "q_p5_rowid" -> ((s, d) =>
-      Tables.supplier(s, d)
-        .select(col("s_suppkey"),
-          row_number().over(Window.orderBy("s_suppkey")).as("row_id"))
+      // sort + zipWithIndex, not row_number over an unpartitioned window —
+      // the latter moves the whole table through a single task at scale
+      Joins.globalRowIds(Tables.supplier(s, d).select("s_suppkey"),
+        Seq(col("s_suppkey")), "row_id")
         .orderBy("s_suppkey")),
     "q_o1_sort_limit" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -294,11 +295,24 @@ object SparkEntry {
     }),
     "q_percentiles" -> ((s, d) =>
       // Spark `percentile` and DuckDB `quantile_cont` share the linear
-      // interpolation at rank q*(n-1) — verified bit-exact.
+      // interpolation at rank q*(n-1) — verified bit-exact. NOTE: exact
+      // percentile buffers every value per group (ObjectHashAggregate) —
+      // correct for the oracle, an OOM risk per group at 100 TB. The
+      // scale path is q_percentiles_approx below.
       Tables.lineitem(s, d).groupBy("l_returnflag")
         .agg(expr("percentile(l_extendedprice, 0.5)").as("med_price"),
           expr("percentile(l_extendedprice, 0.95)").as("p95_price"),
           expr("percentile(l_quantity, 0.5)").as("med_qty"))
+        .orderBy("l_returnflag")),
+    "q_percentiles_approx" -> ((s, d) =>
+      // scale variant of q_percentiles: approx_percentile runs in bounded
+      // memory (t-digest-style sketch, mergeable map-side) — the form to
+      // use when a group can hold billions of rows. accuracy 10000 ≈
+      // 0.01% rank error. No oracle: sketch results are engine-specific.
+      Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("med_price"),
+          expr("approx_percentile(l_extendedprice, 0.95, 10000)").as("p95_price"),
+          expr("approx_percentile(l_quantity, 0.5, 10000)").as("med_qty"))
         .orderBy("l_returnflag")),
     "q_stats" -> ((s, d) => {
       // decimal-exact moment sums, then the closed-form variance/corr in
@@ -461,7 +475,8 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), Compat.exactSum(col("value"), 4).as("total_value"))
         .orderBy("event_date", "hr", "event_type")),
     "q_events_sessions" -> ((s, d) =>
-      graft.streaming.EventStreams.sessionizeBatch(Tables.events(s, d), gapMs = 6 * 3600 * 1000L)
+      graft.streaming.EventStreams.sessionizeBatch(Tables.events(s, d), gapMs = 6 * 3600 * 1000L,
+        tieBreak = Seq(col("event_id")))
         .select(col("user_id"), col("session_seq"), col("session_start"), col("session_end"),
           col("n_events"),
           col("total_value"))
@@ -651,7 +666,7 @@ object SparkEntry {
       """SELECT c_custkey, c_name AS customer_name, 'crm' AS src
         |FROM customer ORDER BY c_custkey""".stripMargin,
     "q_p5_rowid" ->
-      """SELECT s_suppkey, CAST(row_number() OVER (ORDER BY s_suppkey) AS INTEGER) AS row_id
+      """SELECT s_suppkey, CAST(row_number() OVER (ORDER BY s_suppkey) AS BIGINT) AS row_id
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
     "q_o1_sort_limit" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
@@ -797,19 +812,24 @@ object SparkEntry {
         | CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1,2,3 ORDER BY event_date, hr, event_type""".stripMargin,
     "q_events_sessions" ->
+      // session_seq: DuckDB SUM(int) yields HUGEINT which lands as float64
+      // on the driver side — CAST ... AS BIGINT matches Spark's LongType
+      // (this, not tie order, was the round-1 hash mismatch: the fixture
+      // has zero duplicate (user_id, ts) pairs). event_id tie-break kept
+      // in both engines for determinism under future fixtures.
       """WITH e AS (
-        | SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
-        |  lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        | SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |  lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
         | FROM events),
         |f AS (
-        | SELECT user_id, ts, value,
+        | SELECT user_id, event_id, ts, value,
         |  CASE WHEN prev_ts IS NULL OR epoch_ms(ts) - epoch_ms(prev_ts) > 21600000
         |       THEN 1 ELSE 0 END AS new_session
         | FROM e),
         |g AS (
         | SELECT user_id, ts, value,
-        |  SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
         | FROM f)
         |SELECT user_id, session_seq, min(ts) AS session_start, max(ts) AS session_end,
         | count(*) AS n_events,

@@ -38,9 +38,17 @@ object AsOf {
       .withColumn("_side", lit(1))
       .withColumn("_payload", lit(null).cast(payloadType))
       .withColumn("_tie", lit(null).cast("long"))
-    val r = right.select(
-      col(rightKey).as("_k"), col(rightTs).as("_ts"), lit(0).as("_side"),
-      struct(payload.map(col): _*).as("_payload"), tieBreak.cast("long").as("_tie"))
+    // SQL ASOF-join semantics: a null right key or null right timestamp
+    // never matches anything. Unfiltered, a null-ts right row would sort
+    // first (nulls-first asc) and become the carried match for every
+    // earlier-ts left row, and null keys would match null-key left rows
+    // (Window.partitionBy groups nulls together). Left rows with a null
+    // key/ts simply get a null match — correct left-join behavior.
+    val r = right
+      .filter(col(rightKey).isNotNull && col(rightTs).isNotNull)
+      .select(
+        col(rightKey).as("_k"), col(rightTs).as("_ts"), lit(0).as("_side"),
+        struct(payload.map(col): _*).as("_payload"), tieBreak.cast("long").as("_tie"))
     val rUnioned = r.select(
       lit(null).cast(leftRowType).as("_lrow"),
       col("_k"), col("_ts"), col("_side"), col("_payload"), col("_tie"))

@@ -136,20 +136,39 @@ object Joins {
     salted.join(replicated, Seq(key, "_salt"), joinType).drop("_salt")
   }
 
+  /** Globally ordered 1-based row ids WITHOUT a single-partition window.
+    * `df.orderBy` range-partitions into a total order across partitions;
+    * `zipWithIndex` then assigns contiguous ids from per-partition counts
+    * (one lightweight count job) — every partition stays parallel, unlike
+    * `row_number() over (order by ...)` which funnels the whole table
+    * through one task.
+    */
+  def globalRowIds(df: DataFrame, orderBy: Seq[Column],
+                   idCol: String = "row_id", start: Long = 1L): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val sorted = df.orderBy(orderBy: _*)
+    val schema = StructType(sorted.schema.fields :+ StructField(idCol, LongType, nullable = false))
+    val withId = sorted.rdd.zipWithIndex().map { case (row, idx) =>
+      Row.fromSeq(row.toSeq :+ (idx + start))
+    }
+    df.sparkSession.createDataFrame(withId, schema)
+  }
+
   /** P5: sequential row ids continued across tables — the reference
     * assigns `range(1, n+1)` to one frame and `range(n+1, n+m+1)` to the
     * next (Study Startup Legacy Data merge.ipynb:41-45,1181-1192).
-    * Order must be explicit (pandas relied on file order). Implemented
-    * per-frame with row_number over the given ordering plus the running
-    * offset of the preceding frames' counts.
+    * Order must be explicit (pandas relied on file order). Each frame's
+    * ids come from [[globalRowIds]] (sort + zipWithIndex, parallel);
+    * the cross-frame offset is the running total of the earlier frames'
+    * counts (cheap driver-side metadata aggregates).
     */
   def sequentialRowIds(frames: Seq[DataFrame], orderBy: Seq[Column],
                        idCol: String = "row_id"): Seq[DataFrame] = {
     val counts = frames.map(_.count())
     val offsets = counts.scanLeft(0L)(_ + _)
     frames.zip(offsets).map { case (df, off) =>
-      val w = Window.orderBy(orderBy: _*)
-      df.withColumn(idCol, row_number().over(w).cast("long") + off)
+      globalRowIds(df, orderBy, idCol, start = off + 1L)
     }
   }
 }

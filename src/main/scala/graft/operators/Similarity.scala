@@ -44,7 +44,13 @@ object Similarity {
                          idAs: String, vecAs: String): DataFrame =
     df.select(col(idCol).as(idAs), asDouble(col(vecCol)).as("_v"))
       .withColumn("_n", norm(col("_v")))
-      .select(col(idAs), transform(col("_v"), x => x / col("_n")).as(vecAs))
+      // try_divide + coalesce: an all-zero embedding would divide 0/0 —
+      // a DIVIDE_BY_ZERO error under ANSI mode (Spark 4 default), or NaN
+      // otherwise, and Spark orders NaN ABOVE every double so such
+      // vectors would rank FIRST in every desc top-k. Zero components
+      // instead: sim 0, ranks last.
+      .select(col(idAs), transform(col("_v"),
+        x => coalesce(try_divide(x, col("_n")), lit(0.0))).as(vecAs))
 
   /** Exact top-k cosine neighbors for each query vector.
     * `queries`/`corpus`: (idCol, vecCol). Self-matches excluded.
@@ -121,7 +127,14 @@ object Similarity {
     */
   def lshBuckets(df: DataFrame, idCol: String, vecCol: String,
                  nbits: Int = 16, dim: Int = 64, seed: Long = 42L): DataFrame = {
-    val v = asDouble(col(vecCol))
+    val v0 = asDouble(col(vecCol))
+    // Fail loudly on a dim mismatch: zip_with null-pads the shorter side,
+    // the fold yields null, every bit falls to 0 — and ALL rows silently
+    // land in bucket 0, degenerating the candidate join into O(n²).
+    val v = when(
+      assert_true(size(v0) === lit(dim),
+        concat(lit("lshBuckets: vector length "), size(v0).cast("string"),
+          lit(s" != dim=$dim"))).isNull, v0)
     // Deterministic "hyperplane" component h(bit, d) in [-1, 1): derived
     // from a plan-time hash — reproducible across runs and cluster sizes.
     def comp(bit: Int, d: Int): Double = {
@@ -133,10 +146,11 @@ object Similarity {
     // sum-of-768-terms formulation compiled slowly and re-read v per term)
     val bits = (0 until nbits).map { b =>
       val plane = typedLit((0 until dim).map(d => comp(b, d)))
-      val proj = aggregate(zip_with(v, plane, (x, w) => x * w),
+      val proj = aggregate(zip_with(col("_vchk"), plane, (x, w) => x * w),
         lit(0.0), (acc, x) => acc + x)
       when(proj >= 0, lit(1L << b)).otherwise(0L)
     }
-    df.select(col(idCol), bits.reduce((x: Column, y: Column) => x.bitwiseOR(y)).as("bucket"))
+    df.select(col(idCol), v.as("_vchk"))
+      .select(col(idCol), bits.reduce((x: Column, y: Column) => x.bitwiseOR(y)).as("bucket"))
   }
 }

@@ -35,7 +35,8 @@ object TextDedup {
     * verification and small corpora; LSH below for scale.
     */
   def jaccardPairs(df: DataFrame, textCol: String, idCol: String,
-                   n: Int = 3, threshold: Double = 0.8): DataFrame = {
+                   n: Int = 3, threshold: Double = 0.8,
+                   maxPostings: Int = 100000): DataFrame = {
     // Join on the 64-bit shingle hash, not the shingle string: the
     // exploded self-join shuffles 8-byte keys instead of ~8·n-byte
     // strings. Counts are unchanged short of an xxhash64 collision
@@ -45,7 +46,17 @@ object TextDedup {
     // unpersisting before the caller's action would recompute the pipeline
     // twice. Callers running many dedup jobs in one session should
     // spark.catalog.clearCache() between them.
-    val sh = df.select(col(idCol).as("doc"),
+    //
+    // Doc-id guard: pair keys are packed as (a << 32) | b, which silently
+    // corrupts for negative ids or ids >= 2^32 (e.g. xxhash64-derived) —
+    // assert the packable range per row instead of trusting a comment.
+    val rawId = col(idCol).cast("long")
+    val guardedId = when(
+      assert_true(rawId >= 0 && rawId < lit(1L << 32),
+        concat(lit("jaccardPairs: doc id "), rawId.cast("string"),
+          lit(" outside [0, 2^32) — packed pair keys require uint32 ids"))).isNull,
+      rawId)
+    val sh = df.select(guardedId.as("doc"),
         explode(TextFunctions.shingles(col(textCol), n)).as("s0"))
       .select(col("doc"), xxhash64(col("s0")).as("s"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -54,7 +65,24 @@ object TextDedup {
     // instead of a self-join: one shuffle on the shingle hash, no
     // sort-merge of the exploded table against itself. Singleton
     // shingles (the vast majority) are dropped before any pair work.
-    val postings = sh.groupBy("s").agg(sort_array(collect_set(col("doc"))).as("ds"))
+    //
+    // maxPostings caps the per-shingle posting list: a pathologically hot
+    // shingle (boilerplate shared by millions of docs) would otherwise
+    // make the collect_set buffer unbounded AND emit O(hot²) pairs. The
+    // cap is enforced BEFORE collect_set — a cheap fixed-buffer count
+    // aggregate finds hot shingles, an anti-join (tiny right side, AQE
+    // broadcasts it) removes them — so no aggregation buffer ever holds
+    // more than maxPostings ids. Hot shingles are dropped WHOLE (a
+    // stop-phrase that common carries no near-dup signal); use
+    // [[hotShingleReport]] to observe what a cap drops — nothing is
+    // truncated silently mid-list.
+    // (doc, s) is already distinct — shingles() applies array_distinct —
+    // so count(*) per shingle IS the posting size; no pre-distinct needed.
+    val hot = sh.groupBy("s").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > maxPostings)
+      .select("s")
+    val postings = sh.join(hot, Seq("s"), "left_anti")
+      .groupBy("s").agg(sort_array(collect_set(col("doc"))).as("ds"))
       .filter(size(col("ds")) > 1)
     // pair key packed into one long (doc ids < 2^32): single-word
     // group-by key, cheaper to hash and shuffle than a two-field struct
@@ -75,6 +103,22 @@ object TextDedup {
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }
+
+  /** Observability companion for [[jaccardPairs]]'s `maxPostings` cap:
+    * one row per shingle hotter than the cap — (shingle hash, posting
+    * size) — plus nothing when no shingle exceeds it. Run this before
+    * or after a capped dedup to see exactly which stop-phrases were
+    * excluded and how many docs each covered; the cap itself never
+    * truncates a list silently.
+    */
+  def hotShingleReport(df: DataFrame, textCol: String, idCol: String,
+                       n: Int = 3, maxPostings: Int = 100000): DataFrame =
+    df.select(col(idCol).as("doc"),
+        explode(TextFunctions.shingles(col(textCol), n)).as("s0"))
+      .select(xxhash64(col("s0")).as("s"))
+      .groupBy("s").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > maxPostings)
+      .orderBy(col("n_docs").desc, col("s"))
 
   /** MinHash signature: k independent hash minima over the shingle set.
     *

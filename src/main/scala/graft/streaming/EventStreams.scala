@@ -109,9 +109,13 @@ object EventStreams {
     * shuffle on user_id; at 100 TB the input should be date-partitioned
     * and the shuffle keyed on (user_id) with AQE handling skewed users.
     */
-  def sessionizeBatch(events: DataFrame, gapMs: Long = 30 * 60 * 1000L): DataFrame = {
+  def sessionizeBatch(events: DataFrame, gapMs: Long = 30 * 60 * 1000L,
+                      tieBreak: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    // tieBreak: session boundaries are tie-order-invariant (equal ts ⇒
+    // gap 0 ⇒ same session), but a unique column keeps the intra-window
+    // order deterministic across engines when (user_id, ts) collides.
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts") +: tieBreak: _*)
     events
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn("new_session",

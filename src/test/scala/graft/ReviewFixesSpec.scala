@@ -93,6 +93,83 @@ class ReviewFixesSpec extends SparkSpec {
     assert(vs.map(_.get(1).toString).toSeq == Seq("1", "2"), vs.mkString(","))
   }
 
+  test("AsOf.join: null right keys/timestamps never match (ADVICE r1)") {
+    import graft.operators.AsOf
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, Some(10L), ts("2024-01-01 12:00:00")),
+      (2L, None: Option[Long], ts("2024-01-01 12:00:00"))
+    ).toDF("id", "k", "ts")
+    val right = Seq(
+      (Some(10L), Some(ts("2024-01-01 11:00:00")), 100L, 1.0),  // valid match for id=1
+      (Some(10L), None: Option[java.sql.Timestamp], 666L, 6.0), // null ts: never matches
+      (None: Option[Long], Some(ts("2024-01-01 10:00:00")), 777L, 7.0) // null key: never matches
+    ).toDF("k", "ts", "event_id", "value")
+    val out = AsOf.join(left, right, "k", "k", "ts", "ts",
+      Seq("event_id", "value"), col("event_id")).orderBy("id").collect()
+    assert(out(0).getLong(3) == 100L)       // id=1 matched the valid row
+    assert(out(1).isNullAt(3), out(1).toString) // null-key left row: no match
+  }
+
+  test("bruteForceTopK: zero vector neither ranks first nor produces NaN sims (ADVICE r1)") {
+    import graft.operators.Similarity
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 0.0f)), (4L, Array(0.8f, 0.2f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 1),
+      "vec_id", "embedding", k = 3).orderBy("rank").collect()
+    assert(!out.exists(_.getDouble(3).isNaN), out.mkString(";"))
+    assert(out(0).getLong(2) == 2L) // nearest is the similar vector, not the zero one
+    assert(out.last.getLong(2) == 3L) // zero vector ranks last (sim 0)
+  }
+
+  test("lshBuckets: wrong dim fails loudly instead of collapsing to bucket 0 (ADVICE r1)") {
+    import graft.operators.Similarity
+    val vecs = Seq((1L, Array.fill(8)(0.5))).toDF("vec_id", "embedding")
+    val bad = intercept[Exception] {
+      Similarity.lshBuckets(vecs, "vec_id", "embedding", nbits = 4, dim = 16).collect()
+    }
+    assert(bad.getMessage.contains("lshBuckets") ||
+      bad.getCause != null && bad.getCause.getMessage.contains("lshBuckets"),
+      bad.getMessage)
+    // matching dim works and yields a non-degenerate bucket set
+    val ok = Similarity.lshBuckets(vecs, "vec_id", "embedding", nbits = 4, dim = 8).collect()
+    assert(ok.length == 1)
+  }
+
+  test("jaccardPairs: doc id outside uint32 fails loudly instead of corrupting pairs (ADVICE r1)") {
+    import graft.operators.TextDedup
+    val docs = Seq(
+      (-1L, "a b c d e f g"), (2L, "a b c d e f g")
+    ).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      TextDedup.jaccardPairs(docs, "text", "doc_id").collect()
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("jaccardPairs"), msg)
+  }
+
+  test("jaccardPairs: maxPostings drops hot shingles whole; report observes them") {
+    import graft.operators.TextDedup
+    // 4 docs share shingle set; with maxPostings=3 the shared shingles
+    // (posting size 4) are dropped entirely → no pairs survive
+    val docs = (1L to 4L).map(i => (i, "common shingle text here okay")).toDF("doc_id", "text")
+    assert(TextDedup.jaccardPairs(docs, "text", "doc_id", threshold = 0.1).count() == 6)
+    assert(TextDedup.jaccardPairs(docs, "text", "doc_id", threshold = 0.1,
+      maxPostings = 3).count() == 0)
+    val rep = TextDedup.hotShingleReport(docs, "text", "doc_id", maxPostings = 3).collect()
+    assert(rep.nonEmpty && rep.forall(_.getLong(1) == 4L), rep.mkString(";"))
+  }
+
+  test("globalRowIds matches row_number semantics without a global window") {
+    val df = Seq(("c", 30), ("a", 10), ("b", 20)).toDF("s", "x").repartition(3)
+    val got = Joins.globalRowIds(df, Seq(col("s")), "row_id")
+      .orderBy("row_id").collect().map(r => (r.getString(0), r.getLong(2)))
+    assert(got.toSeq == Seq(("a", 1L), ("b", 2L), ("c", 3L)))
+  }
+
   test("sessionize: out-of-order in-gap event does not shrink the timeout") {
     implicit val sqlCtx = spark.sqlContext
     val src = org.apache.spark.sql.execution.streaming.runtime
