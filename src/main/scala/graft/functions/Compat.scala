@@ -32,6 +32,22 @@ object Compat {
     coalesce(attempts: _*)
   }
 
+  /** C3: strict fail-fast date parse — `pd.to_datetime(..., errors="raise")`
+    * on the filename month token (CTP Data Compare.ipynb:58,
+    * Financial Snapshot Preprocess.ipynb:82). A non-null input that does
+    * not parse raises with the offending value in the message; null
+    * passes through as null (pandas returns NaT without raising).
+    */
+  def strictDate(c: Column, fmt: String): Column = {
+    val parsed = try_to_timestamp(c, lit(fmt))
+    when(c.isNull, lit(null).cast(TimestampType))
+      .otherwise(when(
+        assert_true(parsed.isNotNull,
+          concat(lit("strictDate: unparseable value '"), c.cast(StringType),
+            lit(s"' for format '$fmt'"))).isNull,
+        parsed))
+  }
+
   /** C4: coercing numeric cast (`pd.to_numeric(errors="coerce")`). */
   def coerceNumeric(c: Column): Column = c.try_cast(DoubleType)
 

@@ -108,4 +108,24 @@ object FileSources {
     */
   def withReportMonthEnd(df: DataFrame, mmyyToken: String): DataFrame =
     df.withColumn("report_month_end", last_day(to_date(lit(mmyyToken), "MMyy")))
+
+  /** S14: JDBC source (`SELECT * FROM StudyAnalytics`,
+    * Study Startup Data Download.sql:4). Single-connection read —
+    * right for the reference's view-sized extracts.
+    */
+  def jdbc(spark: SparkSession, url: String, table: String,
+           props: java.util.Properties = new java.util.Properties()): DataFrame =
+    spark.read.jdbc(url, table, props)
+
+  /** S14 at scale: partition-parallel JDBC read — `numPartitions`
+    * connections each pulling a `partitionColumn` range slice. The form
+    * to use when the source table is large; the single-connection read
+    * funnels everything through one task. Catalyst pushes filters and
+    * column pruning through to the remote database in both forms.
+    */
+  def jdbcPartitioned(spark: SparkSession, url: String, table: String,
+                      partitionColumn: String, lower: Long, upper: Long,
+                      numPartitions: Int,
+                      props: java.util.Properties = new java.util.Properties()): DataFrame =
+    spark.read.jdbc(url, table, partitionColumn, lower, upper, numPartitions, props)
 }

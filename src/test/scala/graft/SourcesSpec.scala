@@ -101,6 +101,62 @@ class SourcesSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("JDBC source round-trip against embedded Derby (S14) + §3.3 pivot shape") {
+    // Derby ships on the Spark unmanaged classpath — a pure-JVM embedded
+    // database standing in for the reference's SQL Server view
+    // (Study Startup Data Download.sql:4 over the StudyAnalytics pivot).
+    val dbDir = Files.createTempDirectory("derby").toString
+    val url = s"jdbc:derby:$dbDir/studydb;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate(
+        """CREATE TABLE StudyAnalytics (
+          |  rcp_project_title VARCHAR(64),
+          |  task_name VARCHAR(64),
+          |  task_days_open INT)""".stripMargin)
+      val ins = conn.prepareStatement("INSERT INTO StudyAnalytics VALUES (?, ?, ?)")
+      for ((t, n, d) <- Seq(("P1", "Review", 5), ("P1", "Budget", 7),
+        ("P2", "Review", 3), ("P2", "Budget", 2), ("P2", "Review", 4)))
+        { ins.setString(1, t); ins.setString(2, n); ins.setInt(3, d); ins.executeUpdate() }
+      ins.close(); st.close()
+    } finally conn.close()
+
+    val df = FileSources.jdbc(spark, url, "StudyAnalytics")
+    assert(df.count() == 5)
+    assert(df.columns.map(_.toLowerCase).toSeq ==
+      Seq("rcp_project_title", "task_name", "task_days_open"))
+    // §3.3: the dynamic-pivot dance collapses to groupBy.pivot.sum
+    val pivoted = df.groupBy("RCP_PROJECT_TITLE").pivot("TASK_NAME").sum("TASK_DAYS_OPEN")
+      .orderBy("RCP_PROJECT_TITLE").collect()
+    assert(pivoted(0).getLong(1) == 7L && pivoted(0).getLong(2) == 5L)   // P1: Budget 7, Review 5
+    assert(pivoted(1).getLong(1) == 2L && pivoted(1).getLong(2) == 7L)   // P2: Budget 2, Review 3+4
+
+    // partition-parallel read: same rows, multiple range slices
+    val part = FileSources.jdbcPartitioned(spark, url, "StudyAnalytics",
+      "TASK_DAYS_OPEN", 0L, 10L, 3)
+    assert(part.rdd.getNumPartitions == 3)
+    assert(part.count() == 5)
+    // filter pushdown survives the JDBC boundary
+    val filtered = FileSources.jdbc(spark, url, "StudyAnalytics")
+      .filter(col("TASK_DAYS_OPEN") > 4)
+    assert(filtered.count() == 2)
+  }
+
+  test("strictDate raises on unparseable input, passes nulls (C3)") {
+    import graft.functions.Compat
+    val ok = Seq("0125", null).toDF("t")
+      .select(Compat.strictDate(col("t"), "MMyy").as("d")).collect()
+    assert(ok(0).getTimestamp(0).toString.startsWith("2025-01-01"))
+    assert(ok(1).isNullAt(0))
+    val e = intercept[Exception] {
+      Seq("13x5").toDF("t").select(Compat.strictDate(col("t"), "MMyy").as("d")).collect()
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("strictDate"), msg)
+  }
+
   test("sequentialRowIds continue across frames (P5)") {
     val a = Seq("x", "y").toDF("s")
     val b = Seq("z").toDF("s")
