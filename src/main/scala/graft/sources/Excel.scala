@@ -160,15 +160,69 @@ object Excel {
 
   // ---- write ---------------------------------------------------------
 
+  /** K4 building blocks: a presentation sheet of static labels, spill
+    * formulas, and list data-validations (dropdowns) — the reference's
+    * interactive reconciliation workbook (DOR VP Compare.ipynb:566-637,
+    * cell a3ee360a: xlsxwriter data_validation + write_formula(FILTER)).
+    */
+  case class SheetCell(ref: String, text: String)
+  /** `formula` without the leading '=' (OOXML `<f>` stores it bare). */
+  case class SheetFormula(ref: String, formula: String)
+  /** list validation: `sqref` cell(s) restricted to `sourceRange`,
+    * e.g. ListValidation("B1", "Matched_Studies!$A$2:$A$101"). */
+  case class ListValidation(sqref: String, sourceRange: String)
+  case class InteractiveSheet(name: String,
+                              labels: Seq[SheetCell] = Nil,
+                              formulas: Seq[SheetFormula] = Nil,
+                              validations: Seq[ListValidation] = Nil)
+
+  /** 0-based column index → Excel letters (0→A, 26→AA). */
+  def colLetters(i: Int): String = {
+    var n = i + 1; var s = ""
+    while (n > 0) { val r = (n - 1) % 26; s = ('A' + r).toChar.toString + s; n = (n - 1) / 26 }
+    s
+  }
+
+  /** K4: the reference's Study_Detail layout — "Select Project ID:" label,
+    * a dropdown over the matched-ids column, and one spilling FILTER
+    * block per detail sheet (headers + formula keyed on the dropdown).
+    * `sections`: (label, sourceSheetName, columnNames) per detail block;
+    * blocks are laid out like the reference (labels at A3/A10/..., header
+    * row two below the label, FILTER formula on the next row).
+    */
+  def studyDetailSheet(matchedRows: Int,
+                       sections: Seq[(String, String, Seq[String])],
+                       matchedSheet: String = "Matched_Studies",
+                       name: String = "Study_Detail"): InteractiveSheet = {
+    val labels = mutable.ArrayBuffer(SheetCell("A1", "Select Project ID:"))
+    val formulas = mutable.ArrayBuffer.empty[SheetFormula]
+    var row = 3
+    sections.foreach { case (label, srcSheet, cols) =>
+      labels += SheetCell(s"A$row", label)
+      val headerRow = row + 2
+      cols.zipWithIndex.foreach { case (c, i) =>
+        labels += SheetCell(s"${colLetters(i)}$headerRow", c)
+      }
+      val lastCol = colLetters(cols.size - 1)
+      formulas += SheetFormula(s"A${headerRow + 1}",
+        s"FILTER($srcSheet!A2:${lastCol}1048576, $srcSheet!A2:A1048576=" + "$B$1)")
+      row += 7
+    }
+    InteractiveSheet(name, labels.toSeq, formulas.toSeq,
+      Seq(ListValidation("B1", s"$matchedSheet!" + "$A$2:$A$" + (matchedRows + 1))))
+  }
+
   /** K2: single-sheet workbook. */
   def write(df: DataFrame, path: String, sheetName: String = "Sheet1"): Unit =
     writeWorkbook(Seq(sheetName -> df), path)
 
-  /** K3: multi-sheet workbook (Summary / Matched / Detail fan-out shape).
+  /** K3 (+K4): multi-sheet workbook (Summary / Matched / Detail fan-out
+    * shape), optionally followed by interactive presentation sheets.
     * Collects each frame to the driver — guarded; this is a report sink,
     * not a data sink.
     */
-  def writeWorkbook(sheets: Seq[(String, DataFrame)], path: String): Unit = {
+  def writeWorkbook(sheets: Seq[(String, DataFrame)], path: String,
+                    interactive: Seq[InteractiveSheet] = Nil): Unit = {
     val zos = new ZipOutputStream(new BufferedOutputStream(new FileOutputStream(path)))
     def put(name: String, content: String): Unit = {
       zos.putNextEntry(new ZipEntry(name))
@@ -176,7 +230,8 @@ object Excel {
       zos.closeEntry()
     }
     try {
-      val n = sheets.size
+      val n = sheets.size + interactive.size
+      val allNames = sheets.map(_._1) ++ interactive.map(_.name)
       put("[Content_Types].xml",
         """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
           """<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">""" +
@@ -195,7 +250,7 @@ object Excel {
       put("xl/workbook.xml",
         """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
           """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets>""" +
-          sheets.zipWithIndex.map { case ((name, _), i) =>
+          allNames.zipWithIndex.map { case (name, i) =>
             s"""<sheet name="${escape(name)}" sheetId="${i + 1}" r:id="rId${i + 1}"/>"""
           }.mkString + """</sheets></workbook>""")
       put("xl/_rels/workbook.xml.rels",
@@ -207,7 +262,51 @@ object Excel {
       sheets.zipWithIndex.foreach { case ((_, df), i) =>
         put(s"xl/worksheets/sheet${i + 1}.xml", sheetXml(df))
       }
+      interactive.zipWithIndex.foreach { case (sh, j) =>
+        put(s"xl/worksheets/sheet${sheets.size + j + 1}.xml", interactiveSheetXml(sh))
+      }
     } finally zos.close()
+  }
+
+  /** Worksheet XML for a presentation sheet: cells addressed by A1 refs,
+    * grouped into `<row r=...>` elements; `<f>` formula cells spill in a
+    * modern Excel; `<dataValidations>` emits the dropdowns.
+    */
+  private def interactiveSheetXml(sh: InteractiveSheet): String = {
+    def rowOf(ref: String): Int = ref.dropWhile(_.isLetter).toInt
+    val cells: Seq[(Int, String)] =
+      sh.labels.map(l => rowOf(l.ref) ->
+        s"""<c r="${l.ref}" t="inlineStr"><is><t>${escape(l.text)}</t></is></c>""") ++
+      sh.formulas.map(f => rowOf(f.ref) ->
+        s"""<c r="${f.ref}"><f>${escape(f.formula)}</f></c>""")
+    val rows = cells.groupBy(_._1).toSeq.sortBy(_._1).map { case (r, cs) =>
+      // within a row, cells sorted by column letters (length, then text)
+      val sorted = cs.map(_._2).sortBy { c =>
+        val ref = """r="([A-Z]+)\d+"""".r.findFirstMatchIn(c).get.group(1)
+        (ref.length, ref)
+      }
+      s"""<row r="$r">${sorted.mkString}</row>"""
+    }
+    val validations =
+      if (sh.validations.isEmpty) ""
+      else s"""<dataValidations count="${sh.validations.size}">""" +
+        sh.validations.map(v =>
+          s"""<dataValidation type="list" allowBlank="1" showInputMessage="1" showErrorMessage="1" sqref="${v.sqref}">""" +
+            s"""<formula1>${escape(v.sourceRange)}</formula1></dataValidation>""").mkString +
+        "</dataValidations>"
+    """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+      """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""" +
+      rows.mkString + "</sheetData>" + validations + "</worksheet>"
+  }
+
+  /** Raw worksheet XML of a sheet (introspection for specs / debugging). */
+  def rawSheetXml(path: String, sheet: String): String = {
+    val zf = new ZipFile(path)
+    try {
+      val part = workbookSheets(zf).find(_._1 == sheet).map(_._2).getOrElse(
+        throw new IllegalArgumentException(s"sheet '$sheet' not found"))
+      new String(zf.getInputStream(zf.getEntry(part)).readAllBytes(), StandardCharsets.UTF_8)
+    } finally zf.close()
   }
 
   private def sheetXml(df: DataFrame): String = {

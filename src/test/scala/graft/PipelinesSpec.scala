@@ -19,6 +19,62 @@ class PipelinesSpec extends SparkSpec {
     assert(maxDate.before(java.sql.Timestamp.valueOf("2024-01-15 00:00:00")))
   }
 
+  test("§3.1 golden replay: DOR↔VP reconciliation reproduces the reference's recorded totals") {
+    import graft.pipelines.DorVpCompare
+    import graft.sources.Excel
+    val dir = Files.createTempDirectory("dorvp").toString
+
+    // Reference-shaped fixtures engineered so every bucket hits the
+    // golden totals recorded from the reference's own run
+    // (BASELINE.md:32-38 ← DOR VP Compare.ipynb:207-215), while
+    // exercising each cleaning step: junk dates (coerce), out-of-range
+    // rows (filter), exact-duplicate rows (dedup), the "Unnamed: 0"
+    // index artifact (drop), null ids (dropna), junk amounts (coerce+0).
+    val dor = Seq(
+      ("RNG000001", "Study A", "2024-01-15", "10000000.00", "Oncology"),
+      ("RNG000002", "Study B", "2023-06-02", "9427569.65", "Cardio"),
+      ("RNG000003", "Study C", "2022-03-10", "9564026.55", "Neuro"),
+      ("RNG000004", "Study D", "2021-07-21", "26738190.41", "KPOCT"),
+      ("RNG000099", "Out of range", "1999-05-01", "999999.99", "Neuro"),
+      ("RNG000098", "Bad date", "not-a-date", "111.11", "Neuro")
+    ).toDF(DorVpCompare.DorId, DorVpCompare.DorTitle, DorVpCompare.DorDate,
+      DorVpCompare.DorAmount, DorVpCompare.DorProgram)
+    val vp = Seq(
+      ("0", "RNG000001", "SSC-1", "2024-02-01", "10514494.75"),
+      ("1", "RNG000002", "SSC-2", "2024-02-02", "6000000.00"),
+      ("2", "RNG000002", "SSC-3", "2024-02-03", "4000000.00"),
+      ("3", "RNG000001", "SSC-1", "2024-02-01", "10514494.75"), // dup after index drop
+      ("4", "RNG000005", "SSC-9", "2024-03-01", "232340.06"),
+      ("5", null, "SSC-0", "2024-03-02", "123.45"),             // null id
+      ("6", "RNG000001", "SSC-1", "1999-01-01", "555.55"),      // out of range
+      ("7", "RNG000002", "SSC-2", "2024-04-01", "not-a-number") // junk amount → 0
+    ).toDF("Unnamed: 0", DorVpCompare.VpId, DorVpCompare.VpStudy,
+      DorVpCompare.VpDate, DorVpCompare.VpAmount)
+    Excel.write(dor, s"$dir/dor.xlsx")
+    Excel.write(vp, s"$dir/vp.xlsx")
+
+    val summary = DorVpCompare.run(spark, s"$dir/dor.xlsx", s"$dir/vp.xlsx",
+      s"$dir/recon.xlsx")
+
+    // golden totals, asserted through the V4 spot-check operator
+    def metric(m: String) = summary.filter(col("metric") === m).select("value")
+    SchemaOps.assertTotal(metric("total_dor"), "value", 55729786.61)
+    SchemaOps.assertTotal(metric("total_vp"), "value", 20746834.81)
+    SchemaOps.assertTotal(metric("overlap_dor"), "value", 19427569.65)
+    SchemaOps.assertTotal(metric("overlap_vp"), "value", 20514494.75)
+    SchemaOps.assertTotal(metric("matched_difference"), "value", -1086925.10)
+    SchemaOps.assertTotal(metric("dor_only_effective"), "value", 9564026.55)
+    SchemaOps.assertTotal(metric("vp_only"), "value", 232340.06)
+
+    // the workbook fan-out landed with all five sheets, incl. interactive
+    assert(Excel.sheetNames(s"$dir/recon.xlsx") ==
+      Seq("Summary", "Matched_Studies", "DOR_Detail", "VP_Detail", "Study_Detail"))
+    assert(Excel.read(spark, s"$dir/recon.xlsx", Some("Matched_Studies")).count() == 2)
+    val detailXml = Excel.rawSheetXml(s"$dir/recon.xlsx", "Study_Detail")
+    assert(detailXml.contains("""<dataValidation type="list""""))
+    assert(detailXml.contains("FILTER(DOR_Detail!"))
+  }
+
   test("assertTotal passes on correct total, fails on wrong one (V4)") {
     val df = Seq(1.0, 2.0, 3.5).toDF("v")
     SchemaOps.assertTotal(df, "v", 6.5)

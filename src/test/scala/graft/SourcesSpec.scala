@@ -101,6 +101,42 @@ class SourcesSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("Excel K4: interactive sheet emits dataValidation dropdown + FILTER formulas") {
+    val dir = Files.createTempDirectory("k4").toString
+    val path = s"$dir/recon.xlsx"
+    val summary = Seq(("DOR total", 100.0)).toDF("metric", "value")
+    val matched = Seq(("RNG000001", 10.0), ("RNG000002", 20.0)).toDF("project_id", "amount")
+    val dorDetail = Seq(("RNG000001", "2024-01-31", 10.0)).toDF("project_id", "month", "amount")
+    val vpDetail = Seq(("RNG000002", "t1", 20.0)).toDF("service_line_code", "txn", "amount")
+    val detail = Excel.studyDetailSheet(
+      matchedRows = 2,
+      sections = Seq(
+        ("DOR Detail for selected Project ID", "DOR_Detail", dorDetail.columns.toSeq),
+        ("VP Transactions for selected Project ID", "VP_Detail", vpDetail.columns.toSeq)))
+    Excel.writeWorkbook(Seq(
+      "Summary" -> summary, "Matched_Studies" -> matched,
+      "DOR_Detail" -> dorDetail, "VP_Detail" -> vpDetail), path, Seq(detail))
+
+    // workbook structure: 5 sheets, interactive last
+    assert(Excel.sheetNames(path) ==
+      Seq("Summary", "Matched_Studies", "DOR_Detail", "VP_Detail", "Study_Detail"))
+    // data sheets still read back
+    assert(Excel.read(spark, path, Some("Matched_Studies")).count() == 2)
+
+    val xml = Excel.rawSheetXml(path, "Study_Detail")
+    // dropdown: list validation on B1 over the matched-ids column
+    assert(xml.contains("""<dataValidation type="list""""), xml)
+    assert(xml.contains("""sqref="B1""""))
+    assert(xml.contains("Matched_Studies!$A$2:$A$3"))
+    // spilling FILTER formulas keyed on the dropdown cell
+    assert(xml.contains("<f>FILTER(DOR_Detail!A2:C1048576, DOR_Detail!A2:A1048576=$B$1)</f>"), xml)
+    assert(xml.contains("<f>FILTER(VP_Detail!A2:C1048576, VP_Detail!A2:A1048576=$B$1)</f>"))
+    // labels + headers in place (reference layout: label A3, headers row 5, formula A6)
+    assert(xml.contains("Select Project ID:"))
+    assert(xml.contains("""<c r="A6"><f>"""))
+    assert(xml.contains("""<c r="A13"><f>"""))
+  }
+
   test("JDBC source round-trip against embedded Derby (S14) + §3.3 pivot shape") {
     // Derby ships on the Spark unmanaged classpath — a pure-JVM embedded
     // database standing in for the reference's SQL Server view
