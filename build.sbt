@@ -26,5 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // the box has 128 GiB; 8g starved the single-JVM bench once per-query
+  // caches accumulated (GC spikes on whichever query ran late)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // 60 whole-stage-codegen queries in one JVM overflow the default
+  // 240m reserved code cache; when it fills, JIT compilation stalls and
+  // random queries show 3-4x spikes (measured: bench total 55→77s with
+  // a rotating outlier). 512m keeps every generated class compiled.
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -36,7 +36,13 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // intra-query persists (dedup self-join inputs) are per-job caches;
+      // dropping them between queries keeps one query's cache from
+      // GC-squeezing the next (the operators document clearCache between
+      // jobs as the caller's contract)
+      spark.catalog.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
