@@ -120,6 +120,72 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "sim")
   }
 
+  /** Deterministic k-means centroid fit for [[ivfTopK]] — closes the
+    * "centroids are caller-provided" gap. Lloyd iterations entirely as
+    * DataFrame ops:
+    *   - init: k seeds picked by hash order (xxhash64 of the id —
+    *     deterministic across runs/cluster sizes, no RNG);
+    *   - assign: struct-max nearest-centroid (map-side combinable, no
+    *     window sort) against the broadcast centroid set;
+    *   - update: element-wise mean via posexplode → two-level partial
+    *     aggregation (shuffle rows = n·dim scalars, partials combine
+    *     map-side; dim is small so this is one cheap wide agg).
+    * Empty clusters keep their previous centroid. Returns
+    * (cent_id, centroid) with `iters` refinement passes — at 100 TB run
+    * the fit on a hash-sample (`TextFunctions.hashSampleFilter`), then
+    * assign the full corpus once.
+    */
+  def fitCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                   k: Int, iters: Int = 5): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vecs = normalized(corpus, idCol, vecCol, "_id", "v")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // centroids are the model: k·dim doubles of driver-side state per
+    // iteration (collected like any k-means implementation's model),
+    // which also truncates the plan lineage between Lloyd passes.
+    //
+    // Init = deterministic farthest-point (k-means++-style): first seed
+    // by hash order, each next seed the point least similar to its
+    // closest chosen seed. Hash-order-only init can drop two seeds into
+    // one cluster, which Lloyd iterations can never split.
+    val firstSeed = vecs.orderBy(xxhash64(col("_id")), col("_id")).limit(1)
+      .select(col("v")).collect()(0).getSeq[Double](0).toSeq
+    val seeds = scala.collection.mutable.ArrayBuffer(firstSeed)
+    while (seeds.size < k) {
+      val cent = seeds.toSeq.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("cent_id", "centv")
+      val next = vecs.crossJoin(broadcast(cent))
+        .select(col("_id"), col("v"), dot(col("v"), col("centv")).as("csim"))
+        .groupBy("_id").agg(max(col("csim")).as("closest"), first(col("v")).as("v"))
+        .orderBy(col("closest").asc, col("_id")).limit(1)
+        .select(col("v")).collect()(0).getSeq[Double](0).toSeq
+      seeds += next
+    }
+    var centLocal: Map[Long, Seq[Double]] =
+      seeds.toSeq.zipWithIndex.map { case (v, i) => (i + 1).toLong -> v }.toMap
+    for (_ <- 0 until iters) {
+      val cent = centLocal.toSeq.sortBy(_._1).toDF("cent_id", "centv")
+      val updated = vecs.crossJoin(broadcast(cent))
+        .select(col("_id"), col("v"), col("cent_id"),
+          dot(col("v"), col("centv")).as("csim"))
+        .groupBy("_id")
+        .agg(max(struct(col("csim"), negate(col("cent_id")).as("nc"))).as("m"),
+          first(col("v")).as("v"))
+        .select(negate(col("m.nc")).as("cent_id"), col("v"))
+        .select(col("cent_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cent_id", "pos").agg(avg(col("x")).as("mx"))
+        .groupBy("cent_id")
+        .agg(array_sort(collect_list(struct(col("pos"), col("mx")))).as("ps"))
+        .select(col("cent_id"), transform(col("ps"), p => p.getField("mx")).as("centv"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+      // clusters that captured no points keep their previous centroid
+      centLocal = centLocal.map { case (id, old) => id -> updated.getOrElse(id, old) }
+    }
+    vecs.unpersist()
+    centLocal.toSeq.sortBy(_._1).toDF("cent_id", "centroid")
+  }
+
   /** Random-hyperplane LSH bucketing for cosine: `nbits` sign bits from
     * dot products with deterministic pseudo-random hyperplanes (seeded by
     * bit index — no RNG at plan time). Same-bucket vectors are near-dup

@@ -109,6 +109,27 @@ object FileSources {
   def withReportMonthEnd(df: DataFrame, mmyyToken: String): DataFrame =
     df.withColumn("report_month_end", last_day(to_date(lit(mmyyToken), "MMyy")))
 
+  /** S15: recursive directory walk (Protocol Data Gathering's PI-folder /
+    * protocol-subfolder iteration) as a file-metadata DataFrame —
+    * (path, name, depth, size, mtime). The listing itself is driver-side
+    * Hadoop FS metadata (as in the reference); returning a DataFrame
+    * makes the inventory joinable/filterable like any other table.
+    */
+  def walkFiles(spark: SparkSession, dir: String, maxDepth: Int = 10): DataFrame = {
+    import spark.implicits._
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(String, String, Int, Long, Long)]
+    def walk(p: Path, depth: Int): Unit =
+      if (depth <= maxDepth && fs.exists(p)) fs.listStatus(p).foreach { st =>
+        if (st.isDirectory) walk(st.getPath, depth + 1)
+        else acc += ((st.getPath.toString, st.getPath.getName, depth,
+          st.getLen, st.getModificationTime))
+      }
+    walk(root, 0)
+    acc.toSeq.toDF("path", "name", "depth", "size", "mtime")
+  }
+
   /** S14: JDBC source (`SELECT * FROM StudyAnalytics`,
     * Study Startup Data Download.sql:4). Single-connection read —
     * right for the reference's view-sized extracts.

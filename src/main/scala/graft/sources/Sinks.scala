@@ -57,6 +57,24 @@ object Sinks {
       .parquet(path)
   }
 
+  /** Bucketed table write — the storage layout for repeated co-located
+    * joins/aggregations at 100 TB: rows hash-bucketed (and optionally
+    * sorted) on the join key, so a join between two tables bucketed the
+    * same way on the same key runs with ZERO Exchange (and, when both
+    * sides are sorted, zero Sort) — the shuffle is paid once at write
+    * time instead of on every query. Requires `saveAsTable` (bucket
+    * metadata lives in the catalog, not the parquet files).
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    numBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write
+      .mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    val sorted = if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
+    sorted.saveAsTable(table)
+  }
+
   /** K5: console report — formatted summary rows (the reference's primary
     * human output in DOP VP Compare.py:188-223). Small frames only.
     */

@@ -104,6 +104,31 @@ object EventStreams {
     }
   }
 
+  /** Sessionization via Spark's native `session_window` — the built-in
+    * gap-session operator (works in batch AND streaming with a
+    * watermark; in streaming, state merging is handled by the engine).
+    * Boundary semantics differ from [[sessionizeBatch]] by a half-open
+    * edge: an event exactly `gap` after the previous one starts a NEW
+    * session here (windows [t, t+gap) don't overlap), while the
+    * lag-based form keeps `diff == gap` in the same session — identical
+    * on any data without exact-boundary gaps. Session_seq is assigned
+    * per user in session-start order, matching sessionizeBatch's shape.
+    */
+  def sessionizeNative(events: DataFrame, gap: String = "30 minutes"): DataFrame = {
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("session_start")
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(27, 4)))
+          .cast("double").as("total_value"))
+      .withColumn("session_seq",
+        row_number().over(byUser).cast("long"))
+      .select("user_id", "session_seq", "session_start", "session_end",
+        "n_events", "total_value")
+  }
+
   /** Batch-mode gap sessionization (same semantics, window-function form):
     * used for oracle checks and for backfills over historical data. One
     * shuffle on user_id; at 100 TB the input should be date-partitioned

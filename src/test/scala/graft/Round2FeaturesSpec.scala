@@ -1,0 +1,138 @@
+package graft
+
+import graft.operators.Similarity
+import graft.pipelines.StudyStartupMerge
+import graft.sources.{FileSources, Sinks}
+import graft.streaming.EventStreams
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.exchange.Exchange
+import java.nio.file.{Files, Paths}
+
+/** Round-2 additions: bucketed co-located joins, native session_window,
+  * k-means centroid fit, directory walk (S15), study-startup merge.
+  */
+class Round2FeaturesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed tables join with zero Exchange (shuffle paid at write time)") {
+    val facts = (1L to 1000L).map(i => (i % 50, s"f$i", i * 1.5)).toDF("k", "tag", "amt")
+    val dims = (0L until 50L).map(i => (i, s"dim$i")).toDF("k", "name")
+    // drop catalog entries AND orphaned warehouse dirs from prior sessions
+    Seq("b_facts", "b_dims").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
+    Sinks.writeBucketed(facts, "b_facts", Seq("k"), 8, Seq("k"))
+    Sinks.writeBucketed(dims, "b_dims", Seq("k"), 8, Seq("k"))
+    val j = spark.table("b_facts").join(spark.table("b_dims"), Seq("k"))
+    // force a non-broadcast join so co-location is what's being tested
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val exchanges = j.queryExecution.executedPlan.collect { case e: Exchange => e }
+      assert(exchanges.isEmpty,
+        s"expected no Exchange on co-bucketed join:\n${j.queryExecution.executedPlan}")
+      assert(j.count() == 1000)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("sessionizeNative (session_window) matches sessionizeBatch off-boundary") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1.0), (1L, ts("2024-01-01 10:10:00"), 2.0),
+      (1L, ts("2024-01-01 11:00:00"), 3.0), // > 30m after: new session
+      (2L, ts("2024-01-01 09:00:00"), 4.0),
+      (2L, ts("2024-01-01 09:29:00"), 5.0)  // in gap: same session
+    ).toDF("user_id", "ts", "value")
+    val native = EventStreams.sessionizeNative(events, "30 minutes")
+      .orderBy("user_id", "session_seq").collect()
+    val batch = EventStreams.sessionizeBatch(events, 30 * 60000L)
+      .orderBy("user_id", "session_seq").collect()
+    assert(native.length == batch.length)
+    native.zip(batch).foreach { case (n, b) => assert(n == b, s"$n != $b") }
+  }
+
+  test("sessionizeNative on fixture events matches sessionizeBatch (sf0.001)") {
+    val ev = Tables.events(spark, sf)
+    val native = EventStreams.sessionizeNative(ev, "6 hours")
+      .orderBy("user_id", "session_seq").collect()
+    val batch = EventStreams.sessionizeBatch(ev, 6 * 3600 * 1000L)
+      .orderBy("user_id", "session_seq").collect()
+    assert(native.length == batch.length, s"${native.length} vs ${batch.length}")
+    native.zip(batch).foreach { case (n, b) => assert(n == b, s"$n != $b") }
+  }
+
+  test("fitCentroids converges to cluster means; fitted IVF recalls brute-force top hit") {
+    // three tight clusters in 4d
+    def jitter(base: Array[Double], i: Int): Array[Float] =
+      base.zipWithIndex.map { case (v, d) => (v + 0.01 * ((i + d) % 3)).toFloat }
+    val a = Array(10.0, 0.0, 0.0, 0.0); val b = Array(0.0, 10.0, 0.0, 0.0)
+    val c = Array(0.0, 0.0, 10.0, 0.0)
+    val vecs = (0 until 30).map { i =>
+      val base = Seq(a, b, c)(i % 3)
+      ((i + 1).toLong, jitter(base, i))
+    }.toDF("vec_id", "embedding")
+    val cents = Similarity.fitCentroids(vecs, "vec_id", "embedding", k = 3, iters = 5)
+    val got = cents.collect().map(_.getSeq[Double](1))
+    assert(got.length == 3)
+    // each fitted centroid is dominated by exactly one axis (clusters found)
+    val axes = got.map(v => v.indexOf(v.max)).toSet
+    assert(axes.size == 3, s"centroids collapsed: ${got.map(_.mkString(",")).mkString(" | ")}")
+
+    // IVF with fitted centroids reproduces brute-force top-1
+    val queries = vecs.filter(col("vec_id") <= 3)
+    val bf = Similarity.bruteForceTopK(vecs, queries, "vec_id", "embedding", k = 1)
+      .select("query_id", "neighbor_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ivf = Similarity.ivfTopK(vecs, queries,
+      cents.select(col("cent_id").as("vec_id"), col("centroid").as("embedding")),
+      "vec_id", "embedding", k = 1, nprobe = 1)
+      .select("query_id", "neighbor_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bf == ivf, s"$bf vs $ivf")
+  }
+
+  test("walkFiles inventories a nested tree with depth and metadata (S15)") {
+    val root = Files.createTempDirectory("walk").toString
+    Files.createDirectories(Paths.get(s"$root/pi1/protocolA"))
+    Files.createDirectories(Paths.get(s"$root/pi2"))
+    Files.writeString(Paths.get(s"$root/top.txt"), "t")
+    Files.writeString(Paths.get(s"$root/pi1/a.txt"), "aa")
+    Files.writeString(Paths.get(s"$root/pi1/protocolA/deep.txt"), "dddd")
+    Files.writeString(Paths.get(s"$root/pi2/b.txt"), "b")
+    val inv = FileSources.walkFiles(spark, root)
+    assert(inv.count() == 4)
+    val byName = inv.collect().map(r => r.getString(1) -> r).toMap
+    assert(byName("top.txt").getInt(2) == 0)
+    assert(byName("a.txt").getInt(2) == 1)
+    assert(byName("deep.txt").getInt(2) == 2)
+    assert(byName("deep.txt").getLong(3) == 4L) // size
+    // maxDepth prunes
+    assert(FileSources.walkFiles(spark, root, maxDepth = 1).count() == 3)
+  }
+
+  test("StudyStartupMerge: tags, continued row ids, union-on-common, column recovery") {
+    val appian = Seq(("S1", "2024-01-01", "active"), ("S2", "2024-01-02", "active"))
+      .toDF("study", "start", "status")
+    val legacy = Seq(("S3", "2020-05-01", "1999-12-31"), ("S4", "2020-06-01", "2001-06-30"))
+      .toDF("study", "start", "Study Closed Date")
+    val merged = StudyStartupMerge.merge(appian, legacy, Seq(col("study")),
+      recoverCol = Some("Study Closed Date"))
+    val rows = merged.orderBy("row_id").collect()
+    assert(rows.length == 4)
+    // continued ids: appian 1..2, legacy 3..4
+    assert(rows.map(_.getAs[Long]("row_id")).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(rows.map(_.getAs[Int]("isLegacy")).toSeq == Seq(0, 0, 1, 1))
+    // union kept only common columns (status dropped) + recovery merged back
+    assert(!merged.columns.contains("status"))
+    assert(merged.columns.contains("Study Closed Date"))
+    assert(rows(2).getAs[String]("Study Closed Date") == "1999-12-31")
+    assert(rows(0).getAs[String]("Study Closed Date") == null) // appian: no closed date
+    assert(rows(0).getAs[String]("_merge") == "left_only")
+    assert(rows(3).getAs[String]("_merge") == "both")
+  }
+}
