@@ -478,6 +478,12 @@ object SparkEntry {
           col("event_type"))
         .agg(count(lit(1)).as("n"), Compat.exactSum(col("value"), 4).as("total_value"))
         .orderBy("event_date", "hr", "event_type")),
+    "q_events_sessions_native" -> ((s, d) =>
+      // same gap sessions via Spark's native session_window operator
+      // (boundary semantics differ from the lag form only at diff==gap,
+      // and the fixture has zero exact-6h gaps — verified) — same oracle
+      graft.streaming.EventStreams.sessionizeNative(Tables.events(s, d), "6 hours")
+        .orderBy("user_id", "session_seq")),
     "q_events_sessions" -> ((s, d) =>
       graft.streaming.EventStreams.sessionizeBatch(Tables.events(s, d), gapMs = 6 * 3600 * 1000L,
         tieBreak = Seq(col("event_id")))
@@ -815,6 +821,28 @@ object SparkEntry {
         | count(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1,2,3 ORDER BY event_date, hr, event_type""".stripMargin,
+    "q_events_sessions_native" ->
+      // identical oracle to q_events_sessions: the native session_window
+      // form produces the same sessions on data without exact-gap
+      // boundaries (asserted by the fixture check + parity spec)
+      """WITH e AS (
+        | SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |  lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        | FROM events),
+        |f AS (
+        | SELECT user_id, event_id, ts, value,
+        |  CASE WHEN prev_ts IS NULL OR epoch_ms(ts) - epoch_ms(prev_ts) > 21600000
+        |       THEN 1 ELSE 0 END AS new_session
+        | FROM e),
+        |g AS (
+        | SELECT user_id, ts, value,
+        |  CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        | FROM f)
+        |SELECT user_id, session_seq, min(ts) AS session_start, max(ts) AS session_end,
+        | count(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS total_value
+        |FROM g GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
     "q_events_sessions" ->
       // session_seq: DuckDB SUM(int) yields HUGEINT which lands as float64
       // on the driver side — CAST ... AS BIGINT matches Spark's LongType

@@ -66,6 +66,37 @@ class PlanAuditSpec extends SparkSpec {
       "column pruning failed — scan reads the whole customer schema")
   }
 
+  test("q_p5_rowid: no unpartitioned Window — ids come from zipWithIndex") {
+    val df = q("q_p5_rowid")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"),
+      s"row ids regressed to a window (single-partition funnel at scale):\n$p")
+  }
+
+  test("q_c_clean: JSON extraction + cleaning stays inside codegen, no UDF") {
+    val df = q("q_c_clean")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("), s"cleaning projection fell out of codegen:\n$p")
+    assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("ScalaUDF"),
+      "UDF appeared in the cleaning hot path")
+    assert(p.contains("from_json"), "from_json extraction missing")
+  }
+
+  test("q_events_sessions_native: single shuffle on user_id for session build") {
+    val p = plan(q("q_events_sessions_native"))
+    // one hashpartitioning exchange on user_id feeds the MergingSessions
+    // aggregation AND the seq window (Catalyst reuses the partitioning —
+    // no second user_id shuffle between them)
+    assert(p.contains("hashpartitioning(user_id"), s"expected a user_id shuffle:\n$p")
+    assert(p.contains("MergingSessions"), s"expected the native session operator:\n$p")
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      s"session agg and seq window should share ONE user_id exchange:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"sessionization funneled through one partition:\n$p")
+  }
+
   test("whole-stage codegen covers the scan-filter-project pipeline") {
     // AQE hides codegen spans until execution — run the query, then
     // inspect the final executed plan for WholeStageCodegen ids ("*(n)").

@@ -44,6 +44,30 @@ class StreamingSpec extends SparkSpec {
     assert(got(2).getLong(4) == 1 && got(2).getDouble(5) == 8.0)
   }
 
+  test("session_window works in STREAMING mode with a watermark (same operator as batch)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000)
+    source.addData((1L, ts(0), 1.0), (1L, ts(5), 2.0))
+    source.addData((1L, ts(120), 3.0))   // > 30m gap → new session
+    source.addData((1L, ts(600), 1.0))   // advances watermark, finalizes earlier sessions
+    val events = source.toDF().toDF("user_id", "ts", "value")
+    val q = events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .writeStream.format("memory").queryName("native_sess_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val closed = spark.table("native_sess_out").collect()
+    // first session: 2 events totalling 3.0; second: the lone ts(120) event
+    assert(closed.exists(r => r.getLong(2) == 2 && r.getDouble(3) == 3.0), closed.mkString(";"))
+    assert(closed.exists(r => r.getLong(2) == 1 && r.getDouble(3) == 3.0), closed.mkString(";"))
+  }
+
   test("sessionize (flatMapGroupsWithState) closes sessions on gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
