@@ -459,6 +459,11 @@ object SparkEntry {
         .filter(TextFunctions.hashSampleFilter(col("doc_id"), 0.2))
         .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
         .orderBy("lang")),
+    "q_cosine_pairs" -> ((s, d) =>
+      // exact embedding near-dup oracle path (quadratic, like
+      // q_jaccard_pairs); the scale path is lshNearDupPairs
+      Similarity.cosinePairsExact(Tables.embeddings(s, d), "vec_id", "embedding", 0.4)
+        .orderBy("id_a", "id_b")),
     "q_embed_neardup" -> ((s, d) => {
       val buckets = Similarity.lshBuckets(
         Tables.embeddings(s, d), "vec_id", "embedding", nbits = 12)
@@ -762,6 +767,15 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM s)
         |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, sim
         |FROM r WHERE rank<=5 ORDER BY query_id, rank""".stripMargin,
+    "q_cosine_pairs" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding::DOUBLE[],
+        |  x -> x / sqrt(list_reduce(list_transform(embedding::DOUBLE[], y->y*y),(a,b)->a+b))) AS v
+        | FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        | list_reduce(list_transform(list_zip(a.v, b.v), x -> x[1]*x[2]), (p,q)->p+q) AS sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_reduce(list_transform(list_zip(a.v, b.v), x -> x[1]*x[2]), (p,q)->p+q) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
     "q_percentiles" ->
       """SELECT l_returnflag,
         | quantile_cont(l_extendedprice, 0.5) AS med_price,

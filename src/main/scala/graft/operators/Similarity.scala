@@ -120,6 +120,43 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "sim")
   }
 
+  /** Exact embedding near-dup pairs: every (a, b) with cosine ≥
+    * threshold. O(n²) self-join — like [[TextDedup.jaccardPairs]] this
+    * is the ORACLE path, for verification and small corpora; the scale
+    * path is [[lshBuckets]] candidates verified by this same dot
+    * product. Inputs are normalized once and persisted (both join
+    * sides read them), so cosine degrades to a plain dot product.
+    */
+  def cosinePairsExact(df: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double): DataFrame = {
+    val n = normalized(df, idCol, vecCol, "_id", "_v")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = n.select(col("_id").as("id_a"), col("_v").as("_va"))
+    val b = n.select(col("_id").as("id_b"), col("_v").as("_vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), dot(col("_va"), col("_vb")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
+  /** LSH-bucketed near-dup candidates verified by exact cosine — the
+    * scale path: only same-bucket pairs are scored, so the quadratic
+    * blowup is limited to bucket-local collisions.
+    */
+  def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                      threshold: Double, nbits: Int = 12, dim: Int = 64,
+                      seed: Long = 42L): DataFrame = {
+    val n = normalized(df, idCol, vecCol, "_id", "_v")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val buckets = lshBuckets(n, "_id", "_v", nbits, dim, seed)
+    val withVec = buckets.join(n, Seq("_id"))
+    val a = withVec.select(col("_id").as("id_a"), col("bucket"), col("_v").as("_va"))
+    val b = withVec.select(col("_id").as("id_b"), col("bucket"), col("_v").as("_vb"))
+    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), dot(col("_va"), col("_vb")).as("sim"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("sim") >= threshold)
+  }
+
   /** Deterministic k-means centroid fit for [[ivfTopK]] — closes the
     * "centroids are caller-provided" gap. Lloyd iterations entirely as
     * DataFrame ops:

@@ -96,6 +96,30 @@ class Round2FeaturesSpec extends SparkSpec {
     assert(bf == ivf, s"$bf vs $ivf")
   }
 
+  test("lshNearDupPairs recalls planted near-dups found by the exact oracle path") {
+    // 20 base vectors + a tiny-jitter copy of each (cosine ≈ 0.999);
+    // unrelated vectors are hash-random and far apart
+    def pseudo(i: Int, d: Int): Double =
+      (scala.util.hashing.MurmurHash3.productHash((i, d)).toDouble / Int.MaxValue)
+    val dim = 16
+    val rows = (0 until 20).flatMap { i =>
+      val base = Array.tabulate(dim)(d => pseudo(i, d).toFloat)
+      val near = base.zipWithIndex.map { case (v, d) => v + 0.005f * ((d % 3) - 1) }
+      Seq(((2 * i + 1).toLong, base), ((2 * i + 2).toLong, near))
+    }.toDF("vec_id", "embedding")
+
+    val exact = Similarity.cosinePairsExact(rows, "vec_id", "embedding", 0.99)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size >= 20, s"expected the 20 planted pairs, got ${exact.size}")
+    val lsh = Similarity.lshNearDupPairs(rows, "vec_id", "embedding", 0.99,
+      nbits = 8, dim = dim)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every LSH pair is verified by the same dot product → no false positives
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh -- exact}")
+    val recall = lsh.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"LSH recall $recall below 0.8 (${lsh.size}/${exact.size})")
+  }
+
   test("walkFiles inventories a nested tree with depth and metadata (S15)") {
     val root = Files.createTempDirectory("walk").toString
     Files.createDirectories(Paths.get(s"$root/pi1/protocolA"))
