@@ -24,6 +24,30 @@ object Aggs {
       sum(amount).as(amountAlias),
       array_join(sort_array(collect_set(code.cast("string"))), sep).as(codesAlias))
 
+  /** Skew-safe variant of the sorted-set aggregation: a hot key whose
+    * distinct-value set is huge makes the single ObjectHashAggregate
+    * buffer for that key the straggler. Two phases bound it:
+    *   1. partial `collect_set` per (key, salt) — the hot key's values
+    *     spread across `buckets` buffers on different reducers;
+    *   2. final merge per key: flatten + array_distinct + sort + join.
+    * Same result as [[sumAndSortedSet]] for any data (spec-asserted);
+    * use when a key can own millions of distinct codes. The same
+    * two-phase shape generalizes to any non-algebraic aggregate
+    * (exact percentile, collect_list) whose buffer is per-key unbounded.
+    */
+  def sumAndSortedSetSalted(df: DataFrame, key: String, amount: Column, code: Column,
+                            amountAlias: String = "total", codesAlias: String = "codes",
+                            sep: String = "; ", buckets: Int = 16): DataFrame = {
+    val salted = df.withColumn("_salt", pmod(xxhash64(code.cast("string")), lit(buckets)))
+    salted.groupBy(col(key), col("_salt"))
+      .agg(sum(amount).as("_amt"), collect_set(code.cast("string")).as("_codes"))
+      .groupBy(key)
+      .agg(sum(col("_amt")).as(amountAlias),
+        array_join(
+          sort_array(array_distinct(flatten(collect_list(col("_codes"))))),
+          sep).as(codesAlias))
+  }
+
   /** A4: masked conditional sums — per-bucket totals in ONE pass over the
     * data (`merged.loc[mask, col].sum()` per bucket, DOP VP Compare.py:200-204,
     * re-planned from N passes to one grouping-set-style aggregate).

@@ -83,6 +83,44 @@ class PipelinesSpec extends SparkSpec {
     }
   }
 
+  test("JsonCleaning: OneLink UTF-16 typing + Florence latest-drop dedup") {
+    import graft.pipelines.JsonCleaning
+    val dir = Files.createTempDirectory("jc").toString
+    // OneLink UTF-16 snapshot with junk cells in typed columns
+    Files.write(Paths.get(s"$dir/onelink.csv"),
+      ("Study,Start Date,Budget,FA Rate %\n" +
+        "S1,2024-01-15,1000.50,0.25\n" +
+        "S2,not-a-date,junk,0.30\n").getBytes(StandardCharsets.UTF_16))
+    val ol = JsonCleaning.cleanOneLink(spark, s"$dir/onelink.csv",
+      dateCols = Seq("Start Date"), numericCols = Seq("Budget", "FA Rate %"))
+    val rows = ol.orderBy("Study").collect()
+    assert(rows(0).getTimestamp(1).toString.startsWith("2024-01-15"))
+    assert(rows(0).getDouble(2) == 1000.50)
+    assert(rows(1).isNullAt(1) && rows(1).isNullAt(2)) // coerce → NULL
+
+    // Florence: two drops; newest (by name) wins; dups removed
+    Files.writeString(Paths.get(s"$dir/2024-01-florence.ndjson"),
+      "{\"id\":1}\n")
+    Files.writeString(Paths.get(s"$dir/2024-02-florence.ndjson"),
+      "{\"id\":2}\n{\"id\":2}\n{\"id\":3}\n")
+    val fl = JsonCleaning.cleanFlorenceLatest(spark, dir).get
+    assert(fl.count() == 2) // newest file only, dedup applied
+    assert(fl.select(max(col("id"))).head().getLong(0) == 3L)
+    assert(JsonCleaning.cleanFlorenceLatest(spark, dir, "\\.nope$").isEmpty)
+  }
+
+  test("sumAndSortedSetSalted matches sumAndSortedSet on skewed data") {
+    import graft.operators.Aggs
+    val df = (1 to 500).map(i => ("hot", s"code${i % 97}", 1.0)) ++
+      Seq(("cold", "x", 2.0), ("cold", "y", 3.0))
+    val d = df.toDF("k", "code", "amt")
+    val plain = Aggs.sumAndSortedSet(d, "k", col("amt"), col("code"))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getDouble(1), r.getString(2)))
+    val salted = Aggs.sumAndSortedSetSalted(d, "k", col("amt"), col("code"))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getDouble(1), r.getString(2)))
+    assert(plain.toSeq == salted.toSeq)
+  }
+
   test("UTF-16 whole-doc JSON scan (S7)") {
     val dir = Files.createTempDirectory("j16").toString
     Files.write(Paths.get(s"$dir/t.json"),
