@@ -36,7 +36,7 @@ object TextDedup {
     */
   def jaccardPairs(df: DataFrame, textCol: String, idCol: String,
                    n: Int = 3, threshold: Double = 0.8,
-                   maxPostings: Int = 100000): DataFrame = {
+                   maxPostings: Int = Int.MaxValue): DataFrame = {
     // Join on the 64-bit shingle hash, not the shingle string: the
     // exploded self-join shuffles 8-byte keys instead of ~8·n-byte
     // strings. Counts are unchanged short of an xxhash64 collision
@@ -78,10 +78,17 @@ object TextDedup {
     // truncated silently mid-list.
     // (doc, s) is already distinct — shingles() applies array_distinct —
     // so count(*) per shingle IS the posting size; no pre-distinct needed.
-    val hot = sh.groupBy("s").agg(count(lit(1)).as("n_docs"))
-      .filter(col("n_docs") > maxPostings)
-      .select("s")
-    val postings = sh.join(hot, Seq("s"), "left_anti")
+    // The hot-shingle pre-pass only runs when a cap is set: the default
+    // (uncapped) form is the EXACT oracle and keeps the lean two-agg plan.
+    val kept =
+      if (maxPostings == Int.MaxValue) sh
+      else {
+        val hot = sh.groupBy("s").agg(count(lit(1)).as("n_docs"))
+          .filter(col("n_docs") > maxPostings)
+          .select("s")
+        sh.join(hot, Seq("s"), "left_anti")
+      }
+    val postings = kept
       .groupBy("s").agg(sort_array(collect_set(col("doc"))).as("ds"))
       .filter(size(col("ds")) > 1)
     // pair key packed into one long (doc ids < 2^32): single-word

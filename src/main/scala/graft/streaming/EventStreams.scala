@@ -49,6 +49,25 @@ object EventStreams {
     events.join(org.apache.spark.sql.functions.broadcast(dim),
       events(eventKey) === dim(dimKey), "left")
 
+  /** Stream-stream interval join: each left event matched to right
+    * events of the same key within `[leftTs - before, leftTs + after]`.
+    * BOTH sides carry watermarks and the join condition bounds the time
+    * range — that pair of constraints is what lets Spark evict join
+    * state, keeping memory finite on unbounded streams (an unbounded
+    * stream-stream equi-join would buffer everything forever).
+    */
+  def intervalJoinStreams(left: DataFrame, right: DataFrame,
+                          key: String, before: String = "1 hour",
+                          after: String = "0 seconds",
+                          watermark: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark("ts", watermark).alias("l")
+    val r = right.withWatermark("ts", watermark).alias("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col("r.ts") >= col("l.ts") - expr(s"INTERVAL $before") &&
+        col("r.ts") <= col("l.ts") + expr(s"INTERVAL $after"))
+  }
+
   case class SessionUpdate(user_id: Long, session_start: java.sql.Timestamp,
                            n_events: Long, total_value: Double, closed: Boolean)
   case class SessionState(start: Long, last: Long, n: Long, total: Double)

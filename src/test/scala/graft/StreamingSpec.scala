@@ -44,6 +44,32 @@ class StreamingSpec extends SparkSpec {
     assert(got(2).getLong(4) == 1 && got(2).getDouble(5) == 8.0)
   }
 
+  test("stream-stream interval join matches clicks to in-window purchases") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, java.sql.Timestamp, String)]
+    val buys = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000)
+    // user 1: purchase 30m after click (in window); user 2: 90m after (out)
+    clicks.addData((1L, ts(0), "c1"), (2L, ts(0), "c2"))
+    buys.addData((1L, ts(30), 9.99), (2L, ts(90), 5.0))
+    clicks.addData((9L, ts(600), "late"))   // advance both watermarks
+    buys.addData((9L, ts(600), 0.0))
+    val joined = EventStreams.intervalJoinStreams(
+      clicks.toDF().toDF("user_id", "ts", "click_id"),
+      buys.toDF().toDF("user_id", "ts", "amount"),
+      key = "user_id", before = "0 seconds", after = "1 hour")
+    val q = joined
+      .select(col("l.user_id").as("uid"), col("click_id"), col("amount"))
+      .writeStream.format("memory").queryName("ssj_out").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ssj_out").collect()
+    assert(rows.exists(r => r.getLong(0) == 1L && r.getDouble(2) == 9.99), rows.mkString(";"))
+    assert(!rows.exists(r => r.getLong(0) == 2L), s"out-of-window purchase joined: ${rows.mkString(";")}")
+  }
+
   test("session_window works in STREAMING mode with a watermark (same operator as batch)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
