@@ -202,6 +202,34 @@ object SparkEntry {
         .select("o_orderkey", "o_totalprice", "o_orderpriority")
       Joins.unionOnCommon(a, b).orderBy("o_orderkey", "o_totalprice")
     }),
+    "q_j9_append" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val a = o.select("o_orderkey", "o_custkey", "o_totalprice")
+      val b = o.filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderpriority")
+      Joins.appendUnion(a, b)
+        .orderBy(col("o_orderkey"), col("o_custkey").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    }),
+    "q_salted_join" -> ((s, d) => {
+      // salted skew join must produce exactly the plain-join result —
+      // proven here against the plain-join oracle
+      val l = Tables.lineitem(s, d).select("l_orderkey", "l_linenumber", "l_quantity")
+      val o = Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
+      Joins.saltedJoin(l, o.withColumnRenamed("o_orderkey", "l_orderkey"),
+        "l_orderkey", buckets = 8)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("o_orderpriority"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    "q_a2_salted" -> ((s, d) =>
+      // skew-safe two-phase sorted-set agg, same oracle as q_a2_sortedset
+      Aggs.sumAndSortedSetSalted(Tables.lineitem(s, d), "l_returnflag",
+        col("l_quantity").cast(DecimalType(27, 2)), col("l_linestatus"),
+        "sum_qty", "statuses")
+        .select(col("l_returnflag"), col("sum_qty").cast("double").as("sum_qty"),
+          col("statuses"))
+        .orderBy("l_returnflag")),
     "q_recon" -> ((s, d) => Reconciliation.detail(s, d)),
     "q_recon_summary" -> ((s, d) => Reconciliation.summary(s, d)),
 
@@ -636,6 +664,21 @@ object SparkEntry {
         |UNION ALL
         |SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus='F'
         |ORDER BY o_orderkey, o_totalprice""".stripMargin,
+    "q_j9_append" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority
+        |FROM orders
+        |UNION ALL
+        |SELECT o_orderkey, NULL, NULL, o_orderpriority FROM orders WHERE o_orderstatus='F'
+        |ORDER BY o_orderkey, o_custkey ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q_salted_join" ->
+      """SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, o.o_orderpriority
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin,
+    "q_a2_salted" ->
+      """SELECT l_returnflag,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS sum_qty,
+        | string_agg(DISTINCT l_linestatus, '; ' ORDER BY l_linestatus) AS statuses
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_recon" ->
       """WITH oa AS (
         | SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS total_spend,
