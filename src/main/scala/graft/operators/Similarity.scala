@@ -22,8 +22,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two array<double> columns. */
-  def dot(a: Column, b: Column): Column =
+  /** Sequential-fold dot product of two array<double> columns — a native
+    * codegen'd expression (graft.plans.DotProd): one primitive loop, no
+    * intermediate array, bit-identical to the zip_with/aggregate fold.
+    */
+  def dot(a: Column, b: Column): Column = graft.plans.DotProd.dot(a, b)
+
+  /** The composed-built-ins fold, kept for cross-checking the native
+    * expression (DotProdSpec asserts bit-equality on random data).
+    */
+  def dotBuiltins(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   def norm(a: Column): Column =
@@ -249,8 +257,7 @@ object Similarity {
     // sum-of-768-terms formulation compiled slowly and re-read v per term)
     val bits = (0 until nbits).map { b =>
       val plane = typedLit((0 until dim).map(d => comp(b, d)))
-      val proj = aggregate(zip_with(col("_vchk"), plane, (x, w) => x * w),
-        lit(0.0), (acc, x) => acc + x)
+      val proj = dot(col("_vchk"), plane)
       when(proj >= 0, lit(1L << b)).otherwise(0L)
     }
     df.select(col(idCol), v.as("_vchk"))
