@@ -137,6 +137,17 @@ class SourcesSpec extends SparkSpec {
     assert(xml.contains("""<c r="A13"><f>"""))
   }
 
+  test("consoleReport formats title, header, and rows with money formatting (K5)") {
+    val df = Seq(("RNG000001", Some(55729786.61)), ("RNG000002", None: Option[Double]))
+      .toDF("project_id", "amount")
+    val out = Sinks.consoleReport(df.orderBy("project_id"), "SUMMARY")
+    val lines = out.split("\n")
+    assert(lines(0) == "== SUMMARY ==")
+    assert(lines(1) == "project_id | amount")
+    assert(lines(2) == "RNG000001 | 55,729,786.61") // %,.2f money rendering
+    assert(lines(3) == "RNG000002 | NULL")
+  }
+
   test("JDBC source round-trip against embedded Derby (S14) + §3.3 pivot shape") {
     // Derby ships on the Spark unmanaged classpath — a pure-JVM embedded
     // database standing in for the reference's SQL Server view
