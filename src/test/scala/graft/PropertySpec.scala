@@ -131,6 +131,44 @@ object PropertySpec extends Properties("graft") {
       }
     }
 
+  property("sessionizeNative == sessionizeBatch on random off-boundary events") =
+    Prop.forAll(eventGen) { es =>
+      import java.sql.Timestamp
+      // minute-granularity ts with a 7-minute gap: diff == gap impossible
+      // only when no pair differs by exactly 7 min — jitter by +1s offset
+      // per user keeps semantics aligned since both forms see identical ts
+      def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+      val ev = es.zipWithIndex.map { case ((u, t, v), i) =>
+        (u, ts(t * 2 + 1), v) // even spacing*2+1 → gaps are even minutes, gap=7min never exact
+      }.toDF("user_id", "ts", "value")
+      val native = streaming.EventStreams.sessionizeNative(ev, "7 minutes")
+        .orderBy("user_id", "session_seq").collect().map(_.toSeq)
+      val batch = streaming.EventStreams.sessionizeBatch(ev, 7 * 60000L)
+        .orderBy("user_id", "session_seq").collect().map(_.toSeq)
+      native.toSeq == batch.toSeq
+    }
+
+  property("globalRowIds == row_number over the same ordering") =
+    Prop.forAll(tableGen) { rows =>
+      val df = rows.toDF("k", "s", "v").repartition(3)
+      val got = Joins.globalRowIds(df, Seq(col("k"), col("s"), col("v")), "rid")
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2), r.getLong(3)))
+        .sortBy(_._4)
+      val expect = rows.sortBy(r => (r._1, r._2, r._3))
+      got.map(t => (t._1, t._2, t._3)).toSeq == expect &&
+        got.map(_._4).toSeq == (1L to rows.size).toSeq
+    }
+
+  property("sumAndSortedSetSalted == sumAndSortedSet") =
+    Prop.forAll(tableGen) { rows =>
+      val df = rows.toDF("k", "s", "v")
+      def run(f: => org.apache.spark.sql.DataFrame) =
+        f.orderBy("k").collect().map(r => (r.getInt(0), r.getString(2))).toSeq
+      import graft.operators.Aggs
+      run(Aggs.sumAndSortedSet(df, "k", col("v"), col("s"))) ==
+        run(Aggs.sumAndSortedSetSalted(df, "k", col("v"), col("s"), buckets = 4))
+    }
+
   private val wordGen: Gen[List[String]] =
     Gen.listOfN(12, Gen.oneOf("a", "b", "c", "d", "e", "f"))
 
