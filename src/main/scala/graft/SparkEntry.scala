@@ -415,6 +415,15 @@ object SparkEntry {
     "q_jaccard_pairs" -> ((s, d) =>
       TextDedup.jaccardPairs(Tables.documents(s, d), "text", "doc_id", n = 3, threshold = 0.8)
         .orderBy("doc_a", "doc_b")),
+    "q_dedup_clusters" -> ((s, d) => {
+      // transitive closure of the exact near-dup pairs → one canonical
+      // doc per cluster (the keep-one step of a curation pipeline)
+      val docs = Tables.documents(s, d)
+      Graph.dedupClusters(docs, "doc_id",
+        TextDedup.jaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.8),
+        "doc_a", "doc_b")
+        .orderBy("doc_id")
+    }),
     "q_minhash_pairs" -> ((s, d) =>
       TextDedup.minhashLshPairs(Tables.documents(s, d), "text", "doc_id",
         n = 3, k = 32, bands = 8, threshold = 0.5)
@@ -763,6 +772,30 @@ object SparkEntry {
     "q_fingerprint" ->
       """SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_dedup_clusters" ->
+      // connected components of the jaccard≥0.8 pair graph via a
+      // recursive reachability CTE: comp(node) = min reachable node id —
+      // identical labels to the Spark large-star/small-star result
+      """WITH RECURSIVE w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |  [ws[i]||'_'||ws[i+1]||'_'||ws[i+2] for i in range(1, len(ws)-1)])) AS s FROM w),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        | FROM sh a JOIN sh b ON a.s=b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT doc_a, doc_b FROM cand
+        | JOIN sizes sa ON doc_a=sa.doc_id JOIN sizes sb ON doc_b=sb.doc_id
+        | WHERE CAST(common AS DOUBLE)/(sa.sz + sb.sz - common) >= 0.8),
+        |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+        | UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(node, comp) AS (
+        | SELECT u, u FROM edges
+        | UNION
+        | SELECT e.u, r.comp FROM edges e JOIN reach r ON e.v = r.node),
+        |comps AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node)
+        |SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cluster_id,
+        | COALESCE(c.comp, d.doc_id) = d.doc_id AS is_canonical
+        |FROM documents d LEFT JOIN comps c ON d.doc_id = c.node
+        |ORDER BY doc_id""".stripMargin,
     "q_jaccard_pairs" ->
       """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct(

@@ -30,14 +30,50 @@ object TextFunctions {
     * become null shingles and are filtered, which also makes documents
     * shorter than `n` words yield an empty array with no special guard.
     */
-  def shingles(c: Column, n: Int = 3): Column = {
+  def shingles(c: Column, n: Int = 3): Column =
+    array_distinct(ngrams(c, n))
+
+  /** Word n-grams in document order, duplicates kept — the multiset the
+    * repetition-quality metrics count over ([[shingles]] = this +
+    * `array_distinct`). Same zip_with-over-shifted-slices construction
+    * (each slice evaluated once per row, not per element).
+    */
+  def ngrams(c: Column, n: Int): Column = {
     val ws = tokens(c)
     val joined = (1 until n).foldLeft(ws: Column) { (acc, j) =>
       zip_with(acc, slice(ws, lit(j + 1), size(ws)),
         (a, b) => when(a.isNull || b.isNull, lit(null))
           .otherwise(concat(a, lit("_"), b)))
     }
-    array_distinct(filter(joined, x => x.isNotNull))
+    filter(joined, x => x.isNotNull)
+  }
+
+  /** Repetition-quality signals (the Gopher-rules family): duplicate
+    * token fraction and the longest consecutive same-token run. Both are
+    * single scalar expressions — a fold over the token array — so they
+    * run map-side inside whole-stage codegen with no shuffle, unlike the
+    * windowed gaps-and-islands formulation a SQL engine needs for the
+    * run length. Top-n-gram dominance (needs a per-doc mode) lives in
+    * [[graft.operators.TextQuality]] as an explode + two-stage agg.
+    */
+  def repetitionStruct(c: Column): Column = {
+    val ws = tokens(c)
+    val nTok = size(ws)
+    val runs = aggregate(ws,
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(acc.getField("prev") <=> x, acc.getField("run") + lit(1L))
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    struct(
+      nTok.cast("long").as("n_tokens"),
+      size(array_distinct(ws)).cast("long").as("n_distinct_tokens"),
+      ((nTok - size(array_distinct(ws))).cast("double") /
+        greatest(nTok, lit(1)).cast("double")).as("dup_token_frac"),
+      runs.as("max_token_run"))
   }
 
   /** Normalized-text fingerprint (exact-dup key): whitespace collapsed,

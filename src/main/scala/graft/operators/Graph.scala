@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Connected components over an edge list, and the dedup-clustering
+  * composition built on it (near-dup pairs → clusters → one canonical
+  * document per cluster).
+  *
+  * The reference dedups only by exact match (`drop_duplicates`,
+  * `Transaction Duplicates.ipynb:36`); clustering is the missing last
+  * step of the near-dup suite here: `jaccardPairs` / `minhashLshPairs` /
+  * `cosinePairsExact` emit PAIRS, but a pipeline that keeps "one doc per
+  * near-dup group" needs the transitive closure of those pairs — A~B and
+  * B~C must collapse to ONE cluster {A,B,C}, not two independent pairs.
+  *
+  * Scale design — this is the step that breaks naive implementations at
+  * 100 TB, so the algorithm choice is the whole point:
+  *   - **Alternating large-star / small-star** (Kiveris et al.,
+  *     "Connected Components in MapReduce and Beyond", SoCC'14): each
+  *     round is two join+aggregate passes over the edge list; converges
+  *     in O(log² n) rounds on any graph (in practice 2–4 rounds for
+  *     near-dup clusters, whose diameter is tiny). Naive label
+  *     propagation needs O(diameter) rounds — a pathological chain of
+  *     pairwise-similar docs (crawl boilerplate drift) makes that
+  *     unbounded.
+  *   - **No unbounded aggregation buffers.** Star operations are
+  *     formulated as groupBy-min + join-back, never
+  *     `collect_list(neighbors)` — a hot node (one doc near-similar to
+  *     millions) would overflow any per-group list buffer.
+  *   - **Lineage truncation.** Each round ends in `localCheckpoint`:
+  *     iterative DataFrame graphs otherwise build a plan tree that
+  *     doubles per round and stalls the optimizer long before the data
+  *     is the problem.
+  *   - Edges live as canonical `(min, max)` longs — one 16-byte shuffle
+  *     row per edge, text never moves.
+  */
+object Graph {
+
+  /** Connected components of the undirected graph given by
+    * (`srcCol`, `dstCol`). Returns one row per distinct node:
+    * (`node`, `component`) where `component` is the smallest node id in
+    * the node's component (deterministic, engine-independent labels).
+    * Node ids must be non-null longs; self-loops are ignored. Nodes that
+    * appear only as isolated self-loops are still emitted.
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                          maxIter: Int = 30): DataFrame = {
+    val raw = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull)
+    // keep isolated nodes (self-loop-only or mentioned once) for the final
+    // union — the star iterations drop nodes with no surviving edge
+    val nodes = raw.select(explode(array(col("u"), col("v"))).as("node"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    nodes.count() // materialize before `e` is checkpointed/re-assigned
+
+    def canonical(df: DataFrame): DataFrame =
+      df.filter(col("u") =!= col("v"))
+        .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+        .distinct()
+
+    var e = canonical(raw).localCheckpoint()
+    var converged = e.isEmpty
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // large-star: every node u links its LARGER neighbors to
+      // m(u) = min(N(u) ∪ {u}). Directed view: sym has one row per
+      // (u, each neighbor v).
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = sym.groupBy("u")
+        .agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      val ls = canonical(
+        sym.filter(col("v") > col("u"))
+          .join(lsMin, "u")
+          .select(col("v").as("u"), col("m").as("v")))
+      // small-star: every node u links its SMALLER neighbors (and itself)
+      // to the min of those. Nodes with no smaller neighbor emit nothing
+      // — their edges are re-emitted from the other endpoint's view.
+      val symLs = ls.union(ls.select(col("v").as("u"), col("u").as("v")))
+      val toSmaller = symLs.filter(col("v") < col("u"))
+      val ssMin = toSmaller.groupBy("u").agg(min(col("v")).as("m"))
+      val ss = canonical(
+        toSmaller.join(ssMin, "u")
+          .select(col("v").as("u"), col("m").as("v"))
+          .union(ssMin.select(col("u"), col("m").as("v"))))
+        .localCheckpoint()
+      // fixpoint: the edge set is stable. Set-equality via two anti-joins;
+      // each is one shuffle over the (already checkpointed) edge lists.
+      converged = ss.count() == e.count() && ss.except(e).isEmpty
+      e = ss
+      iter += 1
+    }
+    // fixpoint edge set is a star per component: (component-min, node).
+    // Nodes carrying no edge are their own component.
+    val labeled = e.select(col("v").as("node"), col("u").as("component"))
+      .union(e.select(col("u").as("node"), col("u").as("component")))
+      .groupBy("node").agg(min(col("component")).as("component"))
+    val out = nodes.join(labeled, Seq("node"), "left")
+      .select(col("node"), coalesce(col("component"), col("node")).as("component"))
+    nodes.unpersist()
+    out
+  }
+
+  /** Near-dup clustering: docs × similarity pairs → one row per doc with
+    * its `cluster_id` (smallest doc id in the transitive-closure cluster)
+    * and `is_canonical` (true for the cluster representative — the doc a
+    * keep-one-per-cluster curation pass retains).
+    *
+    * `pairs` is any (idA, idB) frame — `TextDedup.jaccardPairs`,
+    * `minhashLshPairs`, `Similarity.cosinePairsExact`… Docs in no pair
+    * are their own singleton cluster.
+    */
+  def dedupClusters(docs: DataFrame, idCol: String,
+                    pairs: DataFrame, idACol: String, idBCol: String): DataFrame = {
+    val comps = connectedComponents(pairs, idACol, idBCol)
+    docs.select(col(idCol).cast("long").as(idCol))
+      .join(comps.withColumnRenamed("node", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("cluster_id"))
+      .withColumn("is_canonical", col(idCol) === col("cluster_id"))
+  }
+}

@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Repetition-based quality filtering for training corpora — the
+  * Gopher-rules family the reference has no analogue for (its texts are
+  * finance rows, not documents): machine-generated and boilerplate pages
+  * are dominated by repeated n-grams, and the standard curation move is
+  * to score repetition per document and drop the tail.
+  *
+  * Scale design: the scalar signals (duplicate-token fraction, longest
+  * same-token run) are fold expressions over the token array — map-side,
+  * codegen'd, zero shuffle ([[TextFunctions.repetitionStruct]]). The
+  * top-n-gram dominance score needs a per-document mode, which no scalar
+  * expression computes without O(len²) work — so it is an explode +
+  * two-stage aggregation: groupBy (doc, gram) with map-side partial
+  * counts, then max_by per doc. Two shuffles, both on compact keys, both
+  * partially aggregated — the shape that survives 100 TB.
+  */
+object TextQuality {
+
+  /** Per-document repetition report:
+    * (id, n_tokens, n_distinct_tokens, dup_token_frac, max_token_run,
+    *  top_ngram, top_ngram_count, top_ngram_frac).
+    * `top_ngram_frac` = occurrences of the most frequent word n-gram over
+    * all n-gram slots; ties broken by the lexicographically largest gram
+    * (deterministic across engines and partitionings). Documents with
+    * fewer than n tokens get (null, 0, 0.0).
+    */
+  def repetitionReport(df: DataFrame, textCol: String, idCol: String,
+                       n: Int = 2): DataFrame = {
+    val scalar = df.select(col(idCol),
+      TextFunctions.repetitionStruct(col(textCol)).as("_r"))
+      .select(col(idCol),
+        col("_r.n_tokens").as("n_tokens"),
+        col("_r.n_distinct_tokens").as("n_distinct_tokens"),
+        col("_r.dup_token_frac").as("dup_token_frac"),
+        col("_r.max_token_run").as("max_token_run"))
+    val grams = df.select(col(idCol),
+        explode(TextFunctions.ngrams(col(textCol), n)).as("gram"))
+    val top = grams.groupBy(idCol, "gram").agg(count(lit(1)).as("cnt"))
+      .groupBy(idCol)
+      .agg(max(struct(col("cnt"), col("gram"))).as("_t"),
+        sum(col("cnt")).as("_total"))
+      .select(col(idCol), col("_t.gram").as("top_ngram"),
+        col("_t.cnt").as("top_ngram_count"),
+        (col("_t.cnt").cast("double") / col("_total")).as("top_ngram_frac"))
+    scalar.join(top, Seq(idCol), "left")
+      .withColumn("top_ngram_count", coalesce(col("top_ngram_count"), lit(0L)))
+      .withColumn("top_ngram_frac", coalesce(col("top_ngram_frac"), lit(0.0)))
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import graft.operators.{Graph, TextDedup}
+import org.apache.spark.sql.functions._
+
+/** Connected components (large-star/small-star) and dedup clustering.
+  * The randomized equivalence-vs-union-find property lives in
+  * [[PropertySpec]] with the other ScalaCheck invariants.
+  */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Graph.connectedComponents(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("path graph collapses to one component labeled by its min") {
+    val got = cc((1L to 9L).map(i => (i, i + 1)))
+    assert(got.values.toSet == Set(1L) && got.size == 10)
+  }
+
+  test("two components, self-loops ignored, isolated self-loop node kept") {
+    val got = cc(Seq((5L, 2L), (2L, 9L), (40L, 30L), (7L, 7L)))
+    assert(got == Map(2L -> 2L, 5L -> 2L, 9L -> 2L, 30L -> 30L, 40L -> 30L, 7L -> 7L))
+  }
+
+  test("empty edge list yields empty result") {
+    assert(cc(Seq.empty).isEmpty)
+  }
+
+  test("dedupClusters: transitive closure over pairs, singletons canonical") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog today"),
+      (1L, "the quick brown fox jumps over the lazy dog tonight"), // ~0
+      (2L, "the quick brown fox jumps over the lazy dog tomorrow"), // ~0, ~1
+      (3L, "completely different text with other words entirely present here")
+    ).toDF("doc_id", "text")
+    val pairs = TextDedup.jaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.6)
+    val got = Graph.dedupClusters(docs, "doc_id", pairs, "doc_a", "doc_b")
+      .orderBy("doc_id").collect()
+    assert(got.map(_.getLong(1)).toSeq == Seq(0L, 0L, 0L, 3L))
+    assert(got.map(_.getBoolean(2)).toSeq == Seq(true, false, false, true))
+  }
+}

@@ -172,6 +172,33 @@ object PropertySpec extends Properties("graft") {
   private val wordGen: Gen[List[String]] =
     Gen.listOfN(12, Gen.oneOf("a", "b", "c", "d", "e", "f"))
 
+  private val edgeListGen: Gen[List[(Long, Long)]] = for {
+    n <- Gen.choose(2, 25)
+    m <- Gen.choose(0, 35)
+    es <- Gen.listOfN(m, for {
+      a <- Gen.choose(0L, n.toLong)
+      b <- Gen.choose(0L, n.toLong)
+    } yield (a, b))
+  } yield es
+
+  property("connectedComponents == union-find on random graphs") =
+    Prop.forAll(edgeListGen) { es =>
+      val got = operators.Graph
+        .connectedComponents(es.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // reference: plain union-find with union-by-min
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      got == parent.keys.map(k => k -> find(k)).toMap
+    }
+
   property("jaccardPairs: symmetric key order, values in [threshold, 1]") =
     Prop.forAll(Gen.listOfN(6, wordGen)) { docs =>
       val df = docs.zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
