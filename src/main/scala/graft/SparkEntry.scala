@@ -400,6 +400,9 @@ object SparkEntry {
         TextFunctions.tokenCountBpeIsh(col("text")).as("bpe_tokens"))
         .orderBy("doc_id")
     }),
+    "q_repetition" -> ((s, d) =>
+      TextQuality.repetitionReport(Tables.documents(s, d), "text", "doc_id", n = 2)
+        .orderBy("doc_id")),
     "q_lang_id" -> ((s, d) =>
       Tables.documents(s, d).select(
         col("doc_id"), col("lang"),
@@ -769,6 +772,31 @@ object SparkEntry {
         |  / greatest(CAST(len(toks) AS DOUBLE), 1.0) AS stopword_ratio,
         | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS bpe_tokens
         |FROM t ORDER BY doc_id""".stripMargin,
+    "q_repetition" ->
+      // max_token_run needs gaps-and-islands + two windows in SQL; the
+      // Spark side is a single map-side fold expression. Top-gram ties
+      // break on (cnt DESC, gram DESC) in both engines.
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+        |tok AS (SELECT doc_id, unnest(ws) AS tok, unnest(range(1, len(ws)+1)) AS ord FROM t),
+        |runs AS (SELECT doc_id, tok, ord - row_number() OVER (PARTITION BY doc_id, tok ORDER BY ord) AS grp FROM tok),
+        |maxrun AS (SELECT doc_id, max(cnt) AS max_token_run FROM (
+        |  SELECT doc_id, count(*) AS cnt FROM runs GROUP BY doc_id, tok, grp) GROUP BY doc_id),
+        |grams AS (SELECT doc_id, unnest([ws[i]||'_'||ws[i+1] for i in range(1, len(ws))]) AS gram FROM t),
+        |gcnt AS (SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY 1, 2),
+        |top AS (SELECT doc_id, gram, cnt,
+        |  CAST(cnt AS DOUBLE)/sum(cnt) OVER (PARTITION BY doc_id) AS frac,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) AS rn FROM gcnt)
+        |SELECT t.doc_id,
+        | CAST(len(ws) AS BIGINT) AS n_tokens,
+        | CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct_tokens,
+        | CAST(len(ws) - len(list_distinct(ws)) AS DOUBLE)/greatest(len(ws), 1) AS dup_token_frac,
+        | m.max_token_run,
+        | tp.gram AS top_ngram,
+        | COALESCE(tp.cnt, 0) AS top_ngram_count,
+        | COALESCE(tp.frac, 0.0) AS top_ngram_frac
+        |FROM t JOIN maxrun m USING (doc_id)
+        |LEFT JOIN (SELECT * FROM top WHERE rn = 1) tp USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q_fingerprint" ->
       """SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,

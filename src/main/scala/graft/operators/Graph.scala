@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Connected components over an edge list, and the dedup-clustering
   * composition built on it (near-dup pairs → clusters → one canonical
@@ -47,23 +46,32 @@ object Graph {
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 30): DataFrame = {
+    // One action over the (possibly expensive — a whole shingle→join
+    // near-dup pipeline) input: checkpoint the canonical edge list AND
+    // the node set together, then iterate over checkpointed data only.
+    // The node set rides along as self-loop rows (u = v = node) so both
+    // come out of a single pass; self-loops are split back out below.
     val raw = edges
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .filter(col("u").isNotNull && col("v").isNotNull)
-    // keep isolated nodes (self-loop-only or mentioned once) for the final
-    // union — the star iterations drop nodes with no surviving edge
-    val nodes = raw.select(explode(array(col("u"), col("v"))).as("node"))
+    val base = raw
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .union(raw.select(explode(array(col("u"), col("v"))).as("n"))
+        .select(col("n").as("u"), col("n").as("v")))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    nodes.count() // materialize before `e` is checkpointed/re-assigned
+      .localCheckpoint()
+    // isolated nodes (self-loop-only or mentioned once) rejoin at the end
+    // — the star iterations drop nodes with no surviving edge
+    val nodes = base.select(col("u").as("node")).distinct()
 
     def canonical(df: DataFrame): DataFrame =
       df.filter(col("u") =!= col("v"))
         .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
         .distinct()
 
-    var e = canonical(raw).localCheckpoint()
-    var converged = e.isEmpty
+    var e = canonical(base).localCheckpoint()
+    var eCount = e.count()
+    var converged = eCount == 0L
     var iter = 0
     while (!converged && iter < maxIter) {
       // large-star: every node u links its LARGER neighbors to
@@ -88,10 +96,13 @@ object Graph {
           .select(col("v").as("u"), col("m").as("v"))
           .union(ssMin.select(col("u"), col("m").as("v"))))
         .localCheckpoint()
-      // fixpoint: the edge set is stable. Set-equality via two anti-joins;
-      // each is one shuffle over the (already checkpointed) edge lists.
-      converged = ss.count() == e.count() && ss.except(e).isEmpty
+      // fixpoint: the edge set is stable. Count equality (the previous
+      // round's count is remembered, not recomputed) + one set-difference
+      // over the two checkpointed edge lists.
+      val ssCount = ss.count()
+      converged = ssCount == eCount && ss.except(e).isEmpty
       e = ss
+      eCount = ssCount
       iter += 1
     }
     // fixpoint edge set is a star per component: (component-min, node).
@@ -99,10 +110,8 @@ object Graph {
     val labeled = e.select(col("v").as("node"), col("u").as("component"))
       .union(e.select(col("u").as("node"), col("u").as("component")))
       .groupBy("node").agg(min(col("component")).as("component"))
-    val out = nodes.join(labeled, Seq("node"), "left")
+    nodes.join(labeled, Seq("node"), "left")
       .select(col("node"), coalesce(col("component"), col("node")).as("component"))
-    nodes.unpersist()
-    out
   }
 
   /** Near-dup clustering: docs × similarity pairs → one row per doc with

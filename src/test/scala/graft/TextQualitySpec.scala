@@ -1,0 +1,45 @@
+package graft
+
+import graft.functions.TextFunctions
+import graft.operators.TextQuality
+import org.apache.spark.sql.functions._
+
+/** Repetition-quality metrics: duplicate-token fraction, run lengths,
+  * top-n-gram dominance.
+  */
+class TextQualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ngrams keeps duplicates; shingles is its distinct form") {
+    val got = Seq("a b a b").toDF("t")
+      .select(TextFunctions.ngrams(col("t"), 2).as("g"),
+        TextFunctions.shingles(col("t"), 2).as("s")).head()
+    assert(got.getSeq[String](0) == Seq("a_b", "b_a", "a_b"))
+    assert(got.getSeq[String](1) == Seq("a_b", "b_a"))
+  }
+
+  test("repetitionStruct: dup fraction and longest same-token run") {
+    val r = Seq("a a a b b c").toDF("t")
+      .select(TextFunctions.repetitionStruct(col("t")).as("r"))
+      .select("r.*").head()
+    assert(r.getLong(0) == 6L)      // n_tokens
+    assert(r.getLong(1) == 3L)      // n_distinct
+    assert(r.getDouble(2) == 0.5)   // dup_token_frac
+    assert(r.getLong(3) == 3L)      // max_token_run
+  }
+
+  test("repetitionReport: top bigram with count-then-gram tie-break") {
+    val df = Seq(
+      (1L, "a a a b b c"),   // top bigram a_a ×2 of 5
+      (2L, "a b c d"),       // all bigrams unique → tie → lexicographically largest: c_d
+      (3L, "hello")          // no bigram
+    ).toDF("doc_id", "text")
+    val got = TextQuality.repetitionReport(df, "text", "doc_id", n = 2)
+      .orderBy("doc_id").collect()
+    assert(got(0).getString(5) == "a_a" && got(0).getLong(6) == 2L &&
+      math.abs(got(0).getDouble(7) - 0.4) < 1e-12)
+    assert(got(1).getString(5) == "c_d" && got(1).getLong(6) == 1L)
+    assert(got(2).isNullAt(5) && got(2).getLong(6) == 0L &&
+      got(2).getDouble(7) == 0.0 && got(2).getLong(4) == 1L)
+  }
+}
