@@ -441,6 +441,11 @@ object SparkEntry {
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
         .orderBy("query_id", "rank")
     }),
+    "q_ann_quantized" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.quantizedTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    }),
     "q_ann_ivf" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 10),
@@ -869,6 +874,24 @@ object SparkEntry {
         | FROM q, c WHERE qid<>nid),
         |r AS (SELECT qid AS query_id, nid AS neighbor_id, sim,
         |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM s)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, sim
+        |FROM r WHERE rank<=5 ORDER BY query_id, rank""".stripMargin,
+    "q_ann_quantized" ->
+      // int8 quantization is exactly reproducible cross-engine: the
+      // integer dot is exact, the only float ops (normalize, scale,
+      // rescale) are the same IEEE doubles in the same order
+      """WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings),
+        |n AS (SELECT vec_id, list_transform(e,
+        |  x -> x / sqrt(list_reduce(list_transform(e, y->y*y),(a,b)->a+b))) AS v FROM e0),
+        |s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM n),
+        |qv AS (SELECT vec_id, scale,
+        |  list_transform(v, x -> CAST(round(x / scale) AS INTEGER)) AS q FROM s),
+        |p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |  CAST(list_reduce(list_transform(list_zip(a.q, b.q), x -> x[1]*x[2]), (m,w)->m+w) AS DOUBLE)
+        |    * a.scale * b.scale AS sim
+        | FROM qv a, qv b WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id),
+        |r AS (SELECT query_id, neighbor_id, sim,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM p)
         |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, sim
         |FROM r WHERE rank<=5 ORDER BY query_id, rank""".stripMargin,
     "q_cosine_pairs" ->

@@ -128,6 +128,56 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "sim")
   }
 
+  /** Int8 quantization of (normalized) embeddings:
+    * (id, scale, qvec array<tinyint>) with `x ≈ qvec[i] · scale`,
+    * `scale = max|x| / 127` per vector. 8× smaller than array<double>
+    * in shuffle and cache — the difference between an embedding corpus
+    * that fits executor memory at 100 TB and one that doesn't. Max
+    * per-component error is scale/2 (≤ 1/254 on unit vectors), so
+    * int8·int8 top-k agrees with exact cosine on all but hairline ties.
+    * The integer dot product is exact (no float accumulation), making
+    * quantized scores bit-reproducible across engines — oracle-checkable,
+    * unlike most "approximate" paths.
+    */
+  def quantized(df: DataFrame, idCol: String, vecCol: String,
+                idAs: String, scaleAs: String, vecAs: String): DataFrame =
+    normalized(df, idCol, vecCol, idAs, "_uv")
+      // scale materialized as a column BEFORE the transform lambda — the
+      // same once-per-row evaluation discipline as normalized()
+      .withColumn(scaleAs, array_max(transform(col("_uv"), x => abs(x))) / lit(127.0))
+      .select(col(idAs), col(scaleAs),
+        transform(col("_uv"),
+          x => round(coalesce(try_divide(x, col(scaleAs)), lit(0.0)))
+            .cast("tinyint")).as(vecAs))
+
+  /** Exact integer dot product of two int8 vectors (promoted to int
+    * before multiply — tinyint·tinyint would overflow under ANSI).
+    */
+  private def dotInt(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("int") * y.cast("int")),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Top-k cosine neighbors over int8-quantized vectors — same output
+    * shape and plan as [[bruteForceTopK]] (broadcast queries, one corpus
+    * pass, WindowGroupLimit top-k) at 1/8th the corpus bytes.
+    * `sim` = integer dot rescaled by both scales.
+    */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame,
+                    idCol: String, vecCol: String, k: Int = 10): DataFrame = {
+    val c = quantized(corpus, idCol, vecCol, "neighbor_id", "cscale", "cq")
+    val q = quantized(queries, idCol, vecCol, "query_id", "qscale", "qq")
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dotInt(col("qq"), col("cq")).cast("double") * col("qscale") * col("cscale"))
+          .as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+  }
+
   /** Exact embedding near-dup pairs: every (a, b) with cosine ≥
     * threshold. O(n²) self-join — like [[TextDedup.jaccardPairs]] this
     * is the ORACLE path, for verification and small corpora; the scale

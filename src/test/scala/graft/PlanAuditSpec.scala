@@ -97,6 +97,17 @@ class PlanAuditSpec extends SparkSpec {
       s"sessionization funneled through one partition:\n$p")
   }
 
+  test("q_repetition: scalar metrics shuffle-free; gram counts partially aggregated") {
+    val scalar = graft.operators.TextQuality.repetitionReport(
+      Tables.documents(spark, sf), "text", "doc_id")
+    val p = plan(scalar)
+    // the dup-frac/run-length fold must not introduce a Window or extra
+    // Exchange — only the top-gram agg pair and the final join shuffle
+    assert(!p.contains("Window"), s"scalar repetition metrics regressed to a window:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"gram counting lost its map-side partial aggregate:\n$p")
+  }
+
   test("whole-stage codegen covers the scan-filter-project pipeline") {
     // AQE hides codegen spans until execution — run the query, then
     // inspect the final executed plan for WholeStageCodegen ids ("*(n)").

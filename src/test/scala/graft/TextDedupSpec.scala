@@ -77,6 +77,43 @@ class TextDedupSpec extends SparkSpec {
     assert(ivfTop == bfTop)
   }
 
+  test("quantizedTopK: int8 scores track exact cosine (recall@5 and score error)") {
+    val e = Tables.embeddings(spark, sf)
+    val queries = e.filter(col("vec_id") < 5)
+    val qz = Similarity.quantizedTopK(e, queries, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    val bf = Similarity.bruteForceTopK(e, queries, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    // recall@5: quantization on unit vectors moves each score by ≤
+    // dim·(scale/2)² + cross terms ~ 1e-2 — neighbors deep in the list
+    // can swap, the set stays nearly identical
+    val qSets = qz.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val bSets = bf.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = bSets.map { case (q, s) =>
+      qSets(q).intersect(s).size.toDouble / s.size }.sum / bSets.size
+    assert(recall >= 0.8, s"quantized recall@5 too low: $recall")
+    // per-pair score error bound on the pairs both paths ranked
+    val bfScore = bf.map(t => (t._1, t._2) -> t._3).toMap
+    qz.foreach { case (q, n, sim) =>
+      bfScore.get((q, n)).foreach { exact =>
+        assert(math.abs(sim - exact) < 0.05, s"($q,$n): int8 $sim vs exact $exact")
+      }
+    }
+  }
+
+  test("quantized: tinyint codes in [-127,127], dequantized error ≤ scale/2") {
+    val e = Tables.embeddings(spark, sf).limit(50)
+    val got = Similarity.quantized(e, "vec_id", "embedding", "id", "scale", "q")
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val codes = r.getSeq[Byte](2)
+      assert(codes.forall(c => c >= -127 && c <= 127))
+      assert(codes.exists(c => math.abs(c.toInt) == 127),
+        "max-|x| component must hit full range")
+    }
+  }
+
   test("langId picks the language with most stopword hits") {
     val got = Seq("the cat and the dog of the house was here it is",
       "el perro y la casa de los gatos no se un",
