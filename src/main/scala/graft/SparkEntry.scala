@@ -489,6 +489,10 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_curate_full" -> ((s, d) =>
+      graft.pipelines.CorpusCuration.curate(Tables.documents(s, d), "text", "doc_id")
+        .orderBy("doc_id")),
+
     "q_vocab" -> ((s, d) => {
       val tok = Tables.documents(s, d).select(col("doc_id"),
         explode(TextFunctions.tokens(col("text"))).as("token"))
@@ -956,6 +960,35 @@ object SparkEntry {
         |SELECT doc_id, lang, n_tokens FROM (
         | SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM t)
         |WHERE rn = 1 AND n_tokens >= 30 ORDER BY doc_id""".stripMargin,
+    "q_curate_full" ->
+      // the full composition: cluster dedup (recursive reachability) +
+      // repetition gates, assembled from the q_dedup_clusters and
+      // q_repetition oracle pieces
+      """WITH RECURSIVE w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct([ws[i]||'_'||ws[i+1]||'_'||ws[i+2] for i in range(1, len(ws)-1)])) AS s FROM w),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        | FROM sh a JOIN sh b ON a.s=b.s AND a.doc_id<b.doc_id GROUP BY 1, 2),
+        |prs AS (SELECT doc_a, doc_b FROM cand
+        | JOIN sizes sa ON doc_a=sa.doc_id JOIN sizes sb ON doc_b=sb.doc_id
+        | WHERE CAST(common AS DOUBLE)/(sa.sz+sb.sz-common) >= 0.8),
+        |edges AS (SELECT doc_a AS u, doc_b AS v FROM prs UNION SELECT doc_b, doc_a FROM prs),
+        |reach(node, comp) AS (SELECT u, u FROM edges
+        | UNION SELECT e.u, r.comp FROM edges e JOIN reach r ON e.v=r.node),
+        |comps AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node),
+        |grams AS (SELECT doc_id, unnest([ws[i]||'_'||ws[i+1] for i in range(1, len(ws))]) AS gram FROM w),
+        |gcnt AS (SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY 1, 2),
+        |tp AS (SELECT doc_id, max(cnt) AS topcnt, sum(cnt) AS total FROM gcnt GROUP BY doc_id),
+        |rep AS (SELECT w.doc_id,
+        |  CAST(len(ws) AS BIGINT) AS n_tokens,
+        |  CAST(len(ws)-len(list_distinct(ws)) AS DOUBLE)/greatest(len(ws), 1) AS dup_token_frac,
+        |  COALESCE(CAST(t.topcnt AS DOUBLE)/t.total, 0.0) AS top_ngram_frac
+        | FROM w LEFT JOIN tp t USING (doc_id))
+        |SELECT r.doc_id, r.n_tokens, r.dup_token_frac, r.top_ngram_frac
+        |FROM rep r LEFT JOIN comps c ON r.doc_id = c.node
+        |WHERE COALESCE(c.comp, r.doc_id) = r.doc_id
+        | AND r.n_tokens >= 25 AND r.dup_token_frac <= 0.65 AND r.top_ngram_frac <= 0.15
+        |ORDER BY doc_id""".stripMargin,
     "q_events_hourly" ->
       """SELECT CAST(ts AS DATE) AS event_date,
         | CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hr, event_type,

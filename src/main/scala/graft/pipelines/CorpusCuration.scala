@@ -1,0 +1,38 @@
+package graft.pipelines
+
+import graft.operators.{Graph, TextDedup, TextQuality}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-corpus curation: the composition a data pipeline
+  * actually ships — near-dup CLUSTER dedup (not just pair detection),
+  * then repetition/quality gates. One retained row per kept document
+  * with the metrics that justified keeping it.
+  *
+  * Scale shape: every stage is an already-audited operator —
+  * `jaccardPairs` (swap in `minhashLshPairs` for 100 TB: same (a, b)
+  * pair interface, approximate instead of exact), `Graph.dedupClusters`
+  * (alternating-star CC), `TextQuality.repetitionReport` (map-side
+  * folds + partial-aggregated gram counts). The final assembly is two
+  * joins on the doc id: one left_semi against the canonical set (no
+  * payload duplication), one to attach metrics.
+  */
+object CorpusCuration {
+
+  def curate(docs: DataFrame, textCol: String, idCol: String,
+             minTokens: Int = 25, maxDupFrac: Double = 0.65,
+             maxTopGramFrac: Double = 0.15,
+             jaccardThreshold: Double = 0.8): DataFrame = {
+    val pairs = TextDedup.jaccardPairs(docs, textCol, idCol,
+      n = 3, threshold = jaccardThreshold)
+    val canonical = Graph.dedupClusters(docs, idCol, pairs, "doc_a", "doc_b")
+      .filter(col("is_canonical")).select(idCol)
+    TextQuality.repetitionReport(docs, textCol, idCol, n = 2)
+      .join(canonical, Seq(idCol), "left_semi")
+      .filter(col("n_tokens") >= minTokens &&
+        col("dup_token_frac") <= maxDupFrac &&
+        col("top_ngram_frac") <= maxTopGramFrac)
+      .select(col(idCol), col("n_tokens"), col("dup_token_frac"),
+        col("top_ngram_frac"))
+  }
+}

@@ -11,6 +11,19 @@ import java.nio.file.{Files, Paths}
 class PipelinesSpec extends SparkSpec {
   import spark.implicits._
 
+  test("CorpusCuration: cluster dedup keeps canonical, gates drop low-quality docs") {
+    val docs = Seq(
+      (0L, Seq.tabulate(30)(i => s"w$i").mkString(" ")),                  // clean, kept
+      (1L, Seq.tabulate(30)(i => s"w$i").mkString(" ") + " extra"),       // near-dup of 0 → dropped
+      (2L, "short doc below the token floor"),                            // too short
+      (3L, (Seq.tabulate(26)(i => s"u$i") ++ Seq.fill(14)("spam")).mkString(" ")), // repeated run → dup+gram gates
+      (4L, Seq.tabulate(40)(i => s"v${i % 35}").mkString(" "))            // mild dup, kept
+    ).toDF("doc_id", "text")
+    val kept = graft.pipelines.CorpusCuration.curate(docs, "text", "doc_id")
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(0L, 4L), s"got $kept")
+  }
+
   test("monthly refresh: rename vocab, cutoff filter, schema guard passes") {
     val out = MonthlyRefresh.refresh(spark, sf, cutoff = "2024-01-15")
     assert(out.columns.toSeq == MonthlyRefresh.expectedSchema.fieldNames.toSeq)
