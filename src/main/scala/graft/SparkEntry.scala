@@ -489,6 +489,10 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_bm25" -> ((s, d) =>
+      Retrieval.bm25TopK(Tables.documents(s, d), "text", "doc_id",
+        Seq("spark", "window", "join"), k = 20)
+        .orderBy("rank")),
     "q_curate_full" -> ((s, d) =>
       graft.pipelines.CorpusCuration.curate(Tables.documents(s, d), "text", "doc_id")
         .orderBy("doc_id")),
@@ -960,6 +964,29 @@ object SparkEntry {
         |SELECT doc_id, lang, n_tokens FROM (
         | SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM t)
         |WHERE rn = 1 AND n_tokens >= 30 ORDER BY doc_id""".stripMargin,
+    "q_bm25" ->
+      // constants appear as decimal literals whose nearest double equals
+      // the Scala-side fold (1.2+1.0 == double 2.2 — verified bitwise);
+      // ln() ulp divergence between libms is absorbed by the 9 dp
+      // per-term round + DECIMAL sum (see Retrieval Scaladoc)
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+        |lens AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl FROM t),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avg_dl FROM lens),
+        |tok AS (SELECT doc_id, unnest(ws) AS term FROM t),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok
+        | WHERE term IN ('spark', 'window', 'join') GROUP BY 1, 2),
+        |dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+        |ts AS (SELECT tf.doc_id,
+        |  ln((s.n_docs - d.df + 0.5)/(d.df + 0.5) + 1.0) * (tf.tf * 2.2) /
+        |    (tf.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avg_dl)) AS sc
+        | FROM tf JOIN dfreq d USING (term) JOIN lens l USING (doc_id) CROSS JOIN stats s),
+        |agg AS (SELECT doc_id,
+        |  round(CAST(sum(CAST(round(sc, 9) AS DECIMAL(27,9))) AS DOUBLE), 6) AS score
+        | FROM ts GROUP BY doc_id),
+        |top AS (SELECT doc_id, score FROM agg ORDER BY score DESC, doc_id LIMIT 20)
+        |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+        | doc_id, score
+        |FROM top ORDER BY rank""".stripMargin,
     "q_curate_full" ->
       // the full composition: cluster dedup (recursive reachability) +
       // repetition gates, assembled from the q_dedup_clusters and

@@ -27,8 +27,11 @@ object CorpusCuration {
       n = 3, threshold = jaccardThreshold)
     val canonical = Graph.dedupClusters(docs, idCol, pairs, "doc_a", "doc_b")
       .filter(col("is_canonical")).select(idCol)
-    TextQuality.repetitionReport(docs, textCol, idCol, n = 2)
-      .join(canonical, Seq(idCol), "left_semi")
+    // semi-join BEFORE the metric computation: per-doc metrics commute
+    // with the filter, so the gram aggregation only runs over cluster
+    // survivors (at scale, the duplicate fraction this skips is large)
+    TextQuality.repetitionReport(
+        docs.join(canonical, Seq(idCol), "left_semi"), textCol, idCol, n = 2)
       .filter(col("n_tokens") >= minTokens &&
         col("dup_token_frac") <= maxDupFrac &&
         col("top_ngram_frac") <= maxTopGramFrac)
