@@ -418,6 +418,16 @@ object SparkEntry {
     "q_jaccard_pairs" -> ((s, d) =>
       TextDedup.jaccardPairs(Tables.documents(s, d), "text", "doc_id", n = 3, threshold = 0.8)
         .orderBy("doc_a", "doc_b")),
+    "q_contamination" -> ((s, d) => {
+      // synthetic eval set = every 50th doc; the screen flags their
+      // near-dup leaks in the remaining corpus
+      val docs = Tables.documents(s, d)
+      TextDedup.contaminationReport(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0),
+        "text", "doc_id", n = 4)
+        .orderBy("doc_id")
+    }),
     "q_dedup_clusters" -> ((s, d) => {
       // transitive closure of the exact near-dup pairs → one canonical
       // doc per cluster (the keep-one step of a curation pipeline)
@@ -813,6 +823,17 @@ object SparkEntry {
     "q_fingerprint" ->
       """SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_contamination" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(
+        |  [list_aggregate(ws[i:i+3], 'string_agg', '_') for i in range(1, len(ws)-2)])) AS gram FROM w),
+        |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+        |tot AS (SELECT doc_id, count(*) AS n_grams FROM g WHERE doc_id % 50 <> 0 GROUP BY 1),
+        |hits AS (SELECT g.doc_id, count(*) AS n_hit FROM g JOIN ev USING (gram)
+        | WHERE g.doc_id % 50 <> 0 GROUP BY 1)
+        |SELECT h.doc_id, h.n_hit, t.n_grams,
+        | CAST(h.n_hit AS DOUBLE)/t.n_grams AS overlap_frac
+        |FROM hits h JOIN tot t USING (doc_id) ORDER BY doc_id""".stripMargin,
     "q_dedup_clusters" ->
       // connected components of the jaccard≥0.8 pair graph via a
       // recursive reachability CTE: comp(node) = min reachable node id —

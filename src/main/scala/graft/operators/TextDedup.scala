@@ -111,6 +111,36 @@ object TextDedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Eval-set decontamination screen: one row per corpus document
+    * sharing at least one word n-gram with the evaluation set —
+    * (id, n_hit, n_grams, overlap_frac). The standard pre-training
+    * hygiene step (benchmark answers leaking into the corpus inflate
+    * eval scores); flagged docs are dropped or audited.
+    *
+    * Scale shape: both sides reduce to 8-byte gram hashes before the
+    * join — the shuffle never carries gram text. The eval side
+    * deduplicates first (eval sets are tiny next to the corpus; AQE
+    * broadcasts the hash set), so the corpus streams once through a
+    * semi-join + one partial-aggregated count pair.
+    */
+  def contaminationReport(corpus: DataFrame, evalSet: DataFrame,
+                          textCol: String, idCol: String, n: Int = 8): DataFrame = {
+    val cg = corpus
+      .select(col(idCol).as("doc"),
+        explode(TextFunctions.shingles(col(textCol), n)).as("g0"))
+      .select(col("doc"), xxhash64(col("g0")).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val eg = evalSet
+      .select(explode(TextFunctions.shingles(col(textCol), n)).as("g0"))
+      .select(xxhash64(col("g0")).as("g")).distinct()
+    val tot = cg.groupBy("doc").agg(count(lit(1)).as("n_grams"))
+    val hits = cg.join(eg, Seq("g"), "left_semi")
+      .groupBy("doc").agg(count(lit(1)).as("n_hit"))
+    hits.join(tot, "doc")
+      .select(col("doc").as(idCol), col("n_hit"), col("n_grams"),
+        (col("n_hit").cast("double") / col("n_grams")).as("overlap_frac"))
+  }
+
   /** Observability companion for [[jaccardPairs]]'s `maxPostings` cap:
     * one row per shingle hotter than the cap — (shingle hash, posting
     * size) — plus nothing when no shingle exceeds it. Run this before

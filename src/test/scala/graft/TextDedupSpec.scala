@@ -77,6 +77,21 @@ class TextDedupSpec extends SparkSpec {
     assert(ivfTop == bfTop)
   }
 
+  test("contaminationReport flags docs sharing eval n-grams, with exact counts") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),   // contains eval 4-grams
+      (2L, "one two three four five six seven"),     // clean
+      (3L, "alpha beta gamma delta unrelated tail")  // one shared 4-gram
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val got = TextDedup.contaminationReport(corpus, eval, "text", "doc_id", n = 4)
+      .orderBy("doc_id").collect()
+    // doc 1: grams {a_b_g_d, b_g_d_e, g_d_e_z}; eval has {a_b_g_d, b_g_d_e} → 2/3
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    assert(got(0).getLong(1) == 2L && got(0).getLong(2) == 3L)
+    assert(got(1).getLong(1) == 1L && got(1).getLong(2) == 3L)
+  }
+
   test("quantizedTopK: int8 scores track exact cosine (recall@5 and score error)") {
     val e = Tables.embeddings(spark, sf)
     val queries = e.filter(col("vec_id") < 5)
