@@ -437,6 +437,17 @@ object SparkEntry {
         "doc_a", "doc_b")
         .orderBy("doc_id")
     }),
+    "q_cluster_stats" -> ((s, d) => {
+      // dedup observability: how big do near-dup clusters get (the
+      // distribution that decides whether a hot cluster needs attention)
+      val docs = Tables.documents(s, d)
+      Graph.dedupClusters(docs, "doc_id",
+        TextDedup.jaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.8),
+        "doc_a", "doc_b")
+        .groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+        .groupBy("n_members").agg(count(lit(1)).as("n_clusters"))
+        .orderBy("n_members")
+    }),
     "q_minhash_pairs" -> ((s, d) =>
       TextDedup.minhashLshPairs(Tables.documents(s, d), "text", "doc_id",
         n = 3, k = 32, bands = 8, threshold = 0.5)
@@ -858,6 +869,28 @@ object SparkEntry {
         | COALESCE(c.comp, d.doc_id) = d.doc_id AS is_canonical
         |FROM documents d LEFT JOIN comps c ON d.doc_id = c.node
         |ORDER BY doc_id""".stripMargin,
+    "q_cluster_stats" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |  [ws[i]||'_'||ws[i+1]||'_'||ws[i+2] for i in range(1, len(ws)-1)])) AS s FROM w),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        | FROM sh a JOIN sh b ON a.s=b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |prs AS (SELECT doc_a, doc_b FROM cand
+        | JOIN sizes sa ON doc_a=sa.doc_id JOIN sizes sb ON doc_b=sb.doc_id
+        | WHERE CAST(common AS DOUBLE)/(sa.sz + sb.sz - common) >= 0.8),
+        |edges AS (SELECT doc_a AS u, doc_b AS v FROM prs
+        | UNION SELECT doc_b, doc_a FROM prs),
+        |reach(node, comp) AS (
+        | SELECT u, u FROM edges
+        | UNION
+        | SELECT e.u, r.comp FROM edges e JOIN reach r ON e.v = r.node),
+        |comps AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node),
+        |assign AS (SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cluster_id
+        | FROM documents d LEFT JOIN comps c ON d.doc_id = c.node),
+        |sz2 AS (SELECT cluster_id, count(*) AS n_members FROM assign GROUP BY 1)
+        |SELECT n_members, count(*) AS n_clusters FROM sz2 GROUP BY 1
+        |ORDER BY n_members""".stripMargin,
     "q_jaccard_pairs" ->
       """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct(
