@@ -70,8 +70,7 @@ object Graph {
         .distinct()
 
     var e = canonical(base).localCheckpoint()
-    var eCount = e.count()
-    var converged = eCount == 0L
+    var converged = e.isEmpty
     var iter = 0
     while (!converged && iter < maxIter) {
       // large-star: every node u links its LARGER neighbors to
@@ -96,15 +95,23 @@ object Graph {
           .select(col("v").as("u"), col("m").as("v"))
           .union(ssMin.select(col("u"), col("m").as("v"))))
         .localCheckpoint()
-      // fixpoint: the edge set is stable. Count equality (the previous
-      // round's count is remembered, not recomputed) + one set-difference
-      // over the two checkpointed edge lists.
-      val ssCount = ss.count()
-      converged = ssCount == eCount && ss.except(e).isEmpty
+      // fixpoint: the edge set is stable. Both lists are distinct, so the
+      // symmetric difference is "rows seen once in the union" — ONE
+      // action over the two checkpointed lists (vs a count + except
+      // pair). Skipped on round 0: the star composite converges in one
+      // round only for graphs that were already stars, so the check
+      // would almost always buy nothing.
+      if (iter > 0) {
+        converged = ss.union(e).groupBy("u", "v")
+          .agg(count(lit(1)).as("c")).filter(col("c") === 1).isEmpty
+      }
       e = ss
-      eCount = ssCount
       iter += 1
     }
+    if (!converged && iter >= maxIter)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "raise maxIter (the alternating algorithm needs O(log² n) rounds)")
     // fixpoint edge set is a star per component: (component-min, node).
     // Nodes carrying no edge are their own component.
     val labeled = e.select(col("v").as("node"), col("u").as("component"))
