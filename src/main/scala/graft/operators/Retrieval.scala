@@ -37,6 +37,19 @@ object Retrieval {
   def bm25TopK(docs: DataFrame, textCol: String, idCol: String,
                queryTerms: Seq[String], k: Int = 10,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val scored = bm25Scored(docs, textCol, idCol, queryTerms, k, k1, b)
+    Joins.globalRowIds(scored, Seq(col("score").desc, col(idCol)), "rank")
+      .select(col("rank"), col(idCol), col("score"))
+  }
+
+  /** The scoring stage of [[bm25TopK]] without the rank column — the
+    * top-k (doc id, score) frame. Separated so the scoring plan is
+    * inspectable (the zipWithIndex rank attach crosses an RDD boundary
+    * that hides everything upstream from explain).
+    */
+  def bm25Scored(docs: DataFrame, textCol: String, idCol: String,
+                 queryTerms: Seq[String], k: Int = 10,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val toks = docs.select(col(idCol),
       explode(TextFunctions.tokens(col(textCol))).as("term"))
     val lens = docs.select(col(idCol),
@@ -55,13 +68,11 @@ object Retrieval {
       .withColumn("s",
         col("idf") * (col("tf") * lit(k1 + 1.0)) /
           (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avg_dl"))))
-    val scored = termScore
+    termScore
       .groupBy(idCol)
       .agg(sum(round(col("s"), 9).cast("decimal(27,9)")).as("sd"))
       .select(col(idCol), round(col("sd").cast("double"), 6).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
-    Joins.globalRowIds(scored, Seq(col("score").desc, col(idCol)), "rank")
-      .select(col("rank"), col(idCol), col("score"))
   }
 }

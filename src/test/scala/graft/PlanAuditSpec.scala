@@ -108,6 +108,16 @@ class PlanAuditSpec extends SparkSpec {
       s"gram counting lost its map-side partial aggregate:\n$p")
   }
 
+  test("q_bm25 scoring: top-k is TakeOrderedAndProject, stats joins broadcast") {
+    val p = plan(graft.operators.Retrieval.bm25Scored(
+      Tables.documents(spark, sf), "text", "doc_id", Seq("spark", "window"), k = 10))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k regressed to a global sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"df/len joins lost broadcast:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"tf/df/score aggregations lost their partial pairs:\n$p")
+  }
+
   test("whole-stage codegen covers the scan-filter-project pipeline") {
     // AQE hides codegen spans until execution — run the query, then
     // inspect the final executed plan for WholeStageCodegen ids ("*(n)").
