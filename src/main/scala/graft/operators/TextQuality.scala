@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Repetition-based quality filtering for training corpora — the
@@ -20,6 +20,22 @@ import org.apache.spark.sql.functions._
   * partially aggregated — the shape that survives 100 TB.
   */
 object TextQuality {
+
+  /** Stateless quality-gate predicate over the scalar repetition
+    * signals — a single fold expression, so it applies IDENTICALLY to a
+    * batch frame and a Structured Streaming source (no aggregation, no
+    * state, no watermark): `stream.filter(scalarGate(col("text"), ...))`
+    * is the streaming ingest-time quality filter. The top-n-gram
+    * dominance gate needs a per-doc mode (an aggregation) and therefore
+    * lives in [[repetitionReport]]/batch only.
+    */
+  def scalarGate(text: Column, minTokens: Int = 25,
+                 maxDupFrac: Double = 0.65, maxTokenRun: Long = 10L): Column = {
+    val r = TextFunctions.repetitionStruct(text)
+    r.getField("n_tokens") >= minTokens &&
+      r.getField("dup_token_frac") <= maxDupFrac &&
+      r.getField("max_token_run") <= maxTokenRun
+  }
 
   /** Per-document repetition report:
     * (id, n_tokens, n_distinct_tokens, dup_token_frac, max_token_run,

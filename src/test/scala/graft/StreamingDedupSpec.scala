@@ -45,6 +45,38 @@ class StreamingDedupSpec extends SparkSpec {
     assert(rows(1).isNullAt(4))           // 9999 not a customer → left-join null
   }
 
+  test("streaming curation: quality gate + fingerprint dedup ≡ batch result") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, Seq.tabulate(30)(i => s"w$i").mkString(" ")),          // kept
+      (2L, Seq.tabulate(30)(i => s"w$i").mkString(" ")),          // exact dup of 1 → dropped
+      (3L, "too short"),                                          // token floor
+      (4L, Seq.fill(30)("spam").mkString(" ")),                   // run gate
+      (5L, Seq.tabulate(40)(i => s"v${i % 38}").mkString(" ")))   // kept
+    val gate = graft.operators.TextQuality.scalarGate(col("text"))
+    // batch reference: gate, then keep first doc per fingerprint
+    val batch = graft.operators.Dedup.dedupKeepFirst(
+      docs.toDF("doc_id", "text").filter(gate)
+        .withColumn("fp", graft.functions.TextFunctions.fingerprint(col("text"))),
+      Seq("fp"), Seq(col("doc_id")))
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    src.addData(docs: _*)
+    val q = src.toDF().toDF("doc_id", "text")
+      .filter(gate)   // the same stateless gate expression
+      .withColumn("fp", graft.functions.TextFunctions.fingerprint(col("text")))
+      .dropDuplicates("fp")   // streaming state: one fingerprint per key
+      .writeStream.format("memory").queryName("curate_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("curate_stream").select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(streamed.toSeq == batch.toSeq && batch.toSeq == Seq(1L, 5L),
+      s"stream=$streamed batch=$batch")
+  }
+
   test("duplicates report: all copies + group sizes on composite key") {
     val df = Seq((1, "a"), (1, "a"), (1, "a"), (2, "b")).toDF("k", "s")
     val rep = DuplicatesReport.report(df, Seq("k", "s"))
