@@ -831,6 +831,21 @@ object SparkEntry {
         |FROM t JOIN maxrun m USING (doc_id)
         |LEFT JOIN (SELECT * FROM top WHERE rn = 1) tp USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "q_lang_id" ->
+      // fully deterministic cross-engine: scores are exact integer
+      // ratios (no transcendentals), argmax ties break on the lang
+      // string via struct ordering in BOTH engines
+      """WITH t AS (SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id, lang, list_max([
+        |  {'score': CAST(len(list_filter(toks, x -> x IN ('der','die','und','das','ist','von','mit','den','nicht','ein'))) AS DOUBLE)/greatest(len(toks), 1), 'lang': 'de'},
+        |  {'score': CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is','it','that','was'))) AS DOUBLE)/greatest(len(toks), 1), 'lang': 'en'},
+        |  {'score': CAST(len(list_filter(toks, x -> x IN ('el','la','de','que','y','en','un','los','se','no'))) AS DOUBLE)/greatest(len(toks), 1), 'lang': 'es'},
+        |  {'score': CAST(len(list_filter(toks, x -> x IN ('le','la','et','les','des','en','un','du','une','est'))) AS DOUBLE)/greatest(len(toks), 1), 'lang': 'fr'},
+        |  {'score': CAST(len(list_filter(toks, x -> x IN ('的','了','是','我','不','在','有','他','这','中'))) AS DOUBLE)/greatest(len(toks), 1), 'lang': 'zh'}
+        | ]) AS best FROM t)
+        |SELECT doc_id, lang,
+        | CASE WHEN best.score >= 0.05 THEN best.lang ELSE 'und' END AS lang_pred
+        |FROM s ORDER BY doc_id""".stripMargin,
     "q_fingerprint" ->
       """SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
