@@ -43,18 +43,28 @@ object Sinks {
     */
   def writeShards(df: DataFrame, path: String, partitionCols: Seq[String],
                   shardBy: String, shards: Int,
-                  maxRecordsPerFile: Long = 5000000L): Unit = {
+                  maxRecordsPerFile: Long = 5000000L,
+                  format: String = "parquet"): Unit = {
     import org.apache.spark.sql.functions.col
     // sort key must LEAD with the partition columns: the dynamic-partition
     // writer requires ordering on them and would otherwise insert its own
     // non-stable sort, discarding the shardBy ordering entirely
-    df.repartitionByRange(shards, col(shardBy))
+    //
+    // format "json" = gzip JSONL — the interchange format most training
+    // stacks ingest directly; same sharding/ordering guarantees as the
+    // parquet layout (compression via codec, not the layout)
+    val w = df.repartitionByRange(shards, col(shardBy))
       .sortWithinPartitions((partitionCols :+ shardBy).map(col): _*)
       .write
       .partitionBy(partitionCols: _*)
       .option("maxRecordsPerFile", maxRecordsPerFile.toString)
       .mode(SaveMode.Overwrite)
-      .parquet(path)
+    format match {
+      case "parquet" => w.parquet(path)
+      case "json" => w.option("compression", "gzip").json(path)
+      case other => throw new IllegalArgumentException(
+        s"writeShards: unsupported format '$other' (parquet | json)")
+    }
   }
 
   /** Bucketed table write — the storage layout for repeated co-located

@@ -24,4 +24,20 @@ class ShardsSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("= en)"),
       "read-back not partition-pruned")
   }
+
+  test("writeShards json: gzip JSONL interchange layout round-trips") {
+    val dir = Files.createTempDirectory("shards_json").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang", "text")
+    Sinks.writeShards(docs, s"$dir/out", Seq("lang"), "doc_id", shards = 2,
+      format = "json")
+    val files = new java.io.File(s"$dir/out").listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles()).map(_.getName)
+    assert(files.exists(_.endsWith(".json.gz")), s"no gzip JSONL files: ${files.toSeq}")
+    val back = spark.read.json(s"$dir/out")
+    assert(back.count() == docs.count())
+    assert(back.columns.sorted.toSeq == Seq("doc_id", "lang", "text"))
+    intercept[IllegalArgumentException] {
+      Sinks.writeShards(docs, s"$dir/bad", Seq("lang"), "doc_id", 2, format = "orc2")
+    }
+  }
 }
