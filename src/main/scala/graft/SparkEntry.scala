@@ -484,6 +484,28 @@ object SparkEntry {
         Multimodal.withFakeMedia(Tables.documents(s, d), "text"), "doc_id", 4)
         .toDF().select(col("doc_id"), col("frame_idx"), size(col("feature")).as("dim"))
         .orderBy("doc_id", "frame_idx")),
+    "q_wav_meta" -> ((s, d) => {
+      // REAL codec round-trip (audio is NOT stubbed): synthesize a
+      // deterministic PCM WAV per doc (freq/length derived from doc_id),
+      // parse it back with the pure-JVM RIFF parser; the oracle
+      // recomputes the expected header values arithmetically — any parse
+      // drift hash-mismatches
+      import s.implicits._
+      val ids = Tables.documents(s, d)
+        .select(col("doc_id").cast("long").as("doc_id")).as[Long]
+      val media = ids.mapPartitions(_.map(id =>
+          (id, Multimodal.WavCodec.synthesize(
+            100.0 + (id % 400), (40 + (id % 60) * 2).toInt))))
+        .toDF("doc_id", "media")
+      Multimodal.probeWavMeta(s, media, "doc_id")
+        .select(col("id").as("doc_id"),
+          col("sample_rate").cast("int").as("sample_rate"),
+          col("channels").cast("int").as("channels"),
+          col("bits_per_sample").cast("int").as("bits_per_sample"),
+          col("n_samples").cast("bigint").as("n_samples"),
+          col("duration_ms").cast("bigint").as("duration_ms"))
+        .orderBy("doc_id")
+    }),
 
     // ---- as-of join + corpus curation --------------------------------
     "q_asof" -> ((s, d) => {
@@ -831,6 +853,17 @@ object SparkEntry {
         |FROM t JOIN maxrun m USING (doc_id)
         |LEFT JOIN (SELECT * FROM top WHERE rn = 1) tp USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "q_wav_meta" ->
+      // expected header values recomputed arithmetically from the
+      // synthesis parameters: ms = 40 + (doc_id % 60)*2 at 16 kHz mono
+      // PCM16 → n_samples = 16·ms, duration = ms
+      """SELECT doc_id,
+        | CAST(16000 AS INTEGER) AS sample_rate,
+        | CAST(1 AS INTEGER) AS channels,
+        | CAST(16 AS INTEGER) AS bits_per_sample,
+        | CAST(16*(40 + (doc_id % 60)*2) AS BIGINT) AS n_samples,
+        | CAST(40 + (doc_id % 60)*2 AS BIGINT) AS duration_ms
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_lang_id" ->
       // fully deterministic cross-engine: scores are exact integer
       // ratios (no transcendentals), argmax ties break on the lang

@@ -1,0 +1,45 @@
+package graft
+
+import graft.operators.Multimodal
+import graft.operators.Multimodal.WavCodec
+
+/** Real PCM WAV codec: header parse, frame features, distributed paths. */
+class WavSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("probe parses a synthesized RIFF/PCM header exactly") {
+    val wav = WavCodec.synthesize(440.0, ms = 200, rate = 16000)
+    val m = WavCodec.probe(wav).get
+    assert(m.sample_rate == 16000 && m.channels == 1 && m.bits_per_sample == 16)
+    assert(m.n_samples == 3200 && m.duration_ms == 200)
+    assert(WavCodec.probe("not a wav at all".getBytes).isEmpty)
+    assert(WavCodec.probe(wav.take(30)).isEmpty)
+  }
+
+  test("frame stats measure the signal: sine RMS = A/sqrt(2), ZCR = 2f per second") {
+    val wav = WavCodec.synthesize(440.0, ms = 200, rate = 16000, amplitude = 0.8)
+    val frames = WavCodec.frameStats(wav, frameMs = 25)
+    assert(frames.size == 8)
+    val expectedRms = 0.8 / math.sqrt(2.0)
+    frames.foreach { case (_, rms, zc) =>
+      assert(math.abs(rms - expectedRms) < 0.01, s"rms $rms != $expectedRms")
+      // 440 Hz → 880 crossings/s → 22 per 25 ms frame (±1 at boundaries)
+      assert(math.abs(zc - 22) <= 1, s"zcr $zc")
+    }
+  }
+
+  test("distributed probe and frame features; malformed media → nulls, not failures") {
+    val rows = Seq(
+      (1L, WavCodec.synthesize(440.0, 200)),
+      (2L, WavCodec.synthesize(100.0, 100)),
+      (3L, "garbage".getBytes)
+    ).toDF("doc_id", "media")
+    val meta = Multimodal.probeWavMeta(spark, rows, "doc_id")
+      .orderBy("id").collect()
+    assert(meta.map(_.getBoolean(1)).toSeq == Seq(true, true, false))
+    assert(meta(0).getLong(6) == 200L && meta(1).getLong(6) == 100L)
+    assert(meta(2).isNullAt(6))
+    val feats = Multimodal.wavFrameFeatures(spark, rows, "doc_id")
+    assert(feats.count() == 8 + 4)   // 200ms and 100ms at 25ms frames; garbage → 0
+  }
+}
