@@ -59,7 +59,21 @@ object TextFunctions {
   def repetitionStruct(c: Column): Column = {
     val ws = tokens(c)
     val nTok = size(ws)
-    val runs = aggregate(ws,
+    struct(
+      nTok.cast("long").as("n_tokens"),
+      size(array_distinct(ws)).cast("long").as("n_distinct_tokens"),
+      ((nTok - size(array_distinct(ws))).cast("double") /
+        greatest(nTok, lit(1)).cast("double")).as("dup_token_frac"),
+      graft.plans.MaxRun.maxRun(ws).as("max_token_run"))
+  }
+
+  /** Composed-built-ins form of the run-length signal, kept for
+    * cross-checking the native expression (same pattern as
+    * `Similarity.dotBuiltins`): an `aggregate` fold, which is
+    * CodegenFallback — correct but interpreted per row.
+    */
+  def maxTokenRunBuiltins(c: Column): Column =
+    aggregate(tokens(c),
       struct(lit(null).cast("string").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
       (acc, x) => {
         val run = when(acc.getField("prev") <=> x, acc.getField("run") + lit(1L))
@@ -68,13 +82,6 @@ object TextFunctions {
           greatest(acc.getField("best"), run).as("best"))
       },
       acc => acc.getField("best"))
-    struct(
-      nTok.cast("long").as("n_tokens"),
-      size(array_distinct(ws)).cast("long").as("n_distinct_tokens"),
-      ((nTok - size(array_distinct(ws))).cast("double") /
-        greatest(nTok, lit(1)).cast("double")).as("dup_token_frac"),
-      runs.as("max_token_run"))
-  }
 
   /** Normalized-text fingerprint (exact-dup key): whitespace collapsed,
     * lowercased, md5. 128-bit → collision-free at any realistic corpus size.

@@ -8,8 +8,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * them through `SparkSessionExtensions` so ANY session — including one
   * built by spark-submit with
   * `--conf spark.sql.extensions=graft.plans.GraftExtensions` — gets
-  * `minhash_sig`, `simhash_sig`, and `vec_dot` as SQL functions, no
-  * imperative registration calls needed. The injection path survives
+  * `minhash_sig`, `simhash_sig`, `vec_dot`, and `max_run` as SQL
+  * functions, no imperative registration calls needed. The injection path survives
   * session cloning (e.g. thread-local sessions on a shared cluster),
   * unlike per-session temp-function registration.
   */
@@ -28,5 +28,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[DotProd].getName, "vec_dot"),
       (exprs: Seq[Expression]) => DotProd(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("max_run"),
+      new ExpressionInfo(classOf[MaxRun].getName, "max_run"),
+      (exprs: Seq[Expression]) => MaxRun(exprs.head)))
   }
 }

@@ -30,5 +30,7 @@ class ExtensionsSpec extends SparkSpec {
     assert(spark.sql("SELECT minhash_sig(toks, 8) FROM ext_toks")
       .head().getSeq[Long](0).length == 8)
     assert(!spark.sql("SELECT simhash_sig(toks) FROM ext_toks").head().isNullAt(0))
+    assert(spark.sql("SELECT max_run(array('a', 'a', 'b')) AS r")
+      .head().getLong(0) == 2L)
   }
 }
