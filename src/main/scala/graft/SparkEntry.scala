@@ -437,6 +437,10 @@ object SparkEntry {
         "doc_a", "doc_b")
         .orderBy("doc_id")
     }),
+    "q_subset_dup" -> ((s, d) =>
+      TextDedup.containmentPairs(Tables.documents(s, d), "text", "doc_id",
+        n = 3, threshold = 0.8)
+        .orderBy("doc_a", "doc_b")),
     "q_cluster_stats" -> ((s, d) => {
       // dedup observability: how big do near-dup clusters get (the
       // distribution that decides whether a hot cluster needs attention)
@@ -917,6 +921,18 @@ object SparkEntry {
         | COALESCE(c.comp, d.doc_id) = d.doc_id AS is_canonical
         |FROM documents d LEFT JOIN comps c ON d.doc_id = c.node
         |ORDER BY doc_id""".stripMargin,
+    "q_subset_dup" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |  [ws[i]||'_'||ws[i+1]||'_'||ws[i+2] for i in range(1, len(ws)-1)])) AS s FROM w),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        | FROM sh a JOIN sh b ON a.s=b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        | CAST(common AS DOUBLE)/least(sa.sz, sb.sz) AS containment
+        |FROM cand JOIN sizes sa ON doc_a=sa.doc_id JOIN sizes sb ON doc_b=sb.doc_id
+        |WHERE CAST(common AS DOUBLE)/least(sa.sz, sb.sz) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q_cluster_stats" ->
       """WITH RECURSIVE w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct(

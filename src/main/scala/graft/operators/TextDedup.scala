@@ -36,7 +36,35 @@ object TextDedup {
     */
   def jaccardPairs(df: DataFrame, textCol: String, idCol: String,
                    n: Int = 3, threshold: Double = 0.8,
-                   maxPostings: Int = Int.MaxValue): DataFrame = {
+                   maxPostings: Int = Int.MaxValue): DataFrame =
+    pairCommonCounts(df, textCol, idCol, n, maxPostings)
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+
+  /** Subset-duplicate pairs by MAX-CONTAINMENT (Broder): |A∩B| / min(|A|,
+    * |B|) ≥ threshold. Symmetric Jaccard misses a short document fully
+    * quoted inside a long one (the intersection is tiny relative to the
+    * union); containment flags exactly that — the snippet-duplication
+    * case a curation pipeline wants a separate dial for. Same posting-
+    * list pair generation and hot-shingle cap as [[jaccardPairs]].
+    */
+  def containmentPairs(df: DataFrame, textCol: String, idCol: String,
+                       n: Int = 3, threshold: Double = 0.8,
+                       maxPostings: Int = Int.MaxValue): DataFrame =
+    pairCommonCounts(df, textCol, idCol, n, maxPostings)
+      .withColumn("containment",
+        col("common").cast("double") / least(col("sz_a"), col("sz_b")))
+      .filter(col("containment") >= threshold)
+      .select("doc_a", "doc_b", "containment")
+
+  /** Shared core of the exact near-dup metrics: one row per candidate
+    * pair with the common-shingle count and both docs' shingle-set
+    * sizes — (doc_a, doc_b, common, sz_a, sz_b).
+    */
+  private def pairCommonCounts(df: DataFrame, textCol: String, idCol: String,
+                               n: Int, maxPostings: Int): DataFrame = {
     // Join on the 64-bit shingle hash, not the shingle string: the
     // exploded self-join shuffles 8-byte keys instead of ~8·n-byte
     // strings. Counts are unchanged short of an xxhash64 collision
@@ -105,10 +133,6 @@ object TextDedup {
     pairs
       .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
-      .withColumn("jaccard",
-        col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
   }
 
   /** Eval-set decontamination screen: one row per corpus document

@@ -77,6 +77,20 @@ class TextDedupSpec extends SparkSpec {
     assert(ivfTop == bfTop)
   }
 
+  test("containmentPairs catches a quoted subset that jaccard misses") {
+    val base = Seq.tabulate(40)(i => s"w$i").mkString(" ")
+    val quote = Seq.tabulate(10)(i => s"w$i").mkString(" ")  // first 10 words verbatim
+    val corpus = Seq((1L, base), (2L, quote), (3L, "entirely unrelated other words here now"))
+      .toDF("doc_id", "text")
+    // doc 2's 8 shingles all appear in doc 1 → containment 1.0;
+    // jaccard = 8/38 ≈ 0.21 — invisible at any sane jaccard threshold
+    val cont = TextDedup.containmentPairs(corpus, "text", "doc_id", n = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(cont.toSeq == Seq((1L, 2L, 1.0)))
+    val jac = TextDedup.jaccardPairs(corpus, "text", "doc_id", n = 3, threshold = 0.5)
+    assert(jac.count() == 0)
+  }
+
   test("contaminationReport flags docs sharing eval n-grams, with exact counts") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),   // contains eval 4-grams
