@@ -199,6 +199,36 @@ object PropertySpec extends Properties("graft") {
       got == parent.keys.map(k => k -> find(k)).toMap
     }
 
+  property("MaxRun == brute-force longest run on random token arrays") =
+    Prop.forAll(Gen.listOf(Gen.oneOf("a", "b", "c"))) { toks =>
+      val got = Seq(Tuple1(toks)).toDF("arr")
+        .select(plans.MaxRun.maxRun(col("arr"))).head().getLong(0)
+      val brute = if (toks.isEmpty) 0L
+        else {
+          var best = 1; var run = 1
+          toks.sliding(2).foreach {
+            case Seq(p, c) => run = if (p == c) run + 1 else 1; best = math.max(best, run)
+            case _ => ()
+          }
+          best.toLong
+        }
+      got == brute
+    }
+
+  property("quantized codes reconstruct within scale/2 per component") =
+    Prop.forAll(Gen.listOfN(8, Gen.choose(-5.0, 5.0))) { vec =>
+      val df = Seq((1L, vec)).toDF("id", "v")
+      val row = operators.Similarity.quantized(df, "id", "v", "id", "scale", "q").head()
+      val scale = row.getDouble(1)
+      val codes = row.getSeq[Byte](2)
+      // reference: unit-normalize exactly as the operator does
+      val n = math.sqrt(vec.map(x => x * x).sum)
+      val unit = if (n == 0.0) vec.map(_ => 0.0) else vec.map(_ / n)
+      codes.zip(unit).forall { case (c, x) =>
+        math.abs(c * scale - x) <= scale / 2 + 1e-12
+      }
+    }
+
   property("jaccardPairs: symmetric key order, values in [threshold, 1]") =
     Prop.forAll(Gen.listOfN(6, wordGen)) { docs =>
       val df = docs.zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
