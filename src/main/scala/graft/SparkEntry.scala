@@ -575,6 +575,10 @@ object SparkEntry {
     }),
 
     // ---- events / sessionization -------------------------------------
+    "q_funnel" -> ((s, d) =>
+      Funnel.anchored(Tables.events(s, d), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), windowMs = 3600000L)
+        .orderBy("step")),
     "q_events_hourly" -> ((s, d) =>
       Tables.events(s, d)
         .groupBy(
@@ -1134,6 +1138,22 @@ object SparkEntry {
         |WHERE COALESCE(c.comp, r.doc_id) = r.doc_id
         | AND r.n_tokens >= 25 AND r.dup_token_frac <= 0.65 AND r.top_ngram_frac <= 0.15
         |ORDER BY doc_id""".stripMargin,
+    "q_funnel" ->
+      // chained min-aggregations reproduce the greedy-earliest anchored
+      // semantics: for a fixed first-touch anchor, earliest-qualifying
+      // per step is the unique optimal match
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS t, event_type FROM events
+        | WHERE event_type IN ('view', 'click', 'purchase')),
+        |t1 AS (SELECT user_id, min(t) AS t1 FROM e WHERE event_type='view' GROUP BY 1),
+        |t2 AS (SELECT e.user_id, min(t) AS t2 FROM e JOIN t1 USING (user_id)
+        | WHERE event_type='click' AND t >= t1.t1 AND t <= t1.t1 + 3600000 GROUP BY 1),
+        |t3 AS (SELECT e.user_id, min(t) AS t3 FROM e JOIN t2 USING (user_id) JOIN t1 USING (user_id)
+        | WHERE event_type='purchase' AND t >= t2.t2 AND t <= t1.t1 + 3600000 GROUP BY 1)
+        |SELECT * FROM (VALUES
+        | (CAST(1 AS INTEGER), 'view', (SELECT count(*) FROM t1)),
+        | (CAST(2 AS INTEGER), 'click', (SELECT count(*) FROM t2)),
+        | (CAST(3 AS INTEGER), 'purchase', (SELECT count(*) FROM t3))
+        |) AS v(step, step_name, n_users) ORDER BY step""".stripMargin,
     "q_events_hourly" ->
       """SELECT CAST(ts AS DATE) AS event_date,
         | CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hr, event_type,

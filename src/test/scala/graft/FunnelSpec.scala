@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.Funnel
+import org.apache.spark.sql.functions._
+
+/** Anchored funnel: first-touch anchor, greedy-earliest steps, window. */
+class FunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(ms: Long) = new java.sql.Timestamp(ms)
+
+  test("anchored funnel: window expiry, step order, first-touch anchor") {
+    val events = Seq(
+      // user 1: completes within 1000ms window
+      (1L, ts(0L), "view"), (1L, ts(100L), "click"), (1L, ts(900L), "purchase"),
+      // user 2: click outside the anchor window → stops at view
+      (2L, ts(0L), "view"), (2L, ts(1500L), "click"), (2L, ts(1600L), "purchase"),
+      // user 3: purchase BEFORE click → order violated, stops at click
+      (3L, ts(0L), "view"), (3L, ts(50L), "purchase"), (3L, ts(100L), "click"),
+      // user 4: no view at all → never enters
+      (4L, ts(0L), "click"), (4L, ts(10L), "purchase"),
+      // user 5: first view anchors; the LATER view does not re-anchor,
+      // so the click at 1800 is out of window → stops at view
+      (5L, ts(0L), "view"), (5L, ts(1200L), "view"), (5L, ts(1800L), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Funnel.anchored(events, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"), windowMs = 1000L)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1, "view", 4L), (2, "click", 2L), (3, "purchase", 1L)),
+      s"got ${got.toSeq}")
+  }
+
+  test("out-of-order input sorts before the walk; ties resolve in step order") {
+    val events = Seq(
+      (1L, ts(500L), "purchase"), (1L, ts(0L), "view"), (1L, ts(200L), "click"),
+      (2L, ts(0L), "click"), (2L, ts(0L), "view"), (2L, ts(0L), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Funnel.anchored(events, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"), windowMs = 1000L)
+      .orderBy("step").collect().map(_.getLong(2))
+    // both users complete: user 1 after sorting, user 2 via same-ms
+    // events resolving view→click→purchase by step index
+    assert(got.toSeq == Seq(2L, 2L, 2L))
+  }
+}
