@@ -579,6 +579,9 @@ object SparkEntry {
       Funnel.anchored(Tables.events(s, d), "user_id", "ts", "event_type",
         Seq("view", "click", "purchase"), windowMs = 3600000L)
         .orderBy("step")),
+    "q_retention" -> ((s, d) =>
+      Funnel.cohortRetention(Tables.events(s, d), "user_id", "ts")
+        .orderBy("cohort_week", "week_offset")),
     "q_events_hourly" -> ((s, d) =>
       Tables.events(s, d)
         .groupBy(
@@ -1154,6 +1157,19 @@ object SparkEntry {
         | (CAST(2 AS INTEGER), 'click', (SELECT count(*) FROM t2)),
         | (CAST(3 AS INTEGER), 'purchase', (SELECT count(*) FROM t3))
         |) AS v(step, step_name, n_users) ORDER BY step""".stripMargin,
+    "q_retention" ->
+      // week offsets are exact multiples of 7 days (both wk columns are
+      // week-truncated), so the /7 division is exact in every engine
+      """WITH a AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+        |c AS (SELECT user_id, min(wk) AS cohort_week FROM a GROUP BY 1),
+        |g AS (SELECT c.cohort_week, CAST((a.wk - c.cohort_week)/7 AS INTEGER) AS week_offset,
+        |  count(*) AS n_users
+        | FROM a JOIN c USING (user_id) GROUP BY 1, 2),
+        |s AS (SELECT cohort_week, n_users AS cohort_size FROM g WHERE week_offset = 0)
+        |SELECT g.cohort_week, g.week_offset, g.n_users,
+        | CAST(g.n_users AS DOUBLE)/s.cohort_size AS retention
+        |FROM g JOIN s USING (cohort_week)
+        |ORDER BY cohort_week, week_offset""".stripMargin,
     "q_events_hourly" ->
       """SELECT CAST(ts AS DATE) AS event_date,
         | CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hr, event_type,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Funnel analysis over an event stream: how many users progress through
@@ -68,5 +69,33 @@ object Funnel {
           coalesce(col(s"_s$i"), lit(0L)).as("n_users"))
       }: _*)).as("r"))
       .select(col("r.step"), col("r.step_name"), col("r.n_users"))
+  }
+
+  /** Weekly cohort retention: users grouped by the ISO week of their
+    * first event; for each (cohort week, week offset), how many cohort
+    * members were active and what fraction of the cohort that is.
+    *
+    * Shape: the activity matrix is `distinct (user, week)` — one
+    * partial-aggregated dedup — then one groupBy per (cohort, offset).
+    * Cohort sizes come from a window partitioned BY COHORT (bounded
+    * partitions, never a global window). Week arithmetic stays on exact
+    * multiples of 7 days, so the offset division is exact in every
+    * engine — no float drift in the oracle compare.
+    */
+  def cohortRetention(events: DataFrame, userCol: String,
+                      tsCol: String): DataFrame = {
+    val a = events.select(col(userCol).as("user"),
+        to_date(date_trunc("week", col(tsCol))).as("wk"))
+      .distinct()
+    val c = a.groupBy("user").agg(min(col("wk")).as("cohort_week"))
+    val g = a.join(c, "user")
+      .select(col("cohort_week"),
+        (datediff(col("wk"), col("cohort_week")) / 7).cast("int").as("week_offset"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_users"))
+    val w = Window.partitionBy("cohort_week")
+    g.withColumn("_size", max(when(col("week_offset") === 0, col("n_users"))).over(w))
+      .select(col("cohort_week"), col("week_offset"), col("n_users"),
+        (col("n_users").cast("double") / col("_size")).as("retention"))
   }
 }

@@ -31,6 +31,25 @@ class FunnelSpec extends SparkSpec {
       s"got ${got.toSeq}")
   }
 
+  test("cohort retention: first-event week anchors, fractions of cohort size") {
+    def day(d: Int) = ts(d * 86400000L)
+    val events = Seq(
+      // cohort of week 0 (Mon 1970-01-05 is day 4): users 1,2 start day 5
+      (1L, day(5), "view"), (2L, day(5), "view"),
+      // user 1 returns in week +1, user 2 does not
+      (1L, day(12), "click"),
+      // user 3 starts in week +1 alone
+      (3L, day(12), "view")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Funnel.cohortRetention(events, "user_id", "ts")
+      .orderBy("cohort_week", "week_offset").collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      ("1970-01-05", 0, 2L, 1.0),
+      ("1970-01-05", 1, 1L, 0.5),
+      ("1970-01-12", 0, 1L, 1.0)), s"got ${got.toSeq}")
+  }
+
   test("out-of-order input sorts before the walk; ties resolve in step order") {
     val events = Seq(
       (1L, ts(500L), "purchase"), (1L, ts(0L), "view"), (1L, ts(200L), "click"),
