@@ -118,6 +118,22 @@ class PlanAuditSpec extends SparkSpec {
       s"tf/df/score aggregations lost their partial pairs:\n$p")
   }
 
+  test("q_funnel: step filter pushed to scan, one user shuffle, no window") {
+    val p = plan(q("q_funnel"))
+    assert(p.contains("PushedFilters") && p.contains("In(event_type"),
+      s"step-type filter not pushed to the scan:\n$p")
+    assert(!p.contains("Window"), s"funnel regressed to windows:\n$p")
+    assert("hashpartitioning\\(user".r.findAllIn(p).size >= 1,
+      s"expected the single user_id shuffle:\n$p")
+  }
+
+  test("q_retention: cohort window is partitioned, never SinglePartition") {
+    val p = plan(q("q_retention"))
+    assert(p.contains("Window"), s"expected the cohort-size window:\n$p")
+    assert(!p.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+      s"cohort window funneled through one partition:\n$p")
+  }
+
   test("whole-stage codegen covers the scan-filter-project pipeline") {
     // AQE hides codegen spans until execution — run the query, then
     // inspect the final executed plan for WholeStageCodegen ids ("*(n)").
