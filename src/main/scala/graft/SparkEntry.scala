@@ -579,6 +579,10 @@ object SparkEntry {
       Funnel.anchored(Tables.events(s, d), "user_id", "ts", "event_type",
         Seq("view", "click", "purchase"), windowMs = 3600000L)
         .orderBy("step")),
+    "q_transitions" -> ((s, d) =>
+      Funnel.transitions(Tables.events(s, d), "user_id", "ts", "event_type",
+        tieBreak = Seq(col("event_id")))
+        .orderBy("from_type", "to_type")),
     "q_retention" -> ((s, d) =>
       Funnel.cohortRetention(Tables.events(s, d), "user_id", "ts")
         .orderBy("cohort_week", "week_offset")),
@@ -1157,6 +1161,13 @@ object SparkEntry {
         | (CAST(2 AS INTEGER), 'click', (SELECT count(*) FROM t2)),
         | (CAST(3 AS INTEGER), 'purchase', (SELECT count(*) FROM t3))
         |) AS v(step, step_name, n_users) ORDER BY step""".stripMargin,
+    "q_transitions" ->
+      """WITH o AS (SELECT user_id, event_type,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+        | FROM events)
+        |SELECT from_type, event_type AS to_type, count(*) AS n
+        |FROM o WHERE from_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
     "q_retention" ->
       // week offsets are exact multiples of 7 days (both wk columns are
       // week-truncated), so the /7 division is exact in every engine

@@ -71,6 +71,25 @@ object Funnel {
       .select(col("r.step"), col("r.step_name"), col("r.n_users"))
   }
 
+  /** Event transition matrix: counts of (from_type → to_type) over each
+    * user's time-ordered event sequence — the Markov view of user
+    * behavior (what follows what). One user-partitioned window (bounded
+    * partitions) + one partial-aggregated count; `tieBreak` makes the
+    * order total when timestamps collide, the same determinism contract
+    * as every order-sensitive operator here.
+    */
+  def transitions(events: DataFrame, userCol: String, tsCol: String,
+                  typeCol: String, tieBreak: Seq[Column] = Nil): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol) +: tieBreak: _*)
+    events
+      .select(col(userCol), col(typeCol).as("to_type"),
+        lag(col(typeCol), 1).over(w).as("from_type"))
+      .filter(col("from_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Weekly cohort retention: users grouped by the ISO week of their
     * first event; for each (cohort week, week offset), how many cohort
     * members were active and what fraction of the cohort that is.
