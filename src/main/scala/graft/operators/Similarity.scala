@@ -86,10 +86,46 @@ object Similarity {
     * or a deterministic sample. Centroid set is broadcast at both stages.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
-              idCol: String, vecCol: String, k: Int = 10, nprobe: Int = 2): DataFrame = {
-    val cent = normalized(centroids, idCol, vecCol, "cent_id", "centv")
+              idCol: String, vecCol: String, k: Int = 10, nprobe: Int = 2): DataFrame =
+    ivfTopKAssigned(assignToCentroids(corpus, centroids, idCol, vecCol),
+      queries, centroids, idCol, vecCol, k, nprobe)
 
-    def assign(dfn: DataFrame, id: String, keep: Int): DataFrame = {
+  /** The IVF INDEX: each corpus vector normalized and labeled with its
+    * nearest centroid — `(neighbor_id, cvec, cent_id)`. This is the
+    * frame to persist (parquet partitioned/bucketed by `cent_id`) and
+    * reuse across query batches: the assignment pass over the corpus is
+    * paid once at index-build time, not per query — see
+    * [[ivfTopKAssigned]] and the round-trip spec.
+    */
+  def assignToCentroids(corpus: DataFrame, centroids: DataFrame,
+                        idCol: String, vecCol: String): DataFrame = {
+    val cent = normalized(centroids, idCol, vecCol, "cent_id", "centv")
+    assignStage(cent, normalized(corpus, idCol, vecCol, "neighbor_id", "v"),
+      "neighbor_id", 1)
+      .withColumnRenamed("v", "cvec")
+  }
+
+  /** Probe a prebuilt (possibly reloaded-from-parquet) IVF index. */
+  def ivfTopKAssigned(corpusAssigned: DataFrame, queries: DataFrame,
+                      centroids: DataFrame, idCol: String, vecCol: String,
+                      k: Int = 10, nprobe: Int = 2): DataFrame = {
+    val cent = normalized(centroids, idCol, vecCol, "cent_id", "centv")
+    val queryAssigned = assignStage(cent,
+        normalized(queries, idCol, vecCol, "query_id", "v"), "query_id", nprobe)
+      .withColumnRenamed("v", "qvec")
+    val scored = corpusAssigned.join(broadcast(queryAssigned), Seq("cent_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        dot(col("qvec"), col("cvec")).as("sim"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+  }
+
+  private def assignStage(cent: DataFrame, dfn: DataFrame,
+                          id: String, keep: Int): DataFrame = {
       val scored = dfn
         .crossJoin(broadcast(cent))
         .select(col(id), col("v"), col("cent_id"),
@@ -108,24 +144,6 @@ object Similarity {
           .filter(col("crank") <= keep)
           .drop("csim", "crank")
       }
-    }
-
-    val corpusAssigned = assign(
-        normalized(corpus, idCol, vecCol, "neighbor_id", "v"), "neighbor_id", 1)
-      .withColumnRenamed("v", "cvec")
-    val queryAssigned = assign(
-        normalized(queries, idCol, vecCol, "query_id", "v"), "query_id", nprobe)
-      .withColumnRenamed("v", "qvec")
-
-    val scored = corpusAssigned.join(broadcast(queryAssigned), Seq("cent_id"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        dot(col("qvec"), col("cvec")).as("sim"))
-      .dropDuplicates("query_id", "neighbor_id")
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "sim")
   }
 
   /** Int8 quantization of (normalized) embeddings:

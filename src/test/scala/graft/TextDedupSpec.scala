@@ -143,6 +143,24 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("IVF index persists: parquet round-trip of the assignment probes identically") {
+    val e = Tables.embeddings(spark, sf)
+    val queries = e.filter(col("vec_id") < 3)
+    val cents = e.filter(col("vec_id") % 10 === 0)
+    val index = Similarity.assignToCentroids(e, cents, "vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivf_index").toString
+    // partitioned by centroid: a probe with nprobe centroids reads only
+    // those partitions — the index layout the operator documents
+    index.write.partitionBy("cent_id").mode("overwrite").parquet(s"$dir/idx")
+    val reloaded = spark.read.parquet(s"$dir/idx")
+    def run(ix: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfTopKAssigned(ix, queries, cents, "vec_id", "embedding",
+        k = 3, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    assert(run(reloaded) == run(index))
+  }
+
   test("langId picks the language with most stopword hits") {
     val got = Seq("the cat and the dog of the house was here it is",
       "el perro y la casa de los gatos no se un",
