@@ -400,6 +400,14 @@ object SparkEntry {
         TextFunctions.tokenCountBpeIsh(col("text")).as("bpe_tokens"))
         .orderBy("doc_id")
     }),
+    "q_token_shards" -> ((s, d) => {
+      // budget-bounded training shards: parallel prefix sum (no global
+      // window), shard = exclusive running total div budget
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
+      graft.sources.Sinks.packByBudget(docs, Seq(col("doc_id")), "n_tokens", budget = 2000L)
+        .orderBy("doc_id")
+    }),
     "q_repetition" -> ((s, d) =>
       TextQuality.repetitionReport(Tables.documents(s, d), "text", "doc_id", n = 2)
         .orderBy("doc_id")),
@@ -843,6 +851,18 @@ object SparkEntry {
         |  / greatest(CAST(len(toks) AS DOUBLE), 1.0) AS stopword_ratio,
         | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS bpe_tokens
         |FROM t ORDER BY doc_id""".stripMargin,
+    "q_token_shards" ->
+      // the oracle may use the global window the engine deliberately
+      // avoids — DuckDB is single-node, the funnel-through-one-task
+      // concern does not apply to it
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens
+        | FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |  SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS running_total FROM t)
+        |SELECT doc_id, n_tokens, CAST(running_total AS BIGINT) AS running_total,
+        | CAST((running_total - n_tokens) // 2000 AS BIGINT) AS shard_id
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q_repetition" ->
       // max_token_run needs gaps-and-islands + two windows in SQL; the
       // Spark side is a single map-side fold expression. Top-gram ties

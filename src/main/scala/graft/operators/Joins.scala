@@ -155,6 +155,42 @@ object Joins {
     df.sparkSession.createDataFrame(withId, schema)
   }
 
+  /** Globally ordered running sum WITHOUT a single-partition window —
+    * the prefix-sum generalization of [[globalRowIds]]: `orderBy`
+    * range-partitions into a total order, one pass collects the tiny
+    * per-partition totals (driver-side metadata, |partitions| longs),
+    * a second pass emits each row's inclusive cumulative sum as
+    * partition offset + local running sum. Every partition stays
+    * parallel; `sum() over (order by ...)` would funnel the whole table
+    * through one task. Null values count as 0.
+    */
+  def globalPrefixSum(df: DataFrame, orderBy: Seq[Column], value: Column,
+                      as: String = "running_total"): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val sorted = df.withColumn("_psv", coalesce(value.cast("long"), lit(0L)))
+      .orderBy(orderBy: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vIdx = sorted.schema.fieldIndex("_psv")
+    val partTotals = sorted.rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        Iterator.single(i -> it.foldLeft(0L)(_ + _.getLong(vIdx)))
+      }.collect().sortBy(_._1).map(_._2)
+    val offsets = partTotals.scanLeft(0L)(_ + _)
+    val schema = StructType(
+      sorted.schema.fields.filterNot(_.name == "_psv") :+
+        StructField(as, LongType, nullable = false))
+    val out = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      var acc = offsets(i)
+      it.map { row =>
+        acc += row.getLong(vIdx)
+        Row.fromSeq(row.toSeq.zipWithIndex
+          .collect { case (v, j) if j != vIdx => v } :+ acc)
+      }
+    }
+    df.sparkSession.createDataFrame(out, schema)
+  }
+
   /** P5: sequential row ids continued across tables — the reference
     * assigns `range(1, n+1)` to one frame and `range(n+1, n+m+1)` to the
     * next (Study Startup Legacy Data merge.ipynb:41-45,1181-1192).

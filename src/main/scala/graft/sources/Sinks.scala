@@ -67,6 +67,24 @@ object Sinks {
     }
   }
 
+  /** Token-budget shard assignment: walk the frame in `orderBy` order
+    * and pack rows into shards of at most ~`budget` tokens (a shard may
+    * overflow by one row's partial count — the standard training-shard
+    * contract, rows are never split). `shard_id = exclusive-prefix-sum
+    * div budget`, built on [[graft.operators.Joins.globalPrefixSum]] —
+    * parallel range-partitioned prefix sums, never a single-partition
+    * window. Feed the result to [[writeShards]] partitioned by
+    * `shard_id` for budget-bounded training files.
+    */
+  def packByBudget(df: DataFrame, orderBy: Seq[org.apache.spark.sql.Column],
+                   tokenCol: String, budget: Long,
+                   shardCol: String = "shard_id"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    require(budget > 0, "budget must be positive")
+    graft.operators.Joins.globalPrefixSum(df, orderBy, col(tokenCol), "running_total")
+      .withColumn(shardCol, expr(s"(running_total - $tokenCol) div $budget"))
+  }
+
   /** Bucketed table write — the storage layout for repeated co-located
     * joins/aggregations at 100 TB: rows hash-bucketed (and optionally
     * sorted) on the join key, so a join between two tables bucketed the

@@ -199,6 +199,19 @@ object PropertySpec extends Properties("graft") {
       got == parent.keys.map(k => k -> find(k)).toMap
     }
 
+  property("globalPrefixSum == sequential running sum; budget packing invariants") =
+    Prop.forAll(Gen.listOfN(25, Gen.choose(0, 50))) { vals =>
+      val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v.toLong) }
+        .toDF("id", "v").repartition(4)
+      val got = graft.sources.Sinks.packByBudget(df, Seq(col("id")), "v", budget = 60L)
+        .orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val expect = vals.map(_.toLong).scanLeft(0L)(_ + _).tail
+      got.map(_._3).toSeq == expect &&
+        got.forall { case (_, v, cum, shard) => shard == (cum - v) / 60L } &&
+        got.map(_._4).toSeq == got.map(_._4).toSeq.sorted // shard ids non-decreasing
+    }
+
   property("MaxRun == brute-force longest run on random token arrays") =
     Prop.forAll(Gen.listOf(Gen.oneOf("a", "b", "c"))) { toks =>
       val got = Seq(Tuple1(toks)).toDF("arr")
