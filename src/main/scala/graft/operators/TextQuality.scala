@@ -37,6 +37,26 @@ object TextQuality {
       r.getField("max_token_run") <= maxTokenRun
   }
 
+  /** Deterministic mixture sampling: per-stratum keep rates — the
+    * "training mix" step (keep 30% of web, 100% of books…). Built on
+    * the same hash-mod filter as [[TextFunctions.hashSampleFilter]], so
+    * the kept set is reproducible across runs, engines, partitionings,
+    * and cluster sizes, and is a SUPERSET-stable family: lowering a
+    * stratum's rate keeps a subset of the previous sample (hash
+    * threshold shrinks) — the property that makes mix ablations
+    * comparable. Strata absent from `rates` are dropped.
+    */
+  def mixtureSample(df: DataFrame, stratumCol: String, key: Column,
+                    rates: Map[String, Double], salt: Int = 0): DataFrame = {
+    require(rates.values.forall(r => r >= 0.0 && r <= 1.0),
+      "rates must be in [0, 1]")
+    val rateCol = rates.foldLeft(lit(0.0)) { case (acc, (s, r)) =>
+      when(col(stratumCol) === s, lit(r)).otherwise(acc)
+    }
+    df.filter(pmod(xxhash64(key, lit(salt)), lit(10000)) <
+      (rateCol * 10000).cast("int"))
+  }
+
   /** Per-document repetition report:
     * (id, n_tokens, n_distinct_tokens, dup_token_frac, max_token_run,
     *  top_ngram, top_ngram_count, top_ngram_frac).

@@ -33,4 +33,27 @@ class RedactSampleSpec extends SparkSpec {
     val rest = ids.filter(!TextFunctions.hashSampleFilter(col("id"), 0.2)).count()
     assert(a + rest == 10000)
   }
+
+  test("mixtureSample: per-stratum rates, subset stability, unlisted strata dropped") {
+    import graft.operators.TextQuality
+    val docs = (0L until 9000L).map(i =>
+      (i, Seq("web", "code", "books")(((i % 3).toInt)))).toDF("id", "source")
+    val rates = Map("web" -> 0.2, "code" -> 0.8)
+    val kept = TextQuality.mixtureSample(docs, "source", col("id"), rates)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!kept.contains("books"))                      // unlisted → dropped
+    assert(kept("web") > 450 && kept("web") < 750, s"web ${kept("web")}/3000")
+    assert(kept("code") > 2250 && kept("code") < 2550, s"code ${kept("code")}/3000")
+    // subset stability: lowering a rate keeps a subset of the prior sample
+    val low = TextQuality.mixtureSample(docs, "source", col("id"),
+      Map("web" -> 0.1, "code" -> 0.8)).select("id").collect().map(_.getLong(0)).toSet
+    val high = TextQuality.mixtureSample(docs, "source", col("id"), rates)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(low.subsetOf(high))
+    // determinism across repartitioning
+    val re = TextQuality.mixtureSample(docs.repartition(13), "source", col("id"), rates)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(re == high)
+  }
 }
