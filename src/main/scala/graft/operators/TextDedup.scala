@@ -230,7 +230,8 @@ object TextDedup {
     */
   def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
                       n: Int = 3, k: Int = 32, bands: Int = 8,
-                      threshold: Double = 0.8): DataFrame = {
+                      threshold: Double = 0.8,
+                      maxBucketSize: Int = Int.MaxValue): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
     // persist: the banded frame feeds both sides of the candidate
@@ -239,8 +240,25 @@ object TextDedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandCols = (0 until bands).map(b =>
       xxhash64(lit(b), slice(col("sig"), b * r + 1, r)))
-    val banded = sigs.select(col("doc"), col("sig"),
+    val banded0 = sigs.select(col("doc"), col("sig"),
       posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
+    // maxBucketSize: the hot-bucket analogue of jaccardPairs'
+    // maxPostings — a bucket shared by m docs (crawl boilerplate
+    // collapsing to one signature band) emits m² candidate pairs. Hot
+    // buckets are dropped WHOLE before the self-join via a fixed-buffer
+    // count + anti-join; near-dup signal for their members survives in
+    // the other bands. Use [[hotBucketReport]] to see what a cap drops —
+    // nothing truncates silently. Default uncapped (exact LSH
+    // semantics, lean plan).
+    val banded =
+      if (maxBucketSize == Int.MaxValue) banded0
+      else {
+        val hot = banded0.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("m"))
+          .filter(col("m") > maxBucketSize)
+          .select("band", "bucket")
+        banded0.join(hot, Seq("band", "bucket"), "left_anti")
+      }
     val a = banded.as("a"); val b = banded.as("b")
     val candidates = a.join(b,
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -254,6 +272,24 @@ object TextDedup {
           .cast("double") / k)
       .filter(col("est_jaccard") >= threshold)
       .select("doc_a", "doc_b", "est_jaccard")
+  }
+
+  /** Observability companion for [[minhashLshPairs]]'s `maxBucketSize`
+    * cap: one row per (band, bucket) hotter than the cap with its
+    * member count — empty when no bucket exceeds it.
+    */
+  def hotBucketReport(df: DataFrame, textCol: String, idCol: String,
+                      n: Int = 3, k: Int = 32, bands: Int = 8,
+                      maxBucketSize: Int = 100000): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val r = k / bands
+    val sigs = minhashSignatures(df, textCol, idCol, n, k)
+    val bandCols = (0 until bands).map(b =>
+      xxhash64(lit(b), slice(col("sig"), b * r + 1, r)))
+    sigs.select(posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
+      .groupBy("band", "bucket").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > maxBucketSize)
+      .orderBy(col("n_docs").desc, col("band"), col("bucket"))
   }
 
   /** SimHash 64-bit signature per doc: per-bit vote over token hashes.

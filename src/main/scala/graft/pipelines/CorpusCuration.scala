@@ -38,4 +38,30 @@ object CorpusCuration {
       .select(col(idCol), col("n_tokens"), col("dup_token_frac"),
         col("top_ngram_frac"))
   }
+
+  /** The 100 TB variant of [[curate]]: identical gates, but near-dup
+    * pairs come from MinHash+LSH (`minhashLshPairs` with a hot-bucket
+    * cap) instead of the quadratic exact path — the documented swap, as
+    * one call. Recall < 1 by design (banded LSH); exact duplicates
+    * always collide in every band, so exact-dup collapse is preserved.
+    */
+  def curateAtScale(docs: DataFrame, textCol: String, idCol: String,
+                    minTokens: Int = 25, maxDupFrac: Double = 0.65,
+                    maxTopGramFrac: Double = 0.15,
+                    lshThreshold: Double = 0.8, k: Int = 32, bands: Int = 8,
+                    maxBucketSize: Int = 100000): DataFrame = {
+    val pairs = TextDedup.minhashLshPairs(docs, textCol, idCol,
+      n = 3, k = k, bands = bands, threshold = lshThreshold,
+      maxBucketSize = maxBucketSize)
+    val canonical = Graph.dedupClusters(docs, idCol,
+        pairs.select("doc_a", "doc_b"), "doc_a", "doc_b")
+      .filter(col("is_canonical")).select(idCol)
+    TextQuality.repetitionReport(
+        docs.join(canonical, Seq(idCol), "left_semi"), textCol, idCol, n = 2)
+      .filter(col("n_tokens") >= minTokens &&
+        col("dup_token_frac") <= maxDupFrac &&
+        col("top_ngram_frac") <= maxTopGramFrac)
+      .select(col(idCol), col("n_tokens"), col("dup_token_frac"),
+        col("top_ngram_frac"))
+  }
 }

@@ -24,6 +24,22 @@ class PipelinesSpec extends SparkSpec {
     assert(kept == Seq(0L, 4L), s"got $kept")
   }
 
+  test("curateAtScale (LSH pairs + hot-bucket cap) agrees with exact curate on the fixture") {
+    val docs = Seq(
+      (0L, Seq.tabulate(30)(i => s"w$i").mkString(" ")),
+      (1L, Seq.tabulate(30)(i => s"w$i").mkString(" ")),   // exact dup → LSH always collides
+      (2L, "short doc below the token floor"),
+      (3L, (Seq.tabulate(26)(i => s"u$i") ++ Seq.fill(14)("spam")).mkString(" ")),
+      (4L, Seq.tabulate(40)(i => s"v${i % 35}").mkString(" "))
+    ).toDF("doc_id", "text")
+    val exact = graft.pipelines.CorpusCuration.curate(docs, "text", "doc_id")
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    val scale = graft.pipelines.CorpusCuration.curateAtScale(docs, "text", "doc_id",
+      maxBucketSize = 100)
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(scale == exact && exact == Seq(0L, 4L), s"scale=$scale exact=$exact")
+  }
+
   test("monthly refresh: rename vocab, cutoff filter, schema guard passes") {
     val out = MonthlyRefresh.refresh(spark, sf, cutoff = "2024-01-15")
     assert(out.columns.toSeq == MonthlyRefresh.expectedSchema.fieldNames.toSeq)
