@@ -496,6 +496,23 @@ object SparkEntry {
         Multimodal.withFakeMedia(Tables.documents(s, d), "text"), "doc_id", 4)
         .toDF().select(col("doc_id"), col("frame_idx"), size(col("feature")).as("dim"))
         .orderBy("doc_id", "frame_idx")),
+    "q_image_meta" -> ((s, d) => {
+      // real header probing round-trip, like q_wav_meta: synthesize a
+      // PNG header with dims derived from doc_id, parse it back; the
+      // oracle recomputes the dims arithmetically
+      import s.implicits._
+      val ids = Tables.documents(s, d)
+        .select(col("doc_id").cast("long").as("doc_id")).as[Long]
+      val media = ids.mapPartitions(_.map(id =>
+          (id, Multimodal.ImageMeta.synthesizePngHeader(
+            (64 + id % 512).toInt, (48 + id % 256).toInt))))
+        .toDF("doc_id", "media")
+      Multimodal.probeImageMeta(s, media, "doc_id")
+        .select(col("id").as("doc_id"), col("format"),
+          col("width").cast("int").as("width"),
+          col("height").cast("int").as("height"))
+        .orderBy("doc_id")
+    }),
     "q_wav_meta" -> ((s, d) => {
       // REAL codec round-trip (audio is NOT stubbed): synthesize a
       // deterministic PCM WAV per doc (freq/length derived from doc_id),
@@ -888,6 +905,11 @@ object SparkEntry {
         |FROM t JOIN maxrun m USING (doc_id)
         |LEFT JOIN (SELECT * FROM top WHERE rn = 1) tp USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "q_image_meta" ->
+      """SELECT doc_id, 'png' AS format,
+        | CAST(64 + doc_id % 512 AS INTEGER) AS width,
+        | CAST(48 + doc_id % 256 AS INTEGER) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_wav_meta" ->
       // expected header values recomputed arithmetically from the
       // synthesis parameters: ms = 40 + (doc_id % 60)*2 at 16 kHz mono

@@ -166,6 +166,81 @@ object Multimodal {
     }.toDF("id", "frame_idx", "rms", "zero_crossings")
   }
 
+  /** REAL image METADATA probing: PNG / GIF / JPEG dimensions parsed
+    * from the container headers in pure JVM — dimension filtering (drop
+    * tiny thumbnails, absurd aspect ratios) needs no pixel decode, so
+    * like [[WavCodec]] this part is NOT a stub; only pixel decode /
+    * resize stays behind [[FakeCodec]].
+    */
+  object ImageMeta {
+    case class Dims(format: String, width: Int, height: Int)
+
+    private def u16be(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xFF) << 8) | (b(o + 1) & 0xFF)
+    private def u16le(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+    private def u32be(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xFF) << 24) | ((b(o + 1) & 0xFF) << 16) |
+        ((b(o + 2) & 0xFF) << 8) | (b(o + 3) & 0xFF)
+
+    def probe(bytes: Array[Byte]): Option[Dims] = {
+      def isPng = bytes.length >= 24 &&
+        bytes.take(8).sameElements(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)) &&
+        new String(bytes, 12, 4, "US-ASCII") == "IHDR"
+      def isGif = bytes.length >= 10 && {
+        val sig = new String(bytes, 0, 6, "US-ASCII")
+        sig == "GIF87a" || sig == "GIF89a"
+      }
+      def isJpeg = bytes.length >= 4 &&
+        (bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8
+      if (isPng) Some(Dims("png", u32be(bytes, 16), u32be(bytes, 20)))
+      else if (isGif) Some(Dims("gif", u16le(bytes, 6), u16le(bytes, 8)))
+      else if (isJpeg) {
+        // walk segment markers to the first SOFn frame header
+        var o = 2
+        while (o + 9 < bytes.length) {
+          if ((bytes(o) & 0xFF) != 0xFF) return None
+          val marker = bytes(o + 1) & 0xFF
+          val isSof = marker >= 0xC0 && marker <= 0xCF &&
+            marker != 0xC4 && marker != 0xC8 && marker != 0xCC
+          if (isSof)
+            return Some(Dims("jpeg", u16be(bytes, o + 7), u16be(bytes, o + 5)))
+          o += 2 + u16be(bytes, o + 2)
+        }
+        None
+      } else None
+    }
+
+    /** Minimal PNG header bytes (signature + IHDR) — probe-valid test
+      * fixture; a full encoder is pixel-decode territory, out of scope.
+      */
+    def synthesizePngHeader(width: Int, height: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(33)
+      bb.put(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+      bb.putInt(13).put("IHDR".getBytes("US-ASCII"))
+      bb.putInt(width).putInt(height)
+      bb.put(8.toByte).put(6.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      bb.array()
+    }
+  }
+
+  /** Probe image dimensions per row (mapPartitions, like [[probeMeta]]);
+    * malformed media yields null fields, never a task failure.
+    */
+  def probeImageMeta(spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    val ds = df.select(col(idCol).cast("long").as("id"), col("media"))
+      .as[(Long, Array[Byte])]
+    ds.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        ImageMeta.probe(bytes) match {
+          case Some(d) => (id, true, Some(d.format), Some(d.width), Some(d.height))
+          case None => (id, false, None, None, None)
+        }
+      }
+    }.toDF("id", "valid", "format", "width", "height")
+  }
+
   /** Attach a binary media column (here synthesized from a text column for
     * testing; in production this is `spark.read.format("binaryFile")`).
     */

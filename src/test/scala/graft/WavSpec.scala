@@ -28,6 +28,24 @@ class WavSpec extends SparkSpec {
     }
   }
 
+  test("ImageMeta probes PNG/GIF/JPEG dimensions from headers") {
+    import Multimodal.ImageMeta
+    assert(ImageMeta.probe(ImageMeta.synthesizePngHeader(640, 480))
+      .contains(ImageMeta.Dims("png", 640, 480)))
+    val gif = "GIF89a".getBytes("US-ASCII") ++
+      Array[Byte](0x40, 0x01, 0xF0.toByte, 0x00)   // 320 × 240 LE
+    assert(ImageMeta.probe(gif).contains(ImageMeta.Dims("gif", 320, 240)))
+    // JPEG: SOI, APP0 (len 4), SOF0 (len 17): height 600, width 800
+    val jpeg = Array[Byte](0xFF.toByte, 0xD8.toByte,
+      0xFF.toByte, 0xE0.toByte, 0x00, 0x04, 0x00, 0x00,
+      0xFF.toByte, 0xC0.toByte, 0x00, 0x11, 0x08,
+      0x02, 0x58, 0x03, 0x20,
+      0x03, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00)
+    assert(ImageMeta.probe(jpeg).contains(ImageMeta.Dims("jpeg", 800, 600)))
+    assert(ImageMeta.probe("not an image".getBytes).isEmpty)
+    assert(ImageMeta.probe(Array[Byte](0xFF.toByte, 0xD8.toByte, 0x00)).isEmpty)
+  }
+
   test("distributed probe and frame features; malformed media → nulls, not failures") {
     val rows = Seq(
       (1L, WavCodec.synthesize(440.0, 200)),
