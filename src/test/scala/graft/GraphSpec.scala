@@ -28,6 +28,14 @@ class GraphSpec extends SparkSpec {
     assert(cc(Seq.empty).isEmpty)
   }
 
+  test("hot node: a 5000-neighbor star converges without neighbor-list buffers") {
+    // the shape the groupBy-min formulation exists for — a collect_list
+    // implementation would hold all 5000 neighbors in one aggregation buffer
+    val star = (1L to 5000L).map(i => (2500L, 5000L + i))
+    val got = cc(star)
+    assert(got.size == 5001 && got.values.toSet == Set(2500L))
+  }
+
   test("dedupClusters: transitive closure over pairs, singletons canonical") {
     val docs = Seq(
       (0L, "the quick brown fox jumps over the lazy dog today"),
