@@ -728,7 +728,7 @@ object SparkEntry {
       // (pandas duplicated() semantics); bare count(DISTINCT) would not
       "SELECT count(*) - count(DISTINCT coalesce(lang, chr(1))) AS duplicate_rows FROM documents",
     "q_dedup_exact" ->
-      """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+      """SELECT md5(lower(regexp_replace(trim(nfc_normalize(text)), '\s+', ' ', 'g'))) AS fp,
         | min(doc_id) AS canonical_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
     "q_j1_left" ->
@@ -937,7 +937,7 @@ object SparkEntry {
         | CASE WHEN best.score >= 0.05 THEN best.lang ELSE 'und' END AS lang_pred
         |FROM s ORDER BY doc_id""".stripMargin,
     "q_fingerprint" ->
-      """SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+      """SELECT doc_id, md5(lower(regexp_replace(trim(nfc_normalize(text)), '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_contamination" ->
       """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
@@ -1129,7 +1129,7 @@ object SparkEntry {
         |ORDER BY c.event_id""".stripMargin,
     "q_curate" ->
       """WITH t AS (SELECT doc_id, lang,
-        |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+        |  md5(lower(regexp_replace(trim(nfc_normalize(text)), '\s+', ' ', 'g'))) AS fp,
         |  CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS INTEGER) AS n_tokens
         | FROM documents)
         |SELECT doc_id, lang, n_tokens FROM (

@@ -83,15 +83,30 @@ object TextFunctions {
       },
       acc => acc.getField("best"))
 
-  /** Normalized-text fingerprint (exact-dup key): whitespace collapsed,
-    * lowercased, md5. 128-bit → collision-free at any realistic corpus size.
+  /** Unicode NFC canonicalization (native codegen'd expression) —
+    * "é" precomposed and e + combining acute are the same text but
+    * different bytes; normalize before any byte-level comparison.
+    */
+  def nfc(c: Column): Column = graft.plans.UnicodeNorm.norm(c, "NFC")
+
+  /** Accent folding: NFD decomposition, then strip combining marks —
+    * café → cafe. The aggressive-matching variant of [[nfc]].
+    */
+  def stripAccents(c: Column): Column =
+    regexp_replace(graft.plans.UnicodeNorm.norm(c, "NFD"), "\\p{Mn}+", "")
+
+  /** Normalized-text fingerprint (exact-dup key): Unicode NFC,
+    * whitespace collapsed, lowercased, md5. 128-bit → collision-free at
+    * any realistic corpus size. NFC first: without it, combining-vs-
+    * precomposed encodings of identical text fingerprint as distinct
+    * documents (DuckDB parity via `nfc_normalize`).
     */
   def fingerprint(c: Column): Column =
-    md5(lower(regexp_replace(trim(c), "\\s+", " ")))
+    md5(lower(regexp_replace(trim(nfc(c)), "\\s+", " ")))
 
   /** 64-bit rolling-style fingerprint for cheap joins/partitioning. */
   def fingerprint64(c: Column): Column =
-    xxhash64(lower(regexp_replace(trim(c), "\\s+", " ")))
+    xxhash64(lower(regexp_replace(trim(nfc(c)), "\\s+", " ")))
 
   /** Per-language stopword seed lists for the n-gram/stopword language-ID
     * heuristic. Tiny on purpose: they broadcast as literals inside the

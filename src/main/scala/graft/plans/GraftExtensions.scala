@@ -32,5 +32,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("max_run"),
       new ExpressionInfo(classOf[MaxRun].getName, "max_run"),
       (exprs: Seq[Expression]) => MaxRun(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("unicode_norm"),
+      new ExpressionInfo(classOf[UnicodeNorm].getName, "unicode_norm"),
+      (exprs: Seq[Expression]) => UnicodeNorm(exprs.head,
+        exprs(1).eval().toString)))
   }
 }
