@@ -9,7 +9,12 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokenization, lowercased. */
+  /** Whitespace tokenization, lowercased. Deliberately does NOT unicode-
+    * normalize: canonicalization is an ingest-time cleaning stage (apply
+    * [[nfc]] once upstream), not a per-operator cost — [[fingerprint]]
+    * is the exception because it is a dedup KEY, where encoding variance
+    * is silent wrong answers rather than a tokenization nuance.
+    */
   def tokens(c: Column): Column = split(lower(trim(c)), "\\s+")
 
   /** BPE-ish token count: words, numbers, and single non-space symbols

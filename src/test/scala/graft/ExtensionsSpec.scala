@@ -32,5 +32,7 @@ class ExtensionsSpec extends SparkSpec {
     assert(!spark.sql("SELECT simhash_sig(toks) FROM ext_toks").head().isNullAt(0))
     assert(spark.sql("SELECT max_run(array('a', 'a', 'b')) AS r")
       .head().getLong(0) == 2L)
+    assert(spark.sql("SELECT unicode_norm('café', 'NFC') = 'café' AS r")
+      .head().getBoolean(0))
   }
 }
