@@ -42,25 +42,33 @@ object Bench {
     // inputs) are per-job caches — each pass re-pays them, and one
     // query's cache never GC-squeezes the next.
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
+      // A failed pass must never win the min (a fast failure would deflate
+      // the headline), so once() returns None on failure and the JSON line
+      // carries an explicit "failed" list — not just stderr.
+      def once(): Option[Double] = {
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+          }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
-        dt
+        if (ok) Some(dt) else None
       }
       val cold = once()
-      val best = math.min(cold, once())
+      val second = once()
+      val best = (cold.toSeq ++ second.toSeq).minOption
       (name, cold, best)
     }
-    val qs = results.map { case (k, _, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val ok = results.collect { case (k, cold, Some(best)) => (k, cold.getOrElse(best), best) }
+    val failed = results.collect { case (k, _, None) => k }
+    val qs = ok.map { case (k, _, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._3).sum
-    val coldTotal = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"cold_total_sec":$coldTotal%.3f,"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = ok.map(_._3).sum
+    val coldTotal = ok.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"cold_total_sec":$coldTotal%.3f,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1060,11 +1060,14 @@ object SparkEntry {
       // integer dot is exact, the only float ops (normalize, scale,
       // rescale) are the same IEEE doubles in the same order
       """WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings),
+        |n0 AS (SELECT vec_id, e,
+        |  sqrt(list_reduce(list_transform(e, y->y*y),(a,b)->a+b)) AS nrm FROM e0),
         |n AS (SELECT vec_id, list_transform(e,
-        |  x -> x / sqrt(list_reduce(list_transform(e, y->y*y),(a,b)->a+b))) AS v FROM e0),
+        |  x -> CASE WHEN nrm = 0 THEN 0.0 ELSE x / nrm END) AS v FROM n0),
         |s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM n),
         |qv AS (SELECT vec_id, scale,
-        |  list_transform(v, x -> CAST(round(x / scale) AS INTEGER)) AS q FROM s),
+        |  list_transform(v, x -> CAST(round(
+        |    CASE WHEN scale = 0 THEN 0.0 ELSE x / scale END) AS INTEGER)) AS q FROM s),
         |p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
         |  CAST(list_reduce(list_transform(list_zip(a.q, b.q), x -> x[1]*x[2]), (m,w)->m+w) AS DOUBLE)
         |    * a.scale * b.scale AS sim

@@ -53,14 +53,20 @@ object Multimodal {
     private def tag(b: Array[Byte], o: Int): String =
       new String(b, o, 4, "US-ASCII")
 
-    /** (offset-of-chunk-data, chunk-size) for the first chunk with `id`. */
+    /** (offset-of-chunk-data, chunk-size) for the first chunk with `id`.
+      * The offset walk stays in Long: `sz` is an unsigned 32-bit value from
+      * untrusted bytes, so an Int advance could wrap negative (infinite
+      * loop / negative index). With Long arithmetic the advance is always
+      * >= 8 and an oversized sz simply walks past the end → None.
+      */
     private def findChunk(bytes: Array[Byte], id: String): Option[(Int, Long)] = {
-      var off = 12
+      var off = 12L
       while (off + 8 <= bytes.length) {
-        val cid = tag(bytes, off)
-        val sz = u32(bytes, off + 4)
-        if (cid == id) return Some((off + 8, math.min(sz, bytes.length - off - 8L)))
-        off += 8 + sz.toInt + (sz.toInt & 1) // chunks are 2-byte aligned
+        val o = off.toInt
+        val cid = tag(bytes, o)
+        val sz = u32(bytes, o + 4)
+        if (cid == id) return Some((o + 8, math.min(sz, bytes.length - off - 8L)))
+        off += 8L + sz + (sz & 1L) // chunks are 2-byte aligned
       }
       None
     }
@@ -75,10 +81,11 @@ object Multimodal {
         (fo, fsz) <- findChunk(bytes, "fmt ") if fsz >= 16 && u16(bytes, fo) == 1 // PCM
         (_, dsz) <- findChunk(bytes, "data")
         block = u16(bytes, fo + 12) if block > 0
+        ch = u16(bytes, fo + 2) if ch > 0 // channels=0 would divide-by-zero downstream
         rate = u32(bytes, fo + 4).toInt if rate > 0
       } yield {
         val n = dsz / block
-        WavMeta(rate, u16(bytes, fo + 2), u16(bytes, fo + 14), n, n * 1000L / rate)
+        WavMeta(rate, ch, u16(bytes, fo + 14), n, n * 1000L / rate)
       }
 
     /** Per-frame (rms, zero-crossing count) over channel 0 of 16-bit PCM —
@@ -142,7 +149,9 @@ object Multimodal {
       .as[(Long, Array[Byte])]
     ds.mapPartitions { it =>
       it.map { case (id, bytes) =>
-        WavCodec.probe(bytes) match {
+        // Try: the no-task-failure contract must hold even for parser bugs
+        // on adversarial bytes, not just the malformed shapes probe expects.
+        scala.util.Try(WavCodec.probe(bytes)).toOption.flatten match {
           case Some(m) => (id, true, Some(m.sample_rate), Some(m.channels),
             Some(m.bits_per_sample), Some(m.n_samples), Some(m.duration_ms))
           case None => (id, false, None, None, None, None, None)
@@ -161,8 +170,8 @@ object Multimodal {
     val ds = df.select(col(idCol).cast("long").as("id"), col("media"))
       .as[(Long, Array[Byte])]
     ds.flatMap { case (id, bytes) =>
-      WavCodec.frameStats(bytes, frameMs).iterator
-        .map { case (f, rms, zc) => (id, f, rms, zc) }
+      scala.util.Try(WavCodec.frameStats(bytes, frameMs)).getOrElse(Seq.empty)
+        .iterator.map { case (f, rms, zc) => (id, f, rms, zc) }
     }.toDF("id", "frame_idx", "rms", "zero_crossings")
   }
 

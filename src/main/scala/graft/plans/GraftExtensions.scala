@@ -1,8 +1,9 @@
 package graft.plans
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{AnalysisException, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.types.{IntegerType, StringType}
 
 /** Spark-native packaging of the engine's custom expressions: inject
   * them through `SparkSessionExtensions` so ANY session — including one
@@ -14,28 +15,66 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * unlike per-session temp-function registration.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** Validated constant-argument extraction for SQL builders: the second
+    * argument of `minhash_sig`/`unicode_norm` is a compile-time constant
+    * (it sizes the signature / names the normal form), so a non-foldable
+    * or wrong-typed expression must fail analysis with a real message,
+    * not an eval() UnsupportedOperationException.
+    */
+  private def constArg(fn: String, exprs: Seq[Expression], arity: Int,
+                       idx: Int, wantStr: Boolean): Any = {
+    def fail(msg: String): Nothing =
+      throw new AnalysisException("INTERNAL_ERROR",
+        Map("message" -> s"$fn: $msg"))
+    if (exprs.length != arity)
+      fail(s"expects $arity arguments, got ${exprs.length}")
+    val e = exprs(idx)
+    if (!e.foldable)
+      fail(s"argument ${idx + 1} must be a constant, got ${e.sql}")
+    val okType =
+      if (wantStr) e.dataType == StringType
+      else Seq[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+        IntegerType, org.apache.spark.sql.types.LongType).contains(e.dataType)
+    if (!okType)
+      fail(s"argument ${idx + 1} must be ${if (wantStr) "a string" else "an integer"} constant, got type ${e.dataType.sql}")
+    val v = e.eval()
+    if (v == null) fail(s"argument ${idx + 1} must not be NULL")
+    v
+  }
+
+  private def checkArity(fn: String, exprs: Seq[Expression], n: Int): Seq[Expression] = {
+    if (exprs.length != n)
+      throw new AnalysisException("INTERNAL_ERROR",
+        Map("message" -> s"$fn: expects $n arguments, got ${exprs.length}"))
+    exprs
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       (exprs: Seq[Expression]) =>
-        MinHashSig(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue())))
+        MinHashSig(exprs.head,
+          constArg("minhash_sig", exprs, 2, 1, wantStr = false)
+            .asInstanceOf[Number].intValue())))
     ext.injectFunction((
       FunctionIdentifier("simhash_sig"),
       new ExpressionInfo(classOf[SimHashSig].getName, "simhash_sig"),
-      (exprs: Seq[Expression]) => SimHashSig(exprs.head)))
+      (exprs: Seq[Expression]) => SimHashSig(checkArity("simhash_sig", exprs, 1).head)))
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[DotProd].getName, "vec_dot"),
-      (exprs: Seq[Expression]) => DotProd(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => { checkArity("vec_dot", exprs, 2); DotProd(exprs.head, exprs(1)) }))
     ext.injectFunction((
       FunctionIdentifier("max_run"),
       new ExpressionInfo(classOf[MaxRun].getName, "max_run"),
-      (exprs: Seq[Expression]) => MaxRun(exprs.head)))
+      (exprs: Seq[Expression]) => MaxRun(checkArity("max_run", exprs, 1).head)))
     ext.injectFunction((
       FunctionIdentifier("unicode_norm"),
       new ExpressionInfo(classOf[UnicodeNorm].getName, "unicode_norm"),
       (exprs: Seq[Expression]) => UnicodeNorm(exprs.head,
-        exprs(1).eval().toString)))
+        constArg("unicode_norm", exprs, 2, 1, wantStr = true).toString)))
   }
 }

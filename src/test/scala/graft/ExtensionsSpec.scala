@@ -35,4 +35,23 @@ class ExtensionsSpec extends SparkSpec {
     assert(spark.sql("SELECT unicode_norm('café', 'NFC') = 'café' AS r")
       .head().getBoolean(0))
   }
+
+  test("builders reject bad arity / non-constant / wrong-typed args with a real message") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    org.apache.spark.sql.GraftTestShim.registerFunctions(ext,
+      spark.sessionState.functionRegistry)
+    Seq(Tuple1("x")).toDF("s").createOrReplaceTempView("ext_bad")
+    def analysisMsg(sql: String): String =
+      intercept[Exception](spark.sql(sql).collect()).getMessage
+    // one-arg unicode_norm: arity error, not IndexOutOfBounds
+    assert(analysisMsg("SELECT unicode_norm(s) FROM ext_bad").contains("2 arguments"))
+    // column-valued form arg: foldable error, not eval() UnsupportedOperation
+    assert(analysisMsg("SELECT unicode_norm(s, s) FROM ext_bad").contains("constant"))
+    // wrong-typed constant for minhash_sig k
+    assert(analysisMsg("SELECT minhash_sig(array(s), 'NFC') FROM ext_bad")
+      .contains("integer"))
+    assert(analysisMsg("SELECT vec_dot(array(1.0)) FROM ext_bad").contains("2 arguments"))
+    assert(analysisMsg("SELECT max_run(array(s), s) FROM ext_bad").contains("1 argument"))
+  }
 }

@@ -16,6 +16,26 @@ class WavSpec extends SparkSpec {
     assert(WavCodec.probe(wav.take(30)).isEmpty)
   }
 
+  test("adversarial chunk sizes: unsigned-32 overflow never loops or throws") {
+    val wav = WavCodec.synthesize(440.0, ms = 50)
+    // Corrupt the fmt chunk size to 0xFFFFFFFF (unsigned 2^32-1): an Int
+    // walk would advance by 8 + (-1) + 1 = 8+0 or wrap negative → hang.
+    val evil = wav.clone()
+    evil(16) = 0xFF.toByte; evil(17) = 0xFF.toByte
+    evil(18) = 0xFF.toByte; evil(19) = 0xFF.toByte
+    assert(WavCodec.probe(evil).isEmpty)        // walks past end, no hang
+    // Size 0x80000000 (2^31): Int-negative but Long-positive.
+    val evil2 = wav.clone()
+    evil2(16) = 0x00; evil2(17) = 0x00; evil2(18) = 0x00; evil2(19) = 0x80.toByte
+    assert(WavCodec.probe(evil2).isEmpty)
+    assert(WavCodec.frameStats(evil).isEmpty && WavCodec.frameStats(evil2).isEmpty)
+    // channels=0 with a valid blockAlign must not divide-by-zero.
+    val zeroCh = wav.clone()
+    zeroCh(22) = 0x00; zeroCh(23) = 0x00
+    assert(WavCodec.probe(zeroCh).isEmpty)
+    assert(WavCodec.frameStats(zeroCh).isEmpty)
+  }
+
   test("frame stats measure the signal: sine RMS = A/sqrt(2), ZCR = 2f per second") {
     val wav = WavCodec.synthesize(440.0, ms = 200, rate = 16000, amplitude = 0.8)
     val frames = WavCodec.frameStats(wav, frameMs = 25)
