@@ -127,6 +127,21 @@ class PlanAuditSpec extends SparkSpec {
       s"expected the single user_id shuffle:\n$p")
   }
 
+  test("q_o1_sort_limit: top-k is TakeOrderedAndProject, never a global sort") {
+    // BENCH_r02 recorded a 7.5× outlier for this query that did not
+    // reproduce (0.15 s in the r3 rerun) — environmental, not a plan
+    // change. This assertion makes the only REAL way it could regress
+    // (losing the TakeOrderedAndProject rewrite to a full Sort+Limit,
+    // e.g. via topKSortFallbackThreshold or a wrapped write) a CI failure.
+    val df = q("q_o1_sort_limit")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"orderBy().limit(20) lost the top-k rewrite:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"top-k regressed to a global range sort:\n$p")
+  }
+
   test("q_retention: cohort window is partitioned, never SinglePartition") {
     val p = plan(q("q_retention"))
     assert(p.contains("Window"), s"expected the cohort-size window:\n$p")
