@@ -486,16 +486,65 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
-    // ---- training-data: multimodal plumbing (decode stubbed) ---------
-    "q_multimodal_meta" -> ((s, d) =>
-      Multimodal.probeMeta(s,
-        Multimodal.withFakeMedia(Tables.documents(s, d), "text"), "doc_id")
-        .orderBy("id")),
-    "q_frame_sample" -> ((s, d) =>
-      Multimodal.sampleFrames(s,
-        Multimodal.withFakeMedia(Tables.documents(s, d), "text"), "doc_id", 4)
-        .toDF().select(col("doc_id"), col("frame_idx"), size(col("feature")).as("dim"))
-        .orderBy("doc_id", "frame_idx")),
+    // ---- training-data: multimodal (REAL javax.imageio pixel decode) --
+    "q_multimodal_meta" -> ((s, d) => {
+      // real probe chain (header walk → ImageIO fallback) over real
+      // synthesized PNGs, with every 10th doc carrying garbage bytes to
+      // exercise the malformed→nulls contract; the oracle recomputes
+      // validity and dimensions arithmetically
+      import s.implicits._
+      val ids = Tables.documents(s, d)
+        .select(col("doc_id").cast("long").as("doc_id")).as[Long]
+      val media = ids.mapPartitions(_.map(id =>
+          (id, if (id % 10 == 0) s"not-an-image-$id".getBytes("UTF-8")
+               else Multimodal.synthImage(id))))
+        .toDF("doc_id", "media")
+      Multimodal.probeMeta(s, media, "doc_id")
+        .select(col("id").as("doc_id"), col("valid"), col("format"),
+          col("width").cast("int").as("width"),
+          col("height").cast("int").as("height"))
+        .orderBy("doc_id")
+    }),
+    "q_frame_sample" -> ((s, d) => {
+      // REAL multi-frame decode: 1 + doc_id%4 solid-color frames per doc
+      // encoded as an animated GIF, decoded with ImageIO, per-frame mean
+      // RGB measured from the pixels; the oracle recomputes the frame
+      // colors arithmetically — any decode drift hash-mismatches
+      import s.implicits._
+      val ids = Tables.documents(s, d)
+        .select(col("doc_id").cast("long").as("doc_id")).as[Long]
+      val media = ids.mapPartitions(_.map { id =>
+          val frames = (0 to (id % 4).toInt).map { f =>
+            val img = new java.awt.image.BufferedImage(8, 8,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val rgb = ((((id * 5 + f * 49) % 256).toInt) << 16) |
+              ((((id * 11 + f * 23) % 256).toInt) << 8) |
+              (((id * 3 + f * 77) % 256).toInt)
+            var y = 0
+            while (y < 8) { var x = 0; while (x < 8) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+            img
+          }
+          (id, Multimodal.ImageCodec.encodeGif(frames))
+        }).toDF("doc_id", "media")
+      Multimodal.sampleFrames(s, media, "doc_id", 4)
+        .toDF()
+        .select(col("doc_id"), col("frame_idx"),
+          element_at(col("feature"), 1).cast("double").as("mean_r"),
+          element_at(col("feature"), 2).cast("double").as("mean_g"),
+          element_at(col("feature"), 3).cast("double").as("mean_b"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+    "q_image_frames" -> ((s, d) =>
+      // full pixel-decode oracle: deterministic solid/gradient PNGs per
+      // doc, decoded with ImageIO; exact channel means + integer-luma
+      // histogram recomputed closed-form in SQL over the pixel grid
+      Multimodal.imageFrameFeatures(s,
+        Multimodal.syntheticImages(s, Tables.documents(s, d), "doc_id"), "id", 1)
+        .select(col("id").as("doc_id"), col("frame_idx"), col("width"), col("height"),
+          col("mean_r"), col("mean_g"), col("mean_b"),
+          col("h0"), col("h1"), col("h2"), col("h3"),
+          col("h4"), col("h5"), col("h6"), col("h7"))
+        .orderBy("doc_id")),
     "q_image_meta" -> ((s, d) => {
       // real header probing round-trip, like q_wav_meta: synthesize a
       // PNG header with dims derived from doc_id, parse it back; the
@@ -910,6 +959,58 @@ object SparkEntry {
         | CAST(64 + doc_id % 512 AS INTEGER) AS width,
         | CAST(48 + doc_id % 256 AS INTEGER) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_multimodal_meta" ->
+      // every 10th doc carries non-image bytes → invalid with null dims;
+      // the rest are real 8×8 synthesized PNGs
+      """SELECT doc_id,
+        | doc_id % 10 <> 0 AS valid,
+        | CASE WHEN doc_id % 10 <> 0 THEN 'png' END AS format,
+        | CASE WHEN doc_id % 10 <> 0 THEN CAST(8 AS INTEGER) END AS width,
+        | CASE WHEN doc_id % 10 <> 0 THEN CAST(8 AS INTEGER) END AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_frame_sample" ->
+      // frame colors recomputed arithmetically: doc d frame f is a solid
+      // ((5d+49f)%256, (11d+23f)%256, (3d+77f)%256) 8×8 GIF frame, so the
+      // decoded mean equals the color exactly
+      """WITH f AS (SELECT doc_id, CAST(g.f AS INTEGER) AS frame_idx
+        |  FROM documents, generate_series(0, 3) g(f) WHERE g.f <= doc_id % 4)
+        |SELECT doc_id, frame_idx,
+        | CAST((doc_id*5 + frame_idx*49) % 256 AS DOUBLE) AS mean_r,
+        | CAST((doc_id*11 + frame_idx*23) % 256 AS DOUBLE) AS mean_g,
+        | CAST((doc_id*3 + frame_idx*77) % 256 AS DOUBLE) AS mean_b
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+    "q_image_frames" ->
+      // the decoded-pixel oracle: color depends only on x (8 identical
+      // rows per column), so sums over the 8 x-values stand in for the
+      // full 64-pixel grid — mean = sum_x/8, hist = 8·count_x. Integer
+      // luma (299r+587g+114b)//1000 keeps every step exact cross-engine.
+      """WITH px AS (SELECT doc_id, CAST(g.x AS INTEGER) AS x
+        |  FROM documents, generate_series(0, 7) g(x)),
+        |rgb AS (SELECT doc_id, x,
+        |  CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 256 AS INTEGER)
+        |       ELSE CAST(x*255//7 AS INTEGER) END AS r,
+        |  CASE WHEN doc_id % 2 = 0 THEN CAST((doc_id*7 + 3) % 256 AS INTEGER)
+        |       ELSE CAST(doc_id % 256 AS INTEGER) END AS g,
+        |  CASE WHEN doc_id % 2 = 0 THEN CAST((doc_id*13 + 5) % 256 AS INTEGER)
+        |       ELSE CAST(255 - x*255//7 AS INTEGER) END AS b
+        | FROM px),
+        |lum AS (SELECT doc_id, r, g, b,
+        |  (299*r + 587*g + 114*b)//1000 AS luma FROM rgb)
+        |SELECT doc_id,
+        | CAST(0 AS INTEGER) AS frame_idx,
+        | CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+        | CAST(sum(r) AS DOUBLE)/8 AS mean_r,
+        | CAST(sum(g) AS DOUBLE)/8 AS mean_g,
+        | CAST(sum(b) AS DOUBLE)/8 AS mean_b,
+        | CAST(8*sum(CASE WHEN luma//32 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS h0,
+        | CAST(8*sum(CASE WHEN luma//32 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+        | CAST(8*sum(CASE WHEN luma//32 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS h2,
+        | CAST(8*sum(CASE WHEN luma//32 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS h3,
+        | CAST(8*sum(CASE WHEN luma//32 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS h4,
+        | CAST(8*sum(CASE WHEN luma//32 = 5 THEN 1 ELSE 0 END) AS BIGINT) AS h5,
+        | CAST(8*sum(CASE WHEN luma//32 = 6 THEN 1 ELSE 0 END) AS BIGINT) AS h6,
+        | CAST(8*sum(CASE WHEN luma//32 = 7 THEN 1 ELSE 0 END) AS BIGINT) AS h7
+        |FROM lum GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_wav_meta" ->
       // expected header values recomputed arithmetically from the
       // synthesis parameters: ms = 40 + (doc_id % 60)*2 at 16 kHz mono

@@ -5,34 +5,177 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal (image/audio/video) column plumbing.
   *
-  * Model: media is an opaque `binary` column plus a typed metadata struct
-  * `(media_type, width, height, duration_ms, n_bytes)`. The Spark-side
-  * plumbing — schema, partition-friendly batch shape, per-partition
-  * processing — is real and tested; the actual codec step is STUBBED with
-  * a deterministic fake (image/audio libraries are not in this
-  * container). Swap [[FakeCodec]] for a real decoder (JavaCV/TwelveMonkeys
-  * on the executor classpath) without touching the dataflow.
+  * Model: media is an opaque `binary` column plus typed metadata columns.
+  * ALL codecs here are real pure-JVM parsers/decoders — PCM WAV byte
+  * parsing ([[WavCodec]]), container-header probing ([[ImageMeta]]), and
+  * full pixel decode via `javax.imageio` ([[ImageCodec]], PNG/GIF/JPEG/
+  * BMP in any stock JDK). Features are integer-exact (sums of pixel
+  * bytes, integer luma) so they carry arithmetic oracles; heavier model
+  * featurization (CNN embeddings) would slot into the same
+  * mapPartitions shape with an executor-side model load.
   */
 object Multimodal {
 
-  case class MediaMeta(media_type: String, width: Int, height: Int,
-                       duration_ms: Long, n_bytes: Long)
   case class DecodedFrame(doc_id: Long, frame_idx: Int, feature: Array[Float])
 
-  /** STUB decoder — deterministic fake deriving pseudo-metadata from the
-    * byte content. Replace with a real codec for production.
+  /** REAL pixel decoder on `javax.imageio` (pure JDK — PNG, GIF
+    * incl. animation, JPEG, BMP). Features are computed in integer
+    * arithmetic (pixel-byte sums; luma = (299r+587g+114b)/1000) so
+    * they are bit-reproducible cross-engine and oracle-checkable.
     */
-  object FakeCodec {
-    def probe(bytes: Array[Byte], mediaType: String): MediaMeta = {
-      val h = java.util.Arrays.hashCode(bytes)
-      MediaMeta(mediaType, 16 + math.abs(h % 1024), 16 + math.abs((h / 7) % 1024),
-        math.abs(h.toLong % 600000L), bytes.length.toLong)
+  object ImageCodec {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+
+    /** (meanR, meanG, meanB) as exact integer sums over w·h pixels plus
+      * an 8-bin luma histogram (bin = luma >> 5). Means are left as sums
+      * so callers choose the division (sum/(w·h) in double is the same
+      * IEEE op in any engine).
+      */
+    case class FrameFeature(width: Int, height: Int, sumR: Long, sumG: Long,
+                            sumB: Long, lumaHist: Array[Long])
+
+    def decode(bytes: Array[Byte]): Option[BufferedImage] =
+      scala.util.Try(Option(ImageIO.read(new java.io.ByteArrayInputStream(bytes))))
+        .toOption.flatten
+
+    /** ImageIO-based metadata probe — the fallback for containers the
+      * cheap header walk ([[ImageMeta.probe]]) doesn't know (BMP, …).
+      * Reads only the header plane via ImageReader, not the pixels.
+      */
+    def probe(bytes: Array[Byte]): Option[ImageMeta.Dims] =
+      scala.util.Try {
+        val iis = ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
+        try {
+          val readers = ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) None
+          else {
+            val r = readers.next()
+            try {
+              r.setInput(iis)
+              Some(ImageMeta.Dims(r.getFormatName.toLowerCase, r.getWidth(0), r.getHeight(0)))
+            } finally r.dispose()
+          }
+        } finally iis.close()
+      }.toOption.flatten
+
+    /** Up to `maxFrames` decoded frames, evenly sampled across the
+      * container's frame count (GIF animations have many; PNG/JPEG one).
+      */
+    def frames(bytes: Array[Byte], maxFrames: Int): Seq[(Int, BufferedImage)] =
+      scala.util.Try {
+        val iis = ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
+        try {
+          val readers = ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) Seq.empty
+          else {
+            val r = readers.next()
+            try {
+              r.setInput(iis)
+              val n = math.max(1, scala.util.Try(r.getNumImages(true)).getOrElse(1))
+              val picks =
+                if (n <= maxFrames) 0 until n
+                else (0 until maxFrames).map(i => i * n / maxFrames)
+              picks.flatMap(i =>
+                scala.util.Try((i, r.read(i))).toOption)
+            } finally r.dispose()
+          }
+        } finally iis.close()
+      }.getOrElse(Seq.empty)
+
+    /** Integer-exact frame features: channel sums + 8-bin luma histogram. */
+    def features(img: BufferedImage): FrameFeature = {
+      val w = img.getWidth; val h = img.getHeight
+      var sr = 0L; var sg = 0L; var sb = 0L
+      val hist = new Array[Long](8)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xFF; val g = (rgb >> 8) & 0xFF; val b = rgb & 0xFF
+          sr += r; sg += g; sb += b
+          hist(((299 * r + 587 * g + 114 * b) / 1000) >> 5) += 1L
+          x += 1
+        }
+        y += 1
+      }
+      FrameFeature(w, h, sr, sg, sb, hist)
     }
-    /** Fake per-frame feature vector (would be a CNN embedding / fbank). */
-    def frameFeature(bytes: Array[Byte], frameIdx: Int, dim: Int = 8): Array[Float] = {
-      val rnd = new scala.util.Random(java.util.Arrays.hashCode(bytes).toLong * 31 + frameIdx)
-      Array.fill(dim)(rnd.nextFloat())
+
+    /** Encode an RGB pixel function as a real PNG (lossless round-trip). */
+    def encodePng(w: Int, h: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb(x, y)); x += 1 }; y += 1 }
+      val bos = new java.io.ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
     }
+
+    /** Encode frames as a multi-frame (animated) GIF — the multi-frame
+      * test fixture. Solid-color frames survive palettization exactly.
+      */
+    def encodeGif(frames: Seq[BufferedImage]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(bos)
+      val writer = ImageIO.getImageWritersByFormatName("gif").next()
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        frames.foreach(f => writer.writeToSequence(new javax.imageio.IIOImage(f, null, null), null))
+        writer.endWriteSequence()
+      } finally { writer.dispose(); ios.close() }
+      bos.toByteArray
+    }
+  }
+
+  /** Deterministic synthetic image for `docId`: even ids a solid color,
+    * odd ids a horizontal gradient — both fully determined by (docId, x)
+    * in integer arithmetic, so decoded features have a closed-form SQL
+    * oracle. 8×8 PNG (lossless; dimensions fixed so the oracle's pixel
+    * grid is a plain generate_series).
+    */
+  def synthImage(docId: Long): Array[Byte] = {
+    val d = (docId % 256).toInt
+    ImageCodec.encodePng(8, 8, (x, _) =>
+      if (docId % 2 == 0)
+        (d << 16) | ((((docId * 7 + 3) % 256).toInt) << 8) | ((docId * 13 + 5) % 256).toInt
+      else
+        ((x * 255 / 7) << 16) | (d << 8) | (255 - x * 255 / 7))
+  }
+
+  /** (id, media) with a real synthesized PNG per row — the stand-in for
+    * `spark.read.format("binaryFile")` in tests and driver queries.
+    */
+  def syntheticImages(spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long]
+      .mapPartitions(_.map(id => (id, synthImage(id))))
+      .toDF("id", "media")
+  }
+
+  /** REAL per-frame image features: decode up to `maxFrames` frames per
+    * row and emit exact channel means + the 8-bin luma histogram
+    * (flattened to scalar columns — engine-portable, oracle-friendly).
+    * Malformed media emits no rows, never a task failure.
+    */
+  def imageFrameFeatures(spark: SparkSession, df: DataFrame, idCol: String,
+                         maxFrames: Int = 4): DataFrame = {
+    import spark.implicits._
+    val ds = df.select(col(idCol).cast("long").as("id"), col("media"))
+      .as[(Long, Array[Byte])]
+    ds.flatMap { case (id, bytes) =>
+      ImageCodec.frames(bytes, maxFrames).iterator.map { case (idx, img) =>
+        val f = ImageCodec.features(img)
+        val n = (f.width.toLong * f.height).toDouble
+        (id, idx, f.width, f.height,
+          f.sumR / n, f.sumG / n, f.sumB / n,
+          f.lumaHist(0), f.lumaHist(1), f.lumaHist(2), f.lumaHist(3),
+          f.lumaHist(4), f.lumaHist(5), f.lumaHist(6), f.lumaHist(7))
+      }
+    }.toDF("id", "frame_idx", "width", "height", "mean_r", "mean_g", "mean_b",
+      "h0", "h1", "h2", "h3", "h4", "h5", "h6", "h7")
   }
 
   /** REAL codec for one modality: PCM WAV (RIFF). Pure-JVM byte parsing —
@@ -250,31 +393,41 @@ object Multimodal {
     }.toDF("id", "valid", "format", "width", "height")
   }
 
-  /** Attach a binary media column (here synthesized from a text column for
-    * testing; in production this is `spark.read.format("binaryFile")`).
+  /** Attach a deliberately NON-image binary column (md5 bytes) — the
+    * negative-path fixture proving malformed media yields nulls/empties,
+    * never task failures. Production media comes from
+    * `spark.read.format("binaryFile")` (or [[syntheticImages]] in tests).
     */
   def withFakeMedia(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("media", to_binary(md5(col(textCol)), lit("hex")))
       .withColumn("media_type", lit("image/fake"))
 
-  /** Probe metadata for each media row. Runs per-partition (mapPartitions
-    * under the typed API) so a real codec would amortize init per
-    * partition, not per row.
+  /** Probe metadata for each media row: the cheap header walk
+    * ([[ImageMeta.probe]]) first, ImageIO header read as fallback for
+    * formats it doesn't know (BMP, …). Runs per-partition so codec init
+    * amortizes per partition, not per row; undecodable media yields
+    * nulls, never a task failure.
     */
   def probeMeta(spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
     import spark.implicits._
-    val ds = df.select(col(idCol).cast("long").as("id"), col("media"), col("media_type"))
-      .as[(Long, Array[Byte], String)]
+    val ds = df.select(col(idCol).cast("long").as("id"), col("media"))
+      .as[(Long, Array[Byte])]
     ds.mapPartitions { it =>
-      it.map { case (id, bytes, mt) =>
-        val m = FakeCodec.probe(bytes, mt)
-        (id, m.media_type, m.width, m.height, m.duration_ms, m.n_bytes)
+      it.map { case (id, bytes) =>
+        ImageMeta.probe(bytes).orElse(ImageCodec.probe(bytes)) match {
+          case Some(d) => (id, true, Some(d.format), Some(d.width), Some(d.height),
+            bytes.length.toLong)
+          case None => (id, false, None, None, None, bytes.length.toLong)
+        }
       }
-    }.toDF("id", "media_type", "width", "height", "duration_ms", "n_bytes")
+    }.toDF("id", "valid", "format", "width", "height", "n_bytes")
   }
 
-  /** Frame-sample: emit `framesPerDoc` feature rows per media item — the
-    * fan-out shape (1 row → N frames) of video/audio feature extraction.
+  /** Frame-sample: emit up to `framesPerDoc` REAL feature rows per media
+    * item — the fan-out shape (1 row → N frames) of video/audio feature
+    * extraction, with the feature vector measured from decoded pixels
+    * (channel means + 8-bin luma histogram). Undecodable media emits no
+    * frames.
     */
   def sampleFrames(spark: SparkSession, df: DataFrame, idCol: String,
                    framesPerDoc: Int = 4): Dataset[DecodedFrame] = {
@@ -282,8 +435,13 @@ object Multimodal {
     val ds = df.select(col(idCol).cast("long").as("id"), col("media"))
       .as[(Long, Array[Byte])]
     ds.flatMap { case (id, bytes) =>
-      (0 until framesPerDoc).iterator
-        .map(i => DecodedFrame(id, i, FakeCodec.frameFeature(bytes, i)))
+      ImageCodec.frames(bytes, framesPerDoc).iterator.map { case (idx, img) =>
+        val f = ImageCodec.features(img)
+        val n = (f.width.toLong * f.height).toFloat
+        DecodedFrame(id, idx,
+          Array(f.sumR / n, f.sumG / n, f.sumB / n) ++
+            f.lumaHist.map(_.toFloat))
+      }
     }
   }
 }

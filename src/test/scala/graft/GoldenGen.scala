@@ -13,12 +13,11 @@ import org.apache.spark.sql.functions._
 object GoldenGen {
 
   /** Queries without a DuckDB oracle; all deterministic by construction
-    * (hash-seeded signatures, plan-time hyperplanes, fake codec).
+    * (hash-seeded signatures, plan-time hyperplanes).
     */
   val goldenQueries: Seq[String] = Seq(
     "q_minhash_pairs", "q_simhash_pairs", "q_lang_id", "q_sample_strat",
-    "q_embed_neardup", "q_ann_ivf", "q_approx_profile",
-    "q_multimodal_meta", "q_frame_sample")
+    "q_embed_neardup", "q_ann_ivf", "q_approx_profile")
 
   val goldenDir = "src/test/resources/golden"
   val sfDir = "/root/testdata/sf0.01"

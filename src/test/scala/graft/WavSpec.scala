@@ -66,6 +66,52 @@ class WavSpec extends SparkSpec {
     assert(ImageMeta.probe(Array[Byte](0xFF.toByte, 0xD8.toByte, 0x00)).isEmpty)
   }
 
+  test("ImageCodec: PNG round-trip features are exact pixel arithmetic") {
+    import Multimodal.ImageCodec
+    // solid color (10, 20, 30): means equal the color, one luma bin
+    val solid = ImageCodec.encodePng(8, 8, (_, _) => (10 << 16) | (20 << 8) | 30)
+    val f = ImageCodec.features(ImageCodec.decode(solid).get)
+    assert(f.width == 8 && f.height == 8)
+    assert(f.sumR == 10 * 64 && f.sumG == 20 * 64 && f.sumB == 30 * 64)
+    val luma = (299 * 10 + 587 * 20 + 114 * 30) / 1000 // = 18 → bin 0
+    assert(f.lumaHist.toSeq == Seq.tabulate(8)(b => if (b == luma >> 5) 64L else 0L))
+    // horizontal gradient r = x*255/7: sum per row = 1017
+    val grad = ImageCodec.encodePng(8, 8, (x, _) => (x * 255 / 7) << 16)
+    val g = ImageCodec.features(ImageCodec.decode(grad).get)
+    assert(g.sumR == 8L * (0 until 8).map(_ * 255 / 7).sum && g.sumG == 0 && g.sumB == 0)
+    // luma of (r,0,0) = 299r/1000: bins from the 8 distinct column lumas
+    val bins = (0 until 8).map(x => (299 * (x * 255 / 7)) / 1000 >> 5)
+    assert(g.lumaHist.toSeq == Seq.tabulate(8)(b => 8L * bins.count(_ == b)))
+  }
+
+  test("ImageCodec: animated GIF decodes per-frame; BMP probed via ImageIO fallback") {
+    import Multimodal.ImageCodec
+    def solidImg(rgb: Int) = {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 8).foreach(y => (0 until 8).foreach(x => img.setRGB(x, y, rgb)))
+      img
+    }
+    val gif = ImageCodec.encodeGif(Seq(solidImg(0xFF0000), solidImg(0x00FF00), solidImg(0x0000FF)))
+    val frames = ImageCodec.frames(gif, 4)
+    assert(frames.map(_._1) == Seq(0, 1, 2))
+    val feats = frames.map { case (_, img) => ImageCodec.features(img) }
+    assert(feats(0).sumR == 255L * 64 && feats(0).sumG == 0)
+    assert(feats(1).sumG == 255L * 64 && feats(1).sumB == 0)
+    assert(feats(2).sumB == 255L * 64 && feats(2).sumR == 0)
+    // maxFrames sampling: 3 frames capped to 2 picks evenly
+    assert(ImageCodec.frames(gif, 2).map(_._1) == Seq(0, 1))
+    // BMP: header walk doesn't know it; ImageIO fallback does
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(solidImg(0x123456), "bmp", bos)
+    val bmp = bos.toByteArray
+    assert(Multimodal.ImageMeta.probe(bmp).isEmpty)
+    assert(ImageCodec.probe(bmp).map(d => (d.format, d.width, d.height))
+      .contains(("bmp", 8, 8)))
+    assert(ImageCodec.frames("junk".getBytes, 4).isEmpty)
+    assert(ImageCodec.decode("junk".getBytes).isEmpty)
+  }
+
   test("distributed probe and frame features; malformed media → nulls, not failures") {
     val rows = Seq(
       (1L, WavCodec.synthesize(440.0, 200)),
