@@ -378,12 +378,20 @@ object SparkEntry {
           (sum(col("n")).cast("double") / count(lit(1))).as("mean_per_key"),
           expr("percentile(n, 0.99)").as("p99_per_key"))),
     "q_approx_profile" -> ((s, d) => {
+      // sketch-only half: HLL estimates are engine-specific (no_oracle);
+      // ApproxProfileSpec bounds them against the exact counts. The
+      // deterministic counts live in q_distinct_profile (oracled).
       val li = Tables.lineitem(s, d)
       li.agg(
         approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_partkey")).as("approx_parts"))
+    }),
+    "q_distinct_profile" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      li.agg(
         count_distinct(col("l_orderkey")).as("exact_orders"),
-        count(lit(1)).as("rows"))
+        count_distinct(col("l_partkey")).as("exact_parts"),
+        count(lit(1)).as("n_rows"))
     }),
 
     // ---- training-data: text analysis --------------------------------
@@ -639,12 +647,24 @@ object SparkEntry {
       Similarity.cosinePairsExact(Tables.embeddings(s, d), "vec_id", "embedding", 0.4)
         .orderBy("id_a", "id_b")),
     "q_embed_neardup" -> ((s, d) => {
-      val buckets = Similarity.lshBuckets(
-        Tables.embeddings(s, d), "vec_id", "embedding", nbits = 12)
-      val a = buckets.as("a"); val b = buckets.as("b")
-      a.join(b, col("a.bucket") === col("b.bucket") &&
-          col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      // the VERIFIED multi-table LSH scale path end-to-end. The synthetic
+      // corpus has no true near-dups (max pair cosine ≈ 0.51), so every
+      // 10th vector gets a deterministic perturbed copy (coordinate-wise
+      // ±4% scaling — cosine ≈ 0.999) planted at id+1_000_000; LSH must
+      // recover exactly those pairs. Hyperplanes, perturbation, and
+      // verification dot are all plan-time-exact arithmetic the oracle
+      // reproduces bit-for-bit.
+      val base = Tables.embeddings(s, d).select(
+        col("vec_id").cast("long").as("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val dups = base.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            x * (lit(1.0) + lit(0.02) *
+              ((col("vec_id") + i) % 5 - 2).cast("double"))).as("embedding"))
+      Similarity.lshNearDupPairs(base.unionByName(dups), "vec_id", "embedding",
+        threshold = 0.9, nbits = 10, tables = 4)
+        .select(col("id_a"), col("id_b"), col("sim"))
         .orderBy("id_a", "id_b")
     }),
 
@@ -683,7 +703,55 @@ object SparkEntry {
         .orderBy("user_id", "session_seq"))
   )
 
+  /** DuckDB oracle for the verified multi-table LSH near-dup path:
+    * regenerates the SAME plan-time hyperplane constants as
+    * [[Similarity.lshBucketsBanded]] via [[Similarity.planeComponent]]
+    * (Double.toString is round-trip exact, so DuckDB parses the
+    * identical doubles), plants the same perturbed near-dup copies
+    * (DuckDB lambda index is 1-based → i-1), computes each table's
+    * sign bucket, unions candidates across tables, and verifies with
+    * the same sequential-fold cosine. Bit-exact cross-engine.
+    */
+  private def lshNearDupOracle(nbits: Int, tables: Int, dim: Int, seed: Long,
+                               threshold: Double): String = {
+    def bitTerms(t: Int): String = (0 until nbits).map { b =>
+      val plane = (0 until dim)
+        .map(d => Similarity.planeComponent(seed, t * nbits + b, d))
+        .mkString("[", ",", "]")
+      s"(CASE WHEN list_reduce(list_transform(list_zip(v, $plane::DOUBLE[]), x->x[1]*x[2]),(p,q)->p+q) >= 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString("\n  + ")
+    val tableSelects = (0 until tables).map(t =>
+      s"SELECT vec_id, $t AS t, ${bitTerms(t)} AS bucket FROM n")
+      .mkString("\nUNION ALL\n")
+    s"""WITH eb AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings),
+       |e0 AS (SELECT vec_id, e FROM eb
+       | UNION ALL
+       | SELECT vec_id + 1000000 AS vec_id,
+       |  list_transform(e, (x, i) ->
+       |    x * (1.0 + 0.02 * CAST((vec_id + (i - 1)) % 5 - 2 AS DOUBLE))) AS e
+       | FROM eb WHERE vec_id % 10 = 0),
+       |n0 AS (SELECT vec_id, e,
+       |  sqrt(list_reduce(list_transform(e, y->y*y),(p,q)->p+q)) AS nrm FROM e0),
+       |n AS (SELECT vec_id, list_transform(e,
+       |  x -> CASE WHEN nrm = 0 THEN 0.0 ELSE x / nrm END) AS v FROM n0),
+       |bk AS ($tableSelects),
+       |cand AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+       | FROM bk a JOIN bk b2 ON a.t = b2.t AND a.bucket = b2.bucket
+       |  AND a.vec_id < b2.vec_id),
+       |p AS (SELECT id_a, id_b,
+       |  list_reduce(list_transform(list_zip(na.v, nb.v), x -> x[1]*x[2]), (p,q)->p+q) AS sim
+       | FROM cand JOIN n na ON na.vec_id = id_a JOIN n nb ON nb.vec_id = id_b)
+       |SELECT id_a, id_b, sim FROM p WHERE sim >= $threshold ORDER BY id_a, id_b""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_embed_neardup" -> lshNearDupOracle(nbits = 10, tables = 4, dim = 64,
+      seed = 42L, threshold = 0.9),
+    "q_distinct_profile" ->
+      """SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+        | CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        | CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS sum_qty,

@@ -214,23 +214,96 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
-  /** LSH-bucketed near-dup candidates verified by exact cosine — the
-    * scale path: only same-bucket pairs are scored, so the quadratic
-    * blowup is limited to bucket-local collisions.
+  /** Multi-table LSH near-dup candidates verified by exact cosine — the
+    * scale path. A SINGLE n-bit table has vanishing recall (P[all n sign
+    * bits agree] = (1-θ/π)ⁿ — 0.45 even at cosine 0.98 with n=12), so
+    * this runs `tables` independent tables of `nbits` bits each: a pair
+    * is a candidate if it collides in ANY table
+    * (recall = 1-(1-pⁿ)^tables ≈ 1 for true near-dups; random pairs
+    * collide at ~tables/2ⁿ — the classic AND-OR amplification).
+    *
+    * Plan shape for 100 TB: the bucket join carries ONLY (id, table,
+    * bucket) — candidate ids are deduped BEFORE the vectors are joined
+    * back, so the wide array<double> rows never ride through the
+    * quadratic step. Optional `maxBucketSize` drops degenerate buckets
+    * (count > cap) with the same cap+observability discipline as
+    * TextDedup ([[lshBucketSizeReport]] to see what was dropped).
     */
   def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-                      threshold: Double, nbits: Int = 12, dim: Int = 64,
-                      seed: Long = 42L): DataFrame = {
+                      threshold: Double, nbits: Int = 10, tables: Int = 4,
+                      dim: Int = 64, seed: Long = 42L,
+                      maxBucketSize: Option[Int] = None): DataFrame = {
     val n = normalized(df, idCol, vecCol, "_id", "_v")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val buckets = lshBuckets(n, "_id", "_v", nbits, dim, seed)
-    val withVec = buckets.join(n, Seq("_id"))
-    val a = withVec.select(col("_id").as("id_a"), col("bucket"), col("_v").as("_va"))
-    val b = withVec.select(col("_id").as("id_b"), col("bucket"), col("_v").as("_vb"))
-    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+    val buckets = lshBucketsBanded(n, "_id", "_v", nbits, tables, dim, seed)
+    val kept = maxBucketSize match {
+      case Some(cap) =>
+        val sizes = buckets.groupBy("t", "bucket")
+          .agg(count(lit(1)).as("_bsz")).filter(col("_bsz") <= cap)
+        buckets.join(sizes.select("t", "bucket"), Seq("t", "bucket"))
+      case None => buckets
+    }
+    val a = kept.select(col("_id").as("id_a"), col("t"), col("bucket"))
+    val b = kept.select(col("_id").as("id_b"), col("t"), col("bucket"))
+    val cand = a.join(b, Seq("t", "bucket")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+    cand
+      .join(n.select(col("_id").as("id_a"), col("_v").as("_va")), Seq("id_a"))
+      .join(n.select(col("_id").as("id_b"), col("_v").as("_vb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), dot(col("_va"), col("_vb")).as("sim"))
-      .dropDuplicates("id_a", "id_b")
       .filter(col("sim") >= threshold)
+  }
+
+  /** Bucket-size distribution per table — the observability surface for
+    * tuning `maxBucketSize` (same discipline as TextDedup's
+    * hotShingleReport): a degenerate corpus (many identical vectors)
+    * shows up here as a hot bucket before it becomes a quadratic join.
+    */
+  def lshBucketSizeReport(df: DataFrame, idCol: String, vecCol: String,
+                          nbits: Int = 10, tables: Int = 4, dim: Int = 64,
+                          seed: Long = 42L): DataFrame = {
+    val n = normalized(df, idCol, vecCol, "_id", "_v")
+    lshBucketsBanded(n, "_id", "_v", nbits, tables, dim, seed)
+      .groupBy("t", "bucket").agg(count(lit(1)).as("bucket_size"))
+      .groupBy("t").agg(
+        max(col("bucket_size")).as("max_bucket"),
+        avg(col("bucket_size")).as("avg_bucket"),
+        count(lit(1)).as("n_buckets"))
+      .orderBy("t")
+  }
+
+  /** The deterministic hyperplane component for (global) bit `gbit`,
+    * dimension `d` — public so oracles can regenerate the IDENTICAL
+    * plane constants (Double.toString round-trips exactly).
+    */
+  def planeComponent(seed: Long, gbit: Int, d: Int): Double = {
+    val h = scala.util.hashing.MurmurHash3.productHash((seed, gbit, d))
+    h.toDouble / Int.MaxValue
+  }
+
+  /** `tables` independent LSH tables in one pass: (id, t, bucket) rows,
+    * one per table, buckets from sign bits against planes at global bit
+    * index t·nbits + b. One projection, one explode — no per-table scans.
+    */
+  def lshBucketsBanded(df: DataFrame, idCol: String, vecCol: String,
+                       nbits: Int, tables: Int, dim: Int = 64,
+                       seed: Long = 42L): DataFrame = {
+    val v0 = asDouble(col(vecCol))
+    val v = when(
+      assert_true(size(v0) === lit(dim),
+        concat(lit("lshBucketsBanded: vector length "), size(v0).cast("string"),
+          lit(s" != dim=$dim"))).isNull, v0)
+    val tableCols = (0 until tables).map { t =>
+      val bits = (0 until nbits).map { b =>
+        val plane = typedLit((0 until dim).map(d => planeComponent(seed, t * nbits + b, d)))
+        when(dot(col("_vchk"), plane) >= 0, lit(1L << b)).otherwise(0L)
+      }
+      struct(lit(t).as("t"),
+        bits.reduce((x: Column, y: Column) => x.bitwiseOR(y)).as("bucket"))
+    }
+    df.select(col(idCol), v.as("_vchk"))
+      .select(col(idCol), explode(array(tableCols: _*)).as("_tb"))
+      .select(col(idCol), col("_tb.t").as("t"), col("_tb.bucket").as("bucket"))
   }
 
   /** Deterministic k-means centroid fit for [[ivfTopK]] — closes the
@@ -314,17 +387,11 @@ object Similarity {
       assert_true(size(v0) === lit(dim),
         concat(lit("lshBuckets: vector length "), size(v0).cast("string"),
           lit(s" != dim=$dim"))).isNull, v0)
-    // Deterministic "hyperplane" component h(bit, d) in [-1, 1): derived
-    // from a plan-time hash — reproducible across runs and cluster sizes.
-    def comp(bit: Int, d: Int): Double = {
-      val h = scala.util.hashing.MurmurHash3.productHash((seed, bit, d))
-      (h.toDouble / Int.MaxValue)
-    }
     // one zip_with dot per bit against a literal hyperplane array — a
     // compact expression tree (the per-element `element_at(v, i) * w_i`
     // sum-of-768-terms formulation compiled slowly and re-read v per term)
     val bits = (0 until nbits).map { b =>
-      val plane = typedLit((0 until dim).map(d => comp(b, d)))
+      val plane = typedLit((0 until dim).map(d => planeComponent(seed, b, d)))
       val proj = dot(col("_vchk"), plane)
       when(proj >= 0, lit(1L << b)).otherwise(0L)
     }
