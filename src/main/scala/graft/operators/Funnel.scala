@@ -19,30 +19,54 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: events are filtered to the step types BEFORE the one
   * shuffle (groupBy user); the per-user buffer holds only that user's
-  * step-relevant events, walked once by a fold. No self-joins, no k
-  * passes over the event table (the equivalent SQL needs one aggregation
-  * per step). Pathologically hot users are bounded upstream (sample or
-  * time-slice) like every per-user analysis.
+  * step-relevant events (STRUCTURALLY capped at `maxEventsPerUser` —
+  * a bot with 10⁸ events cannot blow an aggregation buffer; see
+  * [[hotUserReport]] for who got clipped), walked once by a fold. No
+  * self-joins, no k passes over the event table. [[anchoredChained]] is
+  * the zero-buffer exact alternative (k chained mins).
   */
 object Funnel {
 
+  private def stepIdxExpr(typeCol: String, steps: Seq[String]): Column =
+    steps.zipWithIndex.foldLeft(lit(-1)) {
+      case (acc, (s, i)) => when(col(typeCol) === s, lit(i)).otherwise(acc)
+    }
+
   /** Returns one row per step: (step, step_name, n_users) where n_users
     * counts users whose journey reached AT LEAST that step.
+    *
+    * `maxEventsPerUser` bounds the per-user aggregation buffer
+    * STRUCTURALLY: a spillable windowed row_number keeps only each
+    * user's earliest `maxEventsPerUser` step-relevant events (by (t,
+    * step)) before anything is collected. Earliest-first truncation
+    * preserves the greedy walk exactly unless a user's journey needs
+    * events beyond the cap — those users are visible in
+    * [[hotUserReport]], the same cap+observability discipline as
+    * TextDedup's maxPostings.
     */
   def anchored(events: DataFrame, userCol: String, tsCol: String,
                typeCol: String, steps: Seq[String],
-               windowMs: Long): DataFrame = {
+               windowMs: Long, maxEventsPerUser: Int = 1000000): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    require(maxEventsPerUser > 0, "maxEventsPerUser must be positive")
     val k = steps.size
-    val stepIdx = steps.zipWithIndex.foldLeft(lit(-1)) {
-      case (acc, (s, i)) => when(col(typeCol) === s, lit(i)).otherwise(acc)
-    }
     val evs = events.filter(col(typeCol).isin(steps: _*))
       .select(col(userCol).as("user"),
-        struct(unix_millis(col(tsCol)).as("t"), stepIdx.as("idx")).as("e"))
+        struct(unix_millis(col(tsCol)).as("t"),
+          stepIdxExpr(typeCol, steps).as("idx")).as("e"))
+    // The cap runs in WindowExec (sort-based, spills to disk) — unlike
+    // the ObjectHashAggregate buffer below, a hot user here costs disk,
+    // not executor memory.
+    val capped =
+      if (maxEventsPerUser == Int.MaxValue) evs
+      else {
+        val w = Window.partitionBy("user").orderBy(col("e"))
+        evs.withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") <= maxEventsPerUser).drop("_rn")
+      }
     // sort_array orders by (t, idx): simultaneous events resolve in step
     // order — deterministic and matched by the oracle's >= comparisons
-    val staged = evs.groupBy("user")
+    val staged = capped.groupBy("user")
       .agg(sort_array(collect_list(col("e"))).as("evs"))
       .select(aggregate(col("evs"),
         struct(lit(0).as("stage"), lit(0L).as("anchor"), lit(0L).as("last")),
@@ -70,6 +94,55 @@ object Funnel {
       }: _*)).as("r"))
       .select(col("r.step"), col("r.step_name"), col("r.n_users"))
   }
+
+  /** The zero-buffer exact funnel: k chained conditional-min
+    * aggregations (s₁ = min step-1 time; sᵢ₊₁ = min step-(i+1) time in
+    * [sᵢ, s₁+window]) — identical results to [[anchored]] (greedy-
+    * earliest IS a chain of mins), but every aggregation is a map-side-
+    * combinable min: NOTHING is buffered per user, so a 10⁸-event bot
+    * costs the same memory as anyone else. Trade: k shuffles of the
+    * (step-filtered, per-step pruned) events instead of one — the right
+    * plan when hot users are expected and k is small.
+    */
+  def anchoredChained(events: DataFrame, userCol: String, tsCol: String,
+                      typeCol: String, steps: Seq[String],
+                      windowMs: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val evs = events.filter(col(typeCol).isin(steps: _*))
+      .select(col(userCol).as("user"), unix_millis(col(tsCol)).as("t"),
+        stepIdxExpr(typeCol, steps).as("idx"))
+    // ties at the same millisecond resolve in step order in [[anchored]]
+    // (sort by (t, idx) + >= comparisons); chained mins with >= bounds
+    // reproduce that exactly.
+    var frames = List(
+      evs.filter(col("idx") === 0).groupBy("user")
+        .agg(min(col("t")).as("anchor"))
+        .withColumn("last", col("anchor")))
+    for (i <- 1 until steps.size) {
+      frames = (evs.filter(col("idx") === i)
+        .join(frames.head, Seq("user"))
+        .filter(col("t") >= col("last") && col("t") <= col("anchor") + windowMs)
+        .groupBy("user")
+        .agg(min(col("t")).as("_next"), first(col("anchor")).as("anchor"))
+        .select(col("user"), col("anchor"), col("_next").as("last"))) :: frames
+    }
+    frames.reverse.zipWithIndex.map { case (f, i) =>
+      f.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("step"), lit(steps(i)).as("step_name"),
+          col("n_users"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Users whose step-relevant event count exceeds `cap` — run this
+    * alongside [[anchored]] when the cap might bite: it names the bots.
+    */
+  def hotUserReport(events: DataFrame, userCol: String, typeCol: String,
+                    steps: Seq[String], cap: Int): DataFrame =
+    events.filter(col(typeCol).isin(steps: _*))
+      .groupBy(col(userCol).as("user"))
+      .agg(count(lit(1)).as("n_events"))
+      .filter(col("n_events") > cap)
+      .orderBy(col("n_events").desc, col("user"))
 
   /** Event transition matrix: counts of (from_type → to_type) over each
     * user's time-ordered event sequence — the Markov view of user

@@ -118,11 +118,15 @@ class PlanAuditSpec extends SparkSpec {
       s"tf/df/score aggregations lost their partial pairs:\n$p")
   }
 
-  test("q_funnel: step filter pushed to scan, one user shuffle, no window") {
+  test("q_funnel: step filter pushed to scan, one user shuffle, cap window partitioned") {
     val p = plan(q("q_funnel"))
     assert(p.contains("PushedFilters") && p.contains("In(event_type"),
       s"step-type filter not pushed to the scan:\n$p")
-    assert(!p.contains("Window"), s"funnel regressed to windows:\n$p")
+    // the per-user cap runs in a USER-partitioned window (spillable,
+    // bounded partitions); what must never appear is a single-partition
+    // window funneling all events through one task
+    assert(!p.contains("Exchange SinglePartition"),
+      s"funnel funneled through one partition:\n$p")
     assert("hashpartitioning\\(user".r.findAllIn(p).size >= 1,
       s"expected the single user_id shuffle:\n$p")
   }
