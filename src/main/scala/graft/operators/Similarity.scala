@@ -324,32 +324,113 @@ object Similarity {
   def fitCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                    k: Int, iters: Int = 5): DataFrame = {
     val spark = corpus.sparkSession
-    import spark.implicits._
     val vecs = normalized(corpus, idCol, vecCol, "_id", "v")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // centroids are the model: k·dim doubles of driver-side state per
-    // iteration (collected like any k-means implementation's model),
-    // which also truncates the plan lineage between Lloyd passes.
-    //
-    // Init = deterministic farthest-point (k-means++-style): first seed
-    // by hash order, each next seed the point least similar to its
-    // closest chosen seed. Hash-order-only init can drop two seeds into
-    // one cluster, which Lloyd iterations can never split.
+    val seeds = seedsKMeansParallel(vecs, k)
+    val out = lloydLoop(vecs, seeds, k, iters)
+    vecs.unpersist()
+    out
+  }
+
+  /** Lloyd refinement from caller-provided seed centroids — the spec
+    * surface for comparing init strategies on equal footing.
+    */
+  def fitCentroidsSeeded(corpus: DataFrame, idCol: String, vecCol: String,
+                         seeds: Seq[Seq[Double]], iters: Int = 5): DataFrame = {
+    val vecs = normalized(corpus, idCol, vecCol, "_id", "v")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = lloydLoop(vecs, seeds, seeds.size, iters)
+    vecs.unpersist()
+    out
+  }
+
+  /** k-means cost of a centroid set: Σ (1 − cosine to nearest centroid)
+    * — the quantity init strategies compete on.
+    */
+  def inertia(corpus: DataFrame, idCol: String, vecCol: String,
+              centroids: DataFrame): DataFrame = {
+    val v = normalized(corpus, idCol, vecCol, "_id", "v")
+    val cent = centroids.select(col("cent_id"),
+      asDouble(col("centroid")).as("centv"))
+    v.crossJoin(broadcast(cent))
+      .groupBy("_id").agg(max(dot(col("v"), col("centv"))).as("closest"))
+      .agg(sum(lit(1.0) - col("closest")).as("inertia"))
+  }
+
+  /** Number of init oversampling rounds: ⌈log₂ k⌉ (min 1) — the
+    * k-means|| bound, vs the k rounds of sequential farthest-point.
+    */
+  def initRounds(k: Int): Int =
+    math.max(1, 32 - Integer.numberOfLeadingZeros(math.max(1, k - 1)))
+
+  /** Deterministic k-means||-style init (Bahmani et al., VLDB'12),
+    * replacing the O(k)-pass farthest-point loop: ⌈log₂ k⌉ oversampling
+    * rounds, each ONE corpus pass taking the 2k points FARTHEST from the
+    * current candidate set (deterministic stand-in for the cost-
+    * proportional sampling; ties break by xxhash64 then id), then one
+    * weighting pass and a driver-side weighted farthest-point reduction
+    * of the ~2k·log k candidates down to k. Total corpus passes:
+    * log₂ k + 2 instead of 2k.
+    */
+  private def seedsKMeansParallel(vecs: DataFrame, k: Int): Seq[Seq[Double]] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
     val firstSeed = vecs.orderBy(xxhash64(col("_id")), col("_id")).limit(1)
       .select(col("v")).collect()(0).getSeq[Double](0).toSeq
-    val seeds = scala.collection.mutable.ArrayBuffer(firstSeed)
-    while (seeds.size < k) {
-      val cent = seeds.toSeq.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    var cands = Vector(firstSeed)
+    for (_ <- 0 until initRounds(k)) {
+      val cent = cands.zipWithIndex.map { case (v, i) => (i.toLong, v) }
         .toDF("cent_id", "centv")
-      val next = vecs.crossJoin(broadcast(cent))
+      val far = vecs.crossJoin(broadcast(cent))
         .select(col("_id"), col("v"), dot(col("v"), col("centv")).as("csim"))
         .groupBy("_id").agg(max(col("csim")).as("closest"), first(col("v")).as("v"))
-        .orderBy(col("closest").asc, col("_id")).limit(1)
-        .select(col("v")).collect()(0).getSeq[Double](0).toSeq
-      seeds += next
+        .orderBy(col("closest").asc, xxhash64(col("_id")).asc, col("_id"))
+        .limit(2 * k)
+        .select(col("v")).collect().map(_.getSeq[Double](0).toSeq)
+      cands = (cands ++ far).distinct
     }
+    // weighting pass: how many points each candidate wins
+    val cent = cands.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("cent_id", "centv")
+    val weights = vecs.crossJoin(broadcast(cent))
+      .select(col("_id"),
+        struct(dot(col("v"), col("centv")).as("csim"),
+          negate(col("cent_id")).as("nc")).as("s"))
+      .groupBy("_id").agg(max(col("s")).as("m"))
+      .groupBy(negate(col("m.nc")).as("cent_id")).agg(count(lit(1)).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driver-side deterministic weighted farthest-point down to k:
+    // start at the heaviest candidate, then greedily add the candidate
+    // maximizing weight · (1 − sim to the chosen set) — O(c²·dim) on
+    // ≤ ~2k·log k candidates, no further cluster passes.
+    def simLocal(a: Seq[Double], b: Seq[Double]): Double =
+      a.iterator.zip(b.iterator).map { case (x, y) => x * y }.sum
+    val byId = cands.indices.map(i => i.toLong -> cands(i)).toMap
+    val startId = weights.toSeq
+      .sortBy { case (id, w) => (-w, id) }.headOption.map(_._1).getOrElse(0L)
+    val chosen = scala.collection.mutable.ArrayBuffer(startId)
+    while (chosen.size < math.min(k, cands.size)) {
+      val next = byId.keysIterator.filterNot(chosen.contains).map { id =>
+        val closest = chosen.iterator.map(c => simLocal(byId(id), byId(c))).max
+        (id, weights.getOrElse(id, 0L).toDouble * (1.0 - closest))
+      }.maxBy { case (id, score) => (score, -id) }._1
+      chosen += next
+    }
+    // degenerate corpora (< k distinct points): pad by repeating the
+    // first seed — empty clusters keep their centroid through Lloyd
+    val picked = chosen.map(byId).toSeq
+    picked ++ Seq.fill(math.max(0, k - picked.size))(picked.head)
+  }
+
+  /** Lloyd iterations (assign via struct-max, update via posexplode
+    * partial means); empty clusters keep their previous centroid.
+    */
+  private def lloydLoop(vecs: DataFrame, seeds: Seq[Seq[Double]], k: Int,
+                        iters: Int): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
     var centLocal: Map[Long, Seq[Double]] =
-      seeds.toSeq.zipWithIndex.map { case (v, i) => (i + 1).toLong -> v }.toMap
+      seeds.zipWithIndex.map { case (v, i) => (i + 1).toLong -> v }.toMap
     for (_ <- 0 until iters) {
       val cent = centLocal.toSeq.sortBy(_._1).toDF("cent_id", "centv")
       val updated = vecs.crossJoin(broadcast(cent))
@@ -368,7 +449,6 @@ object Similarity {
       // clusters that captured no points keep their previous centroid
       centLocal = centLocal.map { case (id, old) => id -> updated.getOrElse(id, old) }
     }
-    vecs.unpersist()
     centLocal.toSeq.sortBy(_._1).toDF("cent_id", "centroid")
   }
 

@@ -96,6 +96,42 @@ class Round2FeaturesSpec extends SparkSpec {
     assert(bf == ivf, s"$bf vs $ivf")
   }
 
+  test("k-means|| init: log-round bound, beats hash-order seeding, deterministic") {
+    // ⌈log₂ k⌉ rounds — 2 passes for k=4, 6 for k=64, vs k passes before
+    assert(Similarity.initRounds(2) == 1 && Similarity.initRounds(4) == 2)
+    assert(Similarity.initRounds(8) == 3 && Similarity.initRounds(64) == 6)
+    assert(Similarity.initRounds(1000) == 10)
+
+    // 8 tight, well-separated clusters; hash-order seeds collide into
+    // the same cluster with overwhelming probability (8!/8⁸ ≈ 0.2% they
+    // don't), which Lloyd + keep-empty-centroids can never repair
+    def jitter(axis: Int, i: Int): Array[Float] = {
+      val v = Array.fill(8)(0.0)
+      v(axis) = 10.0
+      v.zipWithIndex.map { case (x, d) => (x + 0.01 * ((i + d) % 3)).toFloat }
+    }
+    val vecs = (0 until 240).map(i => ((i + 1).toLong, jitter(i % 8, i)))
+      .toDF("vec_id", "embedding")
+
+    val fitted = Similarity.fitCentroids(vecs, "vec_id", "embedding", k = 8, iters = 4)
+    val axes = fitted.collect().map(_.getSeq[Double](1)).map(v => v.indexOf(v.max)).toSet
+    assert(axes.size == 8, s"k-means|| init missed clusters: $axes")
+
+    // same Lloyd budget from naive hash-order seeds
+    val naiveSeeds = Similarity.fitCentroidsSeeded(vecs, "vec_id", "embedding",
+      seeds = vecs.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(8)
+        .select(col("embedding").cast("array<double>")).collect()
+        .map(_.getSeq[Double](0).toSeq).toSeq, iters = 4)
+    def cost(c: org.apache.spark.sql.DataFrame): Double =
+      Similarity.inertia(vecs, "vec_id", "embedding", c).head().getDouble(0)
+    val (fit, naive) = (cost(fitted), cost(naiveSeeds))
+    assert(fit <= naive, s"k-means|| inertia $fit worse than hash-order $naive")
+
+    // determinism: a second fit is bit-identical
+    val again = Similarity.fitCentroids(vecs, "vec_id", "embedding", k = 8, iters = 4)
+    assert(fitted.collect().toSeq == again.collect().toSeq)
+  }
+
   test("lshNearDupPairs recalls planted near-dups found by the exact oracle path") {
     // 20 base vectors + a tiny-jitter copy of each (cosine ≈ 0.999);
     // unrelated vectors are hash-random and far apart
