@@ -28,10 +28,15 @@ import org.apache.spark.sql.functions._
   *     formulated as groupBy-min + join-back, never
   *     `collect_list(neighbors)` — a hot node (one doc near-similar to
   *     millions) would overflow any per-group list buffer.
-  *   - **Lineage truncation.** Each round ends in `localCheckpoint`:
+  *   - **Lineage truncation.** Each round ends in a checkpoint:
   *     iterative DataFrame graphs otherwise build a plan tree that
   *     doubles per round and stalls the optimizer long before the data
-  *     is the problem.
+  *     is the problem. If the session has a RELIABLE checkpoint dir
+  *     configured (`sc.setCheckpointDir` — HDFS/object store), rounds
+  *     use `checkpoint()` and survive executor loss; otherwise
+  *     `localCheckpoint()` (executor-local blocks — fine single-node,
+  *     lineage-unrecoverable on a preemptible cluster, so production
+  *     jobs SHOULD set a checkpoint dir).
   *   - Edges live as canonical `(min, max)` longs — one 16-byte shuffle
   *     row per edge, text never moves.
   */
@@ -46,6 +51,13 @@ object Graph {
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 30): DataFrame = {
+    // Reliable checkpoints when the session has a checkpoint dir (writes
+    // to fault-tolerant storage — the production-grade form for
+    // preemptible clusters); executor-local blocks otherwise.
+    val reliable =
+      edges.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def cp(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
     // One action over the (possibly expensive — a whole shingle→join
     // near-dup pipeline) input: checkpoint the canonical edge list AND
     // the node set together, then iterate over checkpointed data only.
@@ -59,7 +71,7 @@ object Graph {
       .union(raw.select(explode(array(col("u"), col("v"))).as("n"))
         .select(col("n").as("u"), col("n").as("v")))
       .distinct()
-      .localCheckpoint()
+      .transform(cp)
     // isolated nodes (self-loop-only or mentioned once) rejoin at the end
     // — the star iterations drop nodes with no surviving edge
     val nodes = base.select(col("u").as("node")).distinct()
@@ -69,7 +81,7 @@ object Graph {
         .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
         .distinct()
 
-    var e = canonical(base).localCheckpoint()
+    var e = cp(canonical(base))
     var converged = e.isEmpty
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -90,11 +102,10 @@ object Graph {
       val symLs = ls.union(ls.select(col("v").as("u"), col("u").as("v")))
       val toSmaller = symLs.filter(col("v") < col("u"))
       val ssMin = toSmaller.groupBy("u").agg(min(col("v")).as("m"))
-      val ss = canonical(
+      val ss = cp(canonical(
         toSmaller.join(ssMin, "u")
           .select(col("v").as("u"), col("m").as("v"))
-          .union(ssMin.select(col("u"), col("m").as("v"))))
-        .localCheckpoint()
+          .union(ssMin.select(col("u"), col("m").as("v")))))
       // fixpoint: the edge set is stable. Both lists are distinct, so the
       // symmetric difference is "rows seen once in the union" — ONE
       // action over the two checkpointed lists (vs a count + except

@@ -28,6 +28,31 @@ class GraphSpec extends SparkSpec {
     assert(cc(Seq.empty).isEmpty)
   }
 
+  test("reliable checkpoint mode: same labels, checkpoint files actually written") {
+    val sc = spark.sparkContext
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (5L, 5L))
+    val expected = cc(edges) // localCheckpoint mode (no dir configured)
+    assert(sc.getCheckpointDir.isEmpty, "test precondition: no checkpoint dir")
+    val dir = java.nio.file.Files.createTempDirectory("cc_ckpt").toString
+    try {
+      sc.setCheckpointDir(dir)
+      val got = cc(edges) // reliable mode
+      assert(got == expected, s"$got != $expected")
+      // the rounds really went through reliable checkpoints: RDD
+      // checkpoint data exists under the configured dir
+      def countFiles(p: java.io.File): Int =
+        if (p.isDirectory) p.listFiles().map(countFiles).sum else 1
+      assert(countFiles(new java.io.File(dir)) > 0,
+        "no checkpoint files written in reliable mode")
+    } finally {
+      // local master: setCheckpointDir(null) resets to None so later
+      // suites keep the fast localCheckpoint path
+      sc.setCheckpointDir(null)
+      assert(sc.getCheckpointDir.isEmpty)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("hot node: a 5000-neighbor star converges without neighbor-list buffers") {
     // the shape the groupBy-min formulation exists for — a collect_list
     // implementation would hold all 5000 neighbors in one aggregation buffer
