@@ -625,6 +625,15 @@ object SparkEntry {
     "q_curate_full" -> ((s, d) =>
       graft.pipelines.CorpusCuration.curate(Tables.documents(s, d), "text", "doc_id")
         .orderBy("doc_id")),
+    "q_curate_lsh" -> ((s, d) =>
+      // the documented 100 TB swap EXECUTED: identical gates to
+      // q_curate_full, near-dup pairs from banded MinHash LSH instead of
+      // the quadratic exact path. no_oracle (signature hashes are
+      // engine-specific); CurationSpec property-checks it against the
+      // exact path and the golden file freezes it.
+      graft.pipelines.CorpusCuration.curateAtScale(
+          Tables.documents(s, d), "text", "doc_id")
+        .orderBy("doc_id")),
 
     "q_vocab" -> ((s, d) => {
       val tok = Tables.documents(s, d).select(col("doc_id"),

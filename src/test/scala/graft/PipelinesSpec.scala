@@ -11,6 +11,42 @@ import java.nio.file.{Files, Paths}
 class PipelinesSpec extends SparkSpec {
   import spark.implicits._
 
+  test("curateAtScale: LSH swap collapses exact dups; tracks the exact path on real docs") {
+    import graft.operators.TextDedup
+    import graft.pipelines.CorpusCuration
+    val docs = Tables.documents(spark, sf)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactPairs = pairSet(TextDedup.jaccardPairs(docs, "text", "doc_id",
+      n = 3, threshold = 0.8))
+    val lshPairs = pairSet(TextDedup.minhashLshPairs(docs, "text", "doc_id",
+      n = 3, k = 32, bands = 8, threshold = 0.8))
+    def survivors(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val e = survivors(CorpusCuration.curate(docs, "text", "doc_id"))
+    val l = survivors(CorpusCuration.curateAtScale(docs, "text", "doc_id"))
+    if (exactPairs == lshPairs)
+      assert(l == e, "identical pair sets must curate identically")
+    else {
+      // each differing edge can flip at most its cluster's members;
+      // bound the survivor drift by the edge drift (loose, no-flake)
+      val drift = (exactPairs diff lshPairs).size + (lshPairs diff exactPairs).size
+      assert(((l diff e) ++ (e diff l)).size <= 2 * drift,
+        s"survivor drift ${((l diff e) ++ (e diff l)).size} vs edge drift $drift")
+    }
+    // planted exact duplicates ALWAYS collapse under LSH: identical text
+    // → identical signatures → collision in every band
+    val planted = docs.limit(5)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val withDups = docs.select("doc_id", "text").unionByName(planted)
+    val s2 = survivors(CorpusCuration.curateAtScale(withDups, "text", "doc_id"))
+    val plantedIds = planted.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((s2 & plantedIds).isEmpty,
+      s"planted exact dups survived: ${s2 & plantedIds}")
+    assert(s2 == l, "adding pure duplicates must not change the survivor set")
+  }
+
   test("CorpusCuration: cluster dedup keeps canonical, gates drop low-quality docs") {
     val docs = Seq(
       (0L, Seq.tabulate(30)(i => s"w$i").mkString(" ")),                  // clean, kept
