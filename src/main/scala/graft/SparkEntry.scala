@@ -671,8 +671,11 @@ object SparkEntry {
           transform(col("embedding"), (x, i) =>
             x * (lit(1.0) + lit(0.02) *
               ((col("vec_id") + i) % 5 - 2).cast("double"))).as("embedding"))
+      // 14-bit tables: random-pair collision ~4/2¹⁴ (≈0.3M candidates on
+      // 50k vectors, not 5M at 10 bits); per-table planted-pair recall
+      // 0.9856¹⁴ = 0.87 → miss-all-4 ≈ 3·10⁻⁴
       Similarity.lshNearDupPairs(base.unionByName(dups), "vec_id", "embedding",
-        threshold = 0.9, nbits = 10, tables = 4)
+        threshold = 0.9, nbits = 14, tables = 4)
         .select(col("id_a"), col("id_b"), col("sim"))
         .orderBy("id_a", "id_b")
     }),
@@ -754,7 +757,7 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
-    "q_embed_neardup" -> lshNearDupOracle(nbits = 10, tables = 4, dim = 64,
+    "q_embed_neardup" -> lshNearDupOracle(nbits = 14, tables = 4, dim = 64,
       seed = 42L, threshold = 0.9),
     "q_distinct_profile" ->
       """SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,

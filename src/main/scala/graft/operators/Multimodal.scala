@@ -27,6 +27,12 @@ object Multimodal {
     import java.awt.image.BufferedImage
     import javax.imageio.ImageIO
 
+    // ImageIO's default stream cache writes a TEMP FILE per
+    // created stream — a per-row disk write/delete in every decode task.
+    // Byte-array inputs need no disk backing; keep streams in memory.
+    // (Class-load-time, so it applies once per executor JVM.)
+    ImageIO.setUseCache(false)
+
     /** (meanR, meanG, meanB) as exact integer sums over w·h pixels plus
       * an 8-bin luma histogram (bin = luma >> 5). Means are left as sums
       * so callers choose the division (sum/(w·h) in double is the same

@@ -274,37 +274,26 @@ object Similarity {
 
   /** The deterministic hyperplane component for (global) bit `gbit`,
     * dimension `d` — public so oracles can regenerate the IDENTICAL
-    * plane constants (Double.toString round-trips exactly).
+    * plane constants (Double.toString round-trips exactly). Canonical
+    * definition lives with the native expression.
     */
-  def planeComponent(seed: Long, gbit: Int, d: Int): Double = {
-    val h = scala.util.hashing.MurmurHash3.productHash((seed, gbit, d))
-    h.toDouble / Int.MaxValue
-  }
+  def planeComponent(seed: Long, gbit: Int, d: Int): Double =
+    graft.plans.LshSig.planeComponent(seed, gbit, d)
 
   /** `tables` independent LSH tables in one pass: (id, t, bucket) rows,
-    * one per table, buckets from sign bits against planes at global bit
-    * index t·nbits + b. One projection, one explode — no per-table scans.
+    * one per table. All buckets come from the ONE native [[graft.plans.LshSig]]
+    * expression (plane constants as a reference object, three-loop
+    * codegen) — the composed per-bit-literal form carried tables·nbits
+    * 64-element literals through analysis and codegen, a multi-second
+    * fixed cost per query. Wrong vector length throws loudly (else every
+    * row lands in bucket 0 → O(n²) candidate join).
     */
   def lshBucketsBanded(df: DataFrame, idCol: String, vecCol: String,
                        nbits: Int, tables: Int, dim: Int = 64,
-                       seed: Long = 42L): DataFrame = {
-    val v0 = asDouble(col(vecCol))
-    val v = when(
-      assert_true(size(v0) === lit(dim),
-        concat(lit("lshBucketsBanded: vector length "), size(v0).cast("string"),
-          lit(s" != dim=$dim"))).isNull, v0)
-    val tableCols = (0 until tables).map { t =>
-      val bits = (0 until nbits).map { b =>
-        val plane = typedLit((0 until dim).map(d => planeComponent(seed, t * nbits + b, d)))
-        when(dot(col("_vchk"), plane) >= 0, lit(1L << b)).otherwise(0L)
-      }
-      struct(lit(t).as("t"),
-        bits.reduce((x: Column, y: Column) => x.bitwiseOR(y)).as("bucket"))
-    }
-    df.select(col(idCol), v.as("_vchk"))
-      .select(col(idCol), explode(array(tableCols: _*)).as("_tb"))
-      .select(col(idCol), col("_tb.t").as("t"), col("_tb.bucket").as("bucket"))
-  }
+                       seed: Long = 42L): DataFrame =
+    df.select(col(idCol),
+        posexplode(graft.plans.LshSig.sig(asDouble(col(vecCol)), nbits, tables, dim, seed))
+          .as(Seq("t", "bucket")))
 
   /** Deterministic k-means centroid fit for [[ivfTopK]] — closes the
     * "centroids are caller-provided" gap. Lloyd iterations entirely as
@@ -458,24 +447,11 @@ object Similarity {
     * candidates; used as the scale path for embedding near-dup detection.
     */
   def lshBuckets(df: DataFrame, idCol: String, vecCol: String,
-                 nbits: Int = 16, dim: Int = 64, seed: Long = 42L): DataFrame = {
-    val v0 = asDouble(col(vecCol))
-    // Fail loudly on a dim mismatch: zip_with null-pads the shorter side,
-    // the fold yields null, every bit falls to 0 — and ALL rows silently
-    // land in bucket 0, degenerating the candidate join into O(n²).
-    val v = when(
-      assert_true(size(v0) === lit(dim),
-        concat(lit("lshBuckets: vector length "), size(v0).cast("string"),
-          lit(s" != dim=$dim"))).isNull, v0)
-    // one zip_with dot per bit against a literal hyperplane array — a
-    // compact expression tree (the per-element `element_at(v, i) * w_i`
-    // sum-of-768-terms formulation compiled slowly and re-read v per term)
-    val bits = (0 until nbits).map { b =>
-      val plane = typedLit((0 until dim).map(d => planeComponent(seed, b, d)))
-      val proj = dot(col("_vchk"), plane)
-      when(proj >= 0, lit(1L << b)).otherwise(0L)
-    }
-    df.select(col(idCol), v.as("_vchk"))
-      .select(col(idCol), bits.reduce((x: Column, y: Column) => x.bitwiseOR(y)).as("bucket"))
-  }
+                 nbits: Int = 16, dim: Int = 64, seed: Long = 42L): DataFrame =
+    // single-table special case of the native expression (table 0 uses
+    // global bits 0..nbits-1 — identical constants to the historical
+    // per-bit-literal form); dim mismatch throws loudly inside lsh_sig
+    df.select(col(idCol),
+      element_at(graft.plans.LshSig.sig(asDouble(col(vecCol)), nbits, 1, dim, seed), 1)
+        .as("bucket"))
 }

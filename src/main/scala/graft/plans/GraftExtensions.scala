@@ -72,6 +72,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MaxRun].getName, "max_run"),
       (exprs: Seq[Expression]) => MaxRun(checkArity("max_run", exprs, 1).head)))
     ext.injectFunction((
+      FunctionIdentifier("lsh_sig"),
+      new ExpressionInfo(classOf[LshSig].getName, "lsh_sig"),
+      (exprs: Seq[Expression]) => LshSig(exprs.head,
+        constArg("lsh_sig", exprs, 5, 1, wantStr = false).asInstanceOf[Number].intValue(),
+        constArg("lsh_sig", exprs, 5, 2, wantStr = false).asInstanceOf[Number].intValue(),
+        constArg("lsh_sig", exprs, 5, 3, wantStr = false).asInstanceOf[Number].intValue(),
+        constArg("lsh_sig", exprs, 5, 4, wantStr = false).asInstanceOf[Number].longValue())))
+    ext.injectFunction((
       FunctionIdentifier("unicode_norm"),
       new ExpressionInfo(classOf[UnicodeNorm].getName, "unicode_norm"),
       (exprs: Seq[Expression]) => UnicodeNorm(exprs.head,

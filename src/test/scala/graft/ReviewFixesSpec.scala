@@ -130,8 +130,8 @@ class ReviewFixesSpec extends SparkSpec {
     val bad = intercept[Exception] {
       Similarity.lshBuckets(vecs, "vec_id", "embedding", nbits = 4, dim = 16).collect()
     }
-    assert(bad.getMessage.contains("lshBuckets") ||
-      bad.getCause != null && bad.getCause.getMessage.contains("lshBuckets"),
+    assert(bad.getMessage.contains("lsh_sig") ||
+      bad.getCause != null && bad.getCause.getMessage.contains("lsh_sig"),
       bad.getMessage)
     // matching dim works and yields a non-degenerate bucket set
     val ok = Similarity.lshBuckets(vecs, "vec_id", "embedding", nbits = 4, dim = 8).collect()
