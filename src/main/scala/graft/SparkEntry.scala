@@ -542,6 +542,20 @@ object SparkEntry {
           element_at(col("feature"), 3).cast("double").as("mean_b"))
         .orderBy("doc_id", "frame_idx")
     }),
+    "q_chunk" -> ((s, d) =>
+      // context-length prep: 32-token windows at stride 24 (8-token
+      // overlap), final partial window kept — chunk text and counts are
+      // pure token arithmetic, fully oracle-checkable
+      TextFunctions.chunkByTokens(Tables.documents(s, d), "text", "doc_id",
+        chunkTokens = 32, strideTokens = 24)
+        .orderBy("doc_id", "chunk_idx")),
+    "q_image_phash" -> ((s, d) =>
+      // 56-bit dHash over REAL decoded pixels of the synthetic PNGs; the
+      // oracle recomputes the luma plane and difference bits closed-form
+      Multimodal.imagePHash(s,
+          Multimodal.syntheticImages(s, Tables.documents(s, d), "doc_id"), "id")
+        .select(col("id").as("doc_id"), col("phash"))
+        .orderBy("doc_id")),
     "q_image_frames" -> ((s, d) =>
       // full pixel-decode oracle: deterministic solid/gradient PNGs per
       // doc, decoded with ImageIO; exact channel means + integer-luma
@@ -764,6 +778,41 @@ object SparkEntry {
         | CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
         | CAST(count(*) AS BIGINT) AS n_rows
         |FROM lineitem""".stripMargin,
+    "q_chunk" ->
+      // fixed 0..511 start grid + filter stands in for a lateral
+      // generate_series (docs are ≤ a few hundred tokens; chunkByTokens
+      // itself has no such bound)
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents WHERE len(trim(text)) > 0),
+        |s AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+        |c AS (SELECT doc_id, toks, n, g.st AS st
+        |  FROM s, generate_series(0, 511, 24) g(st) WHERE g.st < n)
+        |SELECT doc_id, CAST(st/24 AS INTEGER) AS chunk_idx,
+        | array_to_string(list_slice(toks, st+1, least(st+32, n)), ' ') AS chunk_text,
+        | CAST(least(32, n - st) AS INTEGER) AS n_tokens
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_image_phash" ->
+      // the dHash oracle: synthetic colors depend only on x, so the 8×8
+      // luma plane is 8 identical rows; difference bits at y·7+x
+      """WITH gx AS (SELECT doc_id, CAST(g.x AS INTEGER) AS x
+        |  FROM documents, generate_series(0, 7) g(x)),
+        |rgb AS (SELECT doc_id, x,
+        |  CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 256 AS INTEGER)
+        |       ELSE CAST(x*255//7 AS INTEGER) END AS r,
+        |  CASE WHEN doc_id % 2 = 0 THEN CAST((doc_id*7 + 3) % 256 AS INTEGER)
+        |       ELSE CAST(doc_id % 256 AS INTEGER) END AS g,
+        |  CASE WHEN doc_id % 2 = 0 THEN CAST((doc_id*13 + 5) % 256 AS INTEGER)
+        |       ELSE CAST(255 - x*255//7 AS INTEGER) END AS b
+        | FROM gx),
+        |lum AS (SELECT doc_id, x, (299*r + 587*g + 114*b)//1000 AS l FROM rgb),
+        |bits AS (SELECT a.doc_id, a.x,
+        |  CASE WHEN b.l > a.l THEN 1 ELSE 0 END AS bit
+        | FROM lum a JOIN lum b ON a.doc_id = b.doc_id AND b.x = a.x + 1
+        | WHERE a.x < 7)
+        |SELECT doc_id,
+        | CAST(coalesce(sum(bit * (1::BIGINT << (y.y*7 + x))), 0) AS BIGINT) AS phash
+        |FROM bits, generate_series(0, 7) y(y)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS sum_qty,

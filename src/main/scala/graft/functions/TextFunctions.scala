@@ -17,6 +17,36 @@ object TextFunctions {
     */
   def tokens(c: Column): Column = split(lower(trim(c)), "\\s+")
 
+  /** Token-window document chunking — the standard context-length prep
+    * for training/embedding pipelines: overlapping windows of
+    * `chunkTokens` tokens at `strideTokens` steps (overlap =
+    * chunk − stride), the final partial window included. One explode of
+    * start offsets per doc (≤ ⌈n/stride⌉ rows), slicing the tokenized
+    * array — no self-joins, no window functions; fan-out is bounded by
+    * the doc's own length. Empty docs emit nothing.
+    *
+    * Output: (id, chunk_idx, chunk_text, n_tokens) where chunk_idx
+    * counts from 0 in document order.
+    */
+  def chunkByTokens(df: org.apache.spark.sql.DataFrame, textCol: String,
+                    idCol: String, chunkTokens: Int,
+                    strideTokens: Int): org.apache.spark.sql.DataFrame = {
+    require(chunkTokens > 0 && strideTokens > 0,
+      "chunk and stride must be positive")
+    require(strideTokens <= chunkTokens,
+      "stride > chunk would skip tokens between consecutive chunks")
+    df.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol), tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), col("_toks"), size(col("_toks")).as("_n"))
+      .select(col(idCol), col("_toks"), col("_n"),
+        posexplode(sequence(lit(0), col("_n") - 1, lit(strideTokens)))
+          .as(Seq("chunk_idx", "_start")))
+      .select(col(idCol), col("chunk_idx"),
+        concat_ws(" ",
+          slice(col("_toks"), col("_start") + 1, lit(chunkTokens))).as("chunk_text"),
+        least(lit(chunkTokens), col("_n") - col("_start")).as("n_tokens"))
+  }
+
   /** BPE-ish token count: words, numbers, and single non-space symbols
     * counted separately (an approximation of subword tokenizer behavior
     * good enough for budget estimation).

@@ -109,6 +109,41 @@ object Multimodal {
       FrameFeature(w, h, sr, sg, sb, hist)
     }
 
+    /** 56-bit difference hash (dHash) over the decoded luma plane,
+      * nearest-neighbor resampled to an 8×8 grid: bit y·7+x set iff
+      * luma(x+1, y) > luma(x, y). Integer arithmetic end-to-end
+      * (integer luma, floor resampling) — reproducible cross-engine,
+      * and 56 bits keeps every shift inside a signed BIGINT for SQL
+      * oracles. Perceptually-similar images differ in few bits; near-dup
+      * detection is hamming distance over these longs.
+      */
+    def dHash(img: BufferedImage): Long = {
+      val w = img.getWidth; val h = img.getHeight
+      val lum = Array.ofDim[Int](8, 8)
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          val rgb = img.getRGB(x * w / 8, y * h / 8)
+          lum(y)(x) = (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF) +
+            114 * (rgb & 0xFF)) / 1000
+          x += 1
+        }
+        y += 1
+      }
+      var hash = 0L
+      y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 7) {
+          if (lum(y)(x + 1) > lum(y)(x)) hash |= 1L << (y * 7 + x)
+          x += 1
+        }
+        y += 1
+      }
+      hash
+    }
+
     /** Encode an RGB pixel function as a real PNG (lossless round-trip). */
     def encodePng(w: Int, h: Int, rgb: (Int, Int) => Int): Array[Byte] = {
       val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
@@ -397,6 +432,60 @@ object Multimodal {
         }
       }
     }.toDF("id", "valid", "format", "width", "height")
+  }
+
+  /** Perceptual hash per media row: (id, valid, phash) with the 56-bit
+    * dHash of the decoded first frame; undecodable media → valid=false,
+    * null hash. The image-side analogue of text fingerprinting — exact
+    * dedup on `phash` catches resized/recompressed copies, and
+    * [[phashNearDupPairs]] catches small edits.
+    */
+  def imagePHash(spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    val ds = df.select(col(idCol).cast("long").as("id"), col("media"))
+      .as[(Long, Array[Byte])]
+    ds.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        ImageCodec.decode(bytes) match {
+          case Some(img) => (id, true, Some(ImageCodec.dHash(img)))
+          case None => (id, false, None)
+        }
+      }
+    }.toDF("id", "valid", "phash")
+  }
+
+  /** Near-duplicate image pairs by dHash hamming distance ≤ `maxHamming`
+    * — banded like SimHash: the 56 bits split into `maxHamming + 1`
+    * bands, so any pair within the bound shares at least one exact band
+    * (pigeonhole); candidates join on (band, band-bits), then the full
+    * hamming check verifies. No O(n²) pass; same shape as
+    * `TextDedup.simhashPairs`.
+    */
+  def phashNearDupPairs(hashes: DataFrame, idCol: String, phashCol: String,
+                        maxHamming: Int = 4): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 56, "maxHamming must be in [0, 56)")
+    val bands = maxHamming + 1
+    val width = 56 / bands + (if (56 % bands == 0) 0 else 1)
+    val h = col(phashCol).cast("long")
+    val bandCols = (0 until bands).map { b =>
+      val lo = b * width
+      val w = math.min(width, 56 - lo)
+      struct(lit(b).as("band"),
+        h.bitwiseAND(lit(((1L << w) - 1) << lo)).as("bits"))
+    }
+    val banded = hashes
+      .select(col(idCol).cast("long").as("_id"), h.as("_h"),
+        explode(array(bandCols: _*)).as("_b"))
+      .select(col("_id"), col("_h"), col("_b.band").as("band"), col("_b.bits").as("bits"))
+    val a = banded.select(col("_id").as("id_a"), col("_h").as("_ha"),
+      col("band"), col("bits"))
+    val b = banded.select(col("_id").as("id_b"), col("_h").as("_hb"),
+      col("band"), col("bits"))
+    a.join(b, Seq("band", "bits")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("_ha").bitwiseXOR(col("_hb"))).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxHamming)
   }
 
   /** Attach a deliberately NON-image binary column (md5 bytes) — the

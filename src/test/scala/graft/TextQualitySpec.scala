@@ -10,6 +10,27 @@ import org.apache.spark.sql.functions._
 class TextQualitySpec extends SparkSpec {
   import spark.implicits._
 
+  test("chunkByTokens: overlap, partial tail, empty docs skipped, disjoint at stride=chunk") {
+    import graft.functions.TextFunctions
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "one two three"),                          // shorter than a chunk
+      (3L, "   ")                                     // empty after trim
+    ).toDF("doc_id", "text")
+    val got = TextFunctions.chunkByTokens(docs, "text", "doc_id", 4, 3)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    assert(got.toSeq == Seq(
+      (1L, 0, "t1 t2 t3 t4", 4), (1L, 1, "t4 t5 t6 t7", 4),
+      (1L, 2, "t7 t8 t9 t10", 4), (1L, 3, "t10", 1),
+      (2L, 0, "one two three", 3)), s"got ${got.toSeq}")
+    // stride == chunk → disjoint cover, token counts sum to doc length
+    val disjoint = TextFunctions.chunkByTokens(docs, "text", "doc_id", 3, 3)
+      .groupBy("doc_id").agg(sum("n_tokens").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(disjoint == Map(1L -> 10L, 2L -> 3L))
+  }
+
   test("ngrams keeps duplicates; shingles is its distinct form") {
     val got = Seq("a b a b").toDF("t")
       .select(TextFunctions.ngrams(col("t"), 2).as("g"),

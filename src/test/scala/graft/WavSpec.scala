@@ -112,6 +112,41 @@ class WavSpec extends SparkSpec {
     assert(ImageCodec.decode("junk".getBytes).isEmpty)
   }
 
+  test("dHash: stable on identical pixels, near on small edits, banded pairs find planted dup") {
+    import Multimodal.ImageCodec
+    def pseudoPx(seed: Int)(x: Int, y: Int): Int = {
+      val h = scala.util.hashing.MurmurHash3.productHash((seed, x, y))
+      h & 0xFFFFFF
+    }
+    // identical pixel content, independent encodes → identical hash
+    val a1 = ImageCodec.decode(ImageCodec.encodePng(16, 16, pseudoPx(1))).get
+    val a2 = ImageCodec.decode(ImageCodec.encodePng(16, 16, pseudoPx(1))).get
+    assert(ImageCodec.dHash(a1) == ImageCodec.dHash(a2))
+    // a small edit (one corner region brightened) moves few bits;
+    // unrelated noise images differ in many
+    def edited(x: Int, y: Int): Int =
+      if (x < 2 && y < 2) 0xFFFFFF else pseudoPx(1)(x, y)
+    val ha = ImageCodec.dHash(a1)
+    val he = ImageCodec.dHash(ImageCodec.decode(ImageCodec.encodePng(16, 16, edited)).get)
+    val hb = ImageCodec.dHash(ImageCodec.decode(ImageCodec.encodePng(16, 16, pseudoPx(7))).get)
+    assert(java.lang.Long.bitCount(ha ^ he) <= 8,
+      s"small edit moved ${java.lang.Long.bitCount(ha ^ he)} bits")
+    assert(java.lang.Long.bitCount(ha ^ hb) > 8,
+      s"unrelated images too close: ${java.lang.Long.bitCount(ha ^ hb)}")
+
+    // distributed: 20 noise images + an edited copy of image 1; banded
+    // near-dup pairs find exactly the planted pair (pigeonhole: no
+    // false negatives within the bound by construction)
+    val rows = ((1 to 20).map(i =>
+        (i.toLong, ImageCodec.encodePng(16, 16, pseudoPx(i)))) :+
+      (100L, ImageCodec.encodePng(16, 16, edited))).toDF("doc_id", "media")
+    val hashes = Multimodal.imagePHash(spark, rows, "doc_id")
+    assert(hashes.filter(!org.apache.spark.sql.functions.col("valid")).count() == 0)
+    val pairs = Multimodal.phashNearDupPairs(hashes, "id", "phash", maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 100L)), s"got $pairs")
+  }
+
   test("distributed probe and frame features; malformed media → nulls, not failures") {
     val rows = Seq(
       (1L, WavCodec.synthesize(440.0, 200)),
