@@ -33,6 +33,26 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextQuality.repetitionReport(noDocs, "text", "doc_id").isEmpty)
   }
 
+  test("round-3 operators on zero rows") {
+    val noMedia = Seq.empty[(Long, Array[Byte])].toDF("doc_id", "media")
+    assert(graft.functions.TextFunctions
+      .chunkByTokens(noDocs, "text", "doc_id", 32, 24).isEmpty)
+    assert(Multimodal.imagePHash(spark, noMedia, "doc_id").isEmpty)
+    assert(Multimodal.imageFrameFeatures(spark, noMedia, "doc_id").isEmpty)
+    assert(Multimodal.sampleFrames(spark, noMedia, "doc_id").isEmpty)
+    val noHashes = Seq.empty[(Long, Long)].toDF("id", "phash")
+    assert(Multimodal.phashNearDupPairs(noHashes, "id", "phash").isEmpty)
+    val noVecs = Seq.empty[(Long, Array[Double])].toDF("vec_id", "embedding")
+    assert(Similarity.lshNearDupPairs(noVecs, "vec_id", "embedding",
+      threshold = 0.9, dim = 64).isEmpty)
+    val chained = Funnel.anchoredChained(noEvents, "user_id", "ts", "event_type",
+      Seq("view", "click"), 1000L).collect()
+    assert(chained.map(r => (r.getInt(0), r.getLong(2))).toSeq ==
+      Seq((1, 0L), (2, 0L)))
+    assert(Funnel.hotUserReport(noEvents, "user_id", "event_type",
+      Seq("view"), 10).isEmpty)
+  }
+
   test("retrieval and events analytics on zero rows") {
     assert(Retrieval.bm25TopK(noDocs, "text", "doc_id", Seq("x")).isEmpty)
     // funnel emits the step skeleton with zero counts, not zero rows —

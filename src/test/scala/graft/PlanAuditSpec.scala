@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions.{col, lit, xxhash64}
 
 /** Physical-plan audit: the properties that decide whether a query
   * survives a 100× scale-up, asserted so a regression (a lost pushdown, a
@@ -151,6 +152,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Window"), s"expected the cohort-size window:\n$p")
     assert(!p.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
       s"cohort window funneled through one partition:\n$p")
+  }
+
+  test("chunkByTokens: pure map-side fan-out — zero exchanges, pruned scan") {
+    // audit the operator (the q_chunk driver query adds a total-order
+    // sort for oracle determinism — that exchange is the harness's)
+    val p = plan(graft.functions.TextFunctions.chunkByTokens(
+      Tables.documents(spark, sf), "text", "doc_id", 32, 24))
+    assert(!p.contains("Exchange"),
+      s"chunking must not shuffle (scan→project→generate only):\n$p")
+    assert(!p.contains("title") && !p.contains("lang"),
+      "chunk scan reads columns the query never uses")
+  }
+
+  test("phashNearDupPairs: banded equi-join, never a cartesian/nested-loop") {
+    val hashes = Tables.documents(spark, sf).limit(50)
+      .select(col("doc_id"), xxhash64(col("text")).bitwiseAND(lit((1L << 56) - 1)).as("phash"))
+    val p = plan(graft.operators.Multimodal.phashNearDupPairs(hashes, "doc_id", "phash"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"hamming pairs regressed to an all-pairs join:\n$p")
+  }
+
+  test("q_embed_neardup: candidate ids deduped before vectors join back") {
+    val p = plan(q("q_embed_neardup"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"LSH near-dup regressed to an all-pairs join:\n$p")
+    // the dedup (HashAggregate on id_a,id_b) must sit below the
+    // vector-fetch joins: the quadratic candidate stream collapses to
+    // distinct id pairs BEFORE any array<double> rides a join
+    assert(p.contains("HashAggregate"), s"candidate dedup missing:\n$p")
   }
 
   test("whole-stage codegen covers the scan-filter-project pipeline") {

@@ -242,6 +242,30 @@ object PropertySpec extends Properties("graft") {
       }
     }
 
+  property("chunkByTokens: full cover, exact reconstruction at stride=chunk") =
+    Prop.forAll(Gen.listOfN(3, Gen.choose(1, 40)),
+                Gen.choose(1, 8), Gen.choose(1, 8)) { (lens, c0, s0) =>
+      val chunk = math.max(c0, s0); val stride = math.min(c0, s0)
+      val docs = lens.zipWithIndex.map { case (n, i) =>
+        (i.toLong, (1 to n).map(t => s"w$t").mkString(" "))
+      }
+      val out = graft.functions.TextFunctions
+        .chunkByTokens(docs.toDF("doc_id", "text"), "text", "doc_id", chunk, stride)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+      out.groupBy(_._1).forall { case (id, chunks) =>
+        val toks = docs(id.toInt)._2.split(" ").toSeq
+        val sorted = chunks.sortBy(_._2)
+        // indices contiguous from 0; every token covered; counts honest
+        sorted.map(_._2).toSeq == sorted.indices.toSeq &&
+          sorted.forall(ch => ch._3.split(" ").length == ch._4) &&
+          sorted.flatMap(ch =>
+            toks.slice(ch._2 * stride, ch._2 * stride + chunk)).toSet == toks.toSet &&
+          // stride == chunk → concatenation reconstructs the document
+          (stride != chunk || sorted.map(_._3).mkString(" ") == toks.mkString(" "))
+      }
+    }
+
   property("jaccardPairs: symmetric key order, values in [threshold, 1]") =
     Prop.forAll(Gen.listOfN(6, wordGen)) { docs =>
       val df = docs.zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
