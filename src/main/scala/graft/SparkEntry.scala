@@ -379,7 +379,7 @@ object SparkEntry {
           expr("percentile(n, 0.99)").as("p99_per_key"))),
     "q_approx_profile" -> ((s, d) => {
       // sketch-only half: HLL estimates are engine-specific (no_oracle);
-      // ApproxProfileSpec bounds them against the exact counts. The
+      // EntrySpec bounds them against the exact counts. The
       // deterministic counts live in q_distinct_profile (oracled).
       val li = Tables.lineitem(s, d)
       li.agg(
