@@ -549,6 +549,24 @@ object SparkEntry {
       TextFunctions.chunkByTokens(Tables.documents(s, d), "text", "doc_id",
         chunkTokens = 32, strideTokens = 24)
         .orderBy("doc_id", "chunk_idx")),
+    "q_audio_fp" -> ((s, d) => {
+      // audio energy-envelope fingerprint over REAL decoded PCM: each
+      // doc's 16-frame amplitude envelope IS its doc_id bit pattern
+      // (0.8/0.2), and at 440 Hz / 16 kHz / 25 ms every frame holds
+      // exactly 11 cycles — equal-amplitude frames are sample-identical,
+      // so the sign-of-delta bits are closed-form: bit f = b(f+1)∧¬b(f)
+      import s.implicits._
+      val ids = Tables.documents(s, d)
+        .select(col("doc_id").cast("long").as("doc_id")).as[Long]
+      val media = ids.mapPartitions(_.map { id =>
+          val amps = (0 until 16).map(f =>
+            if (((id >> f) & 1L) == 1L) 0.8 else 0.2)
+          (id, Multimodal.WavCodec.synthesizeEnvelope(440.0, amps))
+        }).toDF("doc_id", "media")
+      Multimodal.audioFingerprint(s, media, "doc_id")
+        .select(col("id").as("doc_id"), col("afp"))
+        .orderBy("doc_id")
+    }),
     "q_image_phash" -> ((s, d) =>
       // 56-bit dHash over REAL decoded pixels of the synthetic PNGs; the
       // oracle recomputes the luma plane and difference bits closed-form
@@ -791,6 +809,16 @@ object SparkEntry {
         | array_to_string(list_slice(toks, st+1, least(st+32, n)), ' ') AS chunk_text,
         | CAST(least(32, n - st) AS INTEGER) AS n_tokens
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_audio_fp" ->
+      // fingerprint bit f set iff amp rises frame f→f+1, i.e. doc_id
+      // bit f+1 set and bit f clear
+      """WITH f AS (SELECT doc_id, CAST(g.f AS INTEGER) AS f
+        |  FROM documents, generate_series(0, 14) g(f))
+        |SELECT doc_id,
+        | CAST(coalesce(sum(CASE WHEN ((doc_id >> (f+1)) & 1) = 1
+        |    AND ((doc_id >> f) & 1) = 0
+        |   THEN (1::BIGINT << f) ELSE 0 END), 0) AS BIGINT) AS afp
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_image_phash" ->
       // the dHash oracle: synthetic colors depend only on x, so the 8×8
       // luma plane is 8 identical rows; difference bits at y·7+x

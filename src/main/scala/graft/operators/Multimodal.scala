@@ -322,6 +322,34 @@ object Multimodal {
       }
       bb.array()
     }
+
+    /** Synthesize with a PER-FRAME amplitude envelope (one amplitude per
+      * `frameMs` frame, aligned with [[frameStats]] framing) — the
+      * fixture for [[Multimodal.audioFingerprint]]: frame-RMS ordering
+      * then follows the envelope exactly when adjacent amplitudes differ
+      * by more than quantization noise.
+      */
+    def synthesizeEnvelope(freqHz: Double, amps: Seq[Double],
+                           frameMs: Int = 25, rate: Int = 16000): Array[Byte] = {
+      val perFrame = math.max(1, rate * frameMs / 1000)
+      val n = perFrame * amps.size
+      val dataSz = n * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataSz)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSz)
+        .put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(rate).putInt(rate * 2)
+        .putShort(2).putShort(16)
+      bb.put("data".getBytes("US-ASCII")).putInt(dataSz)
+      var i = 0
+      while (i < n) {
+        bb.putShort((amps(i / perFrame) * 32767.0 *
+          math.sin(2.0 * math.Pi * freqHz * i / rate)).toShort)
+        i += 1
+      }
+      bb.array()
+    }
   }
 
   /** Probe real WAV metadata per row (mapPartitions, like [[probeMeta]]).
@@ -432,6 +460,39 @@ object Multimodal {
         }
       }
     }.toDF("id", "valid", "format", "width", "height")
+  }
+
+  /** Audio perceptual fingerprint per media row: (id, valid, afp) with
+    * up to 56 sign-of-delta bits over the frame-RMS sequence (bit f set
+    * iff rms(f+1) > rms(f)) — the audio analogue of the image dHash:
+    * energy-envelope SHAPE, robust to uniform gain. Non-PCM16 media →
+    * valid=false, null fingerprint. Near-dups via
+    * [[phashNearDupPairs]] (it is generic over any ≤56-bit long
+    * column).
+    */
+  def audioFingerprint(spark: SparkSession, df: DataFrame, idCol: String,
+                       frameMs: Int = 25): DataFrame = {
+    import spark.implicits._
+    val ds = df.select(col(idCol).cast("long").as("id"), col("media"))
+      .as[(Long, Array[Byte])]
+    ds.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        val frames = scala.util.Try(WavCodec.frameStats(bytes, frameMs))
+          .getOrElse(Seq.empty)
+        if (frames.isEmpty) (id, false, None)
+        else {
+          var fp = 0L
+          val rms = frames.map(_._2)
+          val n = math.min(rms.size - 1, 56)
+          var f = 0
+          while (f < n) {
+            if (rms(f + 1) > rms(f)) fp |= 1L << f
+            f += 1
+          }
+          (id, true, Some(fp))
+        }
+      }
+    }.toDF("id", "valid", "afp")
   }
 
   /** Perceptual hash per media row: (id, valid, phash) with the 56-bit

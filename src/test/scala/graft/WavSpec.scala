@@ -2,6 +2,7 @@ package graft
 
 import graft.operators.Multimodal
 import graft.operators.Multimodal.WavCodec
+import org.apache.spark.sql.functions.col
 
 /** Real PCM WAV codec: header parse, frame features, distributed paths. */
 class WavSpec extends SparkSpec {
@@ -145,6 +146,34 @@ class WavSpec extends SparkSpec {
     val pairs = Multimodal.phashNearDupPairs(hashes, "id", "phash", maxHamming = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 100L)), s"got $pairs")
+  }
+
+  test("audioFingerprint: envelope shape, gain-invariant, banded near-dup pairs") {
+    def wav(amps: Seq[Double]) = WavCodec.synthesizeEnvelope(440.0, amps)
+    val up = Seq(0.2, 0.8, 0.2, 0.8, 0.2)   // rises at frames 0→1, 2→3
+    val rows = Seq(
+      (1L, wav(up)),
+      (2L, wav(up.map(_ * 0.5))),           // same shape, half the gain
+      (3L, wav(Seq(0.8, 0.2, 0.8, 0.2, 0.8))), // inverted envelope
+      (4L, "not audio".getBytes)
+    ).toDF("doc_id", "media")
+    val fp = Multimodal.audioFingerprint(spark, rows, "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(fp(4L) == ((false, None)))
+    // rises at frame deltas 0 and 2 → bits 0b0101 = 5
+    assert(fp(1L) == ((true, Some(5L))), s"got ${fp(1L)}")
+    // uniform gain change preserves the fingerprint exactly
+    assert(fp(2L) == fp(1L))
+    // inverted envelope: rises at deltas 1 and 3 → 0b1010 = 10
+    assert(fp(3L) == ((true, Some(10L))))
+    // hamming near-dup over afp reuses the generic banded pairs: ids 1
+    // and 2 collide at distance 0; the inverse stays apart (distance 4)
+    val hashes = Multimodal.audioFingerprint(spark, rows.filter(col("doc_id") < 4), "doc_id")
+      .select(col("id"), col("afp"))
+    val pairs = Multimodal.phashNearDupPairs(hashes, "id", "afp", maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
   }
 
   test("distributed probe and frame features; malformed media → nulls, not failures") {
