@@ -386,6 +386,12 @@ object SparkEntry {
         approx_count_distinct(col("l_orderkey")).as("approx_orders"),
         approx_count_distinct(col("l_partkey")).as("approx_parts"))
     }),
+    "q_profile" -> ((s, d) =>
+      // one-pass numeric data-quality profile (the new-monthly-drop
+      // trust check); decimal-exact means make it hash-checkable
+      SchemaOps.profileNumeric(Tables.orders(s, d),
+        Seq("o_custkey", "o_orderkey", "o_totalprice"))
+        .orderBy("column")),
     "q_distinct_profile" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
       li.agg(
@@ -796,6 +802,13 @@ object SparkEntry {
         | CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
         | CAST(count(*) AS BIGINT) AS n_rows
         |FROM lineitem""".stripMargin,
+    "q_profile" -> Seq("o_custkey", "o_orderkey", "o_totalprice").map(c =>
+      s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n,
+         | CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+         | CAST(min($c) AS DOUBLE) AS min, CAST(max($c) AS DOUBLE) AS max,
+         | CAST(sum(CAST($c AS DECIMAL(38,8))) AS DOUBLE) / count($c) AS mean
+         |FROM orders""".stripMargin)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\""),
     "q_chunk" ->
       // fixed 0..511 start grid + filter stands in for a lateral
       // generate_series (docs are ≤ a few hundred tokens; chunkByTokens

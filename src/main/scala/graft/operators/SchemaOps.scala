@@ -57,4 +57,32 @@ object SchemaOps {
       f"total check failed on '$c': got $got%.4f expected $expected%.4f")
     df
   }
+
+  /** One-pass numeric column profile — the data-quality report a
+    * pipeline runs before trusting a new monthly drop: one row per
+    * column with (n, nulls, min, max, mean). ONE aggregation over the
+    * table (every stat is map-side combinable; 5·|cols| partials cross
+    * the wire), unpivoted driver-free via stack. Means go through
+    * DECIMAL (partitioning-invariant, oracle-exact per the engine's
+    * decimal-sum rule).
+    */
+  def profileNumeric(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profileNumeric needs at least one column")
+    val aggs = cols.flatMap { c =>
+      val x = col(c).cast("double")
+      Seq(
+        count(lit(1)).as(s"${c}__n"),
+        sum(when(x.isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        min(x).as(s"${c}__min"),
+        max(x).as(s"${c}__max"),
+        (sum(x.cast("decimal(38,8)")).cast("double") /
+          count(x)).as(s"${c}__mean"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackExpr = cols.map(c =>
+        s"'$c', ${c}__n, ${c}__nulls, ${c}__min, ${c}__max, ${c}__mean")
+      .mkString(s"stack(${cols.size}, ", ", ", ")")
+    one.select(expr(
+      s"$stackExpr as (column, n, nulls, min, max, mean)"))
+  }
 }

@@ -29,6 +29,35 @@ object FileSources {
     r2.csv(path)
   }
 
+  /** Schema-enforced CSV with malformed-row quarantine: rows that fail
+    * the declared schema land in a `_corrupt` column instead of
+    * (silently, PERMISSIVE) nulling fields or (FAILFAST) killing the
+    * job — at 100 TB a bad export always exists somewhere, and the
+    * triage question is "what and how many", not "stack trace or
+    * garbage". Returns (clean rows without `_corrupt`, quarantined raw
+    * lines). Callers count/inspect the quarantine frame and decide;
+    * nothing is dropped silently.
+    */
+  def csvWithQuarantine(spark: SparkSession, path: String,
+                        schema: org.apache.spark.sql.types.StructType,
+                        header: Boolean = true): (DataFrame, DataFrame) = {
+    val withCorrupt = schema.add("_corrupt", "string")
+    val raw = spark.read
+      .option("header", header.toString)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .schema(withCorrupt)
+      .csv(path)
+    val clean = raw.filter(col("_corrupt").isNull).drop("_corrupt")
+    // the quarantine frame keeps the typed fields (whatever half-parsed)
+    // NEXT TO the raw line — triage wants both; it also keeps the scan
+    // referencing data columns (Spark disallows corrupt-column-only
+    // queries over raw CSV — QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+    val quarantined = raw.filter(col("_corrupt").isNotNull)
+      .select(schema.fieldNames.map(col).toSeq :+ col("_corrupt").as("raw_line"): _*)
+    (clean, quarantined)
+  }
+
   /** S2: UTF-16 CSV (OneLink snapshots, json_cleaning.ipynb:64-69).
     *
     * Java's `"\n".getBytes("UTF-16")` prepends a BOM, so the generic

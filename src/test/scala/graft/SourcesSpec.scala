@@ -204,6 +204,43 @@ class SourcesSpec extends SparkSpec {
     assert(msg.contains("strictDate"), msg)
   }
 
+  test("csvWithQuarantine: bad rows isolated with raw lines, clean rows typed") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("quar").toString
+    Files.writeString(Paths.get(s"$dir/drop.csv"),
+      "id,amount,when\n" +
+        "1,10.5,2024-01-31\n" +
+        "2,not-a-number,2024-02-29\n" +   // amount fails DoubleType
+        "3,30.25,2024-03-31\n" +
+        "oops,this,row,has,too,many,fields\n")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("amount", DoubleType),
+      StructField("when", DateType)))
+    val (clean, quarantined) = FileSources.csvWithQuarantine(
+      spark, s"$dir/drop.csv", schema)
+    assert(clean.columns.toSeq == Seq("id", "amount", "when"))
+    assert(clean.orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    assert(quarantined.columns.toSeq == Seq("id", "amount", "when", "raw_line"))
+    val bad = quarantined.collect().map(_.getAs[String]("raw_line"))
+    assert(bad.length == 2, bad.mkString("; "))
+    assert(bad.exists(_.contains("not-a-number")))
+    assert(bad.exists(_.contains("too,many,fields")))
+  }
+
+  test("profileNumeric: one-pass per-column stats, null accounting, exact means") {
+    import graft.operators.SchemaOps
+    val df = Seq(
+      (Some(1.0), Some(10L)), (Some(2.0), None), (Some(4.0), Some(30L))
+    ).toDF("x", "y")
+    val prof = SchemaOps.profileNumeric(df, Seq("x", "y"))
+      .orderBy("column").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(prof.toSeq == Seq(
+      ("x", 3L, 0L, 1.0, 4.0, 7.0 / 3),
+      ("y", 3L, 1L, 10.0, 30.0, 20.0)), prof.toSeq.toString)
+  }
+
   test("sequentialRowIds continue across frames (P5)") {
     val a = Seq("x", "y").toDF("s")
     val b = Seq("z").toDF("s")
