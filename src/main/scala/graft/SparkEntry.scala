@@ -817,7 +817,8 @@ object SparkEntry {
         |  FROM documents WHERE len(trim(text)) > 0),
         |s AS (SELECT doc_id, toks, len(toks) AS n FROM t),
         |c AS (SELECT doc_id, toks, n, g.st AS st
-        |  FROM s, generate_series(0, 511, 24) g(st) WHERE g.st < n)
+        |  FROM s, generate_series(0, 511, 24) g(st)
+        |  WHERE g.st <= greatest(0, CAST(ceil(CAST(n - 32 AS DOUBLE)/24) AS INTEGER)*24))
         |SELECT doc_id, CAST(st/24 AS INTEGER) AS chunk_idx,
         | array_to_string(list_slice(toks, st+1, least(st+32, n)), ' ') AS chunk_text,
         | CAST(least(32, n - st) AS INTEGER) AS n_tokens

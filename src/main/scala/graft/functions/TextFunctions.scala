@@ -35,11 +35,17 @@ object TextFunctions {
       "chunk and stride must be positive")
     require(strideTokens <= chunkTokens,
       "stride > chunk would skip tokens between consecutive chunks")
+    // stop at the FIRST window that reaches the document end: further
+    // starts would emit chunks fully contained in the previous one —
+    // systematically duplicated tail text in a dedup-focused pipeline
+    val lastStart = greatest(lit(0),
+      ceil((col("_n") - lit(chunkTokens)).cast("double") / lit(strideTokens))
+        .cast("int") * lit(strideTokens))
     df.filter(length(trim(col(textCol))) > 0)
       .select(col(idCol), tokens(col(textCol)).as("_toks"))
       .select(col(idCol), col("_toks"), size(col("_toks")).as("_n"))
       .select(col(idCol), col("_toks"), col("_n"),
-        posexplode(sequence(lit(0), col("_n") - 1, lit(strideTokens)))
+        posexplode(sequence(lit(0), lastStart, lit(strideTokens)))
           .as(Seq("chunk_idx", "_start")))
       .select(col(idCol), col("chunk_idx"),
         concat_ws(" ",

@@ -58,6 +58,26 @@ object Graph {
       edges.sparkSession.sparkContext.getCheckpointDir.isDefined
     def cp(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint() else df.localCheckpoint()
+    // In reliable mode, each round's checkpoint supersedes the previous
+    // round's — delete the stale files as we go (cleanCheckpoints is
+    // off by default, so they would otherwise accumulate per call).
+    // Only intermediate rounds are deleted: `base` (feeds the node set)
+    // and the final edge set (feeds the returned frame) must survive
+    // until the caller's action.
+    def cpPath(df: DataFrame): Option[String] =
+      if (!reliable) None
+      else df.queryExecution.analyzed.collectFirst {
+        // a checkpointed Dataset's plan root is LogicalRDD over the
+        // reliably-checkpointed internal RDD (df.rdd would build a NEW
+        // conversion RDD with no checkpoint file)
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }.flatMap(_.getCheckpointFile)
+    def deleteCp(file: Option[String]): Unit = file.foreach { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      scala.util.Try(
+        p.getFileSystem(edges.sparkSession.sparkContext.hadoopConfiguration)
+          .delete(p, true))
+    }
     // One action over the (possibly expensive — a whole shingle→join
     // near-dup pipeline) input: checkpoint the canonical edge list AND
     // the node set together, then iterate over checkpointed data only.
@@ -116,7 +136,11 @@ object Graph {
         converged = ss.union(e).groupBy("u", "v")
           .agg(count(lit(1)).as("c")).filter(col("c") === 1).isEmpty
       }
+      // ss is materialized (eager checkpoint) — the previous round's
+      // file is now unreachable from anything the caller sees
+      val stale = cpPath(e)
       e = ss
+      deleteCp(stale)
       iter += 1
     }
     if (!converged && iter >= maxIter)

@@ -526,13 +526,18 @@ object Multimodal {
                         maxHamming: Int = 4): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 56, "maxHamming must be in [0, 56)")
     val bands = maxHamming + 1
-    val width = 56 / bands + (if (56 % bands == 0) 0 else 1)
+    // distribute the 56 bits so EVERY band is non-empty: base width plus
+    // one extra bit for the first 56 % bands bands. A fixed ceil width
+    // would give trailing bands an empty mask (bits = 0 for every row)
+    // once bands·width overshoots 56 — an accidental all-pairs join.
+    val base = 56 / bands
+    val rem = 56 % bands
+    val widths = (0 until bands).map(b => base + (if (b < rem) 1 else 0))
+    val los = widths.scanLeft(0)(_ + _)
     val h = col(phashCol).cast("long")
     val bandCols = (0 until bands).map { b =>
-      val lo = b * width
-      val w = math.min(width, 56 - lo)
       struct(lit(b).as("band"),
-        h.bitwiseAND(lit(((1L << w) - 1) << lo)).as("bits"))
+        h.bitwiseAND(lit(((1L << widths(b)) - 1) << los(b))).as("bits"))
     }
     val banded = hashes
       .select(col(idCol).cast("long").as("_id"), h.as("_h"),

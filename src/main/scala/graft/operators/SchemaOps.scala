@@ -68,21 +68,25 @@ object SchemaOps {
     */
   def profileNumeric(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profileNumeric needs at least one column")
-    val aggs = cols.flatMap { c =>
-      val x = col(c).cast("double")
-      Seq(
-        count(lit(1)).as(s"${c}__n"),
-        sum(when(x.isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-        min(x).as(s"${c}__min"),
-        max(x).as(s"${c}__max"),
-        (sum(x.cast("decimal(38,8)")).cast("double") /
-          count(x)).as(s"${c}__mean"))
+    // pure Column API with index-based intermediate names — arbitrary
+    // input column names (spaces, hyphens, reserved words) never pass
+    // through SQL text; backticks admit even dotted names
+    val aggs = cols.zipWithIndex.map { case (c, i) =>
+      val x = col(s"`$c`").cast("double")
+      struct(
+        count(lit(1)).as("n"),
+        sum(when(x.isNull, 1L).otherwise(0L)).as("nulls"),
+        min(x).as("min"),
+        max(x).as("max"),
+        (sum(x.cast("decimal(38,8)")).cast("double") / count(x)).as("mean")
+      ).as(s"_p$i")
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
-    val stackExpr = cols.map(c =>
-        s"'$c', ${c}__n, ${c}__nulls, ${c}__min, ${c}__max, ${c}__mean")
-      .mkString(s"stack(${cols.size}, ", ", ", ")")
-    one.select(expr(
-      s"$stackExpr as (column, n, nulls, min, max, mean)"))
+    val rows = cols.zipWithIndex.map { case (c, i) =>
+      struct(lit(c).as("column"), col(s"_p$i.n").as("n"),
+        col(s"_p$i.nulls").as("nulls"), col(s"_p$i.min").as("min"),
+        col(s"_p$i.max").as("max"), col(s"_p$i.mean").as("mean"))
+    }
+    one.select(explode(array(rows: _*)).as("_r")).select(col("_r.*"))
   }
 }

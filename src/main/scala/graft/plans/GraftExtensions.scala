@@ -55,10 +55,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
-      (exprs: Seq[Expression]) =>
-        MinHashSig(exprs.head,
-          constArg("minhash_sig", exprs, 2, 1, wantStr = false)
-            .asInstanceOf[Number].intValue())))
+      (exprs: Seq[Expression]) => {
+        // constArg validates arity BEFORE exprs.head is touched — a
+        // zero-arg call must produce the arity message, not
+        // NoSuchElementException
+        val k = constArg("minhash_sig", exprs, 2, 1, wantStr = false)
+          .asInstanceOf[Number].intValue()
+        MinHashSig(exprs.head, k)
+      }))
     ext.injectFunction((
       FunctionIdentifier("simhash_sig"),
       new ExpressionInfo(classOf[SimHashSig].getName, "simhash_sig"),
@@ -74,15 +78,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("lsh_sig"),
       new ExpressionInfo(classOf[LshSig].getName, "lsh_sig"),
-      (exprs: Seq[Expression]) => LshSig(exprs.head,
-        constArg("lsh_sig", exprs, 5, 1, wantStr = false).asInstanceOf[Number].intValue(),
-        constArg("lsh_sig", exprs, 5, 2, wantStr = false).asInstanceOf[Number].intValue(),
-        constArg("lsh_sig", exprs, 5, 3, wantStr = false).asInstanceOf[Number].intValue(),
-        constArg("lsh_sig", exprs, 5, 4, wantStr = false).asInstanceOf[Number].longValue())))
+      (exprs: Seq[Expression]) => {
+        val nbits = constArg("lsh_sig", exprs, 5, 1, wantStr = false).asInstanceOf[Number].intValue()
+        val tables = constArg("lsh_sig", exprs, 5, 2, wantStr = false).asInstanceOf[Number].intValue()
+        val dim = constArg("lsh_sig", exprs, 5, 3, wantStr = false).asInstanceOf[Number].intValue()
+        val seed = constArg("lsh_sig", exprs, 5, 4, wantStr = false).asInstanceOf[Number].longValue()
+        LshSig(exprs.head, nbits, tables, dim, seed)
+      }))
     ext.injectFunction((
       FunctionIdentifier("unicode_norm"),
       new ExpressionInfo(classOf[UnicodeNorm].getName, "unicode_norm"),
-      (exprs: Seq[Expression]) => UnicodeNorm(exprs.head,
-        constArg("unicode_norm", exprs, 2, 1, wantStr = true).toString)))
+      (exprs: Seq[Expression]) => {
+        val form = constArg("unicode_norm", exprs, 2, 1, wantStr = true).toString
+        UnicodeNorm(exprs.head, form)
+      }))
   }
 }

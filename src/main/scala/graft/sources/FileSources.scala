@@ -42,19 +42,28 @@ object FileSources {
                         schema: org.apache.spark.sql.types.StructType,
                         header: Boolean = true): (DataFrame, DataFrame) = {
     val withCorrupt = schema.add("_corrupt", "string")
-    val raw = spark.read
-      .option("header", header.toString)
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "_corrupt")
-      .schema(withCorrupt)
-      .csv(path)
-    val clean = raw.filter(col("_corrupt").isNull).drop("_corrupt")
-    // the quarantine frame keeps the typed fields (whatever half-parsed)
-    // NEXT TO the raw line — triage wants both; it also keeps the scan
-    // referencing data columns (Spark disallows corrupt-column-only
-    // queries over raw CSV — QUERY_ONLY_CORRUPT_RECORD_COLUMN)
-    val quarantined = raw.filter(col("_corrupt").isNotNull)
-      .select(schema.fieldNames.map(col).toSeq :+ col("_corrupt").as("raw_line"): _*)
+    // BOTH frames parse via from_csv over a text scan: Spark forbids any
+    // query over a raw CSV scan whose referenced columns reduce to the
+    // corrupt column only (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — which is
+    // what clean.count() AND quarantined.count(), the first triage
+    // questions, both plan to. from_csv has no such restriction, and
+    // the quarantine keeps the half-parsed typed fields NEXT TO the raw
+    // line. The canonical header line (names joined by ',') is skipped;
+    // a custom-quoted header surfaces as one quarantined row — visible,
+    // not silent. Limitation (documented): records with embedded
+    // newlines inside quotes split as text lines.
+    val headerLine = schema.fieldNames.mkString(",")
+    val parsed = spark.read.text(path)
+      .filter(if (header) col("value") =!= headerLine else lit(true))
+      .select(col("value"),
+        from_csv(col("value"), withCorrupt,
+          Map("mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> "_corrupt")).as("_p"))
+    val fields = schema.fieldNames.map(f => col(s"_p.`$f`")).toSeq
+    val clean = parsed.filter(col("_p._corrupt").isNull)
+      .select(fields: _*)
+    val quarantined = parsed.filter(col("_p._corrupt").isNotNull)
+      .select(fields :+ col("value").as("raw_line"): _*)
     (clean, quarantined)
   }
 

@@ -53,5 +53,9 @@ class ExtensionsSpec extends SparkSpec {
       .contains("integer"))
     assert(analysisMsg("SELECT vec_dot(array(1.0)) FROM ext_bad").contains("2 arguments"))
     assert(analysisMsg("SELECT max_run(array(s), s) FROM ext_bad").contains("1 argument"))
+    // zero-arg calls: the arity message, not NoSuchElementException
+    assert(analysisMsg("SELECT unicode_norm() FROM ext_bad").contains("2 arguments"))
+    assert(analysisMsg("SELECT minhash_sig() FROM ext_bad").contains("2 arguments"))
+    assert(analysisMsg("SELECT lsh_sig() FROM ext_bad").contains("5 arguments"))
   }
 }

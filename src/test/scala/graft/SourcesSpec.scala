@@ -221,6 +221,9 @@ class SourcesSpec extends SparkSpec {
     assert(clean.columns.toSeq == Seq("id", "amount", "when"))
     assert(clean.orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
     assert(quarantined.columns.toSeq == Seq("id", "amount", "when", "raw_line"))
+    // the first triage question must WORK (a corrupt-column-only CSV
+    // scan would throw QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+    assert(quarantined.count() == 2 && clean.count() == 2)
     val bad = quarantined.collect().map(_.getAs[String]("raw_line"))
     assert(bad.length == 2, bad.mkString("; "))
     assert(bad.exists(_.contains("not-a-number")))

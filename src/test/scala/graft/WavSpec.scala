@@ -146,6 +146,14 @@ class WavSpec extends SparkSpec {
     val pairs = Multimodal.phashNearDupPairs(hashes, "id", "phash", maxHamming = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 100L)), s"got $pairs")
+    // large maxHamming: every band must keep a non-empty bit mask — a
+    // zero-width band would put ALL rows in one bucket (O(n²) join);
+    // with the pigeonhole still sound, the planted pair is still found
+    // and unrelated noise (hamming ~28) stays out at maxHamming=20
+    val wide = Multimodal.phashNearDupPairs(hashes, "id", "phash", maxHamming = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(wide.exists(p => p._1 == 1L && p._2 == 100L))
+    assert(wide.forall(_._3 <= 30))
   }
 
   test("audioFingerprint: envelope shape, gain-invariant, banded near-dup pairs") {
