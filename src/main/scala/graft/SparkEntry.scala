@@ -474,6 +474,16 @@ object SparkEntry {
         .groupBy("n_members").agg(count(lit(1)).as("n_clusters"))
         .orderBy("n_members")
     }),
+    "q_cross_dedup" -> ((s, d) => {
+      // incremental ingestion screen: every 7th doc re-arrives under a
+      // new id and must match its source (and its source's duplicates)
+      // in the existing corpus — old×old pairs are NOT re-reported
+      val corpus = Tables.documents(s, d)
+      val drop = corpus.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + lit(500000L)).as("doc_id"), col("text"))
+      TextDedup.crossCorpusNearDups(drop, corpus, "text", "doc_id")
+        .orderBy("new_id", "corpus_id")
+    }),
     "q_minhash_pairs" -> ((s, d) =>
       TextDedup.minhashLshPairs(Tables.documents(s, d), "text", "doc_id",
         n = 3, k = 32, bands = 8, threshold = 0.5)

@@ -222,6 +222,66 @@ object TextDedup {
       .select(col("doc"), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
   }
 
+  /** (doc, sig, band, bucket) rows for LSH banding — shared by the
+    * self-join ([[minhashLshPairs]]) and cross-corpus
+    * ([[crossCorpusNearDups]]) paths; identical band hashing keeps the
+    * two bit-compatible.
+    */
+  private def bandedSignatures(df: DataFrame, textCol: String, idCol: String,
+                               n: Int, k: Int, bands: Int): DataFrame = {
+    val r = k / bands
+    val sigs = minhashSignatures(df, textCol, idCol, n, k)
+    val bandCols = (0 until bands).map(b =>
+      xxhash64(lit(b), slice(col("sig"), b * r + 1, r)))
+    sigs.select(col("doc"), col("sig"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
+  }
+
+  /** Near-dup pairs BETWEEN a new batch and an existing corpus — the
+    * incremental-ingestion shape: a daily drop screens against the
+    * accumulated corpus WITHOUT re-pairing the corpus with itself
+    * (old×old pairs were already resolved when those docs arrived).
+    * Candidates are asymmetric (new × corpus) band-bucket matches,
+    * verified by signature agreement like [[minhashLshPairs]]. At scale
+    * the corpus side's banded signatures are the thing to PERSIST
+    * across drops (parquet partitioned by (band, bucket)) — then each
+    * increment costs one signature pass over the new docs plus one
+    * bucket join.
+    */
+  def crossCorpusNearDups(newDocs: DataFrame, corpus: DataFrame,
+                          textCol: String, idCol: String,
+                          n: Int = 3, k: Int = 32, bands: Int = 8,
+                          threshold: Double = 0.8,
+                          maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val newBanded = bandedSignatures(newDocs, textCol, idCol, n, k, bands)
+    val corpusBanded0 = bandedSignatures(corpus, textCol, idCol, n, k, bands)
+    // hot-bucket cap on the CORPUS side (the big one): same discipline
+    // as minhashLshPairs — drop whole hot buckets, loudly observable
+    val corpusBanded =
+      if (maxBucketSize == Int.MaxValue) corpusBanded0
+      else {
+        val hot = corpusBanded0.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("m")).filter(col("m") > maxBucketSize)
+          .select("band", "bucket")
+        corpusBanded0.join(hot, Seq("band", "bucket"), "left_anti")
+      }
+    val candidates = newBanded
+      .select(col("doc").as("new_id"), col("sig").as("sig_new"),
+        col("band"), col("bucket"))
+      .join(corpusBanded.select(col("doc").as("corpus_id"),
+        col("sig").as("sig_corpus"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .select("new_id", "corpus_id", "sig_new", "sig_corpus")
+      .dropDuplicates("new_id", "corpus_id")
+    candidates
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_new"), col("sig_corpus"),
+          (x, y) => x === y), b => b)).cast("double") / k)
+      .filter(col("est_jaccard") >= threshold)
+      .select("new_id", "corpus_id", "est_jaccard")
+  }
+
   /** MinHash+LSH candidate pairs: signatures banded into `bands` groups of
     * k/bands rows; docs colliding in ANY band become candidates; candidates
     * are verified by estimated Jaccard = fraction of agreeing signature

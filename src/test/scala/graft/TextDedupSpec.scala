@@ -161,6 +161,29 @@ class TextDedupSpec extends SparkSpec {
     assert(run(reloaded) == run(index))
   }
 
+  test("crossCorpusNearDups: new batch screens against corpus, old pairs not re-reported") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"), // internal dup of 1
+      (3L, "completely different text with other words entirely present"),
+      (4L, "numbers and letters mixed in a unique configuration here")
+    ).toDF("doc_id", "text")
+    val drop = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog tonight"), // re-arrival of 1/2
+      (101L, "a genuinely fresh document with brand new content words")
+    ).toDF("doc_id", "text")
+    val pairs = TextDedup.crossCorpusNearDups(drop, corpus, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // the new doc matches BOTH copies in the corpus at est 1.0; the
+    // fresh doc matches nothing; the (1,2) internal pair is absent
+    assert(pairs == Set((100L, 1L, 1.0), (100L, 2L, 1.0)), s"got $pairs")
+    // hot-bucket cap on the corpus side drops the planted matches
+    // loudly (every bucket of the dup pair exceeds cap=1)
+    val capped = TextDedup.crossCorpusNearDups(drop, corpus, "text", "doc_id",
+      maxBucketSize = 1)
+    assert(capped.isEmpty)
+  }
+
   test("langId picks the language with most stopword hits") {
     val got = Seq("the cat and the dog of the house was here it is",
       "el perro y la casa de los gatos no se un",
