@@ -642,6 +642,22 @@ object SparkEntry {
     }),
 
     // ---- as-of join + corpus curation --------------------------------
+    "q_range_join" -> ((s, d) => {
+      // point-in-interval via the grid-bucketized equi-join (never a
+      // nested loop): order dates landing inside 30-day promotion
+      // windows anchored at every 199th order
+      val ords = Tables.orders(s, d)
+      val pts = ords.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey").as("point_id"),
+          datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("day"))
+      val ivs = ords.filter(col("o_orderkey") % 199 === 0)
+        .select(col("o_orderkey").as("interval_id"),
+          datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("start_day"))
+        .withColumn("end_day", col("start_day") + 30)
+      Joins.rangeJoin(pts, ivs, "day", "start_day", "end_day", grid = 32)
+        .select("point_id", "interval_id", "day")
+        .orderBy("point_id", "interval_id")
+    }),
     "q_asof" -> ((s, d) => {
       val ev = Tables.events(s, d)
       val clicks = ev.filter(col("event_type") === "click")
@@ -819,6 +835,16 @@ object SparkEntry {
          | CAST(sum(CAST($c AS DECIMAL(38,8))) AS DOUBLE) / count($c) AS mean
          |FROM orders""".stripMargin)
       .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\""),
+    "q_range_join" ->
+      """WITH p AS (SELECT o_orderkey AS point_id,
+        |  CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day
+        | FROM orders WHERE o_orderkey % 7 = 0),
+        |i AS (SELECT o_orderkey AS interval_id,
+        |  CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS start_day
+        | FROM orders WHERE o_orderkey % 199 = 0)
+        |SELECT point_id, interval_id, day
+        |FROM p JOIN i ON day BETWEEN start_day AND start_day + 30
+        |ORDER BY point_id, interval_id""".stripMargin,
     "q_chunk" ->
       // fixed 0..511 start grid + filter stands in for a lateral
       // generate_series (docs are ≤ a few hundred tokens; chunkByTokens

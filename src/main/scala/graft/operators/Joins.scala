@@ -191,6 +191,39 @@ object Joins {
     df.sparkSession.createDataFrame(out, schema)
   }
 
+  /** Point-in-interval join WITHOUT a nested loop — Spark's planner
+    * turns a bare `p.day BETWEEN i.start AND i.end` join condition into
+    * BroadcastNestedLoopJoin (broadcastable side) or a cartesian
+    * product: O(|points|·|intervals|) either way. Here intervals
+    * explode onto a coarse grid (one row per `grid`-sized cell they
+    * touch), points equi-join their single cell, and the exact
+    * containment predicate filters — a shuffle hash/sort-merge join
+    * whose cost is collisions, not the cross product.
+    *
+    * `grid` tunes replication vs selectivity: an interval spanning w
+    * units emits ⌈w/grid⌉+1 rows, a cell holds points within `grid` of
+    * each other — pick grid ≈ typical interval width. Values must be
+    * LongType (timestamps via `unix_millis`/`datediff` upstream);
+    * cells use floor division (negative domains stay aligned). Column
+    * names must not collide across the two inputs (join output carries
+    * both sides).
+    */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, pointCol: String,
+                startCol: String, endCol: String, grid: Long): DataFrame = {
+    require(grid > 0, "grid must be positive")
+    // decimal-exact floor division: a double path would mis-bucket
+    // values beyond 2^53 (e.g. nanosecond timestamps)
+    def cell(c: Column): Column =
+      floor(c.cast("decimal(38,0)") / lit(grid)).cast("long")
+    val p = points.withColumn("_cell", cell(col(pointCol)))
+    val iv = intervals
+      .withColumn("_cell",
+        explode(sequence(cell(col(startCol)), cell(col(endCol)))))
+    p.join(iv, Seq("_cell"))
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
+      .drop("_cell")
+  }
+
   /** P5: sequential row ids continued across tables — the reference
     * assigns `range(1, n+1)` to one frame and `range(n+1, n+m+1)` to the
     * next (Study Startup Legacy Data merge.ipynb:41-45,1181-1192).

@@ -183,6 +183,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), s"candidate dedup missing:\n$p")
   }
 
+  test("q_range_join: grid equi-join, never a cartesian/nested-loop") {
+    val p = plan(q("q_range_join"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"range join regressed to an all-pairs plan:\n$p")
+  }
+
   test("whole-stage codegen covers the scan-filter-project pipeline") {
     // AQE hides codegen spans until execution — run the query, then
     // inspect the final executed plan for WholeStageCodegen ids ("*(n)").

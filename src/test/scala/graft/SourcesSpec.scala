@@ -244,6 +244,22 @@ class SourcesSpec extends SparkSpec {
       ("y", 3L, 1L, 10.0, 30.0, 20.0)), prof.toSeq.toString)
   }
 
+  test("rangeJoin: containment exact at cell boundaries, negatives, vs naive join") {
+    val pts = Seq((1L, -35L), (2L, -32L), (3L, 0L), (4L, 31L), (5L, 32L), (6L, 100L))
+      .toDF("pid", "v")
+    val ivs = Seq((10L, -40L, -30L), (11L, -1L, 33L), (12L, 31L, 32L))
+      .toDF("iid", "lo", "hi")
+    val got = graft.operators.Joins.rangeJoin(pts, ivs, "v", "lo", "hi", grid = 16)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // naive reference
+    val expect = (for {
+      p <- Seq((1L, -35L), (2L, -32L), (3L, 0L), (4L, 31L), (5L, 32L), (6L, 100L))
+      i <- Seq((10L, -40L, -30L), (11L, -1L, 33L), (12L, 31L, 32L))
+      if p._2 >= i._2 && p._2 <= i._3
+    } yield (p._1, i._1)).toSet
+    assert(got == expect, s"got $got expect $expect")
+  }
+
   test("sequentialRowIds continue across frames (P5)") {
     val a = Seq("x", "y").toDF("s")
     val b = Seq("z").toDF("s")
