@@ -658,6 +658,22 @@ object SparkEntry {
         .select("point_id", "interval_id", "day")
         .orderBy("point_id", "interval_id")
     }),
+    "q_interval_join" -> ((s, d) => {
+      // overlapping 21- and 30-day windows from two order strata — the
+      // interval×interval companion to q_range_join, same grid plan
+      val ords = Tables.orders(s, d)
+      def days(c: Column) = datediff(c, lit("1970-01-01")).cast("long")
+      val a = ords.filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey").as("a_id"), days(col("o_orderdate")).as("a_start"))
+        .withColumn("a_end", col("a_start") + 21)
+      val b = ords.filter(col("o_orderkey") % 199 === 0)
+        .select(col("o_orderkey").as("b_id"), days(col("o_orderdate")).as("b_start"))
+        .withColumn("b_end", col("b_start") + 30)
+      Joins.intervalOverlapJoin(a, b, "a_id", "a_start", "a_end",
+          "b_id", "b_start", "b_end", grid = 32)
+        .select("a_id", "b_id", "a_start", "b_start")
+        .orderBy("a_id", "b_id")
+    }),
     "q_asof" -> ((s, d) => {
       val ev = Tables.events(s, d)
       val clicks = ev.filter(col("event_type") === "click")
@@ -835,6 +851,16 @@ object SparkEntry {
          | CAST(sum(CAST($c AS DECIMAL(38,8))) AS DOUBLE) / count($c) AS mean
          |FROM orders""".stripMargin)
       .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\""),
+    "q_interval_join" ->
+      """WITH a AS (SELECT o_orderkey AS a_id,
+        |  CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS a_start
+        | FROM orders WHERE o_orderkey % 97 = 0),
+        |b AS (SELECT o_orderkey AS b_id,
+        |  CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS b_start
+        | FROM orders WHERE o_orderkey % 199 = 0)
+        |SELECT a_id, b_id, a_start, b_start
+        |FROM a JOIN b ON a_start <= b_start + 30 AND b_start <= a_start + 21
+        |ORDER BY a_id, b_id""".stripMargin,
     "q_range_join" ->
       """WITH p AS (SELECT o_orderkey AS point_id,
         |  CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day

@@ -224,6 +224,30 @@ object Joins {
       .drop("_cell")
   }
 
+  /** Interval×interval overlap join on the same grid trick as
+    * [[rangeJoin]]: both sides explode onto cells, overlapping pairs
+    * share at least one cell, the exact predicate
+    * (lStart ≤ rEnd ∧ rStart ≤ lEnd) filters, and (`lId`, `rId`)
+    * dedup collapses multi-cell matches. Id columns are required
+    * precisely because a pair CAN meet in several cells.
+    */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+                          lId: String, lStart: String, lEnd: String,
+                          rId: String, rStart: String, rEnd: String,
+                          grid: Long): DataFrame = {
+    require(grid > 0, "grid must be positive")
+    def cell(c: Column): Column =
+      floor(c.cast("decimal(38,0)") / lit(grid)).cast("long")
+    val l = left.withColumn("_cell",
+      explode(sequence(cell(col(lStart)), cell(col(lEnd)))))
+    val r = right.withColumn("_cell",
+      explode(sequence(cell(col(rStart)), cell(col(rEnd)))))
+    l.join(r, Seq("_cell"))
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .drop("_cell")
+      .dropDuplicates(lId, rId)
+  }
+
   /** P5: sequential row ids continued across tables — the reference
     * assigns `range(1, n+1)` to one frame and `range(n+1, n+m+1)` to the
     * next (Study Startup Legacy Data merge.ipynb:41-45,1181-1192).
