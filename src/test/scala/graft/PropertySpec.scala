@@ -266,6 +266,43 @@ object PropertySpec extends Properties("graft") {
       }
     }
 
+  property("rangeJoin ≡ naive BETWEEN join for random intervals and grids") =
+    Prop.forAll(
+      Gen.listOfN(8, Gen.zip(Gen.choose(-50L, 50L), Gen.choose(0L, 40L))),
+      Gen.listOfN(10, Gen.choose(-60L, 60L)),
+      Gen.choose(1L, 64L)) { (ivs, pts, grid) =>
+      val intervals = ivs.zipWithIndex.map { case ((lo, w), i) =>
+        (i.toLong, lo, lo + w) }
+      val points = pts.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      val got = operators.Joins.rangeJoin(
+          points.toDF("pid", "v"), intervals.toDF("iid", "lo", "hi"),
+          "v", "lo", "hi", grid)
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expect = (for {
+        (pid, v) <- points; (iid, lo, hi) <- intervals
+        if v >= lo && v <= hi
+      } yield (pid, iid)).toSet
+      got == expect
+    }
+
+  property("intervalOverlapJoin ≡ naive overlap join for random intervals") =
+    Prop.forAll(
+      Gen.listOfN(7, Gen.zip(Gen.choose(-50L, 50L), Gen.choose(0L, 30L))),
+      Gen.listOfN(7, Gen.zip(Gen.choose(-50L, 50L), Gen.choose(0L, 30L))),
+      Gen.choose(1L, 64L)) { (as, bs, grid) =>
+      val a = as.zipWithIndex.map { case ((lo, w), i) => (i.toLong, lo, lo + w) }
+      val b = bs.zipWithIndex.map { case ((lo, w), i) => (i.toLong, lo, lo + w) }
+      val got = operators.Joins.intervalOverlapJoin(
+          a.toDF("aid", "alo", "ahi"), b.toDF("bid", "blo", "bhi"),
+          "aid", "alo", "ahi", "bid", "blo", "bhi", grid)
+        .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expect = (for {
+        (aid, alo, ahi) <- a; (bid, blo, bhi) <- b
+        if alo <= bhi && blo <= ahi
+      } yield (aid, bid)).toSet
+      got == expect
+    }
+
   property("jaccardPairs: symmetric key order, values in [threshold, 1]") =
     Prop.forAll(Gen.listOfN(6, wordGen)) { docs =>
       val df = docs.zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
