@@ -208,17 +208,28 @@ object Joins {
     * names must not collide across the two inputs (join output carries
     * both sides).
     */
+  /** Exact floor(c / grid) for the FULL long range, negatives included:
+    * subtracting the non-negative pmod first makes the numerator an
+    * exact multiple of grid, so the decimal division has an integer
+    * quotient and its scale-6 HALF_UP rounding can never move it. (A
+    * bare decimal `floor(c/grid)` rounds before flooring — off-by-one
+    * cells for grid ≳ 2·10⁶; a double path mis-buckets beyond 2^53.)
+    */
+  private def gridCell(c: Column, grid: Long): Column =
+    ((c - pmod(c, lit(grid))).cast("decimal(38,0)") / lit(grid)).cast("long")
+
+  private def requireNoCellCol(df: DataFrame, side: String): Unit =
+    require(!df.columns.contains("_cell"),
+      s"$side input already has a `_cell` column — rename it (reserved as the grid-join working column)")
+
   def rangeJoin(points: DataFrame, intervals: DataFrame, pointCol: String,
                 startCol: String, endCol: String, grid: Long): DataFrame = {
     require(grid > 0, "grid must be positive")
-    // decimal-exact floor division: a double path would mis-bucket
-    // values beyond 2^53 (e.g. nanosecond timestamps)
-    def cell(c: Column): Column =
-      floor(c.cast("decimal(38,0)") / lit(grid)).cast("long")
-    val p = points.withColumn("_cell", cell(col(pointCol)))
+    requireNoCellCol(points, "points"); requireNoCellCol(intervals, "intervals")
+    val p = points.withColumn("_cell", gridCell(col(pointCol), grid))
     val iv = intervals
       .withColumn("_cell",
-        explode(sequence(cell(col(startCol)), cell(col(endCol)))))
+        explode(sequence(gridCell(col(startCol), grid), gridCell(col(endCol), grid))))
     p.join(iv, Seq("_cell"))
       .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("_cell")
@@ -229,19 +240,20 @@ object Joins {
     * share at least one cell, the exact predicate
     * (lStart ≤ rEnd ∧ rStart ≤ lEnd) filters, and (`lId`, `rId`)
     * dedup collapses multi-cell matches. Id columns are required
-    * precisely because a pair CAN meet in several cells.
+    * precisely because a pair CAN meet in several cells — and they must
+    * UNIQUELY identify their rows: with duplicate ids the dedup keeps
+    * one arbitrary row per (lId, rId) pair.
     */
   def intervalOverlapJoin(left: DataFrame, right: DataFrame,
                           lId: String, lStart: String, lEnd: String,
                           rId: String, rStart: String, rEnd: String,
                           grid: Long): DataFrame = {
     require(grid > 0, "grid must be positive")
-    def cell(c: Column): Column =
-      floor(c.cast("decimal(38,0)") / lit(grid)).cast("long")
+    requireNoCellCol(left, "left"); requireNoCellCol(right, "right")
     val l = left.withColumn("_cell",
-      explode(sequence(cell(col(lStart)), cell(col(lEnd)))))
+      explode(sequence(gridCell(col(lStart), grid), gridCell(col(lEnd), grid))))
     val r = right.withColumn("_cell",
-      explode(sequence(cell(col(rStart)), cell(col(rEnd)))))
+      explode(sequence(gridCell(col(rStart), grid), gridCell(col(rEnd), grid))))
     l.join(r, Seq("_cell"))
       .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
       .drop("_cell")

@@ -222,15 +222,15 @@ object TextDedup {
       .select(col("doc"), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
   }
 
-  /** (doc, sig, band, bucket) rows for LSH banding — shared by the
-    * self-join ([[minhashLshPairs]]) and cross-corpus
-    * ([[crossCorpusNearDups]]) paths; identical band hashing keeps the
-    * two bit-compatible.
+  /** (doc, sig, band, bucket) rows from a `(doc, sig)` signature frame —
+    * THE band-hash definition, single home: the self-join
+    * ([[minhashLshPairs]]), the observability report
+    * ([[hotBucketReport]]), and the cross-corpus screen
+    * ([[crossCorpusNearDups]]) all band through here, which is what
+    * makes their buckets bit-compatible.
     */
-  private def bandedSignatures(df: DataFrame, textCol: String, idCol: String,
-                               n: Int, k: Int, bands: Int): DataFrame = {
+  private def bandSigFrame(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
     val r = k / bands
-    val sigs = minhashSignatures(df, textCol, idCol, n, k)
     val bandCols = (0 until bands).map(b =>
       xxhash64(lit(b), slice(col("sig"), b * r + 1, r)))
     sigs.select(col("doc"), col("sig"),
@@ -254,8 +254,17 @@ object TextDedup {
                           threshold: Double = 0.8,
                           maxBucketSize: Int = Int.MaxValue): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
-    val newBanded = bandedSignatures(newDocs, textCol, idCol, n, k, bands)
-    val corpusBanded0 = bandedSignatures(corpus, textCol, idCol, n, k, bands)
+    val newBanded = bandSigFrame(
+      minhashSignatures(newDocs, textCol, idCol, n, k), k, bands)
+    // the capped path consumes the corpus banding twice (bucket counts +
+    // anti-join): persist the SIGNATURES — the expensive stage — so the
+    // shingle/MinHash pipeline runs once (same discipline as
+    // minhashLshPairs' self-join persist)
+    val corpusSigs0 = minhashSignatures(corpus, textCol, idCol, n, k)
+    val corpusSigs =
+      if (maxBucketSize == Int.MaxValue) corpusSigs0
+      else corpusSigs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpusBanded0 = bandSigFrame(corpusSigs, k, bands)
     // hot-bucket cap on the CORPUS side (the big one): same discipline
     // as minhashLshPairs — drop whole hot buckets, loudly observable
     val corpusBanded =
@@ -293,15 +302,11 @@ object TextDedup {
                       threshold: Double = 0.8,
                       maxBucketSize: Int = Int.MaxValue): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
-    val r = k / bands
     // persist: the banded frame feeds both sides of the candidate
     // self-join — without it the whole shingle+signature pipeline runs twice
     val sigs = minhashSignatures(df, textCol, idCol, n, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bandCols = (0 until bands).map(b =>
-      xxhash64(lit(b), slice(col("sig"), b * r + 1, r)))
-    val banded0 = sigs.select(col("doc"), col("sig"),
-      posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
+    val banded0 = bandSigFrame(sigs, k, bands)
     // maxBucketSize: the hot-bucket analogue of jaccardPairs'
     // maxPostings — a bucket shared by m docs (crawl boilerplate
     // collapsing to one signature band) emits m² candidate pairs. Hot
@@ -342,11 +347,7 @@ object TextDedup {
                       n: Int = 3, k: Int = 32, bands: Int = 8,
                       maxBucketSize: Int = 100000): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
-    val r = k / bands
-    val sigs = minhashSignatures(df, textCol, idCol, n, k)
-    val bandCols = (0 until bands).map(b =>
-      xxhash64(lit(b), slice(col("sig"), b * r + 1, r)))
-    sigs.select(posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
+    bandSigFrame(minhashSignatures(df, textCol, idCol, n, k), k, bands)
       .groupBy("band", "bucket").agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") > maxBucketSize)
       .orderBy(col("n_docs").desc, col("band"), col("bucket"))

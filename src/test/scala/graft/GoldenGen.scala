@@ -17,7 +17,8 @@ object GoldenGen {
     */
   val goldenQueries: Seq[String] = Seq(
     "q_minhash_pairs", "q_simhash_pairs", "q_lang_id", "q_sample_strat",
-    "q_ann_ivf", "q_approx_profile", "q_curate_lsh", "q_cross_dedup")
+    "q_ann_ivf", "q_approx_profile", "q_curate_lsh", "q_cross_dedup",
+    "q_percentiles_approx")
 
   val goldenDir = "src/test/resources/golden"
   val sfDir = "/root/testdata/sf0.01"

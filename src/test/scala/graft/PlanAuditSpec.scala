@@ -183,10 +183,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), s"candidate dedup missing:\n$p")
   }
 
-  test("q_range_join: grid equi-join, never a cartesian/nested-loop") {
-    val p = plan(q("q_range_join"))
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      s"range join regressed to an all-pairs plan:\n$p")
+  test("q_range_join / q_interval_join: grid equi-joins, never cartesian/nested-loop") {
+    for (name <- Seq("q_range_join", "q_interval_join")) {
+      val p = plan(q(name))
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name regressed to an all-pairs plan:\n$p")
+    }
   }
 
   test("whole-stage codegen covers the scan-filter-project pipeline") {

@@ -244,34 +244,6 @@ class SourcesSpec extends SparkSpec {
       ("y", 3L, 1L, 10.0, 30.0, 20.0)), prof.toSeq.toString)
   }
 
-  test("rangeJoin: containment exact at cell boundaries, negatives, vs naive join") {
-    val pts = Seq((1L, -35L), (2L, -32L), (3L, 0L), (4L, 31L), (5L, 32L), (6L, 100L))
-      .toDF("pid", "v")
-    val ivs = Seq((10L, -40L, -30L), (11L, -1L, 33L), (12L, 31L, 32L))
-      .toDF("iid", "lo", "hi")
-    val got = graft.operators.Joins.rangeJoin(pts, ivs, "v", "lo", "hi", grid = 16)
-      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // naive reference
-    val expect = (for {
-      p <- Seq((1L, -35L), (2L, -32L), (3L, 0L), (4L, 31L), (5L, 32L), (6L, 100L))
-      i <- Seq((10L, -40L, -30L), (11L, -1L, 33L), (12L, 31L, 32L))
-      if p._2 >= i._2 && p._2 <= i._3
-    } yield (p._1, i._1)).toSet
-    assert(got == expect, s"got $got expect $expect")
-  }
-
-  test("intervalOverlapJoin: multi-cell pairs dedup, touching endpoints overlap") {
-    val a = Seq((1L, 0L, 100L), (2L, 200L, 210L)).toDF("a_id", "a_lo", "a_hi")
-    val b = Seq((10L, 50L, 60L), (11L, 100L, 120L), (12L, 211L, 300L))
-      .toDF("b_id", "b_lo", "b_hi")
-    val got = graft.operators.Joins.intervalOverlapJoin(
-        a, b, "a_id", "a_lo", "a_hi", "b_id", "b_lo", "b_hi", grid = 16)
-      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // (1,10) spans several shared cells → exactly one row; (1,11) touch
-    // at 100 → overlap; (2,12) adjacent but disjoint → no row
-    assert(got == Set((1L, 10L), (1L, 11L)), s"got $got")
-  }
-
   test("sequentialRowIds continue across frames (P5)") {
     val a = Seq("x", "y").toDF("s")
     val b = Seq("z").toDF("s")
