@@ -474,6 +474,21 @@ object SparkEntry {
         .groupBy("n_members").agg(count(lit(1)).as("n_clusters"))
         .orderBy("n_members")
     }),
+    "q_sample_k" -> ((s, d) =>
+      // exact-quota deterministic sampling: md5 order is engine-portable
+      // (unlike xxhash64), so this sampler is oracle-checkable
+      TextQuality.sampleKPerGroup(
+        Tables.documents(s, d).select("doc_id", "lang"), "lang",
+        col("doc_id"), k = 20)
+        .orderBy("lang", "doc_id")),
+    "q_vocab_div" -> ((s, d) => {
+      // training-mix drift: JS divergence between even- and odd-id
+      // corpus halves; ln ulp-hardened by 9dp rounding + DECIMAL sums
+      val docs = Tables.documents(s, d)
+      TextQuality.vocabDivergence(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), "text")
+    }),
     "q_cross_dedup" -> ((s, d) => {
       // incremental ingestion screen: every 7th doc re-arrives under a
       // new id and must match its source (and its source's duplicates)
@@ -844,6 +859,33 @@ object SparkEntry {
         | CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
         | CAST(count(*) AS BIGINT) AS n_rows
         |FROM lineitem""".stripMargin,
+    "q_sample_k" ->
+      """WITH r AS (SELECT doc_id, lang,
+        |  row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)) AS rn
+        | FROM documents)
+        |SELECT doc_id, lang FROM r WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin,
+    "q_vocab_div" ->
+      """WITH wa AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |ca AS (SELECT token, count(*) AS ca FROM wa GROUP BY token),
+        |wb AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |cb AS (SELECT token, count(*) AS cb FROM wb GROUP BY token),
+        |j AS (SELECT coalesce(ca.ca, 0) AS ca, coalesce(cb.cb, 0) AS cb
+        |  FROM ca FULL OUTER JOIN cb USING (token)),
+        |tot AS (SELECT sum(ca) AS ta, sum(cb) AS tb FROM j),
+        |terms AS (SELECT ca, cb, ta, tb,
+        |  CAST(ca AS DOUBLE)/ta AS p, CAST(cb AS DOUBLE)/tb AS q FROM j, tot),
+        |r AS (SELECT ca, cb, ta, tb,
+        |  CAST(round(CASE WHEN p > 0 THEN p*ln(2.0*p/(p+q)) ELSE 0.0 END, 9) AS DECIMAL(28,9)) AS tp,
+        |  CAST(round(CASE WHEN q > 0 THEN q*ln(2.0*q/(p+q)) ELSE 0.0 END, 9) AS DECIMAL(28,9)) AS tq
+        | FROM terms)
+        |SELECT 0.5*CAST(sum(tp) AS DOUBLE) + 0.5*CAST(sum(tq) AS DOUBLE) AS js_divergence,
+        | CAST(max(ta) AS BIGINT) AS n_tokens_a, CAST(max(tb) AS BIGINT) AS n_tokens_b,
+        | CAST(sum(CASE WHEN ca > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_a,
+        | CAST(sum(CASE WHEN cb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_b
+        |FROM r""".stripMargin,
     "q_profile" -> Seq("o_custkey", "o_orderkey", "o_totalprice").map(c =>
       s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n,
          | CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,

@@ -57,6 +57,66 @@ object TextQuality {
       (rateCol * 10000).cast("int"))
   }
 
+  /** EXACTLY k rows per group, deterministically: rows rank by the md5
+    * hex of their key (a uniform, engine-portable pseudo-random order —
+    * md5 hashes identically everywhere, unlike xxhash64) and the first
+    * k per group survive. The window partitions BY GROUP (bounded
+    * partitions); ties on identical keys break by the key itself.
+    * Complements [[mixtureSample]] (rate-based, approximate counts)
+    * when quotas must be exact — eval-set construction, per-language
+    * caps.
+    */
+  def sampleKPerGroup(df: DataFrame, groupCol: String, key: Column,
+                      k: Int, salt: String = ""): DataFrame = {
+    require(k > 0, "k must be positive")
+    val ord = md5(concat(key.cast("string"), lit(salt)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(ord, key.cast("string"))
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k).drop("_rn")
+  }
+
+  /** Jensen–Shannon divergence between two corpora's token
+    * distributions — the training-mix drift check (did this month's
+    * crawl shift vocabulary?). Exact token counts via one partial-agg
+    * groupBy per side + a full outer join on token; the only
+    * transcendental (ln) is rounded to 9 dp per term before a DECIMAL
+    * sum, the same ulp-hardening as BM25, so the scalar is
+    * oracle-checkable. Returns one row:
+    * (js_divergence, n_tokens_a, n_tokens_b, vocab_a, vocab_b).
+    * JS = 0.5·Σp·ln(2p/(p+q)) + 0.5·Σq·ln(2q/(p+q)), range [0, ln 2].
+    */
+  def vocabDivergence(a: DataFrame, b: DataFrame, textCol: String): DataFrame = {
+    def counts(df: DataFrame) = df
+      .select(explode(graft.functions.TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val ca = counts(a); val cb = counts(b)
+    val joined = ca.withColumnRenamed("cnt", "ca")
+      .join(cb.withColumnRenamed("cnt", "cb"), Seq("token"), "full_outer")
+      .select(col("token"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val totals = joined.agg(sum(col("ca")).as("ta"), sum(col("cb")).as("tb"))
+    joined.crossJoin(totals)
+      .select(col("ca"), col("cb"), col("ta"), col("tb"),
+        (col("ca").cast("double") / col("ta")).as("p"),
+        (col("cb").cast("double") / col("tb")).as("q"))
+      .select(col("ca"), col("cb"), col("ta"), col("tb"),
+        // terms with p=0 (or q=0) contribute 0 to their half
+        round(when(col("p") > 0,
+          col("p") * log(lit(2.0) * col("p") / (col("p") + col("q"))))
+          .otherwise(lit(0.0)), 9).cast("decimal(28,9)").as("tp"),
+        round(when(col("q") > 0,
+          col("q") * log(lit(2.0) * col("q") / (col("p") + col("q"))))
+          .otherwise(lit(0.0)), 9).cast("decimal(28,9)").as("tq"))
+      .agg(
+        (lit(0.5) * sum(col("tp")).cast("double") +
+          lit(0.5) * sum(col("tq")).cast("double")).as("js_divergence"),
+        first(col("ta")).as("n_tokens_a"), first(col("tb")).as("n_tokens_b"),
+        sum(when(col("ca") > 0, 1L).otherwise(0L)).as("vocab_a"),
+        sum(when(col("cb") > 0, 1L).otherwise(0L)).as("vocab_b"))
+  }
+
   /** Per-document repetition report:
     * (id, n_tokens, n_distinct_tokens, dup_token_frac, max_token_run,
     *  top_ngram, top_ngram_count, top_ngram_frac).

@@ -10,6 +10,36 @@ import org.apache.spark.sql.functions._
 class TextQualitySpec extends SparkSpec {
   import spark.implicits._
 
+  test("sampleKPerGroup: exact quotas, small groups whole, deterministic") {
+    import graft.operators.TextQuality
+    val rows = ((1 to 30).map(i => (i.toLong, "big")) ++
+      (100 to 102).map(i => (i.toLong, "small"))).toDF("id", "g")
+    val got = TextQuality.sampleKPerGroup(rows, "g", col("id"), k = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.count(_._2 == "big") == 5)
+    assert(got.count(_._2 == "small") == 3) // group smaller than k kept whole
+    val again = TextQuality.sampleKPerGroup(rows, "g", col("id"), k = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.sorted.toSeq == again.sorted.toSeq)
+    // a different salt draws a different deterministic sample
+    val salted = TextQuality.sampleKPerGroup(rows, "g", col("id"), k = 5, salt = "x")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(salted.sorted.toSeq != got.sorted.toSeq)
+  }
+
+  test("vocabDivergence: 0 for identical corpora, ln 2 for disjoint vocabularies") {
+    import graft.operators.TextQuality
+    val a = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta")).toDF("doc_id", "text")
+    val same = TextQuality.vocabDivergence(a, a, "text").head()
+    assert(math.abs(same.getDouble(0)) < 1e-9, s"JS(a,a) = ${same.getDouble(0)}")
+    assert(same.getLong(1) == 6L && same.getLong(2) == 6L)
+    assert(same.getLong(3) == 4L && same.getLong(4) == 4L)
+    val b = Seq((1L, "epsilon zeta eta theta iota kappa")).toDF("doc_id", "text")
+    val disjoint = TextQuality.vocabDivergence(a, b, "text").head()
+    assert(math.abs(disjoint.getDouble(0) - math.log(2.0)) < 1e-6,
+      s"disjoint JS = ${disjoint.getDouble(0)} != ln 2")
+  }
+
   test("chunkByTokens: overlap, partial tail, empty docs skipped, disjoint at stride=chunk") {
     import graft.functions.TextFunctions
     val docs = Seq(
