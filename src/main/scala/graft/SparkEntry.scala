@@ -860,11 +860,16 @@ object SparkEntry {
         | CAST(count(*) AS BIGINT) AS n_rows
         |FROM lineitem""".stripMargin,
     "q_sample_k" ->
+      // NULLS FIRST everywhere: Spark ASC is NULLS FIRST, DuckDB
+      // defaults NULLS LAST — latent divergence if the table ever
+      // carries null lang/doc_id
       """WITH r AS (SELECT doc_id, lang,
         |  row_number() OVER (PARTITION BY lang
-        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)) AS rn
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)) NULLS FIRST,
+        |      CAST(doc_id AS VARCHAR) NULLS FIRST) AS rn
         | FROM documents)
-        |SELECT doc_id, lang FROM r WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin,
+        |SELECT doc_id, lang FROM r WHERE rn <= 20
+        |ORDER BY lang NULLS FIRST, doc_id NULLS FIRST""".stripMargin,
     "q_vocab_div" ->
       """WITH wa AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
         |  FROM documents WHERE doc_id % 2 = 0),

@@ -60,20 +60,32 @@ object TextQuality {
   /** EXACTLY k rows per group, deterministically: rows rank by the md5
     * hex of their key (a uniform, engine-portable pseudo-random order —
     * md5 hashes identically everywhere, unlike xxhash64) and the first
-    * k per group survive. The window partitions BY GROUP (bounded
-    * partitions); ties on identical keys break by the key itself.
-    * Complements [[mixtureSample]] (rate-based, approximate counts)
-    * when quotas must be exact — eval-set construction, per-language
-    * caps.
+    * k per group survive. `key` must UNIQUELY identify rows — duplicate
+    * keys make the order between their rows arbitrary.
+    *
+    * Two-phase top-k so no window ever sorts a whole hot group: phase 1
+    * takes each (group, salt-bucket)'s top k (64 bounded partitions per
+    * group), phase 2 re-ranks the ≤ 64·k survivors per group — the
+    * global top-k of a union of per-bucket top-ks is exactly the global
+    * top-k, same discipline as the salted aggregations. Complements
+    * [[mixtureSample]] (rate-based, approximate counts) when quotas
+    * must be exact — eval-set construction, per-language caps.
     */
   def sampleKPerGroup(df: DataFrame, groupCol: String, key: Column,
                       k: Int, salt: String = ""): DataFrame = {
     require(k > 0, "k must be positive")
-    val ord = md5(concat(key.cast("string"), lit(salt)))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(groupCol)).orderBy(ord, key.cast("string"))
-    df.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= k).drop("_rn")
+    val saltBuckets = 64
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol), col("_salt"))
+      .orderBy(col("_ord"), col("_key"))
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("_ord"), col("_key"))
+    df.withColumn("_key", key.cast("string"))
+      .withColumn("_ord", md5(concat(col("_key"), lit(salt))))
+      .withColumn("_salt", pmod(xxhash64(col("_key")), lit(saltBuckets)))
+      .withColumn("_r1", row_number().over(w1)).filter(col("_r1") <= k)
+      .withColumn("_r2", row_number().over(w2)).filter(col("_r2") <= k)
+      .drop("_key", "_ord", "_salt", "_r1", "_r2")
   }
 
   /** Jensen–Shannon divergence between two corpora's token
@@ -84,23 +96,35 @@ object TextQuality {
     * sum, the same ulp-hardening as BM25, so the scalar is
     * oracle-checkable. Returns one row:
     * (js_divergence, n_tokens_a, n_tokens_b, vocab_a, vocab_b).
-    * JS = 0.5·Σp·ln(2p/(p+q)) + 0.5·Σq·ln(2q/(p+q)), range [0, ln 2].
+    * JS = 0.5·Σp·ln(2p/(p+q)) + 0.5·Σq·ln(2q/(p+q)), range [0, ln 2];
+    * NULL (explicitly, never NaN) when either corpus is empty — JS
+    * against an empty distribution is undefined.
     */
   def vocabDivergence(a: DataFrame, b: DataFrame, textCol: String): DataFrame = {
+    // persist the per-side counts: each feeds BOTH its total and the
+    // full-outer join — unpersisted, the whole tokenize/explode/count
+    // subtree (the dominant cost) would run twice per side
     def counts(df: DataFrame) = df
       .select(explode(graft.functions.TextFunctions.tokens(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ca = counts(a); val cb = counts(b)
     val joined = ca.withColumnRenamed("cnt", "ca")
       .join(cb.withColumnRenamed("cnt", "cb"), Seq("token"), "full_outer")
       .select(col("token"),
         coalesce(col("ca"), lit(0L)).as("ca"),
         coalesce(col("cb"), lit(0L)).as("cb"))
-    val totals = joined.agg(sum(col("ca")).as("ta"), sum(col("cb")).as("tb"))
+    // totals straight from the (persisted, vocabulary-sized) per-side
+    // counts — no second pass over the join. coalesce(sum, 0): an EMPTY
+    // side must yield ta=0 (→ null js below), not a null total
+    val totals = ca.agg(coalesce(sum(col("cnt")), lit(0L)).as("ta"))
+      .crossJoin(cb.agg(coalesce(sum(col("cnt")), lit(0L)).as("tb")))
     joined.crossJoin(totals)
       .select(col("ca"), col("cb"), col("ta"), col("tb"),
-        (col("ca").cast("double") / col("ta")).as("p"),
-        (col("cb").cast("double") / col("tb")).as("q"))
+        // try_divide: an empty side has ta=0 — ANSI division would
+        // throw; the null result is absorbed by the explicit guard below
+        try_divide(col("ca").cast("double"), col("ta")).as("p"),
+        try_divide(col("cb").cast("double"), col("tb")).as("q"))
       .select(col("ca"), col("cb"), col("ta"), col("tb"),
         // terms with p=0 (or q=0) contribute 0 to their half
         round(when(col("p") > 0,
@@ -110,8 +134,13 @@ object TextQuality {
           col("q") * log(lit(2.0) * col("q") / (col("p") + col("q"))))
           .otherwise(lit(0.0)), 9).cast("decimal(28,9)").as("tq"))
       .agg(
-        (lit(0.5) * sum(col("tp")).cast("double") +
-          lit(0.5) * sum(col("tq")).cast("double")).as("js_divergence"),
+        // an empty side makes p or q a 0/0 NaN — JS against an empty
+        // distribution is undefined, so the scalar is explicitly NULL
+        // (never a silent NaN/garbage number)
+        when(first(col("ta")) > 0 && first(col("tb")) > 0,
+          lit(0.5) * sum(col("tp")).cast("double") +
+            lit(0.5) * sum(col("tq")).cast("double"))
+          .otherwise(lit(null).cast("double")).as("js_divergence"),
         first(col("ta")).as("n_tokens_a"), first(col("tb")).as("n_tokens_b"),
         sum(when(col("ca") > 0, 1L).otherwise(0L)).as("vocab_a"),
         sum(when(col("cb") > 0, 1L).otherwise(0L)).as("vocab_b"))

@@ -38,6 +38,10 @@ class TextQualitySpec extends SparkSpec {
     val disjoint = TextQuality.vocabDivergence(a, b, "text").head()
     assert(math.abs(disjoint.getDouble(0) - math.log(2.0)) < 1e-6,
       s"disjoint JS = ${disjoint.getDouble(0)} != ln 2")
+    // an empty side yields an EXPLICIT null, never NaN/garbage
+    val empty = TextQuality.vocabDivergence(
+      a.filter(col("doc_id") < 0), a, "text").head()
+    assert(empty.isNullAt(0), s"empty-side JS should be null, got $empty")
   }
 
   test("chunkByTokens: overlap, partial tail, empty docs skipped, disjoint at stride=chunk") {
