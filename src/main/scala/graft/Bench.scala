@@ -67,12 +67,24 @@ object Bench {
     // with the warm time: such queries are excluded from cold_total_sec
     // and listed separately
     val coldFailed = results.collect { case (k, None, Some(_)) => k }
-    val qs = ok.map { case (k, _, v) => "\"" + k + "\":" + f"$v%.3f" }
+    // Per-query map sorted by ASCENDING time: the harness that records
+    // this line keeps only the LAST ~2000 characters of output, so the
+    // entries that matter most (the slowest queries) and the headline
+    // fields must sit at the END of the line to stay visible. JSON
+    // objects are order-insensitive for any real parser, so this costs
+    // nothing.
+    val qs = ok.sortBy(_._3).map { case (k, _, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     def jsonArr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = ok.map(_._3).sum
     val coldTotal = ok.flatMap(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"cold_total_sec":$coldTotal%.3f,"failed":${jsonArr(failed)},"cold_failed":${jsonArr(coldFailed)},"sf":"$sfDir"}""")
+    val line = f"""{"queries":$qs,"failed":${jsonArr(failed)},"cold_failed":${jsonArr(coldFailed)},"sf":"$sfDir","n_queries":${ok.size},"cold_total_sec":$coldTotal%.3f,"metric":"total","value":$total%.3f,"unit":"sec"}"""
+    println(line)
+    // Full, untruncated copy for anyone reading the repo after a run.
+    try {
+      val p = java.nio.file.Paths.get("BENCH_LOCAL.json")
+      java.nio.file.Files.write(p, line.getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }
