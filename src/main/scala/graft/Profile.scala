@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.{Graph, TextDedup}
+
+/** Scratch profiling harness (not part of the driver contract): times the
+  * phases of the dedup-cluster suite to localize bench cost.
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[profile] $label%-40s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      r
+    }
+
+    val docs = graft.Tables.documents(spark, sfDir)
+    docs.write.format("noop").mode("overwrite").save() // warm scan
+
+    for (round <- 1 to 2) {
+      println(s"=== pass $round ===")
+      spark.catalog.clearCache()
+      val pairs = TextDedup.jaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.8)
+      time("jaccardPairs materialize") {
+        pairs.write.format("noop").mode("overwrite").save()
+      }
+      // pairs pipeline is persisted internally; second materialization shows cached cost
+      time("jaccardPairs re-materialize (cached)") {
+        pairs.write.format("noop").mode("overwrite").save()
+      }
+      val frozen = time("pairs localCheckpoint") {
+        pairs.localCheckpoint()
+      }
+      val comps = time("connectedComponents (on frozen pairs)") {
+        val c = Graph.connectedComponents(frozen, "doc_a", "doc_b")
+        c.write.format("noop").mode("overwrite").save(); c
+      }
+      time("dedupClusters join-back + orderBy") {
+        docs.select(col("doc_id").cast("long").as("doc_id"))
+          .join(comps.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("cluster_id"))
+          .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+          .orderBy("doc_id")
+          .write.format("noop").mode("overwrite").save()
+      }
+      spark.catalog.clearCache()
+      time("q_dedup_clusters end-to-end") {
+        SparkEntry.queries("q_dedup_clusters")(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+      }
+      spark.catalog.clearCache()
+      time("q_cluster_stats end-to-end") {
+        SparkEntry.queries("q_cluster_stats")(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+      }
+      spark.catalog.clearCache()
+      time("q_curate_full end-to-end") {
+        SparkEntry.queries("q_curate_full")(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+      }
+      spark.catalog.clearCache()
+      time("q_curate_lsh end-to-end") {
+        SparkEntry.queries("q_curate_lsh")(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+    spark.stop()
+  }
+}
