@@ -43,15 +43,14 @@ object Profile {
       val frozen = time("pairs localCheckpoint") {
         pairs.localCheckpoint()
       }
-      val comps = time("connectedComponents (on frozen pairs)") {
-        val c = Graph.connectedComponents(frozen, "doc_a", "doc_b")
-        c.write.format("noop").mode("overwrite").save(); c
+      time("connectedComponents (on frozen pairs)") {
+        Graph.connectedComponents(frozen, "doc_a", "doc_b")
+          .write.format("noop").mode("overwrite").save()
       }
-      time("dedupClusters join-back + orderBy") {
-        docs.select(col("doc_id").cast("long").as("doc_id"))
-          .join(comps.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
-          .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("cluster_id"))
-          .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+      // the REAL operator (CC + join-back), not an inline re-derivation —
+      // if dedupClusters changes, this phase measures the changed plan
+      time("dedupClusters (CC + join-back) + orderBy") {
+        Graph.dedupClusters(docs, "doc_id", frozen, "doc_a", "doc_b")
           .orderBy("doc_id")
           .write.format("noop").mode("overwrite").save()
       }

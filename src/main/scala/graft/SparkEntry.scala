@@ -740,9 +740,12 @@ object SparkEntry {
     }),
     "q_sample_strat" -> ((s, d) =>
       // deterministic 20% sample per language stratum — reproducible
-      // across engines/cluster sizes, unlike rng-based df.sample
+      // across engines/cluster sizes, unlike rng-based df.sample. Uses
+      // the md5-threshold sampler (engine-portable hash) so the kept
+      // set is oracle-checkable in DuckDB; hashSampleFilter (xxhash64)
+      // is the cheaper hot-path twin with identical semantics.
       Tables.documents(s, d)
-        .filter(TextFunctions.hashSampleFilter(col("doc_id"), 0.2))
+        .filter(TextFunctions.md5SampleFilter(col("doc_id"), 0.2))
         .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
         .orderBy("lang")),
     "q_cosine_pairs" -> ((s, d) =>
@@ -870,6 +873,15 @@ object SparkEntry {
         | FROM documents)
         |SELECT doc_id, lang FROM r WHERE rn <= 20
         |ORDER BY lang NULLS FIRST, doc_id NULLS FIRST""".stripMargin,
+    "q_sample_strat" ->
+      // identical md5-hex threshold literal as md5SampleFilter(_, 0.2):
+      // lowercase hex compares lexicographically = numerically in both
+      // engines
+      s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled
+         |FROM documents
+         |WHERE md5(CAST(doc_id AS VARCHAR)) < '${TextFunctions.md5SampleThreshold(0.2)}'
+         |GROUP BY lang
+         |ORDER BY lang NULLS FIRST""".stripMargin,
     "q_vocab_div" ->
       """WITH wa AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
         |  FROM documents WHERE doc_id % 2 = 0),

@@ -195,6 +195,35 @@ object TextFunctions {
   def hashSampleFilter(key: Column, rate: Double, salt: Int = 0): Column =
     pmod(xxhash64(key, lit(salt)), lit(10000)) < (rate * 10000).toInt
 
+  /** Engine-portable variant of [[hashSampleFilter]]: keep a row iff the
+    * md5 hex of its key is lexicographically below the rate's 32-digit
+    * hex expansion. md5 hashes identically in every engine (unlike
+    * xxhash64), hex digits sort in numeric order, and both Spark and
+    * DuckDB emit lowercase hex — so the kept set is bit-identical across
+    * engines AND oracle-checkable in plain SQL:
+    * `md5(CAST(key AS VARCHAR)) < '<threshold>'`. Same superset-stable
+    * family as the xxhash64 form: lowering the rate shrinks the
+    * threshold string, keeping a subset of the previous sample. The
+    * xxhash64 form stays the hot-path default (one 8-byte hash vs a
+    * 16-byte digest + hex encode); this is the verification-friendly
+    * twin with identical semantics.
+    */
+  def md5SampleFilter(key: Column, rate: Double, salt: String = ""): Column = {
+    require(rate >= 0.0 && rate <= 1.0, "rate must be in [0, 1]")
+    if (rate >= 1.0) lit(true)
+    else md5(concat(key.cast("string"), lit(salt))) < lit(md5SampleThreshold(rate))
+  }
+
+  /** The 32-hex-digit threshold `floor(rate · 16^32)` used by
+    * [[md5SampleFilter]] — exposed so oracle SQL can embed the exact
+    * same literal.
+    */
+  def md5SampleThreshold(rate: Double): String = {
+    val scaled = (BigDecimal(rate) * BigDecimal(BigInt(16).pow(32))).toBigInt
+    val hex = scaled.toString(16)
+    "0" * (32 - hex.length) + hex
+  }
+
   /** Quality signals: length, token stats, punctuation/digit ratios,
     * English stopword ratio — the standard cheap pre-filters for a
     * training-data pipeline.

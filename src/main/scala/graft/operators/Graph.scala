@@ -56,8 +56,13 @@ object Graph {
     // preemptible clusters); executor-local blocks otherwise.
     val reliable =
       edges.sparkSession.sparkContext.getCheckpointDir.isDefined
+    // LAZY checkpoints: the caller's next action over the frame both
+    // materializes the checkpoint and computes whatever that action
+    // needs — one job per round instead of an eager-materialize job
+    // PLUS a convergence job (the two-jobs-per-round shape profiling
+    // showed dominating the per-round fixed cost on small graphs).
     def cp(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint() else df.localCheckpoint()
+      if (reliable) df.checkpoint(eager = false) else df.localCheckpoint(eager = false)
     // In reliable mode, each round's checkpoint supersedes the previous
     // round's — delete the stale files as we go (cleanCheckpoints is
     // off by default, so they would otherwise accumulate per call).
@@ -101,6 +106,8 @@ object Graph {
         .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
         .distinct()
 
+    // one action materializes BOTH lazy checkpoints (base, then e on
+    // top of it) and answers the emptiness probe
     var e = cp(canonical(base))
     var converged = e.isEmpty
     var iter = 0
@@ -127,17 +134,16 @@ object Graph {
           .select(col("v").as("u"), col("m").as("v"))
           .union(ssMin.select(col("u"), col("m").as("v")))))
       // fixpoint: the edge set is stable. Both lists are distinct, so the
-      // symmetric difference is "rows seen once in the union" — ONE
-      // action over the two checkpointed lists (vs a count + except
-      // pair). Skipped on round 0: the star composite converges in one
-      // round only for graphs that were already stars, so the check
-      // would almost always buy nothing.
-      if (iter > 0) {
-        converged = ss.union(e).groupBy("u", "v")
-          .agg(count(lit(1)).as("c")).filter(col("c") === 1).isEmpty
-      }
-      // ss is materialized (eager checkpoint) — the previous round's
-      // file is now unreachable from anything the caller sees
+      // symmetric difference is "rows seen once in the union". This is
+      // the round's ONLY action: the groupBy shuffle drains every
+      // partition of `ss`, which completes ss's lazy checkpoint in the
+      // same job that answers convergence. Checked every round (round 0
+      // included — free now that it shares the materialization job, and
+      // already-star-shaped graphs converge a full round earlier).
+      converged = ss.union(e).groupBy("u", "v")
+        .agg(count(lit(1)).as("c")).filter(col("c") === 1).isEmpty
+      // ss is now materialized — the previous round's file is
+      // unreachable from anything the caller sees
       val stale = cpPath(e)
       e = ss
       deleteCp(stale)

@@ -220,10 +220,8 @@ object Multimodal {
   }
 
   /** REAL codec for one modality: PCM WAV (RIFF). Pure-JVM byte parsing —
-    * no audio library needed — so unlike [[FakeCodec]] this is NOT a
-    * stub: metadata comes from the actual chunk layout and features are
-    * measured from the PCM samples. Demonstrates the swap-in path the
-    * FakeCodec documents.
+    * no audio library needed: metadata comes from the actual chunk
+    * layout and features are measured from the PCM samples.
     */
   object WavCodec {
     case class WavMeta(sample_rate: Int, channels: Int, bits_per_sample: Int,
@@ -389,9 +387,9 @@ object Multimodal {
 
   /** REAL image METADATA probing: PNG / GIF / JPEG dimensions parsed
     * from the container headers in pure JVM — dimension filtering (drop
-    * tiny thumbnails, absurd aspect ratios) needs no pixel decode, so
-    * like [[WavCodec]] this part is NOT a stub; only pixel decode /
-    * resize stays behind [[FakeCodec]].
+    * tiny thumbnails, absurd aspect ratios) needs no pixel decode; the
+    * pixel path itself (decode / resize / dHash) is real ImageIO in
+    * [[ImageCodec.decode]] and the frame/phash operators built on it.
     */
   object ImageMeta {
     case class Dims(format: String, width: Int, height: Int)

@@ -69,11 +69,6 @@ object TextDedup {
     // exploded self-join shuffles 8-byte keys instead of ~8·n-byte
     // strings. Counts are unchanged short of an xxhash64 collision
     // *within one document pair* (~2^-64 per shingle pair — negligible).
-    // persisted because both the size table and the posting lists read it;
-    // deliberately NOT unpersisted here — the frames returned are lazy and
-    // unpersisting before the caller's action would recompute the pipeline
-    // twice. Callers running many dedup jobs in one session should
-    // spark.catalog.clearCache() between them.
     //
     // Doc-id guard: pair keys are packed as (a << 32) | b, which silently
     // corrupts for negative ids or ids >= 2^32 (e.g. xxhash64-derived) —
@@ -87,8 +82,16 @@ object TextDedup {
     val sh = df.select(guardedId.as("doc"),
         explode(TextFunctions.shingles(col(textCol), n)).as("s0"))
       .select(col("doc"), xxhash64(col("s0")).as("s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = sh.groupBy("doc").agg(count(lit(1)).as("sz"))
+    // Per-doc shingle-set size MAP-SIDE from the array (shingles() is
+    // array_distinct'd, so size(array) IS the distinct count): a second
+    // scan of the source text instead of a groupBy over the exploded
+    // stream. At 100 TB that trade is strictly right — the exploded
+    // frame is ~n× the text and aggregating it costs a shuffle's map
+    // side plus (previously) a persist of the whole exploded stream;
+    // re-scanning the pruned (id, text) columns is cheaper than either.
+    val sizes = df.select(guardedId.as("doc"),
+        size(TextFunctions.shingles(col(textCol), n)).as("sz"))
+      .filter(col("sz") > 0)
     // Group each shingle's posting list once and emit doc pairs from it,
     // instead of a self-join: one shuffle on the shingle hash, no
     // sort-merge of the exploded table against itself. Singleton
@@ -107,14 +110,22 @@ object TextDedup {
     // (doc, s) is already distinct — shingles() applies array_distinct —
     // so count(*) per shingle IS the posting size; no pre-distinct needed.
     // The hot-shingle pre-pass only runs when a cap is set: the default
-    // (uncapped) form is the EXACT oracle and keeps the lean two-agg plan.
+    // (uncapped) form is the EXACT oracle and keeps the lean two-agg
+    // plan, where `sh` has exactly ONE consumer (the posting groupBy) —
+    // no persist needed. The capped path reads `sh` twice (hot counts +
+    // anti-join), so only IT persists the exploded stream; deliberately
+    // NOT unpersisted here — the returned frame is lazy and unpersisting
+    // before the caller's action would recompute the pipeline twice.
+    // Callers running many dedup jobs in one session should
+    // spark.catalog.clearCache() between them.
     val kept =
       if (maxPostings == Int.MaxValue) sh
       else {
-        val hot = sh.groupBy("s").agg(count(lit(1)).as("n_docs"))
+        val shP = sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val hot = shP.groupBy("s").agg(count(lit(1)).as("n_docs"))
           .filter(col("n_docs") > maxPostings)
           .select("s")
-        sh.join(hot, Seq("s"), "left_anti")
+        shP.join(hot, Seq("s"), "left_anti")
       }
     val postings = kept
       .groupBy("s").agg(sort_array(collect_set(col("doc"))).as("ds"))
@@ -334,6 +345,52 @@ object TextDedup {
     candidates
       .withColumn("est_jaccard",
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast("double") / k)
+      .filter(col("est_jaccard") >= threshold)
+      .select("doc_a", "doc_b", "est_jaccard")
+  }
+
+  /** Engine-PORTABLE MinHash+LSH twin of [[minhashLshPairs]]: the hash
+    * family is `md5(i + "|" + shingle)` with signature minima taken over
+    * the hex STRINGS (fixed-length lowercase hex compares
+    * lexicographically = numerically in every engine), and band buckets
+    * are `md5` of the "|"-joined band slice. Every stage — shingling,
+    * signature minima, banding, candidate join, est-Jaccard verify — is
+    * expressible in plain SQL, so the FULL LSH pipeline is
+    * oracle-checkable in DuckDB (the native [[minhashLshPairs]] rides on
+    * xxhash64, which no other engine reproduces, and is golden-pinned
+    * instead). k·|shingles| md5 digests per doc make this the
+    * verification twin, not the 100 TB hot path — same trade as
+    * [[jaccardPairs]] vs LSH.
+    */
+  def minhashLshPairsPortable(df: DataFrame, textCol: String, idCol: String,
+                              n: Int = 3, k: Int = 16, bands: Int = 4,
+                              threshold: Double = 0.5): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val r = k / bands
+    val sh = df.select(col(idCol).as("doc"),
+        explode(TextFunctions.shingles(col(textCol), n)).as("s"))
+    val minCols = (0 until k).map(i =>
+      min(md5(concat(lit(s"$i|"), col("s")))).as(s"_h$i"))
+    // persist: the banded frame feeds both sides of the candidate
+    // self-join (same discipline as minhashLshPairs' signature persist)
+    val sigs = sh.groupBy("doc")
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc"), array((0 until k).map(i => col(s"_h$i")): _*).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandCols = (0 until bands).map(b =>
+      md5(concat_ws("|", slice(col("sig"), b * r + 1, r))))
+    val banded = sigs.select(col("doc"), col("sig"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
+    val a = banded.as("a"); val b = banded.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), p => p))
           .cast("double") / k)
       .filter(col("est_jaccard") >= threshold)
       .select("doc_a", "doc_b", "est_jaccard")

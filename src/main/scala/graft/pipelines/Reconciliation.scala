@@ -20,8 +20,15 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Reconciliation {
 
-  /** Detail frame: one row per customer/spend pairing with `_merge`. */
-  def detail(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Unordered detail rows: one row per customer/spend pairing with
+    * `_merge`. The summary path aggregates THIS frame directly — the
+    * orderBy lives only in [[detail]], so the summary plan never carries
+    * a Sort or its range-partitioning sample job (EliminateSorts would
+    * usually drop an orderBy under an aggregate, but keeping the sort out
+    * of the plan entirely is cheaper than relying on the rule and is
+    * pinned in PlanAuditSpec).
+    */
+  def detailUnordered(spark: SparkSession, sfDir: String): DataFrame = {
     val customer = Tables.customer(spark, sfDir)
       .select(col("c_custkey"), col("c_acctbal"))
     val orderAgg = Tables.orders(spark, sfDir)
@@ -30,14 +37,18 @@ object Reconciliation {
         Compat.exactSum(col("o_totalprice"), 2).as("total_spend"),
         count(lit(1)).as("n_orders"))
     Joins.outerWithIndicator(customer, orderAgg, "c_custkey", "o_custkey")
-      .orderBy(coalesce(col("c_custkey"), col("o_custkey")))
   }
+
+  /** Detail frame: [[detailUnordered]] in deterministic key order. */
+  def detail(spark: SparkSession, sfDir: String): DataFrame =
+    detailUnordered(spark, sfDir)
+      .orderBy(coalesce(col("c_custkey"), col("o_custkey")))
 
   /** One-pass masked sums over the detail frame, unpivoted to
     * (metric, value) rows — the console-report totals of the reference.
     */
   def summary(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = detail(spark, sfDir)
+    val d = detailUnordered(spark, sfDir)
     val spend = col("total_spend").cast(DecimalType(27, 2))
     Aggs.summaryTable(d, Seq(
       "matched_spend" -> sum(when(col("_merge") === "both", spend)).cast("double"),

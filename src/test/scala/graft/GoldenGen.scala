@@ -16,7 +16,7 @@ object GoldenGen {
     * (hash-seeded signatures, plan-time hyperplanes).
     */
   val goldenQueries: Seq[String] = Seq(
-    "q_minhash_pairs", "q_simhash_pairs", "q_lang_id", "q_sample_strat",
+    "q_minhash_pairs", "q_simhash_pairs", "q_lang_id",
     "q_ann_ivf", "q_approx_profile", "q_curate_lsh", "q_cross_dedup",
     "q_percentiles_approx")
 

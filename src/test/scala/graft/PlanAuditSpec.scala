@@ -191,6 +191,26 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q_recon_summary: no Sort or range Exchange below the summary aggregate") {
+    // BENCH r2-r5 recorded a bimodal 0.45↔2.3 s band for this query: the
+    // summary used to aggregate over detail()'s orderBy, whose range-
+    // partitioning sample job ran (or didn't) depending on whether
+    // EliminateSorts fired before AQE. The summary now aggregates the
+    // unordered detail frame; this pins that the sort (and its sampling
+    // exchange) can never reappear under the aggregate.
+    val df = q("q_recon_summary")
+    df.collect()
+    // the AQE toString appends the pre-adaptive "Initial Plan" — audit
+    // only the final executed section or every node double-counts
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // exactly one GLOBAL sort (the 5-row metric orderBy); the SMJ's
+    // per-partition sorts (`global=false`) are legitimate join machinery
+    assert("Sort \\[[^\\]]*\\], true,".r.findAllIn(p).size <= 1,
+      s"a second global Sort survives below the summary's metric ordering:\n$p")
+    assert("Exchange rangepartitioning".r.findAllIn(p).size <= 1,
+      s"detail orderBy's range exchange leaked into the summary plan:\n$p")
+  }
+
   test("whole-stage codegen covers the scan-filter-project pipeline") {
     // AQE hides codegen spans until execution — run the query, then
     // inspect the final executed plan for WholeStageCodegen ids ("*(n)").

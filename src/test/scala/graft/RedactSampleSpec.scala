@@ -34,6 +34,26 @@ class RedactSampleSpec extends SparkSpec {
     assert(a + rest == 10000)
   }
 
+  test("md5SampleFilter: deterministic, rate honored, superset-stable, matches threshold semantics") {
+    val ids = (0L until 10000L).toDF("id")
+    val a = ids.filter(TextFunctions.md5SampleFilter(col("id"), 0.2)).count()
+    val b = ids.filter(TextFunctions.md5SampleFilter(col("id"), 0.2)).count()
+    assert(a == b)                       // reproducible
+    assert(a > 1600 && a < 2400, s"rate off: $a/10000")
+    // superset stability: lowering the rate keeps a subset (hex threshold shrinks)
+    val low = ids.filter(TextFunctions.md5SampleFilter(col("id"), 0.05))
+      .collect().map(_.getLong(0)).toSet
+    val high = ids.filter(TextFunctions.md5SampleFilter(col("id"), 0.2))
+      .collect().map(_.getLong(0)).toSet
+    assert(low.subsetOf(high))
+    // boundary rates
+    assert(ids.filter(TextFunctions.md5SampleFilter(col("id"), 1.0)).count() == 10000)
+    assert(ids.filter(TextFunctions.md5SampleFilter(col("id"), 0.0)).count() == 0)
+    // threshold literal is exactly 32 lowercase hex digits (the oracle embeds it)
+    val t = TextFunctions.md5SampleThreshold(0.2)
+    assert(t.length == 32 && t.matches("[0-9a-f]{32}"), t)
+  }
+
   test("mixtureSample: per-stratum rates, subset stability, unlisted strata dropped") {
     import graft.operators.TextQuality
     val docs = (0L until 9000L).map(i =>
