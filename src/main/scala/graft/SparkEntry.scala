@@ -492,7 +492,10 @@ object SparkEntry {
     "q_cross_dedup" -> ((s, d) => {
       // incremental ingestion screen: every 7th doc re-arrives under a
       // new id and must match its source (and its source's duplicates)
-      // in the existing corpus — old×old pairs are NOT re-reported
+      // in the existing corpus — old×old pairs are NOT re-reported.
+      // no_oracle (golden-pinned): signatures ride on xxhash64 like
+      // q_minhash_pairs; the banding/verify machinery itself is
+      // oracle-proven cross-engine by q_minhash_pairs_md5
       val corpus = Tables.documents(s, d)
       val drop = corpus.filter(col("doc_id") % 7 === 0)
         .select((col("doc_id") + lit(500000L)).as("doc_id"), col("text"))
@@ -500,10 +503,21 @@ object SparkEntry {
         .orderBy("new_id", "corpus_id")
     }),
     "q_minhash_pairs" -> ((s, d) =>
+      // no_oracle (golden-pinned): signatures ride on xxhash64, which no
+      // other engine implements — the oracled twin is q_minhash_pairs_md5
       TextDedup.minhashLshPairs(Tables.documents(s, d), "text", "doc_id",
         n = 3, k = 32, bands = 8, threshold = 0.5)
         .orderBy("doc_a", "doc_b")),
+    "q_minhash_pairs_md5" -> ((s, d) =>
+      // the engine-portable LSH twin: md5 hash family, every stage
+      // (shingle → signature minima → banding → verify) DuckDB-oracled
+      TextDedup.minhashLshPairsPortable(Tables.documents(s, d), "text", "doc_id",
+        n = 3, k = 16, bands = 4, threshold = 0.5)
+        .orderBy("doc_a", "doc_b")),
     "q_simhash_pairs" -> ((s, d) =>
+      // no_oracle (golden-pinned): the 64-bit signature votes over
+      // xxhash64(token, seed=42) bit patterns — not reproducible outside
+      // Spark; pinned golden + SimHashSpec property coverage instead
       TextDedup.simhashPairs(Tables.documents(s, d), "text", "doc_id", maxHamming = 3)
         .orderBy("doc_a", "doc_b")),
 
@@ -519,6 +533,9 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
     "q_ann_ivf" -> ((s, d) => {
+      // no_oracle (golden-pinned): k-means|| centroid init seeds from
+      // xxhash64 sampling, so the final partition is engine-specific;
+      // SimilaritySpec proves brute-force parity (recall) instead
       val e = Tables.embeddings(s, d)
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 10),
         e.filter(col("vec_id") % 25 === 0), "vec_id", "embedding", k = 5, nprobe = 4)
@@ -1413,6 +1430,30 @@ object SparkEntry {
         |FROM pairs JOIN sizes sa ON doc_a=sa.doc_id JOIN sizes sb ON doc_b=sb.doc_id
         |WHERE CAST(common AS DOUBLE)/(sa.sz + sb.sz - common) >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_minhash_pairs_md5" ->
+      // mirrors minhashLshPairsPortable bit for bit: same "_"-joined
+      // shingles, same md5('i|'||s) hash family (hex min = numeric min),
+      // same md5-of-band-slice buckets, est_jaccard = agree/16 (exact
+      // power-of-two division — bit-identical doubles)
+      s"""WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_distinct(
+         |  [ws[i]||'_'||ws[i+1]||'_'||ws[i+2] for i in range(1, len(ws)-1)])) AS s FROM w),
+         |sig AS (SELECT doc_id,
+         |  [${(0 until 16).map(i => s"min(md5('$i|'||s))").mkString(", ")}] AS sig
+         | FROM sh GROUP BY doc_id),
+         |bd AS (SELECT doc_id, sig, band,
+         |  md5(array_to_string(list_slice(sig, band*4+1, band*4+4), '|')) AS bucket
+         | FROM sig, (SELECT unnest(range(0, 4)) AS band) bands),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  a.sig AS sig_a, b.sig AS sig_b
+         | FROM bd a JOIN bd b ON a.band = b.band AND a.bucket = b.bucket
+         |  AND a.doc_id < b.doc_id),
+         |scored AS (SELECT doc_a, doc_b,
+         |  CAST(len(list_filter(list_zip(sig_a, sig_b), x -> x[1] = x[2])) AS DOUBLE) / 16 AS est_jaccard
+         | FROM cand)
+         |SELECT doc_a, doc_b, est_jaccard FROM scored
+         |WHERE est_jaccard >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "q_setops" ->
       """WITH hv AS (SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000),
         |b AS (SELECT DISTINCT c_custkey AS custkey FROM customer WHERE c_mktsegment='BUILDING')
