@@ -36,8 +36,10 @@ object Profile {
       time("jaccardPairs materialize") {
         pairs.write.format("noop").mode("overwrite").save()
       }
-      // pairs pipeline is persisted internally; second materialization shows cached cost
-      time("jaccardPairs re-materialize (cached)") {
+      // second materialization: the pair pipeline is deliberately
+      // unpersisted (single-consumer), so this re-runs it — the delta vs
+      // the first pass isolates scan-cache/JIT warmth from plan cost
+      time("jaccardPairs re-materialize (uncached)") {
         pairs.write.format("noop").mode("overwrite").save()
       }
       val frozen = time("pairs localCheckpoint") {

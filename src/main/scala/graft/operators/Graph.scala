@@ -24,6 +24,15 @@ import org.apache.spark.sql.functions._
   *     propagation needs O(diameter) rounds — a pathological chain of
   *     pairwise-similar docs (crawl boilerplate drift) makes that
   *     unbounded.
+  *   - **Adaptive small-graph path.** The canonical edge list is counted
+  *     in the same action that materializes it; when it fits one task
+  *     (default ≤ 2^20 edges = 16 MB of longs), a single-task
+  *     deterministic union-find replaces the distributed rounds — the
+  *     same measured-size adaptivity AQE applies to joins. Near-dup pair
+  *     graphs are usually tiny relative to their corpus (pairs ≪ docs),
+  *     and each star round costs ~8 shuffles of pure fixed overhead at
+  *     that size. Labels are identical by construction (component = min
+  *     member id); PropertySpec runs both paths against each other.
   *   - **No unbounded aggregation buffers.** Star operations are
   *     formulated as groupBy-min + join-back, never
   *     `collect_list(neighbors)` — a hot node (one doc near-similar to
@@ -36,7 +45,9 @@ import org.apache.spark.sql.functions._
   *     use `checkpoint()` and survive executor loss; otherwise
   *     `localCheckpoint()` (executor-local blocks — fine single-node,
   *     lineage-unrecoverable on a preemptible cluster, so production
-  *     jobs SHOULD set a checkpoint dir).
+  *     jobs SHOULD set a checkpoint dir). Checkpoints are LAZY: each
+  *     round's convergence probe is the action that materializes it —
+  *     one job per round, not two.
   *   - Edges live as canonical `(min, max)` longs — one 16-byte shuffle
   *     row per edge, text never moves.
   */
@@ -48,9 +59,14 @@ object Graph {
     * the node's component (deterministic, engine-independent labels).
     * Node ids must be non-null longs; self-loops are ignored. Nodes that
     * appear only as isolated self-loops are still emitted.
+    *
+    * `smallGraphThreshold`: edge count at or below which the single-task
+    * union-find path runs instead of the distributed star rounds. Set 0
+    * to force the distributed path (tests do; production never needs to).
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-                          maxIter: Int = 30): DataFrame = {
+                          maxIter: Int = 30,
+                          smallGraphThreshold: Long = 1L << 20): DataFrame = {
     // Reliable checkpoints when the session has a checkpoint dir (writes
     // to fault-tolerant storage — the production-grade form for
     // preemptible clusters); executor-local blocks otherwise.
@@ -63,12 +79,93 @@ object Graph {
     // showed dominating the per-round fixed cost on small graphs).
     def cp(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint(eager = false) else df.localCheckpoint(eager = false)
+    // One action over the (possibly expensive — a whole shingle→join
+    // near-dup pipeline) input: checkpoint the canonical edge list AND
+    // the node set together, then iterate over checkpointed data only.
+    // The node set rides along as self-loop rows (u = v = node). Each
+    // input row explodes to THREE rows (canonical edge + a self-loop
+    // per endpoint) in ONE pass — a union of two selects over `raw`
+    // would evaluate the entire upstream pair pipeline twice inside
+    // this first action.
+    val raw = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull)
+    val base = raw
+      .select(explode(array(
+          struct(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v")),
+          struct(col("u").as("u"), col("u").as("v")),
+          struct(col("v").as("u"), col("v").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .distinct()
+      .transform(cp)
+    // isolated nodes (self-loop-only or mentioned once) rejoin at the end
+    // — the component computation drops nodes with no surviving edge
+    val nodes = base.select(col("u").as("node")).distinct()
+
+    // one action materializes BOTH lazy checkpoints (base, then e on
+    // top of it) and counts the canonical edges — the number that picks
+    // the execution path below
+    val e = cp(canonical(base))
+    val edgeCount = e.count()
+
+    val labeled: DataFrame =
+      if (edgeCount == 0)
+        e.select(col("v").as("node"), col("u").as("component")).limit(0)
+      else if (edgeCount <= smallGraphThreshold) unionFindLabels(e)
+      else starRoundLabels(e, cp, reliable, maxIter)
+
+    nodes.join(labeled, Seq("node"), "left")
+      .select(col("node"), coalesce(col("component"), col("node")).as("component"))
+  }
+
+  private def canonical(df: DataFrame): DataFrame =
+    df.filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .distinct()
+
+  /** Small-graph path: one narrow stage over the checkpointed edge list
+    * (coalesce(1) reads the partitions without a shuffle), classic
+    * union-find with path halving. Union keeps the SMALLER root, so
+    * every root is its component's minimum id — the same labels the
+    * distributed rounds produce. Nodes never re-parented (roots and
+    * singleton endpoints) may be absent from the output; the caller's
+    * left-join + coalesce(node) assigns them to themselves.
+    */
+  private def unionFindLabels(e: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    e.select(col("u"), col("v")).as[(Long, Long)].coalesce(1)
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x0: Long): Long = {
+          var x = x0
+          while (parent.getOrElse(x, x) != x) {
+            val p = parent(x)
+            parent(x) = parent.getOrElse(p, p) // path halving
+            x = parent(x)
+          }
+          x
+        }
+        it.foreach { case (a, b) =>
+          val ra = find(a); val rb = find(b)
+          if (ra < rb) parent(rb) = ra
+          else if (rb < ra) parent(ra) = rb
+        }
+        parent.keysIterator.toArray.iterator.map(k => (k, find(k)))
+      }
+      .toDF("node", "component")
+  }
+
+  /** Distributed path: alternating large-star / small-star rounds with
+    * lazy per-round checkpoints; the convergence probe is the action
+    * that materializes each round.
+    */
+  private def starRoundLabels(e0: DataFrame, cp: DataFrame => DataFrame,
+                              reliable: Boolean, maxIter: Int): DataFrame = {
     // In reliable mode, each round's checkpoint supersedes the previous
     // round's — delete the stale files as we go (cleanCheckpoints is
     // off by default, so they would otherwise accumulate per call).
-    // Only intermediate rounds are deleted: `base` (feeds the node set)
-    // and the final edge set (feeds the returned frame) must survive
-    // until the caller's action.
+    // Only intermediate rounds are deleted: the input edge set and the
+    // final one must survive until the caller's action.
     def cpPath(df: DataFrame): Option[String] =
       if (!reliable) None
       else df.queryExecution.analyzed.collectFirst {
@@ -80,36 +177,12 @@ object Graph {
     def deleteCp(file: Option[String]): Unit = file.foreach { f =>
       val p = new org.apache.hadoop.fs.Path(f)
       scala.util.Try(
-        p.getFileSystem(edges.sparkSession.sparkContext.hadoopConfiguration)
+        p.getFileSystem(e0.sparkSession.sparkContext.hadoopConfiguration)
           .delete(p, true))
     }
-    // One action over the (possibly expensive — a whole shingle→join
-    // near-dup pipeline) input: checkpoint the canonical edge list AND
-    // the node set together, then iterate over checkpointed data only.
-    // The node set rides along as self-loop rows (u = v = node) so both
-    // come out of a single pass; self-loops are split back out below.
-    val raw = edges
-      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
-      .filter(col("u").isNotNull && col("v").isNotNull)
-    val base = raw
-      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
-      .union(raw.select(explode(array(col("u"), col("v"))).as("n"))
-        .select(col("n").as("u"), col("n").as("v")))
-      .distinct()
-      .transform(cp)
-    // isolated nodes (self-loop-only or mentioned once) rejoin at the end
-    // — the star iterations drop nodes with no surviving edge
-    val nodes = base.select(col("u").as("node")).distinct()
-
-    def canonical(df: DataFrame): DataFrame =
-      df.filter(col("u") =!= col("v"))
-        .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
-        .distinct()
-
-    // one action materializes BOTH lazy checkpoints (base, then e on
-    // top of it) and answers the emptiness probe
-    var e = cp(canonical(base))
-    var converged = e.isEmpty
+    var e = e0
+    var first = true // never delete the caller's input checkpoint
+    var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       // large-star: every node u links its LARGER neighbors to
@@ -144,7 +217,8 @@ object Graph {
         .agg(count(lit(1)).as("c")).filter(col("c") === 1).isEmpty
       // ss is now materialized — the previous round's file is
       // unreachable from anything the caller sees
-      val stale = cpPath(e)
+      val stale = if (first) None else cpPath(e)
+      first = false
       e = ss
       deleteCp(stale)
       iter += 1
@@ -155,11 +229,9 @@ object Graph {
           "raise maxIter (the alternating algorithm needs O(log² n) rounds)")
     // fixpoint edge set is a star per component: (component-min, node).
     // Nodes carrying no edge are their own component.
-    val labeled = e.select(col("v").as("node"), col("u").as("component"))
+    e.select(col("v").as("node"), col("u").as("component"))
       .union(e.select(col("u").as("node"), col("u").as("component")))
       .groupBy("node").agg(min(col("component")).as("component"))
-    nodes.join(labeled, Seq("node"), "left")
-      .select(col("node"), coalesce(col("component"), col("node")).as("component"))
   }
 
   /** Near-dup clustering: docs × similarity pairs → one row per doc with

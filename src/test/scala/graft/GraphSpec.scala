@@ -10,13 +10,18 @@ import org.apache.spark.sql.functions._
 class GraphSpec extends SparkSpec {
   import spark.implicits._
 
-  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
-    Graph.connectedComponents(edges.toDF("a", "b"), "a", "b")
+  private def cc(edges: Seq[(Long, Long)],
+                 smallGraphThreshold: Long = 1L << 20): Map[Long, Long] =
+    Graph.connectedComponents(edges.toDF("a", "b"), "a", "b",
+        smallGraphThreshold = smallGraphThreshold)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
-  test("path graph collapses to one component labeled by its min") {
-    val got = cc((1L to 9L).map(i => (i, i + 1)))
+  test("path graph collapses to one component labeled by its min (both paths)") {
+    val edges = (1L to 9L).map(i => (i, i + 1))
+    val got = cc(edges)
     assert(got.values.toSet == Set(1L) && got.size == 10)
+    // threshold 0 forces the distributed star rounds — identical labels
+    assert(cc(edges, smallGraphThreshold = 0L) == got)
   }
 
   test("two components, self-loops ignored, isolated self-loop node kept") {
@@ -31,12 +36,14 @@ class GraphSpec extends SparkSpec {
   test("reliable checkpoint mode: same labels, checkpoint files actually written") {
     val sc = spark.sparkContext
     val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (5L, 5L))
-    val expected = cc(edges) // localCheckpoint mode (no dir configured)
+    // threshold 0: the per-ROUND reliable checkpointing is what this
+    // test exists for — the star rounds must run
+    val expected = cc(edges, 0L) // localCheckpoint mode (no dir configured)
     assert(sc.getCheckpointDir.isEmpty, "test precondition: no checkpoint dir")
     val dir = java.nio.file.Files.createTempDirectory("cc_ckpt").toString
     try {
       sc.setCheckpointDir(dir)
-      val got = cc(edges) // reliable mode
+      val got = cc(edges, 0L) // reliable mode
       assert(got == expected, s"$got != $expected")
       // the rounds really went through reliable checkpoints: RDD
       // checkpoint data exists under the configured dir
@@ -55,9 +62,10 @@ class GraphSpec extends SparkSpec {
 
   test("hot node: a 5000-neighbor star converges without neighbor-list buffers") {
     // the shape the groupBy-min formulation exists for — a collect_list
-    // implementation would hold all 5000 neighbors in one aggregation buffer
+    // implementation would hold all 5000 neighbors in one aggregation
+    // buffer. threshold 0: must exercise the DISTRIBUTED path.
     val star = (1L to 5000L).map(i => (2500L, 5000L + i))
-    val got = cc(star)
+    val got = cc(star, smallGraphThreshold = 0L)
     assert(got.size == 5001 && got.values.toSet == Set(2500L))
   }
 

@@ -211,6 +211,26 @@ class PlanAuditSpec extends SparkSpec {
       s"detail orderBy's range exchange leaked into the summary plan:\n$p")
   }
 
+  test("q_d6_prefer: keep-first window partitioned by the dedup key, never SinglePartition") {
+    val p = plan(q("q_d6_prefer"))
+    assert(p.contains("Window"), s"expected the keep-first window:\n$p")
+    assert(!p.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+      s"dedup window funneled through one partition:\n$p")
+    assert(p.contains("hashpartitioning(l_orderkey"),
+      s"window must partition on the dedup key:\n$p")
+  }
+
+  test("q_contamination: corpus screens via semi-join, totals map-side, no cartesian") {
+    val p = plan(q("q_contamination"))
+    assert(p.contains("LeftSemi"), s"eval-gram screen lost its semi-join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"contamination went all-pairs:\n$p")
+    // per-doc gram totals come from size(shingles) in a projection — a
+    // groupBy over the exploded gram stream would add a third
+    // aggregate pair (hits partial+final are the only expected ones on
+    // the exploded side, plus eval's distinct)
+    assert(!p.contains("collect_"), s"unbounded buffer appeared:\n$p")
+  }
+
   test("whole-stage codegen covers the scan-filter-project pipeline") {
     // AQE hides codegen spans until execution — run the query, then
     // inspect the final executed plan for WholeStageCodegen ids ("*(n)").

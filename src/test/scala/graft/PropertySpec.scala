@@ -181,10 +181,16 @@ object PropertySpec extends Properties("graft") {
     } yield (a, b))
   } yield es
 
-  property("connectedComponents == union-find on random graphs") =
+  property("connectedComponents == union-find on random graphs (both paths)") =
     Prop.forAll(edgeListGen) { es =>
+      // default threshold → single-task union-find path
       val got = operators.Graph
         .connectedComponents(es.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // threshold 0 → distributed alternating-star path; labels must be
+      // identical (component = min member id in both constructions)
+      val gotDist = operators.Graph
+        .connectedComponents(es.toDF("a", "b"), "a", "b", smallGraphThreshold = 0L)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       // reference: plain union-find with union-by-min
       val parent = scala.collection.mutable.Map[Long, Long]()
@@ -196,7 +202,8 @@ object PropertySpec extends Properties("graft") {
         val (ra, rb) = (find(a), find(b))
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
-      got == parent.keys.map(k => k -> find(k)).toMap
+      val expect = parent.keys.map(k => k -> find(k)).toMap
+      got == expect && gotDist == expect
     }
 
   property("globalPrefixSum == sequential running sum; budget packing invariants") =
