@@ -254,16 +254,32 @@ object TextDedup {
       posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
   }
 
+  /** The persistable cross-drop index: one (doc, sig, band, bucket) row
+    * per (doc, band). Write it once per corpus state —
+    * `bandedSignatures(corpus, ...).write.partitionBy("band").parquet(path)`
+    * — and every subsequent drop screens against the RELOADED frame via
+    * [[crossCorpusNearDupsBanded]] without re-hashing the corpus: the
+    * increment then costs one signature pass over the new docs plus one
+    * bucket join. Buckets are bit-compatible with [[minhashLshPairs]]
+    * and [[hotBucketReport]] (same [[bandSigFrame]] band hash), so the
+    * index one pipeline writes is the index every other screen reads.
+    */
+  def bandedSignatures(df: DataFrame, textCol: String, idCol: String,
+                       n: Int = 3, k: Int = 32, bands: Int = 8): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    bandSigFrame(minhashSignatures(df, textCol, idCol, n, k), k, bands)
+  }
+
   /** Near-dup pairs BETWEEN a new batch and an existing corpus — the
     * incremental-ingestion shape: a daily drop screens against the
     * accumulated corpus WITHOUT re-pairing the corpus with itself
     * (old×old pairs were already resolved when those docs arrived).
     * Candidates are asymmetric (new × corpus) band-bucket matches,
-    * verified by signature agreement like [[minhashLshPairs]]. At scale
-    * the corpus side's banded signatures are the thing to PERSIST
-    * across drops (parquet partitioned by (band, bucket)) — then each
-    * increment costs one signature pass over the new docs plus one
-    * bucket join.
+    * verified by signature agreement like [[minhashLshPairs]].
+    *
+    * This convenience form hashes the corpus in-session; at scale,
+    * persist [[bandedSignatures]] once and call
+    * [[crossCorpusNearDupsBanded]] per drop instead.
     */
   def crossCorpusNearDups(newDocs: DataFrame, corpus: DataFrame,
                           textCol: String, idCol: String,
@@ -271,8 +287,6 @@ object TextDedup {
                           threshold: Double = 0.8,
                           maxBucketSize: Int = Int.MaxValue): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
-    val newBanded = bandSigFrame(
-      minhashSignatures(newDocs, textCol, idCol, n, k), k, bands)
     // the capped path consumes the corpus banding twice (bucket counts +
     // anti-join): persist the SIGNATURES — the expensive stage — so the
     // shingle/MinHash pipeline runs once (same discipline as
@@ -281,7 +295,24 @@ object TextDedup {
     val corpusSigs =
       if (maxBucketSize == Int.MaxValue) corpusSigs0
       else corpusSigs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val corpusBanded0 = bandSigFrame(corpusSigs, k, bands)
+    crossCorpusNearDupsBanded(newDocs, bandSigFrame(corpusSigs, k, bands),
+      textCol, idCol, n, k, bands, threshold, maxBucketSize)
+  }
+
+  /** [[crossCorpusNearDups]] against a PREBUILT (usually
+    * reloaded-from-parquet) [[bandedSignatures]] corpus index —
+    * `corpusBanded` must carry (doc, sig, band, bucket) built with the
+    * same (n, k, bands). The per-drop production entry point: the
+    * corpus text is never re-read, only the new docs are hashed.
+    */
+  def crossCorpusNearDupsBanded(newDocs: DataFrame, corpusBanded0: DataFrame,
+                                textCol: String, idCol: String,
+                                n: Int = 3, k: Int = 32, bands: Int = 8,
+                                threshold: Double = 0.8,
+                                maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val newBanded = bandSigFrame(
+      minhashSignatures(newDocs, textCol, idCol, n, k), k, bands)
     // hot-bucket cap on the CORPUS side (the big one): same discipline
     // as minhashLshPairs — drop whole hot buckets, loudly observable
     val corpusBanded =

@@ -184,6 +184,35 @@ class TextDedupSpec extends SparkSpec {
     assert(capped.isEmpty)
   }
 
+  test("bandedSignatures parquet round-trip: reloaded index screens identically") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "completely different text with other words entirely present"),
+      (4L, "numbers and letters mixed in a unique configuration here")
+    ).toDF("doc_id", "text")
+    val drop = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog tonight"),
+      (101L, "a genuinely fresh document with brand new content words")
+    ).toDF("doc_id", "text")
+    val index = TextDedup.bandedSignatures(corpus, "text", "doc_id")
+    val dir = java.nio.file.Files.createTempDirectory("lsh_index").toString
+    // partitioned by band: a drop's bucket join prunes to the bands it
+    // actually probes — the cross-drop index layout the operator documents
+    index.write.partitionBy("band").mode("overwrite").parquet(s"$dir/idx")
+    val reloaded = spark.read.parquet(s"$dir/idx")
+    def run(ix: org.apache.spark.sql.DataFrame) =
+      TextDedup.crossCorpusNearDupsBanded(drop, ix, "text", "doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val direct = TextDedup.crossCorpusNearDups(drop, corpus, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(run(reloaded) == direct && run(index) == direct,
+      s"reloaded=${run(reloaded)} direct=$direct")
+    // capped screening works against the reloaded index too
+    assert(TextDedup.crossCorpusNearDupsBanded(drop, reloaded, "text", "doc_id",
+      maxBucketSize = 1).isEmpty)
+  }
+
   test("langId picks the language with most stopword hits") {
     val got = Seq("the cat and the dog of the house was here it is",
       "el perro y la casa de los gatos no se un",
