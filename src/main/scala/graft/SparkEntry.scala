@@ -1432,15 +1432,19 @@ object SparkEntry {
         |ORDER BY doc_a, doc_b""".stripMargin,
     "q_minhash_pairs_md5" ->
       // mirrors minhashLshPairsPortable bit for bit: same "_"-joined
-      // shingles, same md5('i|'||s) hash family (hex min = numeric min),
-      // same md5-of-band-slice buckets, est_jaccard = agree/16 (exact
-      // power-of-two division — bit-identical doubles)
+      // shingles, same md5-seeded double-hashing family h_i = a + i*b
+      // over the digest's two 48-bit halves, same md5-of-band-slice
+      // buckets, est_jaccard = agree/16 (exact power-of-two division —
+      // bit-identical doubles)
       s"""WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents),
          |sh AS (SELECT doc_id, unnest(list_distinct(
          |  [ws[i]||'_'||ws[i+1]||'_'||ws[i+2] for i in range(1, len(ws)-1)])) AS s FROM w),
+         |ab AS (SELECT doc_id,
+         |  ('0x' || substr(md5(s), 1, 12))::BIGINT AS a,
+         |  ('0x' || substr(md5(s), 13, 12))::BIGINT AS b FROM sh),
          |sig AS (SELECT doc_id,
-         |  [${(0 until 16).map(i => s"min(md5('$i|'||s))").mkString(", ")}] AS sig
-         | FROM sh GROUP BY doc_id),
+         |  [${(0 until 16).map(i => s"min(a + $i*b)").mkString(", ")}] AS sig
+         | FROM ab GROUP BY doc_id),
          |bd AS (SELECT doc_id, sig, band,
          |  md5(array_to_string(list_slice(sig, band*4+1, band*4+4), '|')) AS bucket
          | FROM sig, (SELECT unnest(range(0, 4)) AS band) bands),

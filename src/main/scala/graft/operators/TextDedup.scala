@@ -387,28 +387,33 @@ object TextDedup {
       .select("doc_a", "doc_b", "est_jaccard")
   }
 
-  /** Engine-PORTABLE MinHash+LSH twin of [[minhashLshPairs]]: the hash
-    * family is `md5(i + "|" + shingle)` with signature minima taken over
-    * the hex STRINGS (fixed-length lowercase hex compares
-    * lexicographically = numerically in every engine), and band buckets
-    * are `md5` of the "|"-joined band slice. Every stage — shingling,
-    * signature minima, banding, candidate join, est-Jaccard verify — is
-    * expressible in plain SQL, so the FULL LSH pipeline is
-    * oracle-checkable in DuckDB (the native [[minhashLshPairs]] rides on
-    * xxhash64, which no other engine reproduces, and is golden-pinned
-    * instead). k·|shingles| md5 digests per doc make this the
-    * verification twin, not the 100 TB hot path — same trade as
-    * [[jaccardPairs]] vs LSH.
+  /** Engine-PORTABLE MinHash+LSH twin of [[minhashLshPairs]]: ONE md5
+    * per shingle splits into two 48-bit halves (a, b) — parsable in any
+    * engine (`conv(hex, 16, 10)` here, `('0x'||hex)::BIGINT` in DuckDB)
+    * — and the k-function family is Kirsch–Mitzenmacher double hashing
+    * `h_i = a + i·b` (≤ 2^52 for i < 16, no overflow under ANSI
+    * arithmetic). Band buckets are `md5` of the "|"-joined band slice.
+    * Every stage — shingling, signature minima, banding, candidate
+    * join, est-Jaccard verify — is expressible in plain SQL, so the
+    * FULL LSH pipeline is oracle-checkable in DuckDB (the native
+    * [[minhashLshPairs]] rides on xxhash64, which no other engine
+    * reproduces, and is golden-pinned instead). One digest per shingle
+    * keeps even the verification twin map-side cheap.
     */
   def minhashLshPairsPortable(df: DataFrame, textCol: String, idCol: String,
                               n: Int = 3, k: Int = 16, bands: Int = 4,
                               threshold: Double = 0.5): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
+    require(k <= 16, "k > 16 risks 64-bit overflow in the a + i*b family")
     val r = k / bands
+    val hex = md5(col("s"))
     val sh = df.select(col(idCol).as("doc"),
         explode(TextFunctions.shingles(col(textCol), n)).as("s"))
+      .select(col("doc"),
+        conv(substring(hex, 1, 12), 16, 10).cast("long").as("a"),
+        conv(substring(hex, 13, 12), 16, 10).cast("long").as("b"))
     val minCols = (0 until k).map(i =>
-      min(md5(concat(lit(s"$i|"), col("s")))).as(s"_h$i"))
+      min(col("a") + lit(i.toLong) * col("b")).as(s"_h$i"))
     // persist: the banded frame feeds both sides of the candidate
     // self-join (same discipline as minhashLshPairs' signature persist)
     val sigs = sh.groupBy("doc")
@@ -416,7 +421,7 @@ object TextDedup {
       .select(col("doc"), array((0 until k).map(i => col(s"_h$i")): _*).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandCols = (0 until bands).map(b =>
-      md5(concat_ws("|", slice(col("sig"), b * r + 1, r))))
+      md5(concat_ws("|", slice(col("sig"), b * r + 1, r).cast("array<string>"))))
     val banded = sigs.select(col("doc"), col("sig"),
       posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
     val a = banded.as("a"); val b = banded.as("b")
