@@ -211,6 +211,14 @@ class PlanAuditSpec extends SparkSpec {
       s"detail orderBy's range exchange leaked into the summary plan:\n$p")
   }
 
+  test("q_minhash_pairs_md5: banded equi-join, never a cartesian; partial min aggregates") {
+    val p = plan(q("q_minhash_pairs_md5"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"portable LSH regressed to an all-pairs join:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"signature minima lost their map-side partial aggregate:\n$p")
+  }
+
   test("q_d6_prefer: keep-first window partitioned by the dedup key, never SinglePartition") {
     val p = plan(q("q_d6_prefer"))
     assert(p.contains("Window"), s"expected the keep-first window:\n$p")

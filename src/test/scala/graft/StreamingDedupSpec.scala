@@ -77,6 +77,39 @@ class StreamingDedupSpec extends SparkSpec {
       s"stream=$streamed batch=$batch")
   }
 
+  test("streaming drops screen against the static banded corpus index per micro-batch") {
+    // the production incremental-dedup loop: bandedSignatures written
+    // once for the accumulated corpus, each arriving micro-batch treated
+    // as a drop and screened via foreachBatch — the streaming face of
+    // crossCorpusNearDupsBanded (its dropDuplicates/groupBy stages are
+    // batch ops, so foreachBatch is the right integration, not a
+    // stateful streaming join)
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextDedup
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely different text with other words entirely present")
+    ).toDF("doc_id", "text")
+    val index = TextDedup.bandedSignatures(corpus, "text", "doc_id")
+      .localCheckpoint() // stands in for the parquet-reloaded index
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val hits = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = src.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        hits ++= TextDedup.crossCorpusNearDupsBanded(batch, index, "text", "doc_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        ()
+      }
+      .start()
+    src.addData((100L, "the quick brown fox jumps over the lazy dog tonight"))
+    q.processAllAvailable()
+    src.addData((101L, "a genuinely fresh document with brand new content words"))
+    q.processAllAvailable()
+    q.stop()
+    assert(hits.toSet == Set((100L, 1L)), s"got $hits")
+  }
+
   test("duplicates report: all copies + group sizes on composite key") {
     val df = Seq((1, "a"), (1, "a"), (1, "a"), (2, "b")).toDF("k", "s")
     val rep = DuplicatesReport.report(df, Seq("k", "s"))
