@@ -162,9 +162,22 @@ object TextFunctions {
 
   /** Language-ID heuristic: score = fraction of tokens that are stopwords
     * of each candidate language; argmax wins, "und" (undetermined) when no
-    * language scores above `minScore`.
+    * language scores above `minScore`. One native single-pass expression
+    * (`plans.LangIdPick`) — the composed form below evaluates a
+    * CodegenFallback `filter`+`isin` per language per row. coalesce:
+    * null text scores "und" in the composed form (null fields fall
+    * through the `when`), and the wrapper preserves that.
     */
-  def langId(c: Column, minScore: Double = 0.05): Column = {
+  def langId(c: Column, minScore: Double = 0.05): Column =
+    coalesce(
+      graft.plans.LangIdPick.pick(tokens(c), stopwords, minScore),
+      lit("und"))
+
+  /** Composed-Column reference form of [[langId]] — kept as the
+    * semantic spec the native expression is pinned against
+    * (native ≡ composed parity test in LangIdSpec).
+    */
+  def langIdComposed(c: Column, minScore: Double = 0.05): Column = {
     val toks = tokens(c)
     val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
       val hits = size(filter(toks, t => t.isin(words: _*)))

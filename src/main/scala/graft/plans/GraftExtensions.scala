@@ -23,7 +23,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     * not an eval() UnsupportedOperationException.
     */
   private def constArg(fn: String, exprs: Seq[Expression], arity: Int,
-                       idx: Int, wantStr: Boolean): Any = {
+                       idx: Int, wantStr: Boolean,
+                       allowFractional: Boolean = false): Any = {
     def fail(msg: String): Nothing =
       throw new AnalysisException("INTERNAL_ERROR",
         Map("message" -> s"$fn: $msg"))
@@ -32,13 +33,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     val e = exprs(idx)
     if (!e.foldable)
       fail(s"argument ${idx + 1} must be a constant, got ${e.sql}")
+    val intTypes = Seq[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+      IntegerType, org.apache.spark.sql.types.LongType)
+    val fracTypes = Seq[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.FloatType, org.apache.spark.sql.types.DoubleType)
     val okType =
       if (wantStr) e.dataType == StringType
-      else Seq[org.apache.spark.sql.types.DataType](
-        org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
-        IntegerType, org.apache.spark.sql.types.LongType).contains(e.dataType)
+      else intTypes.contains(e.dataType) ||
+        (allowFractional && (fracTypes.contains(e.dataType) ||
+          e.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType]))
     if (!okType)
-      fail(s"argument ${idx + 1} must be ${if (wantStr) "a string" else "an integer"} constant, got type ${e.dataType.sql}")
+      fail(s"argument ${idx + 1} must be ${if (wantStr) "a string"
+        else if (allowFractional) "a numeric" else "an integer"} constant, got type ${e.dataType.sql}")
     val v = e.eval()
     if (v == null) fail(s"argument ${idx + 1} must not be NULL")
     v
@@ -91,6 +98,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => {
         val form = constArg("unicode_norm", exprs, 2, 1, wantStr = true).toString
         UnicodeNorm(exprs.head, form)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("lang_id"),
+      new ExpressionInfo(classOf[LangIdPick].getName, "lang_id"),
+      (exprs: Seq[Expression]) => {
+        // lang_id(tokens_array, minScore): the engine's seed stopword
+        // lists; minScore a numeric constant (fraction of tokens)
+        val ms = constArg("lang_id", exprs, 2, 1, wantStr = false,
+            allowFractional = true) match {
+          case d: java.math.BigDecimal => d.doubleValue()
+          case d: org.apache.spark.sql.types.Decimal => d.toDouble
+          case n: Number => n.doubleValue()
+        }
+        LangIdPick(exprs.head, graft.functions.TextFunctions.stopwords.toSeq, ms)
       }))
   }
 }
