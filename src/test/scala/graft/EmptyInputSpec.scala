@@ -20,7 +20,16 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextDedup.jaccardPairs(noDocs, "text", "doc_id").isEmpty)
     assert(TextDedup.containmentPairs(noDocs, "text", "doc_id").isEmpty)
     assert(TextDedup.minhashLshPairs(noDocs, "text", "doc_id").isEmpty)
+    assert(TextDedup.minhashLshPairsPortable(noDocs, "text", "doc_id").isEmpty)
     assert(TextDedup.contaminationReport(noDocs, noDocs, "text", "doc_id").isEmpty)
+    // empty corpus index AND empty drop, both directions
+    val emptyIndex = TextDedup.bandedSignatures(noDocs, "text", "doc_id")
+    assert(emptyIndex.isEmpty)
+    val someDocs = Seq((1L, "some real document text here")).toDF("doc_id", "text")
+    assert(TextDedup.crossCorpusNearDupsBanded(someDocs, emptyIndex,
+      "text", "doc_id").isEmpty)
+    assert(TextDedup.crossCorpusNearDupsBanded(noDocs,
+      TextDedup.bandedSignatures(someDocs, "text", "doc_id"), "text", "doc_id").isEmpty)
   }
 
   test("clustering and curation on zero documents") {
