@@ -502,6 +502,16 @@ object SparkEntry {
       TextDedup.crossCorpusNearDups(drop, corpus, "text", "doc_id")
         .orderBy("new_id", "corpus_id")
     }),
+    "q_cross_dedup_md5" -> ((s, d) => {
+      // engine-portable twin of q_cross_dedup: same drop construction,
+      // md5 double-hashing signatures — the asymmetric incremental
+      // screen proven cross-engine end to end
+      val corpus = Tables.documents(s, d)
+      val drop = corpus.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + lit(500000L)).as("doc_id"), col("text"))
+      TextDedup.crossCorpusNearDupsPortable(drop, corpus, "text", "doc_id")
+        .orderBy("new_id", "corpus_id")
+    }),
     "q_minhash_pairs" -> ((s, d) =>
       // no_oracle (golden-pinned): signatures ride on xxhash64, which no
       // other engine implements — the oracled twin is q_minhash_pairs_md5
@@ -1458,6 +1468,36 @@ object SparkEntry {
          |SELECT doc_a, doc_b, est_jaccard FROM scored
          |WHERE est_jaccard >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_cross_dedup_md5" ->
+      // same sig/band CTE shape as q_minhash_pairs_md5, applied to the
+      // asymmetric (drop × corpus) screen; est_jaccard = agree/16 exact
+      s"""WITH docs2 AS (
+         |  SELECT doc_id, text, 'corpus' AS side FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 500000 AS doc_id, text, 'new' AS side
+         |  FROM documents WHERE doc_id % 7 = 0),
+         |w AS (SELECT doc_id, side, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM docs2),
+         |sh AS (SELECT doc_id, side, unnest(list_distinct(
+         |  [ws[i]||'_'||ws[i+1]||'_'||ws[i+2] for i in range(1, len(ws)-1)])) AS s FROM w),
+         |ab AS (SELECT doc_id, side,
+         |  ('0x' || substr(md5(s), 1, 12))::BIGINT AS a,
+         |  ('0x' || substr(md5(s), 13, 12))::BIGINT AS b FROM sh),
+         |sig AS (SELECT doc_id, side,
+         |  [${(0 until 16).map(i => s"min(a + $i*b)").mkString(", ")}] AS sig
+         | FROM ab GROUP BY doc_id, side),
+         |bd AS (SELECT doc_id, side, sig, band,
+         |  md5(array_to_string(list_slice(sig, band*4+1, band*4+4), '|')) AS bucket
+         | FROM sig, (SELECT unnest(range(0, 4)) AS band) bands),
+         |cand AS (SELECT DISTINCT nw.doc_id AS new_id, cp.doc_id AS corpus_id,
+         |  nw.sig AS sig_new, cp.sig AS sig_corpus
+         | FROM bd nw JOIN bd cp ON nw.band = cp.band AND nw.bucket = cp.bucket
+         | WHERE nw.side = 'new' AND cp.side = 'corpus'),
+         |scored AS (SELECT new_id, corpus_id,
+         |  CAST(len(list_filter(list_zip(sig_new, sig_corpus), x -> x[1] = x[2])) AS DOUBLE) / 16 AS est_jaccard
+         | FROM cand)
+         |SELECT new_id, corpus_id, est_jaccard FROM scored
+         |WHERE est_jaccard >= 0.8
+         |ORDER BY new_id, corpus_id""".stripMargin,
     "q_setops" ->
       """WITH hv AS (SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000),
         |b AS (SELECT DISTINCT c_custkey AS custkey FROM customer WHERE c_mktsegment='BUILDING')

@@ -403,27 +403,10 @@ object TextDedup {
   def minhashLshPairsPortable(df: DataFrame, textCol: String, idCol: String,
                               n: Int = 3, k: Int = 16, bands: Int = 4,
                               threshold: Double = 0.5): DataFrame = {
-    require(k % bands == 0, "k must be divisible by bands")
-    require(k <= 16, "k > 16 risks 64-bit overflow in the a + i*b family")
-    val r = k / bands
-    val hex = md5(col("s"))
-    val sh = df.select(col(idCol).as("doc"),
-        explode(TextFunctions.shingles(col(textCol), n)).as("s"))
-      .select(col("doc"),
-        conv(substring(hex, 1, 12), 16, 10).cast("long").as("a"),
-        conv(substring(hex, 13, 12), 16, 10).cast("long").as("b"))
-    val minCols = (0 until k).map(i =>
-      min(col("a") + lit(i.toLong) * col("b")).as(s"_h$i"))
     // persist: the banded frame feeds both sides of the candidate
     // self-join (same discipline as minhashLshPairs' signature persist)
-    val sigs = sh.groupBy("doc")
-      .agg(minCols.head, minCols.tail: _*)
-      .select(col("doc"), array((0 until k).map(i => col(s"_h$i")): _*).as("sig"))
+    val banded = portableBanded(df, textCol, idCol, n, k, bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bandCols = (0 until bands).map(b =>
-      md5(concat_ws("|", slice(col("sig"), b * r + 1, r).cast("array<string>"))))
-    val banded = sigs.select(col("doc"), col("sig"),
-      posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
     val a = banded.as("a"); val b = banded.as("b")
     a.join(b,
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -436,6 +419,62 @@ object TextDedup {
           .cast("double") / k)
       .filter(col("est_jaccard") >= threshold)
       .select("doc_a", "doc_b", "est_jaccard")
+  }
+
+  /** Portable (doc, sig, band, bucket) frame shared by
+    * [[minhashLshPairsPortable]] and [[crossCorpusNearDupsPortable]] —
+    * the md5-family analogue of [[bandSigFrame]]-over-
+    * [[minhashSignatures]], kept in one place so the two portable
+    * screens stay bucket-compatible with each other AND with their
+    * DuckDB oracle mirrors.
+    */
+  private def portableBanded(df: DataFrame, textCol: String, idCol: String,
+                             n: Int, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    require(k <= 16, "k > 16 risks 64-bit overflow in the a + i*b family")
+    val r = k / bands
+    val hex = md5(col("s"))
+    val sh = df.select(col(idCol).as("doc"),
+        explode(TextFunctions.shingles(col(textCol), n)).as("s"))
+      .select(col("doc"),
+        conv(substring(hex, 1, 12), 16, 10).cast("long").as("a"),
+        conv(substring(hex, 13, 12), 16, 10).cast("long").as("b"))
+    val minCols = (0 until k).map(i =>
+      min(col("a") + lit(i.toLong) * col("b")).as(s"_h$i"))
+    val sigs = sh.groupBy("doc")
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc"), array((0 until k).map(i => col(s"_h$i")): _*).as("sig"))
+    val bandCols = (0 until bands).map(b =>
+      md5(concat_ws("|", slice(col("sig"), b * r + 1, r).cast("array<string>"))))
+    sigs.select(col("doc"), col("sig"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
+  }
+
+  /** Engine-portable twin of [[crossCorpusNearDups]] — same md5
+    * double-hashing family as [[minhashLshPairsPortable]], so the full
+    * asymmetric incremental screen (new × corpus banding, candidate
+    * dedup, est-Jaccard verify) is DuckDB-oracle-checkable. The
+    * xxhash64 production path stays golden-pinned.
+    */
+  def crossCorpusNearDupsPortable(newDocs: DataFrame, corpus: DataFrame,
+                                  textCol: String, idCol: String,
+                                  n: Int = 3, k: Int = 16, bands: Int = 4,
+                                  threshold: Double = 0.8): DataFrame = {
+    val newBanded = portableBanded(newDocs, textCol, idCol, n, k, bands)
+    val corpusBanded = portableBanded(corpus, textCol, idCol, n, k, bands)
+    newBanded
+      .select(col("doc").as("new_id"), col("sig").as("sig_new"),
+        col("band"), col("bucket"))
+      .join(corpusBanded.select(col("doc").as("corpus_id"),
+        col("sig").as("sig_corpus"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .select("new_id", "corpus_id", "sig_new", "sig_corpus")
+      .dropDuplicates("new_id", "corpus_id")
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_new"), col("sig_corpus"),
+          (x, y) => x === y), b => b)).cast("double") / k)
+      .filter(col("est_jaccard") >= threshold)
+      .select("new_id", "corpus_id", "est_jaccard")
   }
 
   /** Observability companion for [[minhashLshPairs]]'s `maxBucketSize`
