@@ -750,10 +750,18 @@ object SparkEntry {
     "q_curate_lsh" -> ((s, d) =>
       // the documented 100 TB swap EXECUTED: identical gates to
       // q_curate_full, near-dup pairs from banded MinHash LSH instead of
-      // the quadratic exact path. no_oracle (signature hashes are
+      // the quadratic exact path. no_oracle (xxhash64 signatures are
       // engine-specific); CurationSpec property-checks it against the
-      // exact path and the golden file freezes it.
+      // exact path, the golden file freezes it, and q_curate_lsh_md5
+      // oracle-proves the identical composition cross-engine.
       graft.pipelines.CorpusCuration.curateAtScale(
+          Tables.documents(s, d), "text", "doc_id")
+        .orderBy("doc_id")),
+    "q_curate_lsh_md5" -> ((s, d) =>
+      // the SAME 100 TB curation composition with the portable LSH pair
+      // stage — every phase (LSH pairs → transitive closure →
+      // repetition gates) reproduced in the DuckDB oracle
+      graft.pipelines.CorpusCuration.curateAtScalePortable(
           Tables.documents(s, d), "text", "doc_id")
         .orderBy("doc_id")),
 
@@ -1668,6 +1676,44 @@ object SparkEntry {
         |WHERE COALESCE(c.comp, r.doc_id) = r.doc_id
         | AND r.n_tokens >= 25 AND r.dup_token_frac <= 0.65 AND r.top_ngram_frac <= 0.15
         |ORDER BY doc_id""".stripMargin,
+    "q_curate_lsh_md5" ->
+      // q_curate_full's CC + repetition-gate oracle with the pair stage
+      // swapped for the portable-LSH CTEs of q_minhash_pairs_md5 —
+      // est_jaccard >= 0.8 means >= 13 of 16 positions agree
+      s"""WITH RECURSIVE w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_distinct([ws[i]||'_'||ws[i+1]||'_'||ws[i+2] for i in range(1, len(ws)-1)])) AS s FROM w),
+         |ab AS (SELECT doc_id,
+         |  ('0x' || substr(md5(s), 1, 12))::BIGINT AS a,
+         |  ('0x' || substr(md5(s), 13, 12))::BIGINT AS b FROM sh),
+         |sig AS (SELECT doc_id,
+         |  [${(0 until 16).map(i => s"min(a + $i*b)").mkString(", ")}] AS sig
+         | FROM ab GROUP BY doc_id),
+         |bd AS (SELECT doc_id, sig, band,
+         |  md5(array_to_string(list_slice(sig, band*4+1, band*4+4), '|')) AS bucket
+         | FROM sig, (SELECT unnest(range(0, 4)) AS band) bands),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  a.sig AS sig_a, b.sig AS sig_b
+         | FROM bd a JOIN bd b ON a.band = b.band AND a.bucket = b.bucket
+         |  AND a.doc_id < b.doc_id),
+         |prs AS (SELECT doc_a, doc_b FROM cand
+         | WHERE CAST(len(list_filter(list_zip(sig_a, sig_b), x -> x[1] = x[2])) AS DOUBLE) / 16 >= 0.8),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM prs UNION SELECT doc_b, doc_a FROM prs),
+         |reach(node, comp) AS (SELECT u, u FROM edges
+         | UNION SELECT e.u, r.comp FROM edges e JOIN reach r ON e.v=r.node),
+         |comps AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node),
+         |grams AS (SELECT doc_id, unnest([ws[i]||'_'||ws[i+1] for i in range(1, len(ws))]) AS gram FROM w),
+         |gcnt AS (SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY 1, 2),
+         |tp AS (SELECT doc_id, max(cnt) AS topcnt, sum(cnt) AS total FROM gcnt GROUP BY doc_id),
+         |rep AS (SELECT w.doc_id,
+         |  CAST(len(ws) AS BIGINT) AS n_tokens,
+         |  CAST(len(ws)-len(list_distinct(ws)) AS DOUBLE)/greatest(len(ws), 1) AS dup_token_frac,
+         |  COALESCE(CAST(t.topcnt AS DOUBLE)/t.total, 0.0) AS top_ngram_frac
+         | FROM w LEFT JOIN tp t USING (doc_id))
+         |SELECT r.doc_id, r.n_tokens, r.dup_token_frac, r.top_ngram_frac
+         |FROM rep r LEFT JOIN comps c ON r.doc_id = c.node
+         |WHERE COALESCE(c.comp, r.doc_id) = r.doc_id
+         | AND r.n_tokens >= 25 AND r.dup_token_frac <= 0.65 AND r.top_ngram_frac <= 0.15
+         |ORDER BY doc_id""".stripMargin,
     "q_funnel" ->
       // chained min-aggregations reproduce the greedy-earliest anchored
       // semantics: for a fixed first-touch anchor, earliest-qualifying

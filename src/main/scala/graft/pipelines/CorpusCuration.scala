@@ -53,6 +53,35 @@ object CorpusCuration {
     val pairs = TextDedup.minhashLshPairs(docs, textCol, idCol,
       n = 3, k = k, bands = bands, threshold = lshThreshold,
       maxBucketSize = maxBucketSize)
+    gateCanonical(docs, textCol, idCol, pairs,
+      minTokens, maxDupFrac, maxTopGramFrac)
+  }
+
+  /** [[curateAtScale]] with the engine-portable LSH pair stage
+    * (`minhashLshPairsPortable`, md5 double-hashing family) — identical
+    * cluster/gate composition, but every stage is expressible in plain
+    * SQL, so the WHOLE 100 TB curation path (LSH pairs → transitive
+    * closure → repetition gates) is DuckDB-oracle-checkable end to end.
+    * The xxhash64 production form stays golden-pinned.
+    */
+  def curateAtScalePortable(docs: DataFrame, textCol: String, idCol: String,
+                            minTokens: Int = 25, maxDupFrac: Double = 0.65,
+                            maxTopGramFrac: Double = 0.15,
+                            lshThreshold: Double = 0.8,
+                            k: Int = 16, bands: Int = 4): DataFrame = {
+    val pairs = TextDedup.minhashLshPairsPortable(docs, textCol, idCol,
+      n = 3, k = k, bands = bands, threshold = lshThreshold)
+    gateCanonical(docs, textCol, idCol, pairs,
+      minTokens, maxDupFrac, maxTopGramFrac)
+  }
+
+  /** Shared tail of the at-scale curation forms: transitive-closure
+    * canonical set from the (doc_a, doc_b) pair frame, then the
+    * repetition gates over the survivors only.
+    */
+  private def gateCanonical(docs: DataFrame, textCol: String, idCol: String,
+                            pairs: DataFrame, minTokens: Int,
+                            maxDupFrac: Double, maxTopGramFrac: Double): DataFrame = {
     val canonical = Graph.dedupClusters(docs, idCol,
         pairs.select("doc_a", "doc_b"), "doc_a", "doc_b")
       .filter(col("is_canonical")).select(idCol)
