@@ -527,8 +527,15 @@ object SparkEntry {
     "q_simhash_pairs" -> ((s, d) =>
       // no_oracle (golden-pinned): the 64-bit signature votes over
       // xxhash64(token, seed=42) bit patterns — not reproducible outside
-      // Spark; pinned golden + SimHashSpec property coverage instead
+      // Spark; pinned golden + SimHashSpec property coverage, and
+      // q_simhash_pairs_md5 oracle-proves the same pipeline cross-engine
       TextDedup.simhashPairs(Tables.documents(s, d), "text", "doc_id", maxHamming = 3)
+        .orderBy("doc_a", "doc_b")),
+    "q_simhash_pairs_md5" -> ((s, d) =>
+      // the engine-portable SimHash twin: 56-bit md5 token hashes,
+      // per-bit vote, 4×14-bit banding, popcount verify — DuckDB-oracled
+      TextDedup.simhashPairsPortable(Tables.documents(s, d), "text", "doc_id",
+        maxHamming = 3)
         .orderBy("doc_a", "doc_b")),
 
     // ---- training-data: similarity search ----------------------------
@@ -1506,6 +1513,28 @@ object SparkEntry {
          |SELECT new_id, corpus_id, est_jaccard FROM scored
          |WHERE est_jaccard >= 0.8
          |ORDER BY new_id, corpus_id""".stripMargin,
+    "q_simhash_pairs_md5" ->
+      // mirrors simhashPairsPortable bit for bit: 56-bit md5 token
+      // hashes, per-occurrence majority vote (ties → 0), 4×14-bit band
+      // buckets, popcount-of-xor verify
+      s"""WITH w AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t FROM documents),
+         |th AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 14))::BIGINT AS h FROM w),
+         |v AS (SELECT doc_id,
+         |  ${(0 until 56).map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b").mkString(",\n         |  ")}
+         | FROM th GROUP BY doc_id),
+         |sig AS (SELECT doc_id,
+         |  ${(0 until 56).map(b => s"(CASE WHEN v$b > 0 THEN (1::BIGINT << $b) ELSE 0 END)").mkString(" +\n         |  ")} AS simhash
+         | FROM v),
+         |bd AS (SELECT doc_id, simhash, band,
+         |  (simhash >> (band * 14)) & 16383 AS bucket
+         | FROM sig, (SELECT unnest(range(0, 4)) AS band) bands),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+         | FROM bd a JOIN bd b ON a.band = b.band AND a.bucket = b.bucket
+         |  AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM cand
+         |WHERE hamming <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "q_setops" ->
       """WITH hv AS (SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000),
         |b AS (SELECT DISTINCT c_custkey AS custkey FROM customer WHERE c_mktsegment='BUILDING')

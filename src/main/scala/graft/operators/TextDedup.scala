@@ -505,6 +505,48 @@ object TextDedup {
       .select(col("doc"), call_function("simhash_sig", col("_t")).as("simhash"))
   }
 
+  /** Engine-PORTABLE SimHash twin of [[simhashPairs]]: token hash = the
+    * first 56 bits of md5 (14 hex chars — BIGINT-safe in every engine;
+    * `conv` here, `('0x'||hex)::BIGINT` in DuckDB), signature = per-bit
+    * majority vote over the 56 bits (ties → 0, same rule as the native
+    * expression), candidates from 4×14-bit band buckets (hamming ≤ 3
+    * collides in ≥1 band), verified with `bit_count(xor)`. Every stage
+    * is plain SQL, so the full SimHash pipeline is oracle-checkable in
+    * DuckDB; the xxhash64 native path stays golden-pinned. The 56
+    * conditional-sum aggregate makes this the verification twin, not
+    * the hot path ([[simhashSignatures]] is one native expression).
+    */
+  def simhashPairsPortable(df: DataFrame, textCol: String, idCol: String,
+                           maxHamming: Int = 3): DataFrame = {
+    val bits = 56
+    val th = df.select(col(idCol).as("doc"),
+        explode(TextFunctions.tokens(col(textCol))).as("t"))
+      .select(col("doc"),
+        conv(substring(md5(col("t")), 1, 14), 16, 10).cast("long").as("h"))
+    val votes = (0 until bits).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"_v$b"))
+    val sigs = th.groupBy("doc")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc"),
+        (0 until bits).map(b =>
+          when(col(s"_v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandCols = (0 until 4).map(b =>
+      shiftright(col("simhash"), b * 14).bitwiseAND(lit(0x3FFFL)))
+    val banded = sigs.select(col("doc"), col("simhash"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
+    val a = banded.as("a"); val b = banded.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** SimHash near-dup pairs: candidates from 4×16-bit band buckets (a doc
     * pair within hamming distance ≤ maxHamming collides in ≥1 band when
     * maxHamming < 4), verified with popcount of XOR.

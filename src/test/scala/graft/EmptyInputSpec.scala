@@ -21,6 +21,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextDedup.containmentPairs(noDocs, "text", "doc_id").isEmpty)
     assert(TextDedup.minhashLshPairs(noDocs, "text", "doc_id").isEmpty)
     assert(TextDedup.minhashLshPairsPortable(noDocs, "text", "doc_id").isEmpty)
+    assert(TextDedup.simhashPairsPortable(noDocs, "text", "doc_id").isEmpty)
     assert(TextDedup.contaminationReport(noDocs, noDocs, "text", "doc_id").isEmpty)
     // empty corpus index AND empty drop, both directions
     val emptyIndex = TextDedup.bandedSignatures(noDocs, "text", "doc_id")
