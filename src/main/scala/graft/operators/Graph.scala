@@ -77,8 +77,28 @@ object Graph {
     // needs — one job per round instead of an eager-materialize job
     // PLUS a convergence job (the two-jobs-per-round shape profiling
     // showed dominating the per-round fixed cost on small graphs).
+    //
+    // Reliable mode additionally PERSISTS the pre-checkpoint plan:
+    // Spark's reliable checkpoint writes files in a separate job that
+    // re-evaluates the RDD, and with checkpointAllMarkedAncestors off
+    // (the default) an ancestor's checkpoint is deferred to its own
+    // next action — without the cache, the (possibly whole-pair-
+    // pipeline) lineage would re-run once per deferred write. With it,
+    // every re-evaluation is a cache read. Round frames release their
+    // cache when their checkpoint file is superseded; the base/edge
+    // caches stay until the caller's action (their checkpoints complete
+    // there) — edge rows are two longs, so the footprint is the edge
+    // list itself, spillable via MEMORY_AND_DISK.
+    val cpSources = scala.collection.mutable.Map.empty[DataFrame, DataFrame]
     def cp(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(eager = false) else df.localCheckpoint(eager = false)
+      if (reliable) {
+        val src = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val out = src.checkpoint(eager = false)
+        cpSources(out) = src
+        out
+      } else df.localCheckpoint(eager = false)
+    def releaseCache(df: DataFrame): Unit =
+      cpSources.remove(df).foreach(_.unpersist(false))
     // One action over the (possibly expensive — a whole shingle→join
     // near-dup pipeline) input: checkpoint the canonical edge list AND
     // the node set together, then iterate over checkpointed data only.
@@ -112,7 +132,7 @@ object Graph {
       if (edgeCount == 0)
         e.select(col("v").as("node"), col("u").as("component")).limit(0)
       else if (edgeCount <= smallGraphThreshold) unionFindLabels(e)
-      else starRoundLabels(e, cp, reliable, maxIter)
+      else starRoundLabels(e, cp, releaseCache, reliable, maxIter)
 
     nodes.join(labeled, Seq("node"), "left")
       .select(col("node"), coalesce(col("component"), col("node")).as("component"))
@@ -160,6 +180,7 @@ object Graph {
     * that materializes each round.
     */
   private def starRoundLabels(e0: DataFrame, cp: DataFrame => DataFrame,
+                              releaseCache: DataFrame => Unit,
                               reliable: Boolean, maxIter: Int): DataFrame = {
     // In reliable mode, each round's checkpoint supersedes the previous
     // round's — delete the stale files as we go (cleanCheckpoints is
@@ -215,12 +236,16 @@ object Graph {
       // already-star-shaped graphs converge a full round earlier).
       converged = ss.union(e).groupBy("u", "v")
         .agg(count(lit(1)).as("c")).filter(col("c") === 1).isEmpty
-      // ss is now materialized — the previous round's file is
-      // unreachable from anything the caller sees
+      // ss is now materialized (its checkpoint write ran inside the
+      // convergence job, reading the round's cache) — the previous
+      // round's file AND cache are unreachable from anything the
+      // caller sees
       val stale = if (first) None else cpPath(e)
+      val staleFrame = if (first) None else Some(e)
       first = false
       e = ss
       deleteCp(stale)
+      staleFrame.foreach(releaseCache)
       iter += 1
     }
     if (!converged && iter >= maxIter)
