@@ -30,6 +30,36 @@ object Profile {
     docs.write.format("noop").mode("overwrite").save() // warm scan
 
     for (round <- 1 to 2) {
+      println(s"=== md5 pass $round ===")
+      spark.catalog.clearCache()
+      val mdPairs = TextDedup.minhashLshPairsPortable(docs, "text", "doc_id",
+        n = 3, k = 16, bands = 4, threshold = 0.8)
+      time("portable pairs materialize") {
+        mdPairs.write.format("noop").mode("overwrite").save()
+      }
+      time("portable pairs re-materialize (banded persisted)") {
+        mdPairs.write.format("noop").mode("overwrite").save()
+      }
+      val mdFrozen = time("portable pairs localCheckpoint") {
+        mdPairs.localCheckpoint()
+      }
+      time("CC on frozen portable pairs") {
+        Graph.connectedComponents(mdFrozen, "doc_a", "doc_b")
+          .write.format("noop").mode("overwrite").save()
+      }
+      spark.catalog.clearCache()
+      time("q_curate_lsh_md5 end-to-end") {
+        SparkEntry.queries("q_curate_lsh_md5")(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+      }
+      spark.catalog.clearCache()
+      time("q_curate_lsh end-to-end (native, for contrast)") {
+        SparkEntry.queries("q_curate_lsh")(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+
+    for (round <- 1 to 2) {
       println(s"=== pass $round ===")
       spark.catalog.clearCache()
       val pairs = TextDedup.jaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.8)
