@@ -481,6 +481,20 @@ object SparkEntry {
         Tables.documents(s, d).select("doc_id", "lang"), "lang",
         col("doc_id"), k = 20)
         .orderBy("lang", "doc_id")),
+    "q_corpus_shuffle" -> ((s, d) =>
+      // deterministic epoch shuffle into 32 training shards: md5 order,
+      // no global window (the only sort is per-shard) — reproducible
+      // across engines, so the whole layout is oracle-checked
+      TextQuality.shuffleShards(Tables.documents(s, d), "doc_id", nShards = 32)
+        .orderBy("shard", "pos")),
+    "q_mix_plan" -> ((s, d) =>
+      // training-mixture planner over language strata: binary-exact
+      // weights (0.5/0.125×4) so floor/ceil arithmetic is bit-identical
+      // cross-engine; one partial-aggregated pass over the corpus
+      TextQuality.mixturePlan(Tables.documents(s, d), "lang", "text",
+        Map("en" -> 0.5, "de" -> 0.125, "es" -> 0.125, "fr" -> 0.125,
+          "zh" -> 0.125), tokenBudget = 50000L)
+        .orderBy("stratum")),
     "q_vocab_div" -> ((s, d) => {
       // training-mix drift: JS divergence between even- and odd-id
       // corpus halves; ln ulp-hardened by 9dp rounding + DECIMAL sums
@@ -537,6 +551,13 @@ object SparkEntry {
       TextDedup.simhashPairsPortable(Tables.documents(s, d), "text", "doc_id",
         maxHamming = 3)
         .orderBy("doc_a", "doc_b")),
+    "q_lsh_recall" -> ((s, d) =>
+      // the measurement run before trusting banded LSH corpus-wide:
+      // recall/precision of the md5 LSH screen vs exact-Jaccard truth
+      // at the same 0.8 threshold — both pipelines and the confusion
+      // counts oracle-checked end to end
+      TextDedup.lshRecallReport(Tables.documents(s, d), "text", "doc_id",
+        n = 3, k = 16, bands = 4, threshold = 0.8)),
 
     // ---- training-data: similarity search ----------------------------
     "q_ann_topk" -> ((s, d) => {
@@ -1263,6 +1284,39 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, CAST(running_total AS BIGINT) AS running_total,
         | CAST((running_total - n_tokens) // 2000 AS BIGINT) AS shard_id
         |FROM c ORDER BY doc_id""".stripMargin,
+    "q_corpus_shuffle" ->
+      // mirrors TextQuality.shuffleShards bit for bit: md5(':'||id) key,
+      // first 56 digest bits pick the shard, per-shard row_number over
+      // (key, id). The oracle's window is fine single-node; the engine's
+      // is partitioned by shard on purpose
+      """WITH t AS (SELECT doc_id,
+        |  md5(':' || CAST(doc_id AS VARCHAR)) AS k FROM documents),
+        |s AS (SELECT doc_id, k,
+        |  ('0x' || substr(k, 1, 14))::BIGINT % 32 AS shard FROM t)
+        |SELECT doc_id, shard,
+        | CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) AS BIGINT) AS pos
+        |FROM s ORDER BY shard, pos""".stripMargin,
+    "q_mix_plan" ->
+      // binary-exact weights (0.5, 0.125) make floor/ceil/least
+      // arithmetic bit-identical across engines; token counting is the
+      // q_text_stats split
+      """WITH t AS (SELECT lang AS stratum,
+        |  CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS nt FROM documents),
+        |g AS (SELECT stratum, count(*) AS n_docs,
+        |  CAST(sum(nt) AS BIGINT) AS n_tokens FROM t GROUP BY 1),
+        |p AS (SELECT stratum, n_docs, n_tokens,
+        |  CAST(CASE stratum WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.125
+        |   WHEN 'es' THEN 0.125 WHEN 'fr' THEN 0.125 WHEN 'zh' THEN 0.125
+        |   ELSE 0.0 END AS DOUBLE) AS weight FROM g),
+        |q AS (SELECT stratum, n_docs, n_tokens, weight,
+        |  CAST(floor(weight * CAST(50000 AS DOUBLE)) AS BIGINT) AS target_tokens FROM p)
+        |SELECT stratum, n_docs, n_tokens, weight, target_tokens,
+        | CASE WHEN n_tokens > 0
+        |  THEN least(CAST(1.0 AS DOUBLE), CAST(target_tokens AS DOUBLE)/n_tokens)
+        |  ELSE CAST(0.0 AS DOUBLE) END AS sample_rate,
+        | CASE WHEN target_tokens = 0 OR n_tokens = 0 THEN CAST(0 AS BIGINT)
+        |  ELSE CAST(ceil(CAST(target_tokens AS DOUBLE)/n_tokens) AS BIGINT) END AS epochs
+        |FROM q ORDER BY stratum""".stripMargin,
     "q_repetition" ->
       // max_token_run needs gaps-and-islands + two windows in SQL; the
       // Spark side is a single map-side fold expression. Top-gram ties
@@ -1483,6 +1537,43 @@ object SparkEntry {
          |SELECT doc_a, doc_b, est_jaccard FROM scored
          |WHERE est_jaccard >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_lsh_recall" ->
+      // the exact-Jaccard CTEs of q_jaccard_pairs + the portable-LSH
+      // CTEs of q_minhash_pairs_md5 (both at threshold 0.8), full-outer
+      // joined into confusion counts; recall/precision are
+      // bigint-over-bigint double divisions (bit-identical IEEE)
+      s"""WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_distinct(
+         |  [ws[i]||'_'||ws[i+1]||'_'||ws[i+2] for i in range(1, len(ws)-1)])) AS s FROM w),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |cpairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+         | FROM sh a JOIN sh b ON a.s=b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |exact AS (SELECT doc_a, doc_b
+         | FROM cpairs JOIN sizes sa ON doc_a=sa.doc_id JOIN sizes sb ON doc_b=sb.doc_id
+         | WHERE CAST(common AS DOUBLE)/(sa.sz + sb.sz - common) >= 0.8),
+         |ab AS (SELECT doc_id,
+         |  ('0x' || substr(md5(s), 1, 12))::BIGINT AS a,
+         |  ('0x' || substr(md5(s), 13, 12))::BIGINT AS b FROM sh),
+         |sig AS (SELECT doc_id,
+         |  [${(0 until 16).map(i => s"min(a + $i*b)").mkString(", ")}] AS sig
+         | FROM ab GROUP BY doc_id),
+         |bd AS (SELECT doc_id, sig, band,
+         |  md5(array_to_string(list_slice(sig, band*4+1, band*4+4), '|')) AS bucket
+         | FROM sig, (SELECT unnest(range(0, 4)) AS band) bands),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  a.sig AS sig_a, b.sig AS sig_b
+         | FROM bd a JOIN bd b ON a.band = b.band AND a.bucket = b.bucket
+         |  AND a.doc_id < b.doc_id),
+         |lshp AS (SELECT doc_a, doc_b FROM cand
+         | WHERE CAST(len(list_filter(list_zip(sig_a, sig_b), x -> x[1] = x[2])) AS DOUBLE) / 16 >= 0.8),
+         |j AS (SELECT e.doc_a AS ea, l.doc_a AS la FROM exact e
+         | FULL OUTER JOIN lshp l ON e.doc_a = l.doc_a AND e.doc_b = l.doc_b),
+         |c AS (SELECT count(ea) AS n_exact, count(la) AS n_lsh,
+         |  count(CASE WHEN ea IS NOT NULL AND la IS NOT NULL THEN 1 END) AS n_hit FROM j)
+         |SELECT n_exact, n_lsh, n_hit,
+         | CASE WHEN n_exact > 0 THEN CAST(n_hit AS DOUBLE)/n_exact END AS recall,
+         | CASE WHEN n_lsh > 0 THEN CAST(n_hit AS DOUBLE)/n_lsh END AS "precision"
+         |FROM c""".stripMargin,
     "q_cross_dedup_md5" ->
       // same sig/band CTE shape as q_minhash_pairs_md5, applied to the
       // asymmetric (drop × corpus) screen; est_jaccard = agree/16 exact

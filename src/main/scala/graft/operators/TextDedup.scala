@@ -567,4 +567,40 @@ object TextDedup {
       .dropDuplicates("doc_a", "doc_b")
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** LSH quality evaluation: recall/precision of the banded MinHash
+    * screen against exact-Jaccard ground truth on the SAME corpus and
+    * threshold — one row
+    * (n_exact, n_lsh, n_hit, recall, precision). `recall` is the
+    * fraction of true near-dup pairs the screen surfaces; `precision`
+    * the fraction of surfaced pairs that are true (est-Jaccard can pass
+    * the threshold when exact Jaccard does not, and vice versa). Both
+    * are NULL (never NaN) when their denominator is zero.
+    *
+    * The measurement a pipeline runs BEFORE trusting banded LSH on the
+    * full corpus: the exact stage is quadratic by design, so at 100 TB
+    * this runs on a deterministic hash-sample
+    * (`df.filter(TextFunctions.hashSampleFilterPortable(...))`) — recall
+    * is a per-pair property, so a uniform doc sample estimates it
+    * unbiasedly. Uses the engine-portable md5 LSH twin
+    * ([[minhashLshPairsPortable]]) so the whole evaluation — both pair
+    * pipelines and the confusion counts — is DuckDB-oracle-checkable.
+    */
+  def lshRecallReport(df: DataFrame, textCol: String, idCol: String,
+                      n: Int = 3, k: Int = 16, bands: Int = 4,
+                      threshold: Double = 0.8): DataFrame = {
+    val exact = jaccardPairs(df, textCol, idCol, n = n, threshold = threshold)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("_e"))
+    val lsh = minhashLshPairsPortable(df, textCol, idCol, n = n, k = k,
+        bands = bands, threshold = threshold)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("_l"))
+    exact.join(lsh, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(count(col("_e")).as("n_exact"), count(col("_l")).as("n_lsh"),
+        count(when(col("_e").isNotNull && col("_l").isNotNull, 1)).as("n_hit"))
+      .select(col("n_exact"), col("n_lsh"), col("n_hit"),
+        when(col("n_exact") > 0,
+          col("n_hit").cast("double") / col("n_exact")).as("recall"),
+        when(col("n_lsh") > 0,
+          col("n_hit").cast("double") / col("n_lsh")).as("precision"))
+  }
 }

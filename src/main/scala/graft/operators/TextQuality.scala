@@ -146,6 +146,72 @@ object TextQuality {
         sum(when(col("cb") > 0, 1L).otherwise(0L)).as("vocab_b"))
   }
 
+  /** Deterministic global corpus shuffle into training shards:
+    * (id, shard, pos) where `shard` ∈ [0, nShards) and `pos` is the
+    * row's 1-based position within its shard — the "shuffle once, read
+    * sequentially" layout every epoch-based training loader wants.
+    * Order is the md5 hex of (seed, id): uniform, reproducible across
+    * runs/engines/partitionings, and re-seedable per epoch without
+    * rewriting data.
+    *
+    * Scale shape: there is deliberately NO global ordering — a global
+    * row_number would funnel the corpus through one partition. The only
+    * window is PARTITIONED BY shard (nShards-way parallel); choose
+    * nShards so a shard's rows fit an executor sort (at 100 TB:
+    * thousands of shards), which is the same sizing the downstream
+    * training reader needs anyway. Writers pair this with
+    * `.repartition(col("shard")).sortWithinPartitions("pos")`.
+    */
+  def shuffleShards(df: DataFrame, idCol: String, nShards: Int,
+                    seed: String = ""): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val key = md5(concat(lit(seed), lit(":"), col(idCol).cast("string")))
+    // first 56 bits of the digest (BIGINT-safe in every engine) pick the
+    // shard; the full digest orders rows within it
+    val h = conv(substring(col("_key"), 1, 14), 16, 10).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("_key"), col(idCol))
+    df.select(col(idCol), key.as("_key"))
+      .withColumn("shard", pmod(h, lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
+  /** Training-mixture planner: given per-stratum target weights and a
+    * total token budget, one row per stratum with what the corpus HAS
+    * (n_docs, n_tokens) and what the mix NEEDS — target_tokens
+    * (⌊weight·budget⌋), sample_rate (≤ 1, the [[mixtureSample]] /
+    * hash-filter rate that hits the target), and epochs
+    * (⌈target/available⌉ — > 1 means the stratum must repeat to meet its
+    * weight, the standard signal that a mix is infeasible without
+    * upsampling). Strata absent from `weights` get weight 0 — planned
+    * out of the mix. One partial-aggregated pass over the corpus; the
+    * plan itself is stratum-count-sized.
+    */
+  def mixturePlan(df: DataFrame, stratumCol: String, textCol: String,
+                  weights: Map[String, Double], tokenBudget: Long): DataFrame = {
+    require(weights.values.forall(w => w >= 0.0), "weights must be >= 0")
+    require(tokenBudget >= 0, "tokenBudget must be >= 0")
+    val wCol = weights.foldLeft(lit(0.0)) { case (acc, (s, w)) =>
+      when(col("stratum") === s, lit(w)).otherwise(acc)
+    }
+    df.select(col(stratumCol).as("stratum"),
+        size(TextFunctions.tokens(col(textCol))).cast("long").as("_nt"))
+      .groupBy("stratum")
+      .agg(count(lit(1)).as("n_docs"), sum(col("_nt")).as("n_tokens"))
+      .withColumn("weight", wCol)
+      .withColumn("target_tokens",
+        floor(col("weight") * lit(tokenBudget.toDouble)).cast("long"))
+      .withColumn("sample_rate",
+        when(col("n_tokens") > 0,
+          least(lit(1.0), col("target_tokens").cast("double") / col("n_tokens")))
+          .otherwise(lit(0.0)))
+      .withColumn("epochs",
+        when(col("target_tokens") === 0 || col("n_tokens") === 0, lit(0L))
+          .otherwise(ceil(col("target_tokens").cast("double") / col("n_tokens"))
+            .cast("long")))
+  }
+
   /** Per-document repetition report:
     * (id, n_tokens, n_distinct_tokens, dup_token_frac, max_token_run,
     *  top_ngram, top_ngram_count, top_ngram_frac).

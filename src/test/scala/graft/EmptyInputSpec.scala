@@ -43,6 +43,16 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextQuality.repetitionReport(noDocs, "text", "doc_id").isEmpty)
   }
 
+  test("evaluation, shuffle, and mixture planning on zero documents") {
+    // single-row report contract: zero counts, NULL ratios (never NaN)
+    val r = TextDedup.lshRecallReport(noDocs, "text", "doc_id").head()
+    assert(r.getLong(0) == 0L && r.getLong(1) == 0L && r.getLong(2) == 0L)
+    assert(r.isNullAt(3) && r.isNullAt(4))
+    assert(TextQuality.shuffleShards(noDocs, "doc_id", nShards = 4).isEmpty)
+    assert(TextQuality.mixturePlan(noDocs, "text", "text",
+      Map("a" -> 1.0), tokenBudget = 100L).isEmpty)
+  }
+
   test("round-3 operators on zero rows") {
     val noMedia = Seq.empty[(Long, Array[Byte])].toDF("doc_id", "media")
     assert(graft.functions.TextFunctions

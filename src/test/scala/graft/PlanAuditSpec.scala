@@ -247,4 +247,27 @@ class PlanAuditSpec extends SparkSpec {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("*("), s"hot path fell out of codegen:\n$p")
   }
+
+  test("q_corpus_shuffle: per-shard window only — a global shuffle must never funnel") {
+    val df = q("q_corpus_shuffle")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("Window"), s"expected the per-shard position window:\n$p")
+    // the whole point of shuffleShards: position comes from a window
+    // PARTITIONED BY shard (nShards-way parallel), never a global
+    // row_number over one partition
+    assert(!p.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+      s"corpus shuffle funneled through one partition:\n$p")
+    assert(p.contains("hashpartitioning(shard"),
+      s"position window must partition on shard:\n$p")
+  }
+
+  test("q_mix_plan: single pass with map-side partial aggregation") {
+    val p = plan(q("q_mix_plan"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"mixture planner lost its partial aggregate — shuffle carries raw docs:\n$p")
+    // only the stratum and text columns leave the scan
+    assert(!p.contains("n_chars") && !p.contains("source#"),
+      s"mixture planner reads columns it never uses:\n$p")
+  }
 }

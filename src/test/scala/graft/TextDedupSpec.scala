@@ -220,4 +220,19 @@ class TextDedupSpec extends SparkSpec {
       .select(TextFunctions.langId(col("t")).as("l")).collect().map(_.getString(0))
     assert(got.toSeq == Seq("en", "es", "und"))
   }
+
+  test("lshRecallReport: exact dup always recalled, confusion counts consistent") {
+    val r = TextDedup.lshRecallReport(docs, "text", "doc_id",
+      n = 3, k = 16, bands = 4, threshold = 0.8).head()
+    val (nExact, nLsh, nHit) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    // ground truth at 0.8: only the exact dup (0,3) qualifies —
+    // (0,1)'s 3-shingle jaccard is 6/8 = 0.75
+    assert(nExact == 1L, s"n_exact = $nExact")
+    // identical docs have identical signatures → always bucketed
+    // together with est 1.0, so the true pair can never be missed
+    assert(nHit >= 1L && nHit <= math.min(nExact, nLsh))
+    assert(r.getDouble(3) == 1.0, s"recall = ${r.getDouble(3)}")
+    val precision = r.getDouble(4)
+    assert(precision > 0.0 && precision <= 1.0)
+  }
 }

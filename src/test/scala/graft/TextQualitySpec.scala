@@ -27,6 +27,49 @@ class TextQualitySpec extends SparkSpec {
     assert(salted.sorted.toSeq != got.sorted.toSeq)
   }
 
+  test("shuffleShards: full coverage, contiguous per-shard positions, deterministic") {
+    import graft.operators.TextQuality
+    val ids = (1L to 200L).map(i => Tuple1(i)).toDF("doc_id")
+    val got = TextQuality.shuffleShards(ids, "doc_id", nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every id exactly once; shards in range
+    assert(got.map(_._1).sorted.toSeq == (1L to 200L))
+    assert(got.forall(t => t._2 >= 0 && t._2 < 8))
+    // positions are 1..count within each shard (a training reader can
+    // stream each shard sequentially with no gaps)
+    got.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length),
+        s"shard $shard positions not contiguous")
+    }
+    // deterministic under physical repartitioning
+    val re = TextQuality.shuffleShards(ids.repartition(13), "doc_id", nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(re.sorted.toSeq == got.sorted.toSeq)
+    // a new seed = a new epoch order
+    val seeded = TextQuality.shuffleShards(ids, "doc_id", nShards = 8, seed = "epoch1")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(seeded.sorted.toSeq != got.sorted.toSeq)
+  }
+
+  test("mixturePlan: targets, rates, epochs from hand math; unlisted strata zeroed") {
+    import graft.operators.TextQuality
+    val docs = Seq(
+      (1L, "a", "x y z"), (2L, "a", "x y z"),   // 6 tokens available
+      (3L, "b", "x"),                           // 1 token available
+      (4L, "c", "x y")                          // stratum not in weights
+    ).toDF("doc_id", "src", "text")
+    val plan = TextQuality.mixturePlan(docs, "src", "text",
+        Map("a" -> 0.5, "b" -> 0.25), tokenBudget = 8L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4), r.getDouble(5), r.getLong(6))).sortBy(_._1)
+    // a: target ⌊0.5·8⌋=4 of 6 → rate 4/6, one pass
+    assert(plan(0) == ("a", 2L, 6L, 0.5, 4L, 4.0 / 6.0, 1L))
+    // b: target 2 of 1 → capped rate 1.0, needs 2 epochs (upsampling)
+    assert(plan(1) == ("b", 1L, 1L, 0.25, 2L, 1.0, 2L))
+    // c: unlisted stratum planned out of the mix
+    assert(plan(2) == ("c", 1L, 2L, 0.0, 0L, 0.0, 0L))
+  }
+
   test("vocabDivergence: 0 for identical corpora, ln 2 for disjoint vocabularies") {
     import graft.operators.TextQuality
     val a = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta")).toDF("doc_id", "text")
