@@ -481,6 +481,31 @@ object SparkEntry {
         Tables.documents(s, d).select("doc_id", "lang"), "lang",
         col("doc_id"), k = 20)
         .orderBy("lang", "doc_id")),
+    "q_pii_scan" -> ((s, d) => {
+      // PII redaction audit: deterministic synthetic PII (emails, a
+      // phone, long digit runs) is injected IN-QUERY so both engines
+      // score the identical corpus, then redactPii runs and the report
+      // counts tagged docs per source — n_leaked pins that no '@'
+      // survives redaction. Patterns avoid lookaround on purpose:
+      // identical under Java regex and RE2, so the whole scan is
+      // oracle-checkable
+      val docs = Tables.documents(s, d)
+      val injected = docs.withColumn("_t", concat(col("text"),
+        when(col("doc_id") % 10 === 0,
+          concat(lit(" reach me at user"), col("doc_id"), lit("@example.com")))
+          .when(col("doc_id") % 10 === 5, lit(" call 415-555-1234 now"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit(" account 12345678901234 on file"))
+          .otherwise(lit(""))))
+      injected.withColumn("_r", TextFunctions.redactPii(col("_t")))
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("_r").contains("<EMAIL>"), 1L).otherwise(0L)).as("n_email"),
+          sum(when(col("_r").contains("<PHONE>"), 1L).otherwise(0L)).as("n_phone"),
+          sum(when(col("_r").contains("<NUM>"), 1L).otherwise(0L)).as("n_num"),
+          sum(when(col("_r").contains("@"), 1L).otherwise(0L)).as("n_leaked"))
+        .orderBy("source")
+    }),
     "q_corpus_shuffle" -> ((s, d) =>
       // deterministic epoch shuffle into 32 training shards: md5 order,
       // no global window (the only sort is per-shard) — reproducible
@@ -1284,6 +1309,26 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, CAST(running_total AS BIGINT) AS running_total,
         | CAST((running_total - n_tokens) // 2000 AS BIGINT) AS shard_id
         |FROM c ORDER BY doc_id""".stripMargin,
+    "q_pii_scan" ->
+      // same injection, same three redaction passes (RE2-compatible
+      // patterns, 'g' flag = Spark's replace-all), same per-source tag
+      // counts; n_leaked = docs still containing '@' after redaction
+      """WITH base AS (SELECT source, text ||
+        |  CASE WHEN doc_id % 10 = 0
+        |   THEN ' reach me at user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |   WHEN doc_id % 10 = 5 THEN ' call 415-555-1234 now' ELSE '' END ||
+        |  CASE WHEN doc_id % 7 = 0 THEN ' account 12345678901234 on file'
+        |   ELSE '' END AS t FROM documents),
+        |r AS (SELECT source, regexp_replace(regexp_replace(regexp_replace(t,
+        |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |  '(\+?[0-9]{1,2}[-. ])?\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g'),
+        |  '[0-9]{9,16}', '<NUM>', 'g') AS red FROM base)
+        |SELECT source, count(*) AS n_docs,
+        | CAST(sum(CASE WHEN red LIKE '%<EMAIL>%' THEN 1 ELSE 0 END) AS BIGINT) AS n_email,
+        | CAST(sum(CASE WHEN red LIKE '%<PHONE>%' THEN 1 ELSE 0 END) AS BIGINT) AS n_phone,
+        | CAST(sum(CASE WHEN red LIKE '%<NUM>%' THEN 1 ELSE 0 END) AS BIGINT) AS n_num,
+        | CAST(sum(CASE WHEN red LIKE '%@%' THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
     "q_corpus_shuffle" ->
       // mirrors TextQuality.shuffleShards bit for bit: md5(':'||id) key,
       // first 56 digest bits pick the shard, per-shard row_number over
