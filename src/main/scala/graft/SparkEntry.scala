@@ -327,15 +327,31 @@ object SparkEntry {
     }),
     "q_percentiles" -> ((s, d) =>
       // Spark `percentile` and DuckDB `quantile_cont` share the linear
-      // interpolation at rank q*(n-1) — verified bit-exact. NOTE: exact
-      // percentile buffers every value per group (ObjectHashAggregate) —
-      // correct for the oracle, an OOM risk per group at 100 TB. The
-      // scale path is q_percentiles_approx below.
+      // interpolation at rank q*(n-1) — verified bit-exact. The two
+      // l_extendedprice percentiles share ONE aggregation buffer
+      // (array-percentile) instead of buffering the column twice. NOTE:
+      // exact percentile still buffers every value per group
+      // (ObjectHashAggregate) — correct for the oracle, an OOM risk per
+      // group at 100 TB. Scale paths: q_percentiles_approx (sketch) and
+      // q_percentiles_scale (exact, rank-select) below.
       Tables.lineitem(s, d).groupBy("l_returnflag")
-        .agg(expr("percentile(l_extendedprice, 0.5)").as("med_price"),
-          expr("percentile(l_extendedprice, 0.95)").as("p95_price"),
+        .agg(expr("percentile(l_extendedprice, array(0.5D, 0.95D))").as("_ep"),
           expr("percentile(l_quantity, 0.5)").as("med_qty"))
+        .select(col("l_returnflag"), col("_ep").getItem(0).as("med_price"),
+          col("_ep").getItem(1).as("p95_price"), col("med_qty"))
         .orderBy("l_returnflag")),
+    "q_percentiles_scale" -> ((s, d) => {
+      // exact percentiles WITHOUT per-group buffering: distributed
+      // rank-select (range-partition + per-partition counts + targeted
+      // second pass) — the exact-answer scale path when one group holds
+      // billions of rows. Same oracle as q_percentiles: bit-equal result.
+      val li = Tables.lineitem(s, d)
+      val price = Aggs.rankSelectPercentiles(li, "l_returnflag",
+        col("l_extendedprice"), Seq(0.5 -> "med_price", 0.95 -> "p95_price"))
+      val qty = Aggs.rankSelectPercentiles(li, "l_returnflag",
+        col("l_quantity"), Seq(0.5 -> "med_qty"))
+      price.join(qty, Seq("l_returnflag")).orderBy("l_returnflag")
+    }),
     "q_percentiles_approx" -> ((s, d) =>
       // scale variant of q_percentiles: approx_percentile runs in bounded
       // memory (t-digest-style sketch, mergeable map-side) — the form to
@@ -1737,6 +1753,12 @@ object SparkEntry {
         |WHERE list_reduce(list_transform(list_zip(a.v, b.v), x -> x[1]*x[2]), (p,q)->p+q) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
     "q_percentiles" ->
+      """SELECT l_returnflag,
+        | quantile_cont(l_extendedprice, 0.5) AS med_price,
+        | quantile_cont(l_extendedprice, 0.95) AS p95_price,
+        | quantile_cont(l_quantity, 0.5) AS med_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_percentiles_scale" ->
       """SELECT l_returnflag,
         | quantile_cont(l_extendedprice, 0.5) AS med_price,
         | quantile_cont(l_extendedprice, 0.95) AS p95_price,

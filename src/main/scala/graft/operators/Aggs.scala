@@ -88,4 +88,110 @@ object Aggs {
     agged.unpivot(Array.empty[Column], metrics.map(m => col(m._1)).toArray,
       "metric", "value")
   }
+
+  /** Exact per-group percentiles by distributed rank-select — the scale
+    * path for exact quantiles when individual groups are too large to
+    * buffer. `percentile()` (ObjectHashAggregate) holds every value of a
+    * group in one aggregation buffer: fine when groups are small, an OOM
+    * when one group holds billions of rows. This operator never
+    * materializes a group in one place:
+    *
+    *   1. range-partition by (group, value) and sort within partitions —
+    *      each group's values are globally sorted across partitions, and
+    *      every partition stays bounded by `maxPartitionBytes`-scale
+    *      sizing regardless of group skew;
+    *   2. one pass collects per-(partition, group) COUNTS only —
+    *      O(partitions × groups) longs on the driver, the same metadata
+    *      footprint as [[graft.operators.Joins.globalPrefixSum]];
+    *   3. from the counts, each percentile p of a group with n values
+    *      needs the values at global ranks floor(r) and ceil(r),
+    *      r = p·(n−1) — a second pass over the cached sorted data emits
+    *      just those ≤ 2·|percentiles| rows per group;
+    *   4. linear interpolation v_lo + (r−⌊r⌋)·(v_hi − v_lo), the same
+    *      formula as Spark `percentile` / DuckDB `quantile_cont`.
+    *
+    * Driver state is O(partitions × groups + groups × percentiles):
+    * meant for the huge-group/low-cardinality regime. For
+    * high-cardinality small groups use `percentile()` — each buffer is
+    * small there — or `approx_percentile`.
+    *
+    * Nulls in the value column are ignored (SQL aggregate semantics); a
+    * group with no non-null values is absent from the output (matching
+    * `GROUP BY` over the filtered rows).
+    */
+  def rankSelectPercentiles(df: DataFrame, groupCol: String, value: Column,
+                            percentiles: Seq[(Double, String)]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    require(percentiles.nonEmpty && percentiles.forall { case (p, _) => p >= 0 && p <= 1 },
+      "percentiles must be in [0, 1]")
+    val spark = df.sparkSession
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    val groupField = df.select(col(groupCol)).schema.head
+
+    val sorted = df
+      .select(col(groupCol).as("_g"), value.cast("double").as("_v"))
+      .filter(col("_v").isNotNull)
+      .repartitionByRange(nPart, col("_g"), col("_v"))
+      .sortWithinPartitions("_g", "_v")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // pass 1: per-(partition, group) counts — the only global state
+    val counts: Array[(Int, Any, Long)] = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      // groups are contiguous within a (group, value)-sorted partition
+      val m = scala.collection.mutable.LinkedHashMap.empty[Any, Long]
+      it.foreach { r => val g = r.get(0); m.update(g, m.getOrElse(g, 0L) + 1L) }
+      m.iterator.map { case (g, c) => (pid, g, c) }
+    }.collect()
+
+    val totals: Map[Any, Long] =
+      counts.groupBy(_._2).map { case (g, cs) => g -> cs.map(_._3).sum }
+    // global rank of the first row of group g in partition pid
+    val offsets: Map[(Int, Any), Long] =
+      counts.groupBy(_._2).flatMap { case (g, cs) =>
+        val byPid = cs.sortBy(_._1)
+        val exclusive = byPid.map(_._3).scanLeft(0L)(_ + _)
+        byPid.zip(exclusive).map { case ((pid, _, _), off) => (pid, g) -> off }
+      }
+
+    // target global ranks per group: (rank → emit slots (percentileIdx, isHi))
+    val wanted: Map[Any, Map[Long, Seq[(Int, Boolean)]]] = totals.map { case (g, n) =>
+      val slots = percentiles.zipWithIndex.flatMap { case ((p, _), i) =>
+        val r = p * (n - 1)
+        Seq((r.toLong, (i, false)), (math.ceil(r).toLong, (i, true)))
+      }
+      g -> slots.groupBy(_._1).map { case (rk, xs) => rk -> xs.map(_._2) }
+    }
+    val bcOffsets = spark.sparkContext.broadcast(offsets)
+    val bcWanted = spark.sparkContext.broadcast(wanted)
+
+    // pass 2: emit only the values sitting at a wanted rank
+    val hits: Array[(Any, Int, Boolean, Double)] = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val offs = bcOffsets.value
+      val want = bcWanted.value
+      var curG: Any = null
+      var local = -1L
+      it.flatMap { r =>
+        val g = r.get(0)
+        if (local < 0 || g != curG) { curG = g; local = 0L } else local += 1L
+        val rank = offs((pid, g)) + local
+        want(g).getOrElse(rank, Nil).map { case (i, hi) => (g, i, hi, r.getDouble(1)) }
+      }
+    }.collect()
+    sorted.unpersist()
+    bcOffsets.destroy(); bcWanted.destroy()
+
+    val rows = hits.groupBy(_._1).toSeq.map { case (g, hs) =>
+      val vals = percentiles.zipWithIndex.map { case ((p, _), i) =>
+        val lo = hs.find(h => h._2 == i && !h._3).get._4
+        val hi = hs.find(h => h._2 == i && h._3).get._4
+        val r = p * (totals(g) - 1)
+        lo + (r - r.toLong) * (hi - lo)
+      }
+      Row.fromSeq(g +: vals)
+    }
+    val schema = StructType(groupField.copy(name = groupCol) +:
+      percentiles.map { case (_, alias) => StructField(alias, DoubleType, nullable = false) })
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
 }

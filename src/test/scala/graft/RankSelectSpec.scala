@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.Aggs
+import org.apache.spark.sql.functions._
+
+/** Distributed rank-select exact percentiles: must agree bit-exactly with
+  * Spark's buffering `percentile` aggregate on every shape that matters —
+  * interpolated ranks, exact-hit ranks, p=0/1 extremes, single-value
+  * groups, ties, and nulls.
+  */
+class RankSelectSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def viaBuffer(df: org.apache.spark.sql.DataFrame, ps: Seq[(Double, String)]) =
+    df.groupBy("g").agg(
+      expr(s"percentile(v, ${ps.head._1})").as(ps.head._2),
+      ps.tail.map { case (p, a) => expr(s"percentile(v, $p)").as(a) }: _*)
+
+  private def assertSame(df: org.apache.spark.sql.DataFrame, ps: Seq[(Double, String)]): Unit = {
+    val got = Aggs.rankSelectPercentiles(df, "g", col("v"), ps)
+      .orderBy("g").collect()
+    val want = viaBuffer(df, ps).orderBy("g").collect()
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (a, b) =>
+      assert(a.get(0) == b.get(0))
+      ps.indices.foreach { i =>
+        assert(a.getDouble(i + 1) == b.getDouble(i + 1),
+          s"group ${a.get(0)} percentile ${ps(i)._1}: got ${a.getDouble(i + 1)} want ${b.getDouble(i + 1)}")
+      }
+    }
+  }
+
+  test("matches buffering percentile on multi-group data with ties") {
+    val df = Seq(
+      ("a", 1.0), ("a", 2.0), ("a", 2.0), ("a", 3.0), ("a", 100.0),
+      ("b", 5.0), ("b", 5.0), ("b", 5.0),
+      ("c", 42.0)
+    ).toDF("g", "v").repartition(7)
+    assertSame(df, Seq(0.0 -> "p0", 0.25 -> "p25", 0.5 -> "p50", 0.9 -> "p90", 1.0 -> "p100"))
+  }
+
+  test("ignores null values; all-null group absent") {
+    val df = Seq(
+      ("a", Some(1.0)), ("a", None), ("a", Some(3.0)),
+      ("d", None)
+    ).toDF("g", "v").repartition(5)
+    val got = Aggs.rankSelectPercentiles(df, "g", col("v"), Seq(0.5 -> "med"))
+      .orderBy("g").collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("a"))
+    assert(got(0).getDouble(1) == 2.0)
+  }
+
+  test("group values spanning many partitions stay globally ranked") {
+    // 2000 values per group across 32 partitions — ranks must be global,
+    // not per-partition
+    val df = (1 to 2000).flatMap(i => Seq(("x", i.toDouble), ("y", (2001 - i).toDouble)))
+      .toDF("g", "v").repartition(32)
+    assertSame(df, Seq(0.5 -> "p50", 0.95 -> "p95"))
+  }
+
+  test("empty input yields empty output") {
+    val df = Seq.empty[(String, Double)].toDF("g", "v")
+    val got = Aggs.rankSelectPercentiles(df, "g", col("v"), Seq(0.5 -> "med"))
+    assert(got.count() == 0L)
+    assert(got.columns.toSeq == Seq("g", "med"))
+  }
+
+  test("numeric group column keeps its type") {
+    val df = Seq((1L, 10.0), (1L, 20.0), (2L, 7.0)).toDF("g", "v")
+    val got = Aggs.rankSelectPercentiles(df, "g", col("v"), Seq(0.5 -> "med"))
+    assert(got.schema("g").dataType == org.apache.spark.sql.types.LongType)
+    val m = got.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m == Map(1L -> 15.0, 2L -> 7.0))
+  }
+}
