@@ -497,6 +497,16 @@ object SparkEntry {
         Tables.documents(s, d).select("doc_id", "lang"), "lang",
         col("doc_id"), k = 20)
         .orderBy("lang", "doc_id")),
+    "q_split" -> ((s, d) =>
+      // document-stable train/val/test split: md5-interval assignment,
+      // zero-shuffle map side, engine-portable — reported as per-(split,
+      // lang) doc/token counts so the oracle checks every assignment
+      TextQuality.hashSplit(Tables.documents(s, d), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(TextFunctions.tokens(col("text"))).cast("long")).as("n_tokens"))
+        .orderBy("split", "lang")),
     "q_pii_scan" -> ((s, d) => {
       // PII redaction audit: deterministic synthetic PII (emails, a
       // phone, long digit runs) is injected IN-QUERY so both engines
@@ -977,6 +987,19 @@ object SparkEntry {
         | FROM documents)
         |SELECT doc_id, lang FROM r WHERE rn <= 20
         |ORDER BY lang NULLS FIRST, doc_id NULLS FIRST""".stripMargin,
+    "q_split" ->
+      // identical md5-interval thresholds as hashSplit(0.8/0.1/0.1):
+      // lowercase hex compares lexicographically = numerically in both
+      // engines
+      s"""WITH s AS (SELECT lang, text,
+         |  CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '${TextFunctions.md5SampleThreshold(0.8)}' THEN 'train'
+         |       WHEN md5(CAST(doc_id AS VARCHAR)) < '${TextFunctions.md5SampleThreshold(0.9)}' THEN 'val'
+         |       ELSE 'test' END AS split
+         | FROM documents)
+         |SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(sum(len(string_split_regex(lower(trim(text)), '\\s+'))) AS BIGINT) AS n_tokens
+         |FROM s GROUP BY split, lang
+         |ORDER BY split NULLS FIRST, lang NULLS FIRST""".stripMargin,
     "q_sample_strat" ->
       // identical md5-hex threshold literal as md5SampleFilter(_, 0.2):
       // lowercase hex compares lexicographically = numerically in both

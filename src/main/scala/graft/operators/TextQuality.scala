@@ -242,4 +242,44 @@ object TextQuality {
       .withColumn("top_ngram_count", coalesce(col("top_ngram_count"), lit(0L)))
       .withColumn("top_ngram_frac", coalesce(col("top_ngram_frac"), lit(0.0)))
   }
+
+  /** Deterministic train/val/test split: each row is assigned the split
+    * whose cumulative-fraction interval contains the md5 hex of
+    * (id, seed) — the standard leakage-safe corpus split. Properties a
+    * training pipeline needs, all by construction:
+    *
+    *   - **document-stable**: assignment is a pure function of the id
+    *     (+ seed) — re-runs, engine versions, cluster sizes, and row
+    *     order never move a document between splits (unlike
+    *     `randomSplit`, which reshuffles whenever partitioning changes);
+    *   - **grow-stable**: raising a leading split's fraction only grows
+    *     its interval — every document keeps its split unless it crosses
+    *     the moved boundary (append-only corpora keep historic splits);
+    *   - **engine-portable / oracle-checkable**: md5 hex compares
+    *     lexicographically = numerically in lowercase hex in both Spark
+    *     and DuckDB ([[TextFunctions.md5SampleFilter]] family; thresholds
+    *     via [[TextFunctions.md5SampleThreshold]]).
+    *
+    * Map-side, codegen'd, zero shuffle — a scan at any scale. A null id
+    * hashes to null and lands in the LAST split (both engines: a null
+    * comparison fails every `when`).
+    */
+  def hashSplit(df: DataFrame, idCol: String, splits: Seq[(String, Double)],
+                seed: String = "", as: String = "split"): DataFrame = {
+    require(splits.size >= 2 && splits.forall(_._2 >= 0.0),
+      "need >= 2 splits with non-negative fractions")
+    // decimal cumulative sums: 0.8 + 0.1 is 0.9000000000000001 in double,
+    // which would silently shift the 'val' boundary off the
+    // md5SampleThreshold(0.9) literal an oracle embeds
+    val cum = splits.map(x => BigDecimal(x._2)).scanLeft(BigDecimal(0))(_ + _).tail
+    require((cum.last - 1).abs < BigDecimal("1e-9"),
+      "split fractions must sum to 1")
+    val bounds = cum.init.map(c => TextFunctions.md5SampleThreshold(c.toDouble))
+    val key = md5(concat(col(idCol).cast("string"), lit(seed)))
+    val assigned = bounds.zip(splits.map(_._1)).reverse
+      .foldLeft(lit(splits.last._1): Column) { case (acc, (b, name)) =>
+        when(key < lit(b), lit(name)).otherwise(acc)
+      }
+    df.withColumn(as, assigned)
+  }
 }
