@@ -546,6 +546,29 @@ object SparkEntry {
         Map("en" -> 0.5, "de" -> 0.125, "es" -> 0.125, "fr" -> 0.125,
           "zh" -> 0.125), tokenBudget = 50000L)
         .orderBy("stratum")),
+    "q_prep_pipeline" -> ((s, d) => {
+      // capstone composition: the whole training-data prep path as ONE
+      // declarative plan — exact dedup (keep-first by NFC fingerprint) →
+      // token-count quality gate → document-stable train/val/test split →
+      // epoch-shard assignment (THE shardColumn shuffleShards uses) →
+      // per-(split, shard) manifest. Every stage is md5-portable, so the
+      // composition is oracle-checked end to end; two shuffles total
+      // (fingerprint window + final manifest agg), everything else
+      // map-side
+      val fp = TextFunctions.fingerprint(col("text"))
+      val toks = size(TextFunctions.tokens(col("text")))
+      val w = Window.partitionBy("fp").orderBy("doc_id")
+      val curated = Tables.documents(s, d)
+        .select(col("doc_id"), fp.as("fp"), toks.cast("long").as("n_tokens"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("n_tokens") >= 30)
+      TextQuality.hashSplit(curated, "doc_id",
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .withColumn("shard", TextQuality.shardColumn(col("doc_id"), 8, "e1"))
+        .groupBy("split", "shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+        .orderBy("split", "shard")
+    }),
     "q_vocab_div" -> ((s, d) => {
       // training-mix drift: JS divergence between even- and odd-id
       // corpus halves; ln ulp-hardened by 9dp rounding + DECIMAL sums
@@ -1380,6 +1403,27 @@ object SparkEntry {
         |SELECT doc_id, shard,
         | CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) AS BIGINT) AS pos
         |FROM s ORDER BY shard, pos""".stripMargin,
+    "q_prep_pipeline" ->
+      // same md5 literals end to end: fingerprint dedup (q_curate), split
+      // thresholds (hashSplit 0.9/0.95), shard = first 56 digest bits of
+      // md5('e1:'||id) mod 8 (q_corpus_shuffle idiom)
+      s"""WITH t AS (SELECT doc_id,
+         |  md5(lower(regexp_replace(trim(nfc_normalize(text)), '\\s+', ' ', 'g'))) AS fp,
+         |  CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tokens
+         | FROM documents),
+         |c AS (SELECT doc_id, n_tokens FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM t)
+         | WHERE rn = 1 AND n_tokens >= 30),
+         |sp AS (SELECT doc_id, n_tokens,
+         |  CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '${TextFunctions.md5SampleThreshold(0.9)}' THEN 'train'
+         |       WHEN md5(CAST(doc_id AS VARCHAR)) < '${TextFunctions.md5SampleThreshold(0.95)}' THEN 'val'
+         |       ELSE 'test' END AS split,
+         |  ('0x' || substr(md5('e1:' || CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT % 8 AS shard
+         | FROM c)
+         |SELECT split, shard, CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+         |FROM sp GROUP BY split, shard
+         |ORDER BY split NULLS FIRST, shard NULLS FIRST""".stripMargin,
     "q_mix_plan" ->
       // binary-exact weights (0.5, 0.125) make floor/ceil/least
       // arithmetic bit-identical across engines; token counting is the

@@ -166,15 +166,25 @@ object TextQuality {
                     seed: String = ""): DataFrame = {
     require(nShards > 0, "nShards must be positive")
     val key = md5(concat(lit(seed), lit(":"), col(idCol).cast("string")))
-    // first 56 bits of the digest (BIGINT-safe in every engine) pick the
-    // shard; the full digest orders rows within it
-    val h = conv(substring(col("_key"), 1, 14), 16, 10).cast("long")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("_key"), col(idCol))
     df.select(col(idCol), key.as("_key"))
-      .withColumn("shard", pmod(h, lit(nShards.toLong)))
+      .withColumn("shard", shardColumn(col(idCol), nShards, seed))
       .withColumn("pos", row_number().over(w).cast("long"))
       .select(col(idCol), col("shard"), col("pos"))
+  }
+
+  /** THE shard-assignment function — the single definition
+    * [[shuffleShards]] and any composed pipeline share, so a manifest
+    * computed elsewhere can never drift from the layout the shuffler
+    * writes: first 56 bits of md5(seed:id) (BIGINT-safe in every
+    * engine) mod nShards. Engine-portable; the DuckDB spelling is
+    * `('0x' || substr(md5(seed || ':' || id), 1, 14))::BIGINT % n`.
+    */
+  def shardColumn(id: Column, nShards: Int, seed: String = ""): Column = {
+    require(nShards > 0, "nShards must be positive")
+    val key = md5(concat(lit(seed), lit(":"), id.cast("string")))
+    pmod(conv(substring(key, 1, 14), 16, 10).cast("long"), lit(nShards.toLong))
   }
 
   /** Training-mixture planner: given per-stratum target weights and a

@@ -270,4 +270,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("n_chars") && !p.contains("source#"),
       s"mixture planner reads columns it never uses:\n$p")
   }
+
+  test("q_prep_pipeline: dedup→gate→split→shard composes into two shuffles") {
+    val df = q("q_prep_pipeline")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // split + shard assignment are pure map-side md5 arithmetic: the only
+    // data shuffles are the fingerprint window and the manifest
+    // aggregation (plus the final 24-row orderBy's range exchange)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"prep pipeline grew a shuffle beyond window + manifest agg:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"manifest aggregation lost its map-side partial:\n$p")
+  }
 }

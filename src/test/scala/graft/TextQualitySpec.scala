@@ -49,6 +49,12 @@ class TextQualitySpec extends SparkSpec {
     val seeded = TextQuality.shuffleShards(ids, "doc_id", nShards = 8, seed = "epoch1")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(seeded.sorted.toSeq != got.sorted.toSeq)
+    // shardColumn IS the shuffleShards assignment — a manifest computed
+    // from it can never disagree with the written layout
+    val direct = ids.select(col("doc_id"),
+        TextQuality.shardColumn(col("doc_id"), 8).as("shard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.forall { case (id, shard, _) => direct(id) == shard })
   }
 
   test("mixturePlan: targets, rates, epochs from hand math; unlisted strata zeroed") {
