@@ -632,6 +632,21 @@ object SparkEntry {
       // counts oracle-checked end to end
       TextDedup.lshRecallReport(Tables.documents(s, d), "text", "doc_id",
         n = 3, k = 16, bands = 4, threshold = 0.8)),
+    "q_block_dedup" -> ((s, d) =>
+      // block-level exact substring dedup (Lee et al. 2022 regime):
+      // 16-token blocks, corpus-global keep-first by md5, reassembly in
+      // document order — duplicated spans that survive whole-doc
+      // fingerprints are removed from every later document
+      TextDedup.blockDedup(Tables.documents(s, d), "text", "doc_id",
+        blockTokens = 16)
+        .orderBy("doc_id")),
+    "q_boilerplate" -> ((s, d) =>
+      // frequency-threshold boilerplate strip: every occurrence of any
+      // 8-token block seen in ≥3 distinct docs is removed (template
+      // chrome — no copy worth keeping), per-doc removal accounting
+      TextDedup.stripBoilerplate(Tables.documents(s, d), "text", "doc_id",
+        blockTokens = 8, minDocFreq = 3)
+        .orderBy("doc_id")),
 
     // ---- training-data: similarity search ----------------------------
     "q_ann_topk" -> ((s, d) => {
@@ -1702,6 +1717,48 @@ object SparkEntry {
          | CASE WHEN n_exact > 0 THEN CAST(n_hit AS DOUBLE)/n_exact END AS recall,
          | CASE WHEN n_lsh > 0 THEN CAST(n_hit AS DOUBLE)/n_lsh END AS "precision"
          |FROM c""".stripMargin,
+    "q_block_dedup" ->
+      // 16-token non-overlapping blocks (the q_chunk grid at stride =
+      // size), keep-first = row_number over md5(block) ordered by
+      // (doc_id, block_idx), reassembly = ordered string_agg of
+      // survivors; md5 hashes identically cross-engine
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents WHERE len(trim(text)) > 0),
+        |s AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+        |b AS (SELECT doc_id, CAST(st/16 AS INTEGER) AS block_idx,
+        |  array_to_string(list_slice(toks, st+1, least(st+16, n)), ' ') AS block_text,
+        |  least(16, n - st) AS n_tok
+        | FROM s, generate_series(0, 511, 16) g(st)
+        | WHERE g.st <= greatest(0, CAST(ceil(CAST(n - 16 AS DOUBLE)/16) AS INTEGER)*16)),
+        |k AS (SELECT *, row_number() OVER (PARTITION BY md5(block_text)
+        |   ORDER BY doc_id, block_idx) AS rn FROM b)
+        |SELECT doc_id,
+        | count(*) AS n_blocks,
+        | count(*) FILTER (WHERE rn = 1) AS n_blocks_kept,
+        | CAST(coalesce(sum(n_tok) FILTER (WHERE rn > 1), 0) AS BIGINT) AS n_tokens_removed,
+        | coalesce(string_agg(block_text, ' ' ORDER BY block_idx) FILTER (WHERE rn = 1), '') AS text_deduped
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_boilerplate" ->
+      // 8-token blocks; hot = blocks in ≥3 distinct docs; every hot
+      // occurrence stripped (not keep-first), same reassembly shape
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents WHERE len(trim(text)) > 0),
+        |s AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+        |b AS (SELECT doc_id, CAST(st/8 AS INTEGER) AS block_idx,
+        |  array_to_string(list_slice(toks, st+1, least(st+8, n)), ' ') AS block_text,
+        |  least(8, n - st) AS n_tok
+        | FROM s, generate_series(0, 511, 8) g(st)
+        | WHERE g.st <= greatest(0, CAST(ceil(CAST(n - 8 AS DOUBLE)/8) AS INTEGER)*8)),
+        |hot AS (SELECT md5(block_text) AS fp FROM b
+        | GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3),
+        |k AS (SELECT b.*, h.fp IS NOT NULL AS is_hot
+        | FROM b LEFT JOIN hot h ON md5(b.block_text) = h.fp)
+        |SELECT doc_id,
+        | count(*) AS n_blocks,
+        | count(*) FILTER (WHERE NOT is_hot) AS n_blocks_kept,
+        | CAST(coalesce(sum(n_tok) FILTER (WHERE is_hot), 0) AS BIGINT) AS n_tokens_removed,
+        | coalesce(string_agg(block_text, ' ' ORDER BY block_idx) FILTER (WHERE NOT is_hot), '') AS text_cleaned
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_cross_dedup_md5" ->
       // same sig/band CTE shape as q_minhash_pairs_md5, applied to the
       // asymmetric (drop × corpus) screen; est_jaccard = agree/16 exact

@@ -586,6 +586,114 @@ object TextDedup {
     * ([[minhashLshPairsPortable]]) so the whole evaluation — both pair
     * pipelines and the confusion counts — is DuckDB-oracle-checkable.
     */
+  /** Consecutive non-overlapping `blockTokens`-token blocks of each
+    * document — the unit of block-level substring dedup. Map-side
+    * fan-out of [[graft.functions.TextFunctions.chunkByTokens]] with
+    * stride = block size (every token lands in exactly one block);
+    * (id, block_idx, block_text, n_tokens). Empty docs emit nothing.
+    */
+  def tokenBlocks(df: DataFrame, textCol: String, idCol: String,
+                  blockTokens: Int): DataFrame =
+    TextFunctions.chunkByTokens(df, textCol, idCol,
+        chunkTokens = blockTokens, strideTokens = blockTokens)
+      .select(col(idCol), col("chunk_idx").as("block_idx"),
+        col("chunk_text").as("block_text"), col("n_tokens"))
+
+  /** Block-level EXACT substring dedup — the within- and across-document
+    * complement of whole-doc dedup (the "exact substring" regime of Lee
+    * et al. 2022, *Deduplicating Training Data Makes Language Models
+    * Better*, at block granularity): a span duplicated across thousands
+    * of documents (license headers, navigation chrome, quoted
+    * boilerplate) survives whole-doc fingerprinting AND sub-threshold
+    * Jaccard, yet is exactly what over-trains a model. Split every doc
+    * into consecutive `blockTokens`-token blocks, keep the globally
+    * FIRST occurrence of each distinct block (min (id, block_idx) over
+    * its md5 — engine-portable, deterministic), drop every later
+    * occurrence, and reassemble survivors in document order.
+    *
+    * Output: one row per non-empty doc —
+    * (id, n_blocks, n_blocks_kept, n_tokens_removed, text_deduped);
+    * a doc whose every block was seen earlier keeps the row with
+    * text_deduped = "" (corpus accounting stays visible).
+    *
+    * Scale: block fan-out is map-side; the first-occurrence aggregate
+    * shuffles (md5, id, idx) ONLY — never text — and is partial-agg'd,
+    * so a block duplicated across millions of docs costs map-side
+    * combining, not a hot reducer. The keep-set joins back on
+    * (id, block_idx) — a perfectly-distributed key regardless of how
+    * hot any block is (joining on the fingerprint instead would funnel
+    * every copy of a hot block through one partition). Text rides two
+    * shuffles (keep-join + reassembly); the reassembly buffer is
+    * bounded by a single document's own length.
+    */
+  def blockDedup(df: DataFrame, textCol: String, idCol: String,
+                 blockTokens: Int = 16): DataFrame = {
+    val blocks = tokenBlocks(df, textCol, idCol, blockTokens)
+    val keepers = blocks
+      .groupBy(md5(col("block_text")).as("_fp"))
+      .agg(min(struct(col(idCol), col("block_idx"))).as("_first"))
+      .select(col("_first").getField(idCol).as(idCol),
+        col("_first").getField("block_idx").as("block_idx"),
+        lit(true).as("_keep"))
+    blocks.join(keepers, Seq(idCol, "block_idx"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_blocks"),
+        count(col("_keep")).as("n_blocks_kept"),
+        coalesce(sum(when(col("_keep").isNull, col("n_tokens"))), lit(0))
+          .cast("long").as("n_tokens_removed"),
+        concat_ws(" ", transform(array_sort(collect_list(
+            when(col("_keep").isNotNull,
+              struct(col("block_idx"), col("block_text"))))),
+          x => x.getField("block_text"))).as("text_deduped"))
+  }
+
+  /** Boilerplate blocks by document frequency: every distinct block
+    * appearing in ≥ `minDocFreq` DISTINCT documents, with its frequency
+    * and total occurrence count — the observability face of
+    * [[stripBoilerplate]] (what WOULD be removed, and why).
+    */
+  def boilerplateReport(df: DataFrame, textCol: String, idCol: String,
+                        blockTokens: Int = 8, minDocFreq: Int = 3): DataFrame =
+    tokenBlocks(df, textCol, idCol, blockTokens)
+      .groupBy("block_text")
+      .agg(countDistinct(col(idCol)).as("doc_freq"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("doc_freq") >= minDocFreq)
+
+  /** Strip boilerplate: remove EVERY occurrence of any block whose
+    * distinct-document frequency ≥ `minDocFreq` (unlike [[blockDedup]],
+    * which keeps the first). The frequency-threshold regime: a block
+    * repeated across many documents is template chrome, not content —
+    * no copy is worth keeping. Same per-doc output shape as
+    * [[blockDedup]] with `text_cleaned`.
+    *
+    * Scale: the hot-block list holds only blocks above the threshold —
+    * bounded by corpus_tokens / (blockTokens · minDocFreq) and in
+    * practice tiny, so the exclusion join broadcasts; when it does not,
+    * it is a hash join on the fingerprint where skew costs probe-side
+    * partition size only (no sort, no buffering — AQE splits it).
+    */
+  def stripBoilerplate(df: DataFrame, textCol: String, idCol: String,
+                       blockTokens: Int = 8, minDocFreq: Int = 3): DataFrame = {
+    val blocks = tokenBlocks(df, textCol, idCol, blockTokens)
+    val hot = blocks
+      .groupBy(md5(col("block_text")).as("_fp"))
+      .agg(countDistinct(col(idCol)).as("_df"))
+      .filter(col("_df") >= minDocFreq)
+      .select(col("_fp"), lit(true).as("_hot"))
+    blocks.withColumn("_fp", md5(col("block_text")))
+      .join(hot, Seq("_fp"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_blocks"),
+        count(when(col("_hot").isNull, 1)).as("n_blocks_kept"),
+        coalesce(sum(when(col("_hot").isNotNull, col("n_tokens"))), lit(0))
+          .cast("long").as("n_tokens_removed"),
+        concat_ws(" ", transform(array_sort(collect_list(
+            when(col("_hot").isNull,
+              struct(col("block_idx"), col("block_text"))))),
+          x => x.getField("block_text"))).as("text_cleaned"))
+  }
+
   def lshRecallReport(df: DataFrame, textCol: String, idCol: String,
                       n: Int = 3, k: Int = 16, bands: Int = 4,
                       threshold: Double = 0.8): DataFrame = {

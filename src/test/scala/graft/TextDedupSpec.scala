@@ -235,4 +235,72 @@ class TextDedupSpec extends SparkSpec {
     val precision = r.getDouble(4)
     assert(precision > 0.0 && precision <= 1.0)
   }
+
+  // Block-level substring dedup fixtures: 4-token blocks; "b1 b2 b3 b4"
+  // is a span shared verbatim by docs 10/11/12 at block-aligned offsets.
+  private lazy val blockDocs = Seq(
+    (10L, "b1 b2 b3 b4 u10 u11 u12 u13"),          // shared block first
+    (11L, "v20 v21 v22 v23 b1 b2 b3 b4"),          // shared block second
+    (12L, "b1 b2 b3 b4"),                          // ONLY the shared block
+    (13L, "w30 w31 w32 w33 w34")                   // unique, partial tail
+  ).toDF("doc_id", "text")
+
+  test("blockDedup: globally-first block kept, later copies removed, " +
+    "reassembly preserves document order") {
+    val got = TextDedup.blockDedup(blockDocs, "text", "doc_id", blockTokens = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(got(10L) == ((2L, 2L, 0L, "b1 b2 b3 b4 u10 u11 u12 u13")))
+    // doc 11 loses the duplicated span but keeps its own prefix
+    assert(got(11L) == ((2L, 1L, 4L, "v20 v21 v22 v23")))
+    // doc 12 was nothing BUT the duplicated span → empty text, row kept
+    assert(got(12L) == ((1L, 0L, 4L, "")))
+    // partial final block (1 token) survives untouched
+    assert(got(13L) == ((2L, 2L, 0L, "w30 w31 w32 w33 w34")))
+  }
+
+  test("blockDedup: within-document repetition also collapses") {
+    val d = Seq((1L, "x1 x2 x1 x2 x1 x2")).toDF("doc_id", "text")
+    val r = TextDedup.blockDedup(d, "text", "doc_id", blockTokens = 2).head()
+    assert(r.getLong(2) == 1L && r.getString(4) == "x1 x2",
+      s"expected single kept block, got $r")
+  }
+
+  test("stripBoilerplate: hot block removed from EVERY doc including the first") {
+    val got = TextDedup.stripBoilerplate(blockDocs, "text", "doc_id",
+        blockTokens = 4, minDocFreq = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(got(10L) == ((1L, 4L, "u10 u11 u12 u13")))   // first copy gone too
+    assert(got(11L) == ((1L, 4L, "v20 v21 v22 v23")))
+    assert(got(12L) == ((0L, 4L, "")))
+    assert(got(13L)._3 == "w30 w31 w32 w33 w34")        // df 1 < 3 untouched
+    // at minDocFreq 4 nothing qualifies → corpus unchanged
+    val untouched = TextDedup.stripBoilerplate(blockDocs, "text", "doc_id",
+      blockTokens = 4, minDocFreq = 4)
+    assert(untouched.filter(col("n_tokens_removed") > 0).count() == 0)
+  }
+
+  test("boilerplateReport names the hot block with its frequencies") {
+    val rep = TextDedup.boilerplateReport(blockDocs, "text", "doc_id",
+      blockTokens = 4, minDocFreq = 3).collect()
+    assert(rep.length == 1)
+    assert(rep(0).getString(0) == "b1 b2 b3 b4")
+    assert(rep(0).getLong(1) == 3L && rep(0).getLong(2) == 3L)
+  }
+
+  test("blockDedup accounting invariants hold on the corpus table") {
+    val got = TextDedup.blockDedup(Tables.documents(spark, sf), "text",
+      "doc_id", blockTokens = 16)
+    // kept ≤ total per doc; removed tokens only when blocks were dropped;
+    // total kept across the corpus = number of DISTINCT blocks
+    assert(got.filter(col("n_blocks_kept") > col("n_blocks")).count() == 0)
+    assert(got.filter(col("n_blocks_kept") === col("n_blocks") &&
+      col("n_tokens_removed") > 0).count() == 0)
+    val kept = got.agg(sum("n_blocks_kept")).head().getLong(0)
+    val distinctBlocks = TextDedup.tokenBlocks(
+      Tables.documents(spark, sf), "text", "doc_id", 16)
+      .select(col("block_text")).distinct().count()
+    assert(kept == distinctBlocks, s"kept $kept != distinct $distinctBlocks")
+  }
 }
