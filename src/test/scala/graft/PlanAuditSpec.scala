@@ -271,6 +271,28 @@ class PlanAuditSpec extends SparkSpec {
       s"mixture planner reads columns it never uses:\n$p")
   }
 
+  test("q_block_dedup: keep-set joins on (id, idx) — never the skewable fingerprint") {
+    val p = plan(q("q_block_dedup"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"block dedup regressed to an all-pairs plan:\n$p")
+    // first-occurrence minima must partially aggregate (the md5 shuffle
+    // carries one partial row per fingerprint per partition, never text)
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"first-occurrence aggregate lost its map-side partial:\n$p")
+    assert(!p.contains("Window"),
+      s"keep-first must be groupBy-min + join-back, not a fingerprint window:\n$p")
+  }
+
+  test("q_boilerplate: hot-block exclusion join broadcasts the threshold-filtered side") {
+    val p = plan(q("q_boilerplate"))
+    // the hot list is tiny by construction (blocks in ≥3 docs) — the
+    // exclusion join must not shuffle every block row by fingerprint
+    assert(p.contains("BroadcastHashJoin"),
+      s"hot-block exclusion lost its broadcast:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"doc-frequency count lost its map-side partial:\n$p")
+  }
+
   test("q_prep_pipeline: dedup→gate→split→shard composes into two shuffles") {
     val df = q("q_prep_pipeline")
     df.collect()
