@@ -402,6 +402,21 @@ object SparkEntry {
         approx_count_distinct(col("l_orderkey")).as("approx_orders"),
         approx_count_distinct(col("l_partkey")).as("approx_parts"))
     }),
+    "q_hll_rollup" -> ((s, d) => {
+      // no_oracle (golden-pinned): Apache DataSketches HLL register
+      // state is engine-specific — DuckDB cannot reproduce the
+      // estimates. SketchSpec proves the load-bearing properties
+      // instead: estimates within lgK error of the DuckDB-checkable
+      // exact counts, rollup ≡ direct-sketch (register-max identity),
+      // and a parquet persist/reload round-trip. The capability under
+      // test is incrementality: sketch fine groups once, answer any
+      // coarser distinct rollup without rescanning the corpus.
+      val fine = Aggs.distinctSketches(Tables.documents(s, d),
+        Seq("source", "lang"), "doc_id", lgK = 12)
+      Aggs.mergeSketches(fine, Seq("source"))
+        .select(col("source"), col("n_rows"), col("approx_distinct"))
+        .orderBy("source")
+    }),
     "q_profile" -> ((s, d) =>
       // one-pass numeric data-quality profile (the new-monthly-drop
       // trust check); decimal-exact means make it hash-checkable

@@ -194,4 +194,35 @@ object Aggs {
       percentiles.map { case (_, alias) => StructField(alias, DoubleType, nullable = false) })
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
+
+  /** Per-group PERSISTABLE distinct-count sketches (HyperLogLog, Apache
+    * DataSketches binary): one row per fine-grained group with a
+    * mergeable `sketch` column plus the exact row count. The
+    * incremental-analytics pattern for 100 TB: sketch each ingest
+    * partition (day, source, shard) ONCE when it lands, persist the
+    * sketch table (a few KB per group), and answer any coarser
+    * distinct-count rollup forever after from [[mergeSketches]] —
+    * without rescanning a byte of the corpus. `approx_count_distinct`
+    * alone cannot do this: its sketch dies inside the query.
+    *
+    * lgK = 12 ⇒ ~1.6% relative standard error in 4 KB per group.
+    */
+  def distinctSketches(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                       lgK: Int = 12): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("sketch"),
+        count(col(valueCol)).as("n_rows"))
+
+  /** Roll persisted sketches up to a coarser grouping: register-wise HLL
+    * union (an algebraic aggregate — partial-merged map-side like any
+    * sum) plus the summed row counts, with the estimate materialized.
+    * Union of per-partition sketches is register-max, so the rollup
+    * estimate is IDENTICAL to sketching the coarse group directly
+    * (spec-asserted) — order- and partitioning-invariant.
+    */
+  def mergeSketches(sketches: DataFrame, groupCols: Seq[String]): DataFrame =
+    sketches.groupBy(groupCols.map(col): _*)
+      .agg(hll_union_agg(col("sketch"), lit(false)).as("sketch"),
+        sum(col("n_rows")).as("n_rows"))
+      .withColumn("approx_distinct", hll_sketch_estimate(col("sketch")))
 }
