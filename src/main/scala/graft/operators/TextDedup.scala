@@ -617,25 +617,40 @@ object TextDedup {
     * text_deduped = "" (corpus accounting stays visible).
     *
     * Scale: block fan-out is map-side; the first-occurrence aggregate
-    * shuffles (md5, id, idx) ONLY — never text — and is partial-agg'd,
-    * so a block duplicated across millions of docs costs map-side
-    * combining, not a hot reducer. The keep-set joins back on
-    * (id, block_idx) — a perfectly-distributed key regardless of how
-    * hot any block is (joining on the fingerprint instead would funnel
-    * every copy of a hot block through one partition). Text rides two
-    * shuffles (keep-join + reassembly); the reassembly buffer is
-    * bounded by a single document's own length.
+    * shuffles (md5, packed id·idx) ONLY — never text — and is a plain
+    * long-min, so it stays a partial-agg'd HashAggregate (a struct-min
+    * would compile to SortAggregate: an extra per-partition sort over
+    * EVERY block of the corpus). A block duplicated across millions of
+    * docs costs map-side combining, not a hot reducer. The keep-set
+    * joins back on (id, block_idx) — a perfectly-distributed key
+    * regardless of how hot any block is (joining on the fingerprint
+    * instead would funnel every copy of a hot block through one
+    * partition). Text rides two shuffles (keep-join + reassembly); the
+    * reassembly buffer is bounded by a single document's own length.
+    * Ids must fit uint32 (same packed-key guard as [[jaccardPairs]] —
+    * asserted per row, never silent).
     */
   def blockDedup(df: DataFrame, textCol: String, idCol: String,
                  blockTokens: Int = 16): DataFrame = {
     val blocks = tokenBlocks(df, textCol, idCol, blockTokens)
+    val rawId = col(idCol).cast("long")
+    val guardedId = when(
+      assert_true(rawId >= 0 && rawId < lit(1L << 32),
+        concat(lit("blockDedup: doc id "), rawId.cast("string"),
+          lit(" outside [0, 2^32) — packed first-occurrence keys require uint32 ids"))).isNull,
+      rawId)
+    // lexicographic (id, idx) min == numeric min of (id << 32 | idx):
+    // block_idx is a non-negative Int, so the low 32 bits never overflow
     val keepers = blocks
-      .groupBy(md5(col("block_text")).as("_fp"))
-      .agg(min(struct(col(idCol), col("block_idx"))).as("_first"))
-      .select(col("_first").getField(idCol).as(idCol),
-        col("_first").getField("block_idx").as("block_idx"),
+      .select(md5(col("block_text")).as("_fp"),
+        (shiftleft(guardedId, 32) + col("block_idx")).as("_pk"))
+      .groupBy("_fp")
+      .agg(min(col("_pk")).as("_pk"))
+      .select(shiftright(col("_pk"), 32).as(idCol),
+        col("_pk").bitwiseAND(lit(0xFFFFFFFFL)).cast("int").as("block_idx"),
         lit(true).as("_keep"))
-    blocks.join(keepers, Seq(idCol, "block_idx"), "left")
+    blocks.withColumn(idCol, rawId)
+      .join(keepers, Seq(idCol, "block_idx"), "left")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_blocks"),
         count(col("_keep")).as("n_blocks_kept"),

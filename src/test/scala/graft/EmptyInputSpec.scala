@@ -33,6 +33,20 @@ class EmptyInputSpec extends SparkSpec {
       TextDedup.bandedSignatures(someDocs, "text", "doc_id"), "text", "doc_id").isEmpty)
   }
 
+  test("block dedup and sketches on zero documents") {
+    val bd = TextDedup.blockDedup(noDocs, "text", "doc_id")
+    assert(bd.isEmpty && bd.columns.toSeq == Seq("doc_id", "n_blocks",
+      "n_blocks_kept", "n_tokens_removed", "text_deduped"))
+    assert(TextDedup.stripBoilerplate(noDocs, "text", "doc_id").isEmpty)
+    assert(TextDedup.boilerplateReport(noDocs, "text", "doc_id").isEmpty)
+    // whitespace-only docs are filtered before blocking, not crashed on
+    val blank = Seq((1L, "   ")).toDF("doc_id", "text")
+    assert(TextDedup.blockDedup(blank, "text", "doc_id").isEmpty)
+    val sk = Aggs.distinctSketches(noDocs, Seq("text"), "doc_id")
+    assert(sk.isEmpty)
+    assert(Aggs.mergeSketches(sk, Seq("text")).isEmpty)
+  }
+
   test("clustering and curation on zero documents") {
     val pairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(Graph.connectedComponents(pairs, "doc_a", "doc_b").isEmpty)

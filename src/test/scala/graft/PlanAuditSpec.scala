@@ -281,6 +281,11 @@ class PlanAuditSpec extends SparkSpec {
       s"first-occurrence aggregate lost its map-side partial:\n$p")
     assert(!p.contains("Window"),
       s"keep-first must be groupBy-min + join-back, not a fingerprint window:\n$p")
+    // packed-long min keeps the first-occurrence agg hash-based; a
+    // struct-min would regress it to SortAggregate (per-partition sort
+    // over every block of the corpus)
+    assert(!p.contains("SortAggregate"),
+      s"first-occurrence min fell back to a sort aggregate:\n$p")
   }
 
   test("q_boilerplate: hot-block exclusion join broadcasts the threshold-filtered side") {
