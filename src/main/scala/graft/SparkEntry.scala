@@ -915,6 +915,16 @@ object SparkEntry {
         .filter(TextFunctions.md5SampleFilter(col("doc_id"), 0.2))
         .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
         .orderBy("lang")),
+    "q_pps_sample" -> ((s, d) =>
+      // systematic PPS: exactly 10 docs per language, selected with
+      // probability proportional to token count — integer-exact
+      // (md5 order + DECIMAL cumsum + integral division), so the
+      // selected set hash-matches DuckDB bit for bit
+      TextQuality.ppsSample(
+        Tables.documents(s, d).filter(length(trim(col("text"))) > 0),
+        "lang", "doc_id",
+        size(TextFunctions.tokens(col("text"))), k = 10, seed = "s1")
+        .orderBy("lang", "doc_id")),
     "q_cosine_pairs" -> ((s, d) =>
       // exact embedding near-dup oracle path (quadratic, like
       // q_jaccard_pairs); the scale path is lshNearDupPairs
@@ -1062,6 +1072,22 @@ object SparkEntry {
          |WHERE md5(CAST(doc_id AS VARCHAR)) < '${TextFunctions.md5SampleThreshold(0.2)}'
          |GROUP BY lang
          |ORDER BY lang NULLS FIRST""".stripMargin,
+    "q_pps_sample" ->
+      // systematic PPS reproduced integer-exactly: HUGEINT cumulative
+      // sums over the identical md5 order, integral // division — the
+      // selected set and repeat counts are bit-identical cross-engine
+      """WITH t AS (SELECT lang, doc_id,
+        |  CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS HUGEINT) AS w,
+        |  md5(CAST(doc_id AS VARCHAR) || 's1') AS ord
+        | FROM documents WHERE len(trim(text)) > 0),
+        |c AS (SELECT lang, doc_id, w,
+        |  sum(w) OVER (PARTITION BY lang ORDER BY ord, doc_id ROWS UNBOUNDED PRECEDING) AS cum,
+        |  sum(w) OVER (PARTITION BY lang) AS tot
+        | FROM t WHERE w > 0)
+        |SELECT lang, doc_id, CAST(w AS BIGINT) AS weight,
+        | CAST((cum*10)//tot - ((cum-w)*10)//tot AS BIGINT) AS n_hits
+        |FROM c WHERE (cum*10)//tot > ((cum-w)*10)//tot
+        |ORDER BY lang, doc_id""".stripMargin,
     "q_vocab_div" ->
       """WITH wa AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
         |  FROM documents WHERE doc_id % 2 = 0),

@@ -88,6 +88,55 @@ object TextQuality {
       .drop("_key", "_ord", "_salt", "_r1", "_r2")
   }
 
+  /** Systematic probability-proportional-to-size (PPS) sampling:
+    * EXACTLY `k` inclusion hits per stratum, each row hit with
+    * probability proportional to its non-negative INTEGER weight
+    * (token count is the natural one — "sample 1000 documents per
+    * source, long documents proportionally more often", the
+    * token-budget-aware complement of [[sampleKPerGroup]]'s uniform
+    * quota). Classic systematic PPS over a deterministic md5 order:
+    * a row is hit once for every multiple of total/k its weight span
+    * covers, so a row heavier than total/k gets n_hits > 1 — a
+    * deterministic upsampling count (exactly what a training mix does
+    * with a rare high-value stratum). Σ n_hits = k per stratum, always.
+    *
+    * Every quantity is integer-exact — md5 ordering, DECIMAL(38,0)
+    * cumulative sums, integral division — so the selected set is
+    * bit-identical across engines, runs, and partitionings (no
+    * float u^(1/w) key to diverge by an ulp and flip a selection).
+    * Zero-weight rows are excluded (a zero-span row can never cover a
+    * multiple); negative weights assert per row.
+    *
+    * Scale: one shuffle on the stratum; the cumulative window sorts
+    * within each stratum — bounded by stratum size. For a single
+    * mega-stratum, the [[graft.operators.Joins]] globalPrefixSum
+    * range-partition pattern replaces the window; the selection
+    * arithmetic is unchanged.
+    */
+  def ppsSample(df: DataFrame, stratumCol: String, idCol: String,
+                weight: Column, k: Int, seed: String = ""): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = when(
+      assert_true(weight >= 0, concat(lit("ppsSample: negative weight "),
+        weight.cast("string"), lit(" — weights must be non-negative integers"))).isNull,
+      weight.cast("decimal(38,0)"))
+    val cumWin = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(col("_ord"), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val totWin = org.apache.spark.sql.expressions.Window.partitionBy(col(stratumCol))
+    df.select(col(stratumCol), col(idCol), w.as("_w"),
+        md5(concat(col(idCol).cast("string"), lit(seed))).as("_ord"))
+      .filter(col("_w") > 0)
+      .withColumn("_cum", sum(col("_w")).over(cumWin))
+      .withColumn("_tot", sum(col("_w")).over(totWin))
+      .withColumn("n_hits",
+        expr(s"(_cum * $k) div _tot") - expr(s"((_cum - _w) * $k) div _tot"))
+      .filter(col("n_hits") > 0)
+      .select(col(stratumCol), col(idCol),
+        col("_w").cast("long").as("weight"), col("n_hits"))
+  }
+
   /** Jensen–Shannon divergence between two corpora's token
     * distributions — the training-mix drift check (did this month's
     * crawl shift vocabulary?). Exact token counts via one partial-agg

@@ -76,4 +76,33 @@ class RedactSampleSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(re == high)
   }
+
+  test("ppsSample: exact k hits per stratum, heavy-row certainty, determinism, seed") {
+    import graft.operators.TextQuality
+    import spark.implicits._
+    // strata of uneven sizes; one whale row (weight 5000 ≫ total/k)
+    val rows = (0L until 200L).map(i => (s"s${i % 3}", i, 1L + i % 7)) :+
+      (("s0", 999L, 5000L))
+    val df = rows.toDF("stratum", "id", "w")
+    val got = TextQuality.ppsSample(df, "stratum", "id", col("w"), k = 8)
+    val hits = got.groupBy("stratum").agg(sum("n_hits").as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hits == Map("s0" -> 8L, "s1" -> 8L, "s2" -> 8L), s"hits = $hits")
+    // the whale covers most of s0's mass → certainty inclusion, n_hits > 1
+    val whale = got.filter(col("id") === 999L).collect()
+    assert(whale.length == 1 && whale(0).getLong(3) > 1L,
+      s"whale should be a multi-hit certainty inclusion: ${whale.toSeq}")
+    // partitioning-invariant selection
+    val re = TextQuality.ppsSample(df.repartition(11), "stratum", "id", col("w"), k = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet
+    assert(re == got.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet)
+    // a different seed selects a different set (with overwhelming probability)
+    val other = TextQuality.ppsSample(df, "stratum", "id", col("w"), k = 8, seed = "x")
+      .collect().map(r => r.getLong(1)).toSet
+    assert(other != got.collect().map(r => r.getLong(1)).toSet)
+    // zero-weight rows can never be selected
+    val withZero = (df.union(Seq(("s1", 500L, 0L)).toDF("stratum", "id", "w")))
+    assert(TextQuality.ppsSample(withZero, "stratum", "id", col("w"), k = 8)
+      .filter(col("id") === 500L).isEmpty)
+  }
 }
