@@ -298,6 +298,17 @@ class PlanAuditSpec extends SparkSpec {
       s"doc-frequency count lost its map-side partial:\n$p")
   }
 
+  test("q_pps_sample: stratum-partitioned windows, never a SinglePartition funnel") {
+    val df = q("q_pps_sample")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("Window"), s"expected the cumulative-weight window:\n$p")
+    assert(!p.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+      s"PPS cumsum funneled through one partition:\n$p")
+    assert(p.contains("hashpartitioning(lang"),
+      s"cumulative window must partition on the stratum:\n$p")
+  }
+
   test("q_prep_pipeline: dedup→gate→split→shard composes into two shuffles") {
     val df = q("q_prep_pipeline")
     df.collect()

@@ -322,4 +322,32 @@ object PropertySpec extends Properties("graft") {
       }
     }
 
+  property("blockDedup: token conservation, distinct survivors, reference replay") =
+    Prop.forAll(Gen.listOfN(6, wordGen)) { docs =>
+      val df = docs.zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .filter(_._2.trim.nonEmpty).toDF("doc_id", "text")
+      val bt = 3
+      val got = operators.TextDedup.blockDedup(df, "text", "doc_id", bt)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+      // single-threaded replay of the contract: global first occurrence
+      // per block text in (doc_id, block_idx) order
+      val blocks = docs.zipWithIndex.flatMap { case (ws0, i) =>
+        val ws = ws0.mkString(" ").trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        ws.grouped(bt).zipWithIndex.map { case (b, j) => (i.toLong, j, b.mkString(" ")) }
+      }.filter(_._3.nonEmpty)
+      // replay strictly in (doc_id, block_idx) order — the keep-first
+      // contract is order-defined
+      val seen = scala.collection.mutable.Set[String]()
+      val expect = blocks.groupBy(_._1).toSeq.sortBy(_._1).map { case (id, bs) =>
+        var kept = List.empty[String]; var removedTok = 0L
+        bs.sortBy(_._2).foreach { case (_, _, text) =>
+          if (seen.add(text)) kept :+= text
+          else removedTok += text.split(" ").length
+        }
+        id -> ((bs.size.toLong, kept.size.toLong, removedTok, kept.mkString(" ")))
+      }.toMap
+      got == expect
+    }
+
 }
