@@ -915,6 +915,17 @@ object SparkEntry {
         .filter(TextFunctions.md5SampleFilter(col("doc_id"), 0.2))
         .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
         .orderBy("lang")),
+    "q_lm_score" -> ((s, d) => {
+      // CCNet-style model-based quality filter: fit an add-1 bigram LM
+      // on the even-id half (the "reference" slice), score the odd-id
+      // half by mean bigram log-probability — ln rounds to 9dp into a
+      // DECIMAL sum, so the scores hash-match DuckDB exactly
+      val docs = Tables.documents(s, d)
+      TextQuality.bigramLmScore(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
     "q_pps_sample" -> ((s, d) =>
       // systematic PPS: exactly 10 docs per language, selected with
       // probability proportional to token count — integer-exact
@@ -1072,6 +1083,28 @@ object SparkEntry {
          |WHERE md5(CAST(doc_id AS VARCHAR)) < '${TextFunctions.md5SampleThreshold(0.2)}'
          |GROUP BY lang
          |ORDER BY lang NULLS FIRST""".stripMargin,
+    "q_lm_score" ->
+      // the bigram LM reproduced as counts + joins; heads/vocabulary
+      // derive from the c12 table exactly as the engine does, ln terms
+      // round to 9dp into DECIMAL sums (the BM25/JS ulp-hardening)
+      """WITH tw AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+        |rp AS (SELECT unnest([ws[i]||' '||ws[i+1] for i in range(1, len(ws))]) AS bg
+        |  FROM tw WHERE doc_id % 2 = 0),
+        |c12 AS (SELECT bg, count(*) AS c12 FROM rp GROUP BY bg),
+        |heads AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+        |vocab AS (SELECT count(DISTINCT w) AS v FROM (
+        |  SELECT split_part(bg,' ',1) AS w FROM c12 UNION SELECT split_part(bg,' ',2) AS w FROM c12)),
+        |tp AS (SELECT doc_id, unnest([ws[i]||' '||ws[i+1] for i in range(1, len(ws))]) AS bg
+        |  FROM tw WHERE doc_id % 2 = 1),
+        |j AS (SELECT t.doc_id,
+        |   CAST(round(ln(CAST(coalesce(c.c12,0)+1 AS DOUBLE)/(coalesce(h.c1,0)+1*v.v)), 9) AS DECIMAL(28,9)) AS lp
+        |  FROM tp t LEFT JOIN c12 c USING (bg)
+        |  LEFT JOIN heads h ON split_part(t.bg,' ',1)=h.w1 CROSS JOIN vocab v),
+        |s AS (SELECT doc_id, count(*) AS n_bigrams, sum(lp) AS slp FROM j GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(coalesce(s.n_bigrams,0) AS BIGINT) AS n_bigrams,
+        | CAST(s.slp AS DOUBLE)/s.n_bigrams AS avg_logprob
+        |FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 2 = 1) d
+        |LEFT JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin,
     "q_pps_sample" ->
       // systematic PPS reproduced integer-exactly: HUGEINT cumulative
       // sums over the identical md5 order, integral // division — the

@@ -137,6 +137,70 @@ object TextQuality {
         col("_w").cast("long").as("weight"), col("n_hits"))
   }
 
+  /** CCNet-style n-gram LM quality scoring: fit an add-α-smoothed
+    * bigram language model on a REFERENCE corpus (the "good text" slice
+    * — wikipedia in CCNet), score every target document by its mean
+    * bigram log-probability, and gate/bucket on the score. The standard
+    * model-based quality filter, expressed as counts + joins:
+    *   P(w2|w1) = (c(w1,w2) + α) / (c(w1,·) + α·V)
+    * with V = reference vocabulary size; unseen bigrams smooth toward
+    * α/(c+αV), unseen heads to 1/V. Higher (less negative) avg_logprob
+    * = more reference-like text.
+    *
+    * Output: one row per target doc — (id, n_bigrams, avg_logprob);
+    * docs with < 2 tokens have n_bigrams 0 and a NULL score (explicitly
+    * unscorable, never NaN).
+    *
+    * Scale: the reference reduces to a (w1, w2, count) table in one
+    * partial-agg'd pass — head counts and vocabulary derive from THAT
+    * table, never a second reference scan; scoring is two equi-joins on
+    * compact string keys (broadcast when the model is small, shuffle
+    * hash otherwise) and one partial-agg'd per-doc sum. The only
+    * transcendental (ln) rounds to 9 dp into a DECIMAL sum — the same
+    * ulp-hardening as BM25/JS — so scores are oracle-exact cross-engine.
+    * Bigram keys join the two tokens with a space: tokens come from a
+    * whitespace split, so the separator can never occur inside a token.
+    */
+  def bigramLmScore(target: DataFrame, ref: DataFrame, textCol: String,
+                    idCol: String, alpha: Int = 1): DataFrame = {
+    require(alpha > 0, "alpha must be positive (zero breaks smoothing)")
+    def pairs(c: Column): Column = {
+      val ws = TextFunctions.tokens(c)
+      filter(zip_with(ws, slice(ws, lit(2), greatest(size(ws) - 1, lit(0))),
+        (a, b) => when(a.isNull || b.isNull, lit(null))
+          .otherwise(concat(a, lit(" "), b))), x => x.isNotNull)
+    }
+    // the model: one pass over the reference → (bigram, c12); heads and
+    // vocabulary derive from it (persisted — it feeds three consumers)
+    val c12 = ref.select(explode(pairs(col(textCol))).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c12"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val heads = c12
+      .groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum(col("c12")).as("c1"))
+    val vocab = c12
+      .select(substring_index(col("bg"), " ", 1).as("w"))
+      .union(c12.select(substring_index(col("bg"), " ", -1).as("w")))
+      .agg(count_distinct(col("w")).as("v"))
+    val scored = target
+      .select(col(idCol), explode(pairs(col(textCol))).as("bg"))
+      .join(c12, Seq("bg"), "left")
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(heads, Seq("w1"), "left")
+      .crossJoin(vocab)
+      .select(col(idCol),
+        round(log((coalesce(col("c12"), lit(0L)) + alpha).cast("double") /
+            (coalesce(col("c1"), lit(0L)) + lit(alpha) * col("v"))), 9)
+          .cast("decimal(28,9)").as("lp"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("slp"))
+    target.select(col(idCol)).distinct()
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        (col("slp").cast("double") / col("n_bigrams")).as("avg_logprob"))
+  }
+
   /** Jensen–Shannon divergence between two corpora's token
     * distributions — the training-mix drift check (did this month's
     * crawl shift vocabulary?). Exact token counts via one partial-agg

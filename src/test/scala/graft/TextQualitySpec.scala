@@ -149,4 +149,31 @@ class TextQualitySpec extends SparkSpec {
     assert(got(2).isNullAt(5) && got(2).getLong(6) == 0L &&
       got(2).getDouble(7) == 0.0 && got(2).getLong(4) == 1L)
   }
+
+  test("bigramLmScore: hand-computed smoothed probabilities, OOV, unscorable") {
+    val ref = Seq((100L, "a b a b")).toDF("doc_id", "text")
+    // model: c12 = {a b: 2, b a: 1}; heads = {a: 2, b: 1}; V = {a, b} = 2
+    val target = Seq(
+      (1L, "a b c"),   // lp(a b)=ln(3/4); lp(b c)=ln((0+1)/(1+2))
+      (2L, "z z"),     // OOV head: ln((0+1)/(0+2))
+      (3L, "solo"),    // < 2 tokens → unscorable
+      (4L, "")         // empty → unscorable
+    ).toDF("doc_id", "text")
+    val got = TextQuality.bigramLmScore(target, ref, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val exp1 = ((r9(math.log(3.0 / 4.0)) + r9(math.log(1.0 / 3.0))) / 2).toDouble
+    assert(got(0).getLong(1) == 2L && math.abs(got(0).getDouble(2) - exp1) < 1e-12,
+      s"doc 1: ${got(0)}")
+    assert(got(1).getLong(1) == 1L &&
+      math.abs(got(1).getDouble(2) - r9(math.log(0.5)).toDouble) < 1e-12,
+      s"doc 2: ${got(1)}")
+    assert(got(2).getLong(1) == 0L && got(2).isNullAt(2), s"doc 3: ${got(2)}")
+    assert(got(3).getLong(1) == 0L && got(3).isNullAt(2), s"doc 4: ${got(3)}")
+    // reference-like text outscores OOV gibberish
+    assert(got(0).getDouble(2) < r9(math.log(3.0 / 4.0)).toDouble &&
+      TextQuality.bigramLmScore(
+        Seq((9L, "a b a b")).toDF("doc_id", "text"), ref, "text", "doc_id")
+        .head().getDouble(2) > got(1).getDouble(2))
+  }
 }
