@@ -45,6 +45,17 @@ class EmptyInputSpec extends SparkSpec {
     val sk = Aggs.distinctSketches(noDocs, Seq("text"), "doc_id")
     assert(sk.isEmpty)
     assert(Aggs.mergeSketches(sk, Seq("text")).isEmpty)
+    // PPS over an empty frame, and over a frame whose weights are all 0
+    assert(TextQuality.ppsSample(noDocs.withColumn("lang", lit("x")),
+      "lang", "doc_id", lit(1L), k = 5).isEmpty)
+    val zeroW = Seq((1L, "t", "x")).toDF("doc_id", "text", "lang")
+    assert(TextQuality.ppsSample(zeroW, "lang", "doc_id", lit(0L), k = 5).isEmpty)
+    // LM scoring: empty reference (everything OOV-smoothed... V=0 →
+    // division guard) and empty target both stay total
+    val someDocs2 = Seq((1L, "a b c")).toDF("doc_id", "text")
+    assert(TextQuality.bigramLmScore(noDocs, someDocs2, "text", "doc_id").isEmpty)
+    val emptyRef = TextQuality.bigramLmScore(someDocs2, noDocs, "text", "doc_id")
+    assert(emptyRef.count() == 1)   // row survives; score may be null, never a throw
   }
 
   test("clustering and curation on zero documents") {
