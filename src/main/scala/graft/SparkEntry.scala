@@ -915,6 +915,20 @@ object SparkEntry {
         .filter(TextFunctions.md5SampleFilter(col("doc_id"), 0.2))
         .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
         .orderBy("lang")),
+    "q_fuzzy_pairs" -> ((s, d) => {
+      // typo-level record linkage end-to-end: short name strings (text
+      // prefixes), every 10th doc gets a planted one-char-substituted
+      // copy at id+1e6; the deletion-neighborhood join must recover
+      // exactly the levenshtein≤1 pairs the brute-force oracle finds
+      val base = Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), substring(lower(trim(col("text"))), 1, 24).as("name"))
+      val p = (col("doc_id") % 20).cast("int")
+      val planted = base.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("name").substr(lit(1), p), lit("q"),
+          col("name").substr(p + 2, length(col("name")))).as("name"))
+      TextDedup.editDistancePairs(base.unionByName(planted), "name", "doc_id")
+        .orderBy("id_a", "id_b")
+    }),
     "q_lm_score" -> ((s, d) => {
       // CCNet-style model-based quality filter: fit an add-1 bigram LM
       // on the even-id half (the "reference" slice), score the odd-id
@@ -1083,6 +1097,20 @@ object SparkEntry {
          |WHERE md5(CAST(doc_id AS VARCHAR)) < '${TextFunctions.md5SampleThreshold(0.2)}'
          |GROUP BY lang
          |ORDER BY lang NULLS FIRST""".stripMargin,
+    "q_fuzzy_pairs" ->
+      // brute-force levenshtein join — valid oracle BECAUSE the
+      // engine's deletion-neighborhood result is exact, not approximate
+      """WITH base AS (SELECT doc_id, substr(lower(trim(text)), 1, 24) AS name
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |planted AS (SELECT doc_id + 1000000 AS doc_id,
+        |  substr(name, 1, CAST(doc_id % 20 AS INTEGER)) || 'q' ||
+        |    substr(name, CAST(doc_id % 20 AS INTEGER) + 2) AS name FROM base),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM planted)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.name, b.name) AS INTEGER) AS edit_distance
+        |FROM u a JOIN u b ON a.doc_id < b.doc_id
+        |WHERE levenshtein(a.name, b.name) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
     "q_lm_score" ->
       // the bigram LM reproduced as counts + joins; heads/vocabulary
       // derive from the c12 table exactly as the engine does, ln terms

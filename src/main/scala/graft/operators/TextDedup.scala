@@ -709,6 +709,45 @@ object TextDedup {
           x => x.getField("block_text"))).as("text_cleaned"))
   }
 
+  /** EXACT edit-distance self-join — typo-level near-dup and record
+    * linkage (two titles/URLs/names that differ by one keystroke): all
+    * pairs with levenshtein(a, b) ≤ 1, found via DELETION NEIGHBORHOODS
+    * (the FastSS/SymSpell blocking): D(x) = {x} ∪ {x with one char
+    * deleted}, and lev(a, b) ≤ 1 ⟺ D(a) ∩ D(b) ≠ ∅ (a substitution
+    * deletes to the same string from both sides; an insertion deletes
+    * to the other string). So candidates come from an equi-join on
+    * neighborhood members — never an all-pairs comparison — and a
+    * levenshtein verify removes the false candidates the shared-
+    * deletion test admits (it bounds lev ≤ 2, not ≤ 1). The result is
+    * EXACT, which is what makes the quadratic brute-force join a valid
+    * oracle (the jaccardPairs-vs-LSH pattern, at edit-distance).
+    *
+    * Scale: neighborhood fan-out is map-side, len+1 variants per
+    * string (short keys — titles, names, URLs; not documents). The
+    * self-join shuffles (xxhash64(variant), id, string) — an 8-byte
+    * join key; hash collisions are harmless (verified away). Pairs
+    * dedup BEFORE the verify. Run exact-dup collapse first: m copies
+    * of one string otherwise emit m² candidates per variant.
+    */
+  def editDistancePairs(df: DataFrame, strCol: String, idCol: String): DataFrame = {
+    val s = col(strCol)
+    val dels = when(length(s) >= 1,
+      transform(sequence(lit(1), length(s)),
+        i => concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s)))))
+      .otherwise(array().cast("array<string>"))
+    val variants = df.select(col(idCol).as("_id"), s.as("_s"),
+      explode(array_distinct(concat(array(s), dels))).as("_v"))
+      .select(col("_id"), col("_s"), xxhash64(col("_v")).as("_vh"))
+    val a = variants.as("a"); val b = variants.as("b")
+    a.join(b, col("a._vh") === col("b._vh") && col("a._id") < col("b._id"))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
+        col("a._s").as("_sa"), col("b._s").as("_sb"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("edit_distance", levenshtein(col("_sa"), col("_sb")))
+      .filter(col("edit_distance") <= 1)
+      .select(col("id_a"), col("id_b"), col("edit_distance"))
+  }
+
   def lshRecallReport(df: DataFrame, textCol: String, idCol: String,
                       n: Int = 3, k: Int = 16, bands: Int = 4,
                       threshold: Double = 0.8): DataFrame = {

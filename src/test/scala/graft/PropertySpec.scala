@@ -322,6 +322,29 @@ object PropertySpec extends Properties("graft") {
       }
     }
 
+  property("editDistancePairs ≡ brute-force levenshtein ≤ 1 on random strings") =
+    Prop.forAll(Gen.listOfN(10, for {
+      n <- Gen.choose(0, 6)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b'))
+    } yield cs.mkString)) { strs =>
+      val df = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "s")
+      val got = operators.TextDedup.editDistancePairs(df, "s", "id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      def lev(a: String, b: String): Int = {
+        val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+          if (i == 0) j else if (j == 0) i else 0 }
+        for (i <- 1 to a.length; j <- 1 to b.length)
+          d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+            d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        d(a.length)(b.length)
+      }
+      val expect = (for {
+        i <- strs.indices; j <- strs.indices if i < j
+        d = lev(strs(i), strs(j)) if d <= 1
+      } yield (i.toLong, j.toLong, d)).toSet
+      got == expect
+    }
+
   property("blockDedup: token conservation, distinct survivors, reference replay") =
     Prop.forAll(Gen.listOfN(6, wordGen)) { docs =>
       val df = docs.zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
