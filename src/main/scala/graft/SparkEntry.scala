@@ -915,6 +915,17 @@ object SparkEntry {
         .filter(TextFunctions.md5SampleFilter(col("doc_id"), 0.2))
         .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
         .orderBy("lang")),
+    "q_compress_ratio" -> ((s, d) =>
+      // no_oracle (golden-pinned): zlib byte counts are
+      // engine/library-specific — no SQL engine reproduces them.
+      // DeflateLenSpec pins codegen≡interpreted, redundancy ordering,
+      // and determinism instead; the signal itself is the Gopher/Dolma
+      // compression-ratio quality gate
+      Tables.documents(s, d).select(col("doc_id"),
+          octet_length(col("text")).as("n_bytes"),
+          graft.plans.DeflateLen.len(col("text")).as("deflate_len"),
+          TextFunctions.compressionRatio(col("text")).as("compress_ratio"))
+        .orderBy("doc_id")),
     "q_fuzzy_pairs" -> ((s, d) => {
       // typo-level record linkage end-to-end: short name strings (text
       // prefixes), every 10th doc gets a planted one-char-substituted

@@ -188,6 +188,18 @@ object TextFunctions {
     when(best.getField("score") >= minScore, best.getField("lang")).otherwise(lit("und"))
   }
 
+  /** Compression-ratio quality signal (Gopher/Dolma family): DEFLATE
+    * bytes over raw bytes. Template/machine-generated text compresses
+    * far better (low ratio) than natural prose — a model-free
+    * redundancy score catching long-range structure the n-gram
+    * repetition metrics miss. NULL for empty text (no bytes to score),
+    * never NaN. Engine-specific byte counts → golden-pinned, not
+    * DuckDB-oracled.
+    */
+  def compressionRatio(c: Column): Column =
+    when(octet_length(c) > 0,
+      graft.plans.DeflateLen.len(c).cast("double") / octet_length(c))
+
   /** PII redaction: emails, US-style phone numbers, and long digit runs
     * (card/SSN-ish) replaced with typed tags. Patterns avoid lookaround
     * so they behave identically under Java regex and RE2.

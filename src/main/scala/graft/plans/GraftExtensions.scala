@@ -100,6 +100,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         UnicodeNorm(exprs.head, form)
       }))
     ext.injectFunction((
+      FunctionIdentifier("deflate_len"),
+      new ExpressionInfo(classOf[DeflateLen].getName, "deflate_len"),
+      (exprs: Seq[Expression]) => DeflateLen(checkArity("deflate_len", exprs, 1).head)))
+    ext.injectFunction((
       FunctionIdentifier("lang_id"),
       new ExpressionInfo(classOf[LangIdPick].getName, "lang_id"),
       (exprs: Seq[Expression]) => {

@@ -18,7 +18,7 @@ object GoldenGen {
   val goldenQueries: Seq[String] = Seq(
     "q_minhash_pairs", "q_simhash_pairs", "q_lang_id",
     "q_ann_ivf", "q_approx_profile", "q_curate_lsh", "q_cross_dedup",
-    "q_percentiles_approx", "q_hll_rollup")
+    "q_percentiles_approx", "q_hll_rollup", "q_compress_ratio")
 
   val goldenDir = "src/test/resources/golden"
   val sfDir = "/root/testdata/sf0.01"
