@@ -298,6 +298,23 @@ class PlanAuditSpec extends SparkSpec {
       s"doc-frequency count lost its map-side partial:\n$p")
   }
 
+  test("q_fuzzy_pairs: deletion-neighborhood equi-join, never all-pairs") {
+    val p = plan(q("q_fuzzy_pairs"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"edit-distance pairs regressed to an all-pairs join:\n$p")
+    // candidate pairs dedup BEFORE the levenshtein verify
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"),
+      s"pair dedup missing below the verify:\n$p")
+  }
+
+  test("q_lm_score: model counts partially aggregated, no cartesian beyond the 1-row vocab") {
+    val p = plan(q("q_lm_score"))
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"bigram/head/score aggregations lost their partial pairs:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"LM scoring went all-pairs (the vocab scalar must broadcast):\n$p")
+  }
+
   test("q_pps_sample: stratum-partitioned windows, never a SinglePartition funnel") {
     val df = q("q_pps_sample")
     df.collect()
