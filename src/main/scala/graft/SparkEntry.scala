@@ -775,6 +775,18 @@ object SparkEntry {
           col("h0"), col("h1"), col("h2"), col("h3"),
           col("h4"), col("h5"), col("h6"), col("h7"))
         .orderBy("doc_id")),
+    "q_image_resize" -> ((s, d) => {
+      // REAL resize round-trip: synth 8×8 PNGs → nearest-neighbor 4×4 →
+      // PNG re-encode → re-decode and measure. Resized pixel (x,y) is
+      // the original at (2x, 2y), so the means are closed-form in SQL
+      val resized = Multimodal.resizeImages(s,
+        Multimodal.syntheticImages(s, Tables.documents(s, d), "doc_id"),
+        "id", outW = 4, outH = 4)
+      Multimodal.imageFrameFeatures(s, resized, "id", 1)
+        .select(col("id").as("doc_id"), col("width"), col("height"),
+          col("mean_r"), col("mean_g"), col("mean_b"))
+        .orderBy("doc_id")
+    }),
     "q_image_meta" -> ((s, d) => {
       // real header probing round-trip, like q_wav_meta: synthesize a
       // PNG header with dims derived from doc_id, parse it back; the
@@ -1655,6 +1667,26 @@ object SparkEntry {
         | CAST(8*sum(CASE WHEN luma//32 = 6 THEN 1 ELSE 0 END) AS BIGINT) AS h6,
         | CAST(8*sum(CASE WHEN luma//32 = 7 THEN 1 ELSE 0 END) AS BIGINT) AS h7
         |FROM lum GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_image_resize" ->
+      // nearest-neighbor 8×8→4×4 samples source x' = 2x (y collapses —
+      // color depends only on x), so resized means are the 4-point
+      // averages of the original column colors
+      """WITH px AS (SELECT doc_id, CAST(g.x AS INTEGER) AS x
+        |  FROM documents, generate_series(0, 3) g(x)),
+        |rgb AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 256 AS INTEGER)
+        |       ELSE CAST((2*x)*255//7 AS INTEGER) END AS r,
+        |  CASE WHEN doc_id % 2 = 0 THEN CAST((doc_id*7 + 3) % 256 AS INTEGER)
+        |       ELSE CAST(doc_id % 256 AS INTEGER) END AS g,
+        |  CASE WHEN doc_id % 2 = 0 THEN CAST((doc_id*13 + 5) % 256 AS INTEGER)
+        |       ELSE CAST(255 - (2*x)*255//7 AS INTEGER) END AS b
+        | FROM px)
+        |SELECT doc_id,
+        | CAST(4 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+        | CAST(sum(r) AS DOUBLE)/4 AS mean_r,
+        | CAST(sum(g) AS DOUBLE)/4 AS mean_g,
+        | CAST(sum(b) AS DOUBLE)/4 AS mean_b
+        |FROM rgb GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_wav_meta" ->
       // expected header values recomputed arithmetically from the
       // synthesis parameters: ms = 40 + (doc_id % 60)*2 at 16 kHz mono

@@ -144,6 +144,26 @@ object Multimodal {
       hash
     }
 
+    /** Nearest-neighbor resize — integer source sampling
+      * (src = dst·srcDim/outDim, floor), the same resampling [[dHash]]
+      * uses, so resized pixels carry closed-form SQL oracles. TYPE_INT_RGB
+      * output: re-encoding to PNG stays lossless.
+      */
+    def resize(img: BufferedImage, outW: Int, outH: Int): BufferedImage = {
+      val sw = img.getWidth; val sh = img.getHeight
+      val out = new BufferedImage(outW, outH, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < outH) {
+        var x = 0
+        while (x < outW) {
+          out.setRGB(x, y, img.getRGB(x * sw / outW, y * sh / outH))
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
     /** Encode an RGB pixel function as a real PNG (lossless round-trip). */
     def encodePng(w: Int, h: Int, rgb: (Int, Int) => Int): Array[Byte] = {
       val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
@@ -194,6 +214,33 @@ object Multimodal {
     df.select(col(idCol).cast("long").as("id")).as[Long]
       .mapPartitions(_.map(id => (id, synthImage(id))))
       .toDF("id", "media")
+  }
+
+  /** Thumbnail / normalization stage: decode each image, nearest-neighbor
+    * resize to (outW, outH), re-encode as PNG — (id, media, width,
+    * height) with the resized bytes as a new opaque binary column, ready
+    * to feed any downstream decode stage (the q_image_resize oracle
+    * re-decodes them and checks the pixels closed-form). Runs in
+    * `mapPartitions` so codec init amortizes per partition; malformed
+    * media yields a null-media row, never a task failure.
+    */
+  def resizeImages(spark: SparkSession, df: DataFrame, idCol: String,
+                   outW: Int, outH: Int): DataFrame = {
+    import spark.implicits._
+    require(outW > 0 && outH > 0, "output dimensions must be positive")
+    df.select(col(idCol).cast("long").as("id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        ImageCodec.decode(bytes) match {
+          case Some(img) =>
+            val r = ImageCodec.resize(img, outW, outH)
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(r, "png", bos)
+            (id, Some(bos.toByteArray), Some(outW), Some(outH))
+          case None => (id, None, None, None)
+        }
+      })
+      .toDF("id", "media", "width", "height")
   }
 
   /** REAL per-frame image features: decode up to `maxFrames` frames per

@@ -198,4 +198,19 @@ class WavSpec extends SparkSpec {
     val feats = Multimodal.wavFrameFeatures(spark, rows, "doc_id")
     assert(feats.count() == 8 + 4)   // 200ms and 100ms at 25ms frames; garbage → 0
   }
+
+  test("resizeImages: nearest-neighbor pixel mapping survives the PNG round-trip") {
+    // 4×1 gradient → 2×1: nearest-neighbor keeps pixels at x' = 0, 2
+    val src = Multimodal.ImageCodec.encodePng(4, 1, (x, _) => x * 10)
+    val rows = Seq((1L, src), (2L, "not-a-png".getBytes)).toDF("doc_id", "media")
+    val out = Multimodal.resizeImages(spark, rows, "doc_id", outW = 2, outH = 1)
+      .orderBy("id").collect()
+    val decoded = Multimodal.ImageCodec.decode(out(0).getAs[Array[Byte]](1)).get
+    assert(decoded.getWidth == 2 && decoded.getHeight == 1)
+    assert((decoded.getRGB(0, 0) & 0xFFFFFF) == 0 &&
+      (decoded.getRGB(1, 0) & 0xFFFFFF) == 20,
+      "resized pixels must be the source pixels at x' = x·srcW/outW")
+    // malformed media → null bytes and dims, row preserved
+    assert(out(1).isNullAt(1) && out(1).isNullAt(2) && out(1).isNullAt(3))
+  }
 }
