@@ -826,6 +826,26 @@ object SparkEntry {
           col("duration_ms").cast("bigint").as("duration_ms"))
         .orderBy("doc_id")
     }),
+    "q_wav_resample" -> ((s, d) => {
+      // REAL resample round-trip: same fixture as q_wav_meta, decimated
+      // 16 kHz → 8 kHz, the output WAV re-probed — kept samples are the
+      // source verbatim, so the headers are pure arithmetic:
+      // n = 16·ms even → n_samples = 8·ms, duration unchanged
+      import s.implicits._
+      val ids = Tables.documents(s, d)
+        .select(col("doc_id").cast("long").as("doc_id")).as[Long]
+      val media = ids.mapPartitions(_.map(id =>
+          (id, Multimodal.WavCodec.synthesize(
+            100.0 + (id % 400), (40 + (id % 60) * 2).toInt))))
+        .toDF("doc_id", "media")
+      val resampled = Multimodal.resampleWav(s, media, "doc_id", factor = 2)
+      Multimodal.probeWavMeta(s, resampled, "id")
+        .select(col("id").as("doc_id"),
+          col("sample_rate").cast("int").as("sample_rate"),
+          col("n_samples").cast("bigint").as("n_samples"),
+          col("duration_ms").cast("bigint").as("duration_ms"))
+        .orderBy("doc_id")
+    }),
 
     // ---- as-of join + corpus curation --------------------------------
     "q_range_join" -> ((s, d) => {
@@ -1696,6 +1716,14 @@ object SparkEntry {
         | CAST(1 AS INTEGER) AS channels,
         | CAST(16 AS INTEGER) AS bits_per_sample,
         | CAST(16*(40 + (doc_id % 60)*2) AS BIGINT) AS n_samples,
+        | CAST(40 + (doc_id % 60)*2 AS BIGINT) AS duration_ms
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_wav_resample" ->
+      // decimation headers closed-form: rate halves, sample count
+      // halves (16·ms is even), duration in ms is unchanged
+      """SELECT doc_id,
+        | CAST(8000 AS INTEGER) AS sample_rate,
+        | CAST(8*(40 + (doc_id % 60)*2) AS BIGINT) AS n_samples,
         | CAST(40 + (doc_id % 60)*2 AS BIGINT) AS duration_ms
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_lang_id" ->

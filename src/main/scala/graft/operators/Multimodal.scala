@@ -368,6 +368,43 @@ object Multimodal {
       bb.array()
     }
 
+    /** Decimation resample of a mono PCM16 WAV: keep every `factor`-th
+      * sample, the rate divides by `factor` — the audio analogue of the
+      * image thumbnail stage (16 kHz → 8 kHz model-ingest
+      * normalization; proper band-limiting belongs upstream of this
+      * primitive). Kept samples are the source samples verbatim, so
+      * the re-probe oracle is pure header arithmetic. None for
+      * non-mono / non-PCM16 / non-dividing-rate / malformed input.
+      */
+    def decimate(bytes: Array[Byte], factor: Int): Option[Array[Byte]] = {
+      require(factor >= 1, "decimation factor must be ≥ 1")
+      for {
+        m <- probe(bytes)
+        if m.channels == 1 && m.bits_per_sample == 16 &&
+          m.sample_rate % factor == 0
+        (dOff, dSz) <- findChunk(bytes, "data")
+      } yield {
+        val n = (dSz / 2).toInt
+        val outN = (n + factor - 1) / factor
+        val dataSz = outN * 2
+        val bb = java.nio.ByteBuffer.allocate(44 + dataSz)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSz)
+          .put("WAVE".getBytes("US-ASCII"))
+        bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+          .putShort(1).putShort(1).putInt(m.sample_rate / factor)
+          .putInt(m.sample_rate / factor * 2).putShort(2).putShort(16)
+        bb.put("data".getBytes("US-ASCII")).putInt(dataSz)
+        var i = 0
+        while (i < n) {
+          bb.putShort(((bytes(dOff + 2 * i) & 0xFF) |
+            (bytes(dOff + 2 * i + 1) << 8)).toShort)
+          i += factor
+        }
+        bb.array()
+      }
+    }
+
     /** Synthesize with a PER-FRAME amplitude envelope (one amplitude per
       * `frameMs` frame, aligned with [[frameStats]] framing) — the
       * fixture for [[Multimodal.audioFingerprint]]: frame-RMS ordering
@@ -395,6 +432,27 @@ object Multimodal {
       }
       bb.array()
     }
+  }
+
+  /** Audio resample stage (decimation): mono PCM16 WAV in, WAV at
+    * rate/factor out as a new binary column — (id, media, sample_rate,
+    * n_samples), nulls when the input is malformed or unsupported.
+    * Same mapPartitions/null-row contract as [[resizeImages]].
+    */
+  def resampleWav(spark: SparkSession, df: DataFrame, idCol: String,
+                  factor: Int): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        WavCodec.decimate(bytes, factor) match {
+          case Some(out) =>
+            val m = WavCodec.probe(out).get
+            (id, Some(out), Some(m.sample_rate), Some(m.n_samples))
+          case None => (id, None, None, None)
+        }
+      })
+      .toDF("id", "media", "sample_rate", "n_samples")
   }
 
   /** Probe real WAV metadata per row (mapPartitions, like [[probeMeta]]).

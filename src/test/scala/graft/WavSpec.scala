@@ -199,6 +199,31 @@ class WavSpec extends SparkSpec {
     assert(feats.count() == 8 + 4)   // 200ms and 100ms at 25ms frames; garbage → 0
   }
 
+  test("decimate: kept samples verbatim, rate/count halve, unsupported → None") {
+    val src = WavCodec.synthesize(440.0, 100)           // 16 kHz, 1600 samples
+    val out = WavCodec.decimate(src, 2).get
+    val m = WavCodec.probe(out).get
+    assert(m.sample_rate == 8000 && m.n_samples == 800 && m.duration_ms == 100)
+    // kept samples are the even-index source samples bit-for-bit: the
+    // first frame's RMS over aligned 25ms windows can only differ by
+    // the dropped-sample halving, not by value corruption — compare a
+    // few raw samples directly
+    def sampleAt(b: Array[Byte], i: Int): Int = {
+      val off = 44 + 2 * i
+      ((b(off) & 0xFF) | (b(off + 1) << 8)).toShort.toInt
+    }
+    (0 until 20).foreach(i =>
+      assert(sampleAt(out, i) == sampleAt(src, 2 * i), s"sample $i corrupted"))
+    assert(WavCodec.decimate("junk".getBytes, 2).isEmpty)
+    assert(WavCodec.decimate(src, 3).isEmpty)   // 16000 % 3 != 0 → unsupported
+    // distributed face: malformed rows become null rows, not failures
+    val rows = Seq((1L, src), (2L, "junk".getBytes)).toDF("doc_id", "media")
+    val got = Multimodal.resampleWav(spark, rows, "doc_id", 2)
+      .orderBy("id").collect()
+    assert(got(0).getInt(2) == 8000 && got(0).getLong(3) == 800L)
+    assert(got(1).isNullAt(1) && got(1).isNullAt(2))
+  }
+
   test("resizeImages: nearest-neighbor pixel mapping survives the PNG round-trip") {
     // 4×1 gradient → 2×1: nearest-neighbor keeps pixels at x' = 0, 2
     val src = Multimodal.ImageCodec.encodePng(4, 1, (x, _) => x * 10)
