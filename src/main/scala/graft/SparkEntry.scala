@@ -423,6 +423,18 @@ object SparkEntry {
       SchemaOps.profileNumeric(Tables.orders(s, d),
         Seq("o_custkey", "o_orderkey", "o_totalprice"))
         .orderBy("column")),
+    "q_outliers" -> ((s, d) => {
+      // anomaly gate on a corrupted drop: every 997th order's total is
+      // fat-fingered 100×; the z-score report must flag exactly those
+      // (planted z ≈ 30 vs ≤ 0.3 for clean rows — the near-uniform
+      // columns max out at z ≈ 1.75, so nothing real trips the gate)
+      val corrupted = Tables.orders(s, d).withColumn("amount",
+        when(col("o_orderkey") % 997 === 0, col("o_totalprice") * 100)
+          .otherwise(col("o_totalprice")))
+      SchemaOps.outlierReport(corrupted, "o_orderpriority", "amount",
+        zThreshold = 3.0)
+        .orderBy("o_orderpriority")
+    }),
     "q_distinct_profile" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
       li.agg(
@@ -1176,6 +1188,24 @@ object SparkEntry {
         | CAST(s.slp AS DOUBLE)/s.n_bigrams AS avg_logprob
         |FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 2 = 1) d
         |LEFT JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q_outliers" ->
+      // the engine's exact-moment formula replayed verbatim (decimal
+      // sums → double ratios → IEEE sqrt — NOT avg/stddev_pop, whose
+      // double accumulation is order-dependent); planted 100× rows
+      // separate cleanly (z≈30 vs ≤0.3) so no boundary comparisons
+      """WITH c AS (SELECT o_orderpriority AS g,
+        |  CASE WHEN o_orderkey % 997 = 0 THEN o_totalprice * 100
+        |       ELSE o_totalprice END AS amount FROM orders),
+        |s AS (SELECT g, count(amount) AS n,
+        |  CAST(sum(CAST(amount AS DECIMAL(18,4))) AS DOUBLE)/count(amount) AS m,
+        |  CAST(sum(CAST(amount AS DECIMAL(19,4)) * CAST(amount AS DECIMAL(19,4))) AS DOUBLE)/count(amount) AS ex2
+        | FROM c GROUP BY g),
+        |j AS (SELECT c.g, c.amount, s.n, s.m,
+        |  sqrt(greatest(s.ex2 - s.m*s.m, 0)) AS sd FROM c JOIN s USING (g))
+        |SELECT g AS o_orderpriority, count(*) AS n_outliers,
+        | min(amount) AS min_outlier, max(amount) AS max_outlier
+        |FROM j WHERE n >= 2 AND sd > 0 AND abs(amount - m) > 3.0*sd
+        |GROUP BY g ORDER BY o_orderpriority""".stripMargin,
     "q_pps_sample" ->
       // systematic PPS reproduced integer-exactly: HUGEINT cumulative
       // sums over the identical md5 order, integral // division — the

@@ -89,4 +89,39 @@ object SchemaOps {
     }
     one.select(explode(array(rows: _*)).as("_r")).select(col("_r.*"))
   }
+
+  /** Per-group statistical outlier report — the anomaly gate a pipeline
+    * runs on a new drop BEFORE merging it ("did this month's feed
+    * contain fat-fingered amounts?"): rows whose value sits more than
+    * `zThreshold` population standard deviations from their group's
+    * mean, with per-group accounting. Two passes: one partial-agg'd
+    * moments pass (DECIMAL sums — partitioning-invariant), then a
+    * broadcast join back filters the outliers map-side. Every quantity
+    * is deterministic cross-engine: means/variances are exact decimal
+    * ratios and sqrt is IEEE correctly-rounded (unlike ln — no
+    * ulp-hardening needed), so the flagged SET is oracle-exact.
+    * Groups with fewer than 2 rows or zero variance flag nothing.
+    */
+  def outlierReport(df: DataFrame, groupCol: String, valueCol: String,
+                    zThreshold: Double = 3.0): DataFrame = {
+    val x = col(valueCol).cast("double")
+    // decimal(18,4) squares multiply to (37,8) — inside the 38-digit
+    // cap, so sums stay EXACT (a (38,8)² product would overflow 38 and
+    // silently round, breaking cross-engine equality); bounds |x| to
+    // 1e14, plenty for any metric column
+    val xd = x.cast("decimal(18,4)")
+    val stats = df.groupBy(groupCol).agg(
+      count(x).as("_n"),
+      (sum(xd).cast("double") / count(x)).as("_mean"),
+      // population variance from exact sums: E[x²] − E[x]²
+      (sum(xd * xd).cast("double") / count(x)).as("_ex2"))
+    df.join(broadcast(stats), Seq(groupCol))
+      .withColumn("_sd", sqrt(greatest(col("_ex2") - col("_mean") * col("_mean"),
+        lit(0.0))))
+      .filter(col("_n") >= 2 && col("_sd") > 0 &&
+        abs(x - col("_mean")) > lit(zThreshold) * col("_sd"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_outliers"),
+        min(x).as("min_outlier"), max(x).as("max_outlier"))
+  }
 }

@@ -119,4 +119,19 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Set((1L, 10L), (1L, 11L)), s"got $got")
   }
 
+  test("outlierReport: planted anomaly flagged, tight/tiny/constant groups silent") {
+    import spark.implicits._
+    // group "a": 100 values in [0, 99] plus one planted 10000 — only the
+    // plant exceeds 3σ. "b": constant (zero variance). "c": single row.
+    val rows = (0 until 100).map(i => ("a", i.toDouble)) ++
+      Seq(("a", 10000.0)) ++ (0 until 5).map(_ => ("b", 7.0)) ++ Seq(("c", 1.0))
+    val got = SchemaOps.outlierReport(rows.toDF("g", "v"), "g", "v", 3.0)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toList
+    assert(got == List(("a", 1L, 10000.0)), s"got $got")
+    // without the plant, the uniform group is quiet at 3σ (max z ≈ 1.7)
+    val clean = SchemaOps.outlierReport(
+      (0 until 100).map(i => ("a", i.toDouble)).toDF("g", "v"), "g", "v", 3.0)
+    assert(clean.isEmpty)
+  }
+
 }
