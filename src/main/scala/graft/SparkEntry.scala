@@ -1034,6 +1034,27 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), col("sim"))
         .orderBy("id_a", "id_b")
     }),
+    "q_semantic_dedup" -> ((s, d) => {
+      // SemDeDup end-to-end: the same planted perturbed copies as
+      // q_embed_neardup (cosine ≈ 0.999 to their source) must collapse
+      // into their source's semantic group through the within-cell
+      // pipeline. Centroids are the md5-seeded portable pick, so cell
+      // assignment, pair set, and canonical choice are all reproduced
+      // bit-for-bit by the DuckDB oracle.
+      val base = Tables.embeddings(s, d).select(
+        col("vec_id").cast("long").as("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val dups = base.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            x * (lit(1.0) + lit(0.02) *
+              ((col("vec_id") + i) % 5 - 2).cast("double"))).as("embedding"))
+      val all = base.unionByName(dups)
+      val cents = Similarity.hashSeedCentroids(all, "vec_id", "embedding",
+        k = 8, seed = 7L)
+      Similarity.semanticDedup(all, "vec_id", "embedding", cents, tau = 0.9)
+        .orderBy("vec_id")
+    }),
 
     // ---- events / sessionization -------------------------------------
     "q_funnel" -> ((s, d) =>
@@ -1114,6 +1135,46 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_embed_neardup" -> lshNearDupOracle(nbits = 14, tables = 4, dim = 64,
       seed = 42L, threshold = 0.9),
+    "q_semantic_dedup" ->
+      // full SemDeDup replay: planting (1-based list_transform index →
+      // i-1), normalize, md5-seeded centroid pick, argmax-dot assignment
+      // (tie = lowest cent_id), within-cell ≥ tau pairs, recursive-CTE
+      // transitive closure, min-id canonical — every float op is the
+      // same left-fold the Spark plan runs, proven bit-exact by
+      // q_cosine_pairs
+      """WITH RECURSIVE eb AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings),
+        |e0 AS (SELECT vec_id, e FROM eb
+        | UNION ALL
+        | SELECT vec_id + 1000000 AS vec_id,
+        |  list_transform(e, (x, i) ->
+        |    x * (1.0 + 0.02 * CAST((vec_id + (i - 1)) % 5 - 2 AS DOUBLE))) AS e
+        | FROM eb WHERE vec_id % 10 = 0),
+        |n0 AS (SELECT vec_id, e,
+        |  sqrt(list_reduce(list_transform(e, y->y*y),(p,q)->p+q)) AS nrm FROM e0),
+        |n AS (SELECT vec_id, list_transform(e,
+        |  x -> CASE WHEN nrm = 0 THEN 0.0 ELSE x / nrm END) AS v FROM n0),
+        |seeds AS (SELECT vec_id AS cent_id, v AS cv FROM n
+        | ORDER BY md5(vec_id::VARCHAR || ':7'), vec_id LIMIT 8),
+        |scored AS (SELECT n.vec_id, s.cent_id,
+        |  list_reduce(list_transform(list_zip(n.v, s.cv), x->x[1]*x[2]),(p,q)->p+q) AS csim
+        | FROM n CROSS JOIN seeds s),
+        |assign AS (SELECT vec_id, cent_id FROM (
+        |  SELECT vec_id, cent_id,
+        |   row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn
+        |  FROM scored) WHERE rn = 1),
+        |m AS (SELECT n.vec_id, a.cent_id, n.v FROM n JOIN assign a USING (vec_id)),
+        |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        | FROM m a JOIN m b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+        | WHERE list_reduce(list_transform(list_zip(a.v, b.v), x->x[1]*x[2]),(p,q)->p+q) >= 0.9),
+        |edges AS (SELECT id_a AS u, id_b AS w FROM pairs
+        | UNION SELECT id_b, id_a FROM pairs),
+        |reach(node, comp) AS (SELECT u, u FROM edges
+        | UNION SELECT e.u, r.comp FROM edges e JOIN reach r ON e.w = r.node),
+        |comps AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node)
+        |SELECT m.vec_id, m.cent_id, COALESCE(c.comp, m.vec_id) AS group_id,
+        | COALESCE(c.comp, m.vec_id) = m.vec_id AS is_canonical
+        |FROM m LEFT JOIN comps c ON m.vec_id = c.node
+        |ORDER BY vec_id""".stripMargin,
     "q_distinct_profile" ->
       """SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
         | CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,

@@ -454,4 +454,62 @@ object Similarity {
     df.select(col(idCol),
       element_at(graft.plans.LshSig.sig(asDouble(col(vecCol)), nbits, 1, dim, seed), 1)
         .as("bucket"))
+
+  /** Engine-portable centroid pick for [[semanticDedup]]'s oracle path:
+    * the k corpus rows that sort first by `md5(id || ':' || seed)`
+    * (lowercase hex compares identically in every engine, same trick as
+    * TextQuality.hashSplit). A hash-ordered pick is a uniform random
+    * sample, so cells are balanced in expectation — good enough for the
+    * verification path; production uses [[fitCentroids]] (k-means||) for
+    * tighter cells. k rows ride a global sort-limit (TakeOrdered — no
+    * full sort materializes).
+    */
+  def hashSeedCentroids(df: DataFrame, idCol: String, vecCol: String,
+                        k: Int, seed: Long = 42L): DataFrame =
+    df.select(col(idCol), col(vecCol))
+      .orderBy(md5(concat(col(idCol).cast("string"), lit(":" + seed))),
+        col(idCol))
+      .limit(k)
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): embedding-space
+    * near-duplicate pruning that stays sub-quadratic by comparing only
+    * WITHIN clusters — cluster the corpus, run exact cosine pairs inside
+    * each cell, connect the ≥ tau pairs transitively, keep one doc per
+    * semantic group (smallest id, same canonical rule as
+    * Graph.dedupClusters so curation composes). Docs whose near-dup
+    * lands in a different cell are missed by construction — that recall
+    * trade IS the algorithm; measure it with the same
+    * within-vs-exact comparison TextDedup.lshRecallReport applies to LSH.
+    *
+    * `centroids`: any (idCol, vecCol) frame — [[fitCentroids]] output in
+    * production (k ≈ N/5000 keeps cells ~constant-size as the corpus
+    * grows, so the per-cell quadratic step never re-approaches corpus²),
+    * [[hashSeedCentroids]] for the cross-engine oracle. Cost model at
+    * 100 TB: one broadcast-assign pass over the corpus (centroids are
+    * small), one shuffle on cent_id for the self-join, Σ|cell|² dot
+    * products, then CC on the (tiny) pair set.
+    *
+    * Returns (idCol, cent_id, group_id, is_canonical) — group_id is the
+    * smallest id reachable through ≥ tau within-cell similarity.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    centroids: DataFrame, tau: Double): DataFrame = {
+    val cent = normalized(centroids, idCol, vecCol, "cent_id", "centv")
+    val assigned = assignStage(cent,
+        normalized(df, idCol, vecCol, "_sd_id", "v"), "_sd_id", 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = assigned.select(col("cent_id"), col("_sd_id").as("id_a"),
+      col("v").as("_va"))
+    val b = assigned.select(col("cent_id"), col("_sd_id").as("id_b"),
+      col("v").as("_vb"))
+    val pairs = a.join(b, Seq("cent_id"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), dot(col("_va"), col("_vb")).as("sim"))
+      .filter(col("sim") >= tau)
+    Graph.dedupClusters(df, idCol, pairs, "id_a", "id_b")
+      .join(assigned.select(col("_sd_id").cast("long").as(idCol),
+        col("cent_id").cast("long").as("cent_id")), Seq(idCol))
+      .select(col(idCol), col("cent_id"),
+        col("cluster_id").as("group_id"), col("is_canonical"))
+  }
 }

@@ -1,0 +1,85 @@
+package graft
+
+import graft.operators.{Graph, Similarity}
+import org.apache.spark.sql.functions._
+
+/** SemDeDup semantics: within-cell near-dup collapse, cross-cell miss
+  * (the documented recall trade), exact-equivalence when k = 1, and
+  * portability invariants of the hash-seeded centroid pick.
+  */
+class SemanticDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs(rows: (Long, Seq[Double])*) =
+    rows.toDF("vec_id", "embedding")
+
+  // two explicit orthogonal centroids so assignment is unambiguous
+  private lazy val axes = vecs(100L -> Seq(1.0, 0.0), 200L -> Seq(0.0, 1.0))
+
+  test("near-dup pair in one cell collapses to the smaller id") {
+    val corpus = vecs(
+      1L -> Seq(1.0, 0.05),   // cell 100
+      2L -> Seq(1.0, 0.06),   // cell 100, cosine ≈ 0.9999 to 1
+      3L -> Seq(0.1, 1.0))    // cell 200, singleton
+    val out = Similarity.semanticDedup(corpus, "vec_id", "embedding", axes, 0.9)
+      .orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.toSeq == Seq(
+      (1L, 100L, 1L, true),
+      (2L, 100L, 1L, false),
+      (3L, 200L, 3L, true)))
+  }
+
+  test("near-dups split across cells are NOT compared (documented trade)") {
+    // cosine(5,6) ≈ 0.9996 but 5 assigns to the x-axis cell, 6 to the
+    // y-axis cell — SemDeDup misses the pair by construction
+    val corpus = vecs(5L -> Seq(0.72, 0.70), 6L -> Seq(0.70, 0.72))
+    val out = Similarity.semanticDedup(corpus, "vec_id", "embedding", axes, 0.9)
+    assert(out.filter(col("is_canonical")).count() == 2)
+    assert(out.select("cent_id").distinct().count() == 2)
+  }
+
+  test("k = 1 degenerates to exact dedup (cosinePairsExact + dedupClusters)") {
+    val corpus = vecs(
+      1L -> Seq(0.9, 0.1, 0.3), 2L -> Seq(0.9, 0.11, 0.31),
+      3L -> Seq(-0.2, 0.8, 0.1), 4L -> Seq(-0.21, 0.82, 0.1),
+      5L -> Seq(0.1, 0.1, -0.9))
+    val one = vecs(999L -> Seq(1.0, 1.0, 1.0))
+    val sem = Similarity.semanticDedup(corpus, "vec_id", "embedding", one, 0.95)
+      .select("vec_id", "group_id", "is_canonical")
+    val exact = Graph.dedupClusters(corpus, "vec_id",
+        Similarity.cosinePairsExact(corpus, "vec_id", "embedding", 0.95),
+        "id_a", "id_b")
+      .select(col("vec_id"), col("cluster_id").as("group_id"), col("is_canonical"))
+    assert(sem.exceptAll(exact).isEmpty && exact.exceptAll(sem).isEmpty)
+    // and the pairs actually merged something (guard against a vacuous test)
+    assert(sem.filter(!col("is_canonical")).count() == 2)
+  }
+
+  test("tie in assignment goes to the lowest cent_id") {
+    val corpus = vecs(7L -> Seq(1.0, 1.0)) // equidistant from both axes
+    val out = Similarity.semanticDedup(corpus, "vec_id", "embedding", axes, 0.9)
+    assert(out.select("cent_id").as[Long].head() == 100L)
+  }
+
+  test("hashSeedCentroids: deterministic, partitioning-invariant, k rows") {
+    val corpus = vecs((1L to 40L).map(i => i -> Seq(i.toDouble, 1.0)): _*)
+    val a = Similarity.hashSeedCentroids(corpus, "vec_id", "embedding", 5, seed = 7L)
+      .select("vec_id").as[Long].collect().toSeq
+    val b = Similarity.hashSeedCentroids(corpus.repartition(7), "vec_id",
+        "embedding", 5, seed = 7L)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(a == b && a.size == 5)
+    val other = Similarity.hashSeedCentroids(corpus, "vec_id", "embedding", 5,
+      seed = 8L).select("vec_id").as[Long].collect().toSeq
+    assert(other != a) // different seed, different pick (40 choose 5 space)
+  }
+
+  test("empty corpus and empty centroid frame are total") {
+    val none = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "embedding")
+    assert(Similarity.semanticDedup(none, "vec_id", "embedding", axes, 0.9).isEmpty)
+    val corpus = vecs(1L -> Seq(1.0, 0.0))
+    assert(Similarity.semanticDedup(corpus, "vec_id", "embedding", none, 0.9).isEmpty)
+    assert(Similarity.hashSeedCentroids(none, "vec_id", "embedding", 3).isEmpty)
+  }
+}
