@@ -417,6 +417,30 @@ object SparkEntry {
         .select(col("source"), col("n_rows"), col("approx_distinct"))
         .orderBy("source")
     }),
+    "q_heavy_tokens" -> ((s, d) => {
+      // heavy-hitter tokens per language through the persistable CMS
+      // table: fine sketches per (lang, source) roll up to lang by
+      // LINEAR merge, top tokens are estimated against the merged
+      // sketch. The estimate VALUES are engine-specific (Spark CMS
+      // hashing) but the one-sided guarantee estimate ≥ exact is not —
+      // the oracle pins exact counts and the guarantee boolean, so a
+      // sketch undercount (impossible unless the merge corrupts cells)
+      // fails the gate.
+      val toks = Tables.documents(s, d).select(col("lang"), col("source"),
+        explode(TextFunctions.tokens(col("text"))).as("token"))
+      val fine = Aggs.cmSketches(toks, Seq("lang", "source"), "token")
+      val merged = Aggs.mergeCmSketches(fine, Seq("lang"))
+      val counts = toks.groupBy("lang", "token")
+        .agg(count(lit(1)).as("n_exact"))
+      val w = Window.partitionBy("lang")
+        .orderBy(col("n_exact").desc, col("token"))
+      counts.withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+        .join(broadcast(merged), Seq("lang"))
+        .select(col("lang"), col("token"), col("n_exact"),
+          (Aggs.cmEstimate(col("sketch"), col("token")) >= col("n_exact"))
+            .as("est_ok"))
+        .orderBy(col("lang"), col("n_exact").desc, col("token"))
+    }),
     "q_profile" -> ((s, d) =>
       // one-pass numeric data-quality profile (the new-monthly-drop
       // trust check); decimal-exact means make it hash-checkable
@@ -2179,6 +2203,17 @@ object SparkEntry {
         | FROM documents)
         |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
         |FROM tok GROUP BY token ORDER BY tf DESC, token LIMIT 100""".stripMargin,
+    "q_heavy_tokens" ->
+      // exact counts replayed; est_ok pinned TRUE — the CMS one-sided
+      // bound (estimate never undercounts) must hold on every row
+      """WITH tok AS (SELECT lang,
+        |  unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        | FROM documents),
+        |c AS (SELECT lang, token, count(*) AS n_exact FROM tok GROUP BY 1, 2),
+        |r AS (SELECT lang, token, n_exact, row_number() OVER (
+        |  PARTITION BY lang ORDER BY n_exact DESC, token) AS rn FROM c)
+        |SELECT lang, token, n_exact, TRUE AS est_ok FROM r WHERE rn <= 10
+        |ORDER BY lang NULLS FIRST, n_exact DESC, token""".stripMargin,
     "q_asof" ->
       """WITH p0 AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
         |  FROM events WHERE event_type='purchase'),

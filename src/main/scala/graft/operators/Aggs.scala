@@ -225,4 +225,63 @@ object Aggs {
       .agg(hll_union_agg(col("sketch"), lit(false)).as("sketch"),
         sum(col("n_rows")).as("n_rows"))
       .withColumn("approx_distinct", hll_sketch_estimate(col("sketch")))
+
+  /** Per-group PERSISTABLE item-frequency sketches (count-min, Spark's
+    * built-in linear sketch — `count_min_sketch` aggregate, map-side
+    * partial like any sum): one row per fine-grained group with a
+    * mergeable `sketch` binary plus the exact item count. Same
+    * incremental pattern as [[distinctSketches]], for FREQUENCY instead
+    * of cardinality: sketch each ingest partition once, persist, and
+    * answer "how often does token X appear in any coarser slice" forever
+    * without rescanning — with the CMS one-sided guarantee
+    * estimate ≥ true count (never an undercount).
+    *
+    * eps/confidence size the sketch: width ⌈e/eps⌉ × depth ⌈ln(1/(1-conf))⌉
+    * longs (1e-4 / 0.99 ⇒ 27183×5 ≈ 1.1 MB per group — choose eps per
+    * group-count budget).
+    */
+  def cmSketches(df: DataFrame, groupCols: Seq[String], itemCol: String,
+                 eps: Double = 1e-4, confidence: Double = 0.99,
+                 seed: Int = 42): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count_min_sketch(col(itemCol), lit(eps), lit(confidence),
+          lit(seed)).as("sketch"),
+        count(col(itemCol)).as("n_items"))
+
+  /** Roll a CMS table up to a coarser grouping. CMS is LINEAR — cell-wise
+    * counter addition over shared hash planes (same eps/confidence/seed)
+    * — so the merged sketch is BIT-IDENTICAL to sketching the coarse
+    * group directly, independent of merge order (spec-asserted). The
+    * collect_list is bounded: one element per fine group being rolled up,
+    * each a fixed-size blob.
+    */
+  def mergeCmSketches(sketches: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val mergeAll = udf((parts: Seq[Array[Byte]]) => {
+      val it = parts.iterator.map(b =>
+        org.apache.spark.util.sketch.CountMinSketch.readFrom(
+          new java.io.ByteArrayInputStream(b)))
+      val acc = it.next()
+      it.foreach(acc.mergeInPlace)
+      val bos = new java.io.ByteArrayOutputStream()
+      acc.writeTo(bos)
+      bos.toByteArray
+    })
+    sketches.groupBy(groupCols.map(col): _*)
+      .agg(collect_list(col("sketch")).as("_parts"),
+        sum(col("n_items")).as("n_items"))
+      .select(groupCols.map(col) ++ Seq(mergeAll(col("_parts")).as("sketch"),
+        col("n_items")): _*)
+  }
+
+  /** Point-estimate a string item against a sketch blob. Deserialization
+    * is per-row — apply to bounded candidate sets (top-m per group), not
+    * the raw corpus; candidates × sketch rows arrive via a broadcast
+    * join of the (small) merged table.
+    */
+  def cmEstimate(sketch: Column, item: Column): Column = {
+    val f = udf((bytes: Array[Byte], it: String) =>
+      org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(bytes)).estimateCount(it))
+    f(sketch, item)
+  }
 }

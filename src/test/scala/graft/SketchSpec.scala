@@ -82,4 +82,68 @@ class SketchSpec extends SparkSpec {
     assert("ObjectHashAggregate|HashAggregate".r.findAllIn(p).size >= 2,
       s"sketch union lost its map-side partial aggregate:\n$p")
   }
+
+  // ---- count-min frequency sketches --------------------------------
+
+  import spark.implicits._
+
+  private lazy val items = Seq(
+    ("a", "x", "tok1"), ("a", "x", "tok1"), ("a", "x", "tok2"),
+    ("a", "y", "tok1"), ("a", "y", "tok3"),
+    ("b", "x", "tok2"), ("b", "x", "tok2"), ("b", "x", "tok4"))
+    .toDF("grp", "part", "item")
+
+  test("CMS: merged rollup is BIT-identical to sketching coarse directly") {
+    // count-min is linear: cell-wise addition over shared hash planes —
+    // not just equal estimates, the merged blob must equal the direct one
+    val viaFine = Aggs.mergeCmSketches(
+        Aggs.cmSketches(items, Seq("grp", "part"), "item"), Seq("grp"))
+      .select(col("grp"), col("sketch")).collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    val direct = Aggs.cmSketches(items, Seq("grp"), "item")
+      .select(col("grp"), col("sketch")).collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(viaFine == direct, "CMS merge is not the linear identity")
+  }
+
+  test("CMS: estimates never undercount, and are exact on sparse input") {
+    val merged = Aggs.mergeCmSketches(
+      Aggs.cmSketches(items, Seq("grp", "part"), "item"), Seq("grp"))
+    val est = items.groupBy("grp", "item").agg(count(lit(1)).as("n"))
+      .join(merged, Seq("grp"))
+      .select(col("grp"), col("item"), col("n"),
+        Aggs.cmEstimate(col("sketch"), col("item")).as("est"))
+      .collect()
+    est.foreach { r =>
+      assert(r.getAs[Long]("est") >= r.getAs[Long]("n"),
+        s"undercount on ${r.getString(1)}")
+      // 8 distinct items vs 27k-cell width: collision-free, so exact
+      assert(r.getAs[Long]("est") == r.getAs[Long]("n"),
+        s"unexpected collision on ${r.getString(1)}")
+    }
+    // an item never inserted estimates 0 on sparse input
+    val zero = merged.filter(col("grp") === "a")
+      .select(Aggs.cmEstimate(col("sketch"), lit("absent"))).as[Long].head()
+    assert(zero == 0L)
+  }
+
+  test("CMS table persists to parquet and answers identically after reload") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cms").toString
+    val fine = Aggs.cmSketches(items, Seq("grp", "part"), "item")
+    fine.write.mode("overwrite").parquet(dir)
+    val before = Aggs.mergeCmSketches(fine, Seq("grp"))
+      .select(col("grp"), Aggs.cmEstimate(col("sketch"), lit("tok1")).as("e"),
+        col("n_items")).collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val after = Aggs.mergeCmSketches(spark.read.parquet(dir), Seq("grp"))
+      .select(col("grp"), Aggs.cmEstimate(col("sketch"), lit("tok1")).as("e"),
+        col("n_items")).collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(before == after, "reloaded CMS table answers differently")
+  }
+
+  test("CMS on empty input is total") {
+    val none = Seq.empty[(String, String)].toDF("grp", "item")
+    val sk = Aggs.cmSketches(none, Seq("grp"), "item")
+    assert(sk.isEmpty)
+    assert(Aggs.mergeCmSketches(sk, Seq("grp")).isEmpty)
+  }
 }
