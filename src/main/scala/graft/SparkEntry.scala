@@ -222,6 +222,25 @@ object SparkEntry {
           col("o_orderpriority"))
         .orderBy("l_orderkey", "l_linenumber")
     }),
+    "q_bloom_join" -> ((s, d) => {
+      // bloom semi-join reduction: lineitem pruned by a bloom built from
+      // the high-value order keys BEFORE the shuffle, then joined
+      // exactly — false positives die in the join, so the result must
+      // equal the plain join (the oracle). The aggregate keeps the
+      // checked surface compact while still covering every joined row.
+      val hot = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 150000.0)
+        .select("o_orderkey", "o_orderpriority")
+      val pruned = Joins.bloomPrune(
+        Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice"),
+        "l_orderkey", hot, "o_orderkey",
+        expectedItems = 100000L, fpp = 0.01)
+      pruned.join(hot, pruned("l_orderkey") === hot("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+          Compat.exactSum(col("l_extendedprice"), 2).as("sum_price"))
+        .orderBy("o_orderpriority")
+    }),
     "q_a2_salted" -> ((s, d) =>
       // skew-safe two-phase sorted-set agg, same oracle as q_a2_sortedset
       Aggs.sumAndSortedSetSalted(Tables.lineitem(s, d), "l_returnflag",
@@ -1544,6 +1563,14 @@ object SparkEntry {
         |UNION ALL
         |SELECT o_orderkey, NULL, NULL, o_orderpriority FROM orders WHERE o_orderstatus='F'
         |ORDER BY o_orderkey, o_custkey ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q_bloom_join" ->
+      // plain join replayed — bloom false positives must be invisible
+      """SELECT o.o_orderpriority,
+        | count(*) AS n_lines,
+        | CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(27,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_totalprice > 150000.0
+        |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin,
     "q_salted_join" ->
       """SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, o.o_orderpriority
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey

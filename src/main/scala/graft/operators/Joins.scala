@@ -276,4 +276,46 @@ object Joins {
       globalRowIds(df, orderBy, idCol, start = off + 1L)
     }
   }
+
+  /** Semi-join reduction: prune `big` down to rows whose key MIGHT match
+    * `small`'s key set, using a bloom filter built from the small side —
+    * the standard big-join scale move when the small side is too large to
+    * broadcast the join itself but its KEY SET fits a few-hundred-KB
+    * filter. The pruned frame then joins exactly; bloom false positives
+    * (rate `fpp`) survive the prune but are eliminated by the join, so
+    * the composition is EXACT — and the shuffle pays only
+    * |matching| + fpp·|big| rows instead of |big|.
+    *
+    * Built on the same native pair Spark's own AQE runtime filters use —
+    * `BloomFilterAggregate` over xxhash64(key) on the build side, a
+    * codegen'd `BloomFilterMightContain` literal filter on the probe side
+    * (no UDF in the per-row path). The filter bytes ride to the driver
+    * once (size set by `expectedItems`/`fpp`, ~1.2 MB at 1M keys / 3% —
+    * the same bounded model-state surface as broadcast). Unlike AQE's
+    * automatic injection this composes across statements: build once,
+    * prune many frames (e.g. each table of a star schema) or reuse
+    * across a session. Empty/null-only build side ⇒ nothing can match ⇒
+    * returns `big.filter(false)` (exact).
+    */
+  def bloomPrune(big: DataFrame, bigKey: String,
+                 small: DataFrame, smallKey: String,
+                 expectedItems: Long = 1000000L,
+                 fpp: Double = 0.03): DataFrame = {
+    import org.apache.spark.sql.GraftColumnShim
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+    val numBits = math.max(64L,
+      math.ceil(-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val agg = new BloomFilterAggregate(
+      new XxHash64(Seq(GraftColumnShim.expression(col(smallKey)))),
+      Literal(expectedItems), Literal(numBits))
+    val bytes = small.filter(col(smallKey).isNotNull)
+      .select(GraftColumnShim.column(agg.toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    if (bytes == null) big.filter(lit(false))
+    else big.filter(GraftColumnShim.column(BloomFilterMightContain(
+      Literal(bytes, BinaryType),
+      new XxHash64(Seq(GraftColumnShim.expression(col(bigKey)))))))
+  }
 }
