@@ -381,6 +381,32 @@ object SparkEntry {
           expr("approx_percentile(l_extendedprice, 0.95, 10000)").as("p95_price"),
           expr("approx_percentile(l_quantity, 0.5, 10000)").as("med_qty"))
         .orderBy("l_returnflag")),
+    "q_kll_rollup" -> ((s, d) => {
+      // quantile-sketch table rollup (fine per (flag, status) → merged
+      // per flag), cross-engine-checked through the KLL RANK GUARANTEE
+      // rather than the engine-specific estimates: the exact rank of
+      // each estimated quantile (a plain count the oracle replays) must
+      // sit within generous sketch error of the target rank. KLL
+      // compaction is randomized, so estimate VALUES are not even
+      // run-deterministic — the guarantee is what's portable (0.04 slack
+      // ≈ 6σ at k=200: deterministic-in-practice).
+      val li = Tables.lineitem(s, d)
+      val fine = Aggs.quantileSketches(li,
+        Seq("l_returnflag", "l_linestatus"), "l_extendedprice", k = 200)
+      val est = Aggs.mergeQuantileSketches(fine, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("n_rows"),
+          Aggs.kllQuantile(col("sketch"), 0.5).as("med"),
+          Aggs.kllQuantile(col("sketch"), 0.95).as("p95"))
+      li.select(col("l_returnflag"), col("l_extendedprice"))
+        .join(broadcast(est), Seq("l_returnflag"))
+        .groupBy("l_returnflag")
+        .agg(max(col("n_rows")).as("n_rows"),
+          (abs(count(when(col("l_extendedprice") <= col("med"), 1))
+            .cast("double") / max(col("n_rows")) - 0.5) <= 0.04).as("med_ok"),
+          (abs(count(when(col("l_extendedprice") <= col("p95"), 1))
+            .cast("double") / max(col("n_rows")) - 0.95) <= 0.04).as("p95_ok"))
+        .orderBy("l_returnflag")
+    }),
     "q_stats" -> ((s, d) => {
       // decimal-exact moment sums, then the closed-form variance/corr in
       // double — deterministic under any partitioning, unlike stddev/corr
@@ -2230,6 +2256,13 @@ object SparkEntry {
         | FROM documents)
         |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
         |FROM tok GROUP BY token ORDER BY tf DESC, token LIMIT 100""".stripMargin,
+    "q_kll_rollup" ->
+      // exact group counts replayed; the rank-guarantee booleans pinned
+      // TRUE — a sketch whose quantile drifts past 4% rank error (6σ)
+      // fails the gate
+      """SELECT l_returnflag, count(*) AS n_rows,
+        | TRUE AS med_ok, TRUE AS p95_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_heavy_tokens" ->
       // exact counts replayed; est_ok pinned TRUE — the CMS one-sided
       // bound (estimate never undercounts) must hold on every row

@@ -284,4 +284,37 @@ object Aggs {
         new java.io.ByteArrayInputStream(bytes)).estimateCount(it))
     f(sketch, item)
   }
+
+  /** Per-group PERSISTABLE quantile sketches (Apache DataSketches KLL):
+    * the quantile leg of the sketch-table family —
+    * [[distinctSketches]]=HLL, [[cmSketches]]=CMS, this=KLL. Sketch each
+    * ingest partition once, persist, answer median/p95 over any coarser
+    * slice forever without rescanning — what `approx_percentile` cannot
+    * do (its t-digest dies inside the query). Native
+    * TypedImperativeAggregate (graft.plans.KllSketchAgg), map-side
+    * partial like any sum. k=200 ⇒ ~1.65% rank error in a few KB.
+    */
+  def quantileSketches(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                       k: Int = 200): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(graft.plans.KllSketch.sketchAgg(col(valueCol).cast("double"), k)
+          .as("sketch"),
+        count(col(valueCol)).as("n_rows"))
+
+  /** Roll a KLL table up to a coarser grouping (sketch union — algebraic,
+    * partial-merged map-side). Unlike HLL/CMS the merged sketch is not
+    * bit-identical to a direct build (compaction depends on fill order)
+    * but the rank-error guarantee is preserved (spec-asserted).
+    */
+  def mergeQuantileSketches(sketches: DataFrame, groupCols: Seq[String],
+                            k: Int = 200): DataFrame =
+    sketches.groupBy(groupCols.map(col): _*)
+      .agg(graft.plans.KllSketch.mergeAgg(col("sketch"), k).as("sketch"),
+        sum(col("n_rows")).as("n_rows"))
+
+  /** INCLUSIVE quantile at rank p from a sketch blob (per-group rows
+    * only — never the raw corpus).
+    */
+  def kllQuantile(sketch: Column, p: Double): Column =
+    graft.plans.KllSketch.quantile(sketch, lit(p))
 }

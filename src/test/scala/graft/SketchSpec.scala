@@ -146,4 +146,72 @@ class SketchSpec extends SparkSpec {
     assert(sk.isEmpty)
     assert(Aggs.mergeCmSketches(sk, Seq("grp")).isEmpty)
   }
+
+  // ---- KLL quantile sketches ---------------------------------------
+
+  private lazy val vals = (1 to 10000)
+    .map(i => (if (i % 2 == 0) "even" else "odd", i.toDouble))
+    .toDF("grp", "v")
+
+  test("KLL: quantile estimates sit within rank error of exact") {
+    val est = Aggs.quantileSketches(vals, Seq("grp"), "v", k = 200)
+    val rows = est.select(col("grp"), col("n_rows"),
+        Aggs.kllQuantile(col("sketch"), 0.5).as("med"),
+        Aggs.kllQuantile(col("sketch"), 0.95).as("p95")).collect()
+    assert(rows.map(_.getString(0)).toSet == Set("even", "odd"))
+    rows.foreach { r =>
+      // values are 1..10000 split by parity: exact median ≈ 5000,
+      // p95 ≈ 9500 in each group; 3% rank slack ≈ 4.7σ at k=200
+      assert(math.abs(r.getAs[Double]("med") - 5000) <= 300, r.toString)
+      assert(math.abs(r.getAs[Double]("p95") - 9500) <= 300, r.toString)
+      assert(r.getAs[Long]("n_rows") == 5000L)
+    }
+  }
+
+  test("KLL: rollup of fine sketches preserves the rank guarantee") {
+    val merged = Aggs.mergeQuantileSketches(
+      Aggs.quantileSketches(vals, Seq("grp"), "v", k = 200), Seq.empty)
+    val r = merged.select(Aggs.kllQuantile(col("sketch"), 0.5).as("med"),
+      col("n_rows")).collect().head
+    assert(r.getAs[Long]("n_rows") == 10000L)
+    assert(math.abs(r.getAs[Double]("med") - 5000) <= 300, r.toString)
+  }
+
+  test("KLL table persists to parquet and rolls up after reload") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_kll").toString
+    val fine = Aggs.quantileSketches(vals, Seq("grp"), "v", k = 200)
+    fine.write.mode("overwrite").parquet(dir)
+    val r = Aggs.mergeQuantileSketches(spark.read.parquet(dir), Seq.empty)
+      .select(Aggs.kllQuantile(col("sketch"), 0.5).as("med"), col("n_rows"))
+      .collect().head
+    assert(r.getAs[Long]("n_rows") == 10000L)
+    assert(math.abs(r.getAs[Double]("med") - 5000) <= 300, r.toString)
+  }
+
+  test("KLL: nulls are skipped, empty input and empty sketch are total") {
+    val withNulls = Seq(("a", Some(1.0)), ("a", None), ("a", Some(3.0)))
+      .toDF("grp", "v")
+    val sk = Aggs.quantileSketches(withNulls, Seq("grp"), "v")
+    val r = sk.select(col("n_rows"),
+      Aggs.kllQuantile(col("sketch"), 1.0).as("mx")).collect().head
+    assert(r.getLong(0) == 2L && r.getDouble(1) == 3.0)
+    val none = Seq.empty[(String, Double)].toDF("grp", "v")
+    assert(Aggs.quantileSketches(none, Seq("grp"), "v").isEmpty)
+    // a group that aggregated zero non-null values yields an empty
+    // sketch; the quantile extractor must return null, not throw
+    val allNull = Seq(("a", None: Option[Double])).toDF("grp", "v")
+    val q = Aggs.quantileSketches(allNull, Seq("grp"), "v")
+      .select(Aggs.kllQuantile(col("sketch"), 0.5)).collect().head
+    assert(q.isNullAt(0))
+  }
+
+  test("KLL aggregation partially aggregates map-side") {
+    val p = Aggs.mergeQuantileSketches(
+        Aggs.quantileSketches(vals, Seq("grp"), "v"), Seq.empty)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert("ObjectHashAggregate|SortAggregate|HashAggregate".r
+      .findAllIn(p).size >= 2,
+      s"KLL union lost its map-side partial aggregate:\n$p")
+  }
 }
