@@ -571,6 +571,31 @@ object SparkEntry {
         "doc_a", "doc_b")
         .orderBy("doc_id")
     }),
+    "q_inc_clusters" -> ((s, d) => {
+      // INCREMENTAL clustering invariant, end to end: cluster the "old"
+      // corpus (even doc ids), then absorb the "new" drop (odd ids) by
+      // replaying the persisted assignment as star edges + only the
+      // pairs that touch a new doc — the result must equal the full
+      // recompute (q_dedup_clusters' oracle, replayed verbatim). The
+      // query recomputes all pairs only to DERIVE the new-edge set; a
+      // real deployment feeds crossCorpusNearDups output instead.
+      val docs = Tables.documents(s, d)
+      val oldDocs = docs.filter(col("doc_id") % 2 === 0)
+      val oldAssign = Graph.dedupClusters(oldDocs, "doc_id",
+        TextDedup.jaccardPairs(oldDocs, "text", "doc_id", n = 3, threshold = 0.8),
+        "doc_a", "doc_b")
+      val newEdges = TextDedup.jaccardPairs(docs, "text", "doc_id",
+          n = 3, threshold = 0.8)
+        .filter(col("doc_a") % 2 === 1 || col("doc_b") % 2 === 1)
+      val comps = Graph.incrementalComponents(oldAssign, "doc_id",
+        "cluster_id", newEdges, "doc_a", "doc_b")
+      docs.select(col("doc_id").cast("long").as("doc_id"))
+        .join(comps.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("cluster_id"))
+        .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+        .orderBy("doc_id")
+    }),
     "q_subset_dup" -> ((s, d) =>
       TextDedup.containmentPairs(Tables.documents(s, d), "text", "doc_id",
         n = 3, threshold = 0.8)
@@ -1927,6 +1952,29 @@ object SparkEntry {
       // connected components of the jaccard≥0.8 pair graph via a
       // recursive reachability CTE: comp(node) = min reachable node id —
       // identical labels to the Spark large-star/small-star result
+      """WITH RECURSIVE w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |  [ws[i]||'_'||ws[i+1]||'_'||ws[i+2] for i in range(1, len(ws)-1)])) AS s FROM w),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        | FROM sh a JOIN sh b ON a.s=b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT doc_a, doc_b FROM cand
+        | JOIN sizes sa ON doc_a=sa.doc_id JOIN sizes sb ON doc_b=sb.doc_id
+        | WHERE CAST(common AS DOUBLE)/(sa.sz + sb.sz - common) >= 0.8),
+        |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+        | UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(node, comp) AS (
+        | SELECT u, u FROM edges
+        | UNION
+        | SELECT e.u, r.comp FROM edges e JOIN reach r ON e.v = r.node),
+        |comps AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node)
+        |SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cluster_id,
+        | COALESCE(c.comp, d.doc_id) = d.doc_id AS is_canonical
+        |FROM documents d LEFT JOIN comps c ON d.doc_id = c.node
+        |ORDER BY doc_id""".stripMargin,
+    "q_inc_clusters" ->
+      // the FULL-recompute CTE, verbatim from q_dedup_clusters: the
+      // incremental star-replay path must land on identical labels
       """WITH RECURSIVE w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct(
         |  [ws[i]||'_'||ws[i+1]||'_'||ws[i+2] for i in range(1, len(ws)-1)])) AS s FROM w),

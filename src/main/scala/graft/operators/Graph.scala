@@ -277,4 +277,36 @@ object Graph {
         coalesce(col("component"), col(idCol)).as("cluster_id"))
       .withColumn("is_canonical", col(idCol) === col("cluster_id"))
   }
+
+  /** INCREMENTAL connected components — the daily-drop shape: a
+    * persisted (node, component) assignment absorbs a NEW batch of edges
+    * (new×new and new×old pairs from e.g.
+    * `TextDedup.crossCorpusNearDupsBanded`) without re-running pair
+    * generation or CC over the historical corpus. The old assignment is
+    * replayed as STAR edges (node → its component label): stars
+    * reproduce old connectivity exactly — CC(stars ∪ newEdges) =
+    * CC(oldEdges ∪ newEdges) whenever `assignment` came from a CC over
+    * oldEdges (min-id labels; spec-asserted against the full recompute).
+    * Cost scales with |assignment| + |newEdges|, never with the old
+    * PAIR set, and the star graph is already depth-1 so the alternating
+    * rounds converge almost immediately.
+    *
+    * Returns one row per node in `assignment` ∪ the new edges' nodes:
+    * (node, component) with min-id labels — same contract as
+    * [[connectedComponents]], so [[dedupClusters]]-style join-backs
+    * compose unchanged. New edges may merge old clusters (labels then
+    * drop to the min across the merge) and introduce unseen nodes.
+    */
+  def incrementalComponents(assignment: DataFrame, nodeCol: String,
+                            compCol: String, newEdges: DataFrame,
+                            aCol: String, bCol: String): DataFrame = {
+    val stars = assignment.select(col(nodeCol).cast("long").as("_u"),
+      col(compCol).cast("long").as("_v"))
+    val fresh = newEdges.select(col(aCol).cast("long").as("_u"),
+      col(bCol).cast("long").as("_v"))
+    // singleton assignment rows are self-loops; connectedComponents
+    // ignores them as edges but still emits the node, preserving
+    // isolated nodes across increments
+    connectedComponents(stars.unionByName(fresh), "_u", "_v")
+  }
 }

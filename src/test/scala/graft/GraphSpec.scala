@@ -82,4 +82,37 @@ class GraphSpec extends SparkSpec {
     assert(got.map(_.getLong(1)).toSeq == Seq(0L, 0L, 0L, 3L))
     assert(got.map(_.getBoolean(2)).toSeq == Seq(true, false, false, true))
   }
+
+  // ---- incremental components --------------------------------------
+
+  private def incr(assign: Map[Long, Long],
+                   newEdges: Seq[(Long, Long)]): Map[Long, Long] =
+    Graph.incrementalComponents(assign.toSeq.toDF("node", "comp"),
+        "node", "comp", newEdges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("incremental: new edges merging two old clusters relabel to the min") {
+    val old = Map(1L -> 1L, 3L -> 1L, 10L -> 10L, 12L -> 10L)
+    val got = incr(old, Seq((3L, 12L)))
+    assert(got == Map(1L -> 1L, 3L -> 1L, 10L -> 1L, 12L -> 1L))
+  }
+
+  test("incremental: unseen nodes join, untouched clusters and singletons persist") {
+    val old = Map(1L -> 1L, 3L -> 1L, 7L -> 7L) // 7 is a singleton
+    val got = incr(old, Seq((100L, 3L), (200L, 201L)))
+    assert(got == Map(1L -> 1L, 3L -> 1L, 100L -> 1L, 7L -> 7L,
+      200L -> 200L, 201L -> 200L))
+  }
+
+  test("incremental equals the full recompute on a random edge split") {
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }
+    val (oldE, newE) = edges.splitAt(edges.size / 2)
+    val full = cc(edges)
+    val oldAssign = cc(oldE)
+    val got = incr(oldAssign, newE)
+    // same node domain (old ∪ new), identical min-id labels
+    assert(got == full)
+  }
 }
