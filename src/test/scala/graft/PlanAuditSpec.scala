@@ -338,4 +338,39 @@ class PlanAuditSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2,
       s"manifest aggregation lost its map-side partial:\n$p")
   }
+
+  test("q_bloom_join: bloom prune filters the fact side BELOW the join") {
+    val p = plan(q("q_bloom_join"))
+    assert(p.toLowerCase.contains("might_contain"),
+      s"bloom filter predicate missing from the plan:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      s"no join in the plan:\n$p")
+    assert(p.contains("HashAggregate"), "final aggregate missing")
+  }
+
+  test("q_semantic_dedup: centroids broadcast, no unbounded cartesian") {
+    val p = plan(q("q_semantic_dedup"))
+    // the assign stage crossJoins ONLY against the broadcast centroid
+    // frame (k rows); anything nested-loop beyond that is a regression
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"centroid assignment lost its broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"semantic dedup went all-pairs without broadcast:\n$p")
+  }
+
+  test("q_heavy_tokens: sketch aggregation keeps its map-side partial") {
+    val p = plan(q("q_heavy_tokens"))
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"count_min_sketch aggregate lost its partial pair:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"merged sketch table must broadcast to the candidate rows:\n$p")
+  }
+
+  test("q_kll_rollup: sketch estimates broadcast back to the rank check") {
+    val p = plan(q("q_kll_rollup"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-group estimates must broadcast to lineitem:\n$p")
+    assert("ObjectHashAggregate|HashAggregate".r.findAllIn(p).size >= 2,
+      s"KLL aggregation lost its partial pair:\n$p")
+  }
 }
