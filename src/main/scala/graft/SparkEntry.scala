@@ -473,7 +473,12 @@ object SparkEntry {
       // fails the gate.
       val toks = Tables.documents(s, d).select(col("lang"), col("source"),
         explode(TextFunctions.tokens(col("text"))).as("token"))
-      val fine = Aggs.cmSketches(toks, Seq("lang", "source"), "token")
+      // eps 1e-3: ~110 KB per sketch. Partial buffers ride the shuffle
+      // (one per partition × fine group), so width is a bandwidth dial,
+      // not just memory — and the pinned guarantee (est ≥ exact) holds
+      // at ANY width; only estimate tightness varies.
+      val fine = Aggs.cmSketches(toks, Seq("lang", "source"), "token",
+        eps = 1e-3)
       val merged = Aggs.mergeCmSketches(fine, Seq("lang"))
       val counts = toks.groupBy("lang", "token")
         .agg(count(lit(1)).as("n_exact"))
@@ -571,6 +576,16 @@ object SparkEntry {
         "doc_a", "doc_b")
         .orderBy("doc_id")
     }),
+    "q_cluster_keep_best" -> ((s, d) => {
+      // prefer-keep survivor rule over near-dup clusters: keep the
+      // LONGEST member (n_chars), not the smallest id — the curation
+      // default when near-dups differ in completeness
+      val docs = Tables.documents(s, d)
+      Graph.dedupClustersBy(docs, "doc_id", col("n_chars"),
+        TextDedup.jaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.8),
+        "doc_a", "doc_b")
+        .orderBy("doc_id")
+    }),
     "q_inc_clusters" -> ((s, d) => {
       // INCREMENTAL clustering invariant, end to end: cluster the "old"
       // corpus (even doc ids), then absorb the "new" drop (odd ids) by
@@ -581,11 +596,16 @@ object SparkEntry {
       // real deployment feeds crossCorpusNearDups output instead.
       val docs = Tables.documents(s, d)
       val oldDocs = docs.filter(col("doc_id") % 2 === 0)
+      // one pair-gen feeds both sides: pairs among even docs ARE the
+      // old-corpus pairs (jaccard is per-pair), new edges are the rest.
+      // localCheckpoint so the two consumers don't re-run the posting
+      // pipeline (same discipline as CC's internal rounds).
+      val allPairs = TextDedup.jaccardPairs(docs, "text", "doc_id",
+        n = 3, threshold = 0.8).localCheckpoint()
       val oldAssign = Graph.dedupClusters(oldDocs, "doc_id",
-        TextDedup.jaccardPairs(oldDocs, "text", "doc_id", n = 3, threshold = 0.8),
+        allPairs.filter(col("doc_a") % 2 === 0 && col("doc_b") % 2 === 0),
         "doc_a", "doc_b")
-      val newEdges = TextDedup.jaccardPairs(docs, "text", "doc_id",
-          n = 3, threshold = 0.8)
+      val newEdges = allPairs
         .filter(col("doc_a") % 2 === 1 || col("doc_b") % 2 === 1)
       val comps = Graph.incrementalComponents(oldAssign, "doc_id",
         "cluster_id", newEdges, "doc_a", "doc_b")
@@ -1971,6 +1991,33 @@ object SparkEntry {
         |SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cluster_id,
         | COALESCE(c.comp, d.doc_id) = d.doc_id AS is_canonical
         |FROM documents d LEFT JOIN comps c ON d.doc_id = c.node
+        |ORDER BY doc_id""".stripMargin,
+    "q_cluster_keep_best" ->
+      // same reachability CTE; survivor = argmax(n_chars, tie min id)
+      """WITH RECURSIVE w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |  [ws[i]||'_'||ws[i+1]||'_'||ws[i+2] for i in range(1, len(ws)-1)])) AS s FROM w),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        | FROM sh a JOIN sh b ON a.s=b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT doc_a, doc_b FROM cand
+        | JOIN sizes sa ON doc_a=sa.doc_id JOIN sizes sb ON doc_b=sb.doc_id
+        | WHERE CAST(common AS DOUBLE)/(sa.sz + sb.sz - common) >= 0.8),
+        |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+        | UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(node, comp) AS (
+        | SELECT u, u FROM edges
+        | UNION
+        | SELECT e.u, r.comp FROM edges e JOIN reach r ON e.v = r.node),
+        |comps AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node),
+        |a AS (SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cluster_id, d.n_chars
+        | FROM documents d LEFT JOIN comps c ON d.doc_id = c.node),
+        |best AS (SELECT cluster_id, doc_id AS keep FROM (
+        | SELECT cluster_id, doc_id,
+        |  row_number() OVER (PARTITION BY cluster_id
+        |   ORDER BY n_chars DESC, doc_id) AS rn FROM a) WHERE rn = 1)
+        |SELECT a.doc_id, a.cluster_id, a.doc_id = b.keep AS is_canonical
+        |FROM a JOIN best b USING (cluster_id)
         |ORDER BY doc_id""".stripMargin,
     "q_inc_clusters" ->
       // the FULL-recompute CTE, verbatim from q_dedup_clusters: the

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Connected components over an edge list, and the dedup-clustering
@@ -276,6 +276,31 @@ object Graph {
       .select(col(idCol),
         coalesce(col("component"), col(idCol)).as("cluster_id"))
       .withColumn("is_canonical", col(idCol) === col("cluster_id"))
+  }
+
+  /** [[dedupClusters]] with a caller-chosen survivor: canonical = the
+    * member maximizing `prefer` within its transitive cluster (tie →
+    * smallest id) — keep the longest / highest-quality copy instead of
+    * the smallest id. This is the D6 prefer-keep rule lifted from exact
+    * dup groups to near-dup clusters (SemDeDup keeps e.g. the
+    * lowest-perplexity member the same way: pass `-perplexity`).
+    * `prefer` is evaluated against `docs`. Survivor choice is a
+    * struct-max aggregate per cluster (map-side combinable, no windows,
+    * no neighbor lists) joined back — the same bounded-buffer discipline
+    * as the star rounds.
+    */
+  def dedupClustersBy(docs: DataFrame, idCol: String, prefer: Column,
+                      pairs: DataFrame, idACol: String, idBCol: String): DataFrame = {
+    val assigned = dedupClusters(docs, idCol, pairs, idACol, idBCol)
+      .select(col(idCol), col("cluster_id"))
+      .join(docs.select(col(idCol).cast("long").as(idCol),
+        prefer.as("_pref")), Seq(idCol))
+    val best = assigned.groupBy("cluster_id")
+      .agg(max(struct(col("_pref"), negate(col(idCol)).as("_nid"))).as("_m"))
+      .select(col("cluster_id"), negate(col("_m._nid")).as("_keep"))
+    assigned.join(best, Seq("cluster_id"))
+      .select(col(idCol), col("cluster_id"),
+        (col(idCol) === col("_keep")).as("is_canonical"))
   }
 
   /** INCREMENTAL connected components — the daily-drop shape: a

@@ -104,6 +104,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DeflateLen].getName, "deflate_len"),
       (exprs: Seq[Expression]) => DeflateLen(checkArity("deflate_len", exprs, 1).head)))
     ext.injectFunction((
+      FunctionIdentifier("kll_sketch_agg"),
+      new ExpressionInfo(classOf[KllSketchAgg].getName, "kll_sketch_agg"),
+      (exprs: Seq[Expression]) => {
+        val k = constArg("kll_sketch_agg", exprs, 2, 1, wantStr = false)
+          .asInstanceOf[Number].intValue()
+        KllSketchAgg(exprs.head, k)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("kll_merge_agg"),
+      new ExpressionInfo(classOf[KllMergeAgg].getName, "kll_merge_agg"),
+      (exprs: Seq[Expression]) => {
+        val k = constArg("kll_merge_agg", exprs, 2, 1, wantStr = false)
+          .asInstanceOf[Number].intValue()
+        KllMergeAgg(exprs.head, k)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("kll_quantile"),
+      new ExpressionInfo(classOf[KllQuantile].getName, "kll_quantile"),
+      (exprs: Seq[Expression]) => {
+        checkArity("kll_quantile", exprs, 2)
+        KllQuantile(exprs.head, exprs(1))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("lang_id"),
       new ExpressionInfo(classOf[LangIdPick].getName, "lang_id"),
       (exprs: Seq[Expression]) => {

@@ -57,5 +57,21 @@ class ExtensionsSpec extends SparkSpec {
     assert(analysisMsg("SELECT unicode_norm() FROM ext_bad").contains("2 arguments"))
     assert(analysisMsg("SELECT minhash_sig() FROM ext_bad").contains("2 arguments"))
     assert(analysisMsg("SELECT lsh_sig() FROM ext_bad").contains("5 arguments"))
+    assert(analysisMsg("SELECT kll_sketch_agg() FROM ext_bad").contains("2 arguments"))
+  }
+
+  test("KLL aggregates run from SQL end to end (sketch → merge → quantile)") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    org.apache.spark.sql.GraftTestShim.registerFunctions(ext,
+      spark.sessionState.functionRegistry)
+    (1 to 1000).map(i => ("g" + (i % 2), i.toDouble)).toDF("grp", "v")
+      .createOrReplaceTempView("ext_kll")
+    val med = spark.sql(
+      """SELECT kll_quantile(kll_merge_agg(sk, 200), CAST(0.5 AS DOUBLE)) AS med
+        |FROM (SELECT grp, kll_sketch_agg(v, 200) AS sk
+        |      FROM ext_kll GROUP BY grp)""".stripMargin)
+      .head().getDouble(0)
+    assert(math.abs(med - 500.0) <= 40, s"median $med drifted")
   }
 }

@@ -83,6 +83,27 @@ class GraphSpec extends SparkSpec {
     assert(got.map(_.getBoolean(2)).toSeq == Seq(true, false, false, true))
   }
 
+  test("dedupClustersBy: survivor is argmax(prefer), ties to the min id") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog today", 10L),
+      (1L, "the quick brown fox jumps over the lazy dog tonight", 99L), // longest
+      (2L, "the quick brown fox jumps over the lazy dog tomorrow", 50L),
+      (3L, "completely different text with other words entirely present here", 7L)
+    ).toDF("doc_id", "text", "quality")
+    val pairs = TextDedup.jaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.6)
+    val got = Graph.dedupClustersBy(docs, "doc_id", col("quality"),
+        pairs, "doc_a", "doc_b")
+      .orderBy("doc_id").collect()
+    assert(got.map(_.getLong(1)).toSeq == Seq(0L, 0L, 0L, 3L))
+    // doc 1 (quality 99) survives, not min-id doc 0; singleton 3 survives
+    assert(got.map(_.getBoolean(2)).toSeq == Seq(false, true, false, true))
+    // tie on prefer → smallest id wins
+    val tied = Graph.dedupClustersBy(docs.withColumn("quality", lit(5L)),
+        "doc_id", col("quality"), pairs, "doc_a", "doc_b")
+      .orderBy("doc_id").collect()
+    assert(tied.map(_.getBoolean(2)).toSeq == Seq(true, false, false, true))
+  }
+
   // ---- incremental components --------------------------------------
 
   private def incr(assign: Map[Long, Long],
