@@ -73,14 +73,35 @@ object TextDedup {
     // Doc-id guard: pair keys are packed as (a << 32) | b, which silently
     // corrupts for negative ids or ids >= 2^32 (e.g. xxhash64-derived) —
     // assert the packable range per row instead of trusting a comment.
+    pairCommonCountsFromSets(shingleSetsGuarded(df, textCol, idCol, n),
+      maxPostings)
+  }
+
+  /** (doc, set) pre-shingled form with the packed-pair-key id guard —
+    * the frame [[lshRecallReport]] checkpoints ONCE and feeds to both
+    * the exact and the LSH pipelines (shingling is the shared linear
+    * pass; everything downstream diverges). Left lazy by the normal
+    * single-pipeline callers, where Catalyst collapses it into the
+    * projections it always ran.
+    */
+  private def shingleSetsGuarded(df: DataFrame, textCol: String,
+                                 idCol: String, n: Int): DataFrame = {
+    // Doc-id guard: pair keys are packed as (a << 32) | b, which silently
+    // corrupts for negative ids or ids >= 2^32 (e.g. xxhash64-derived) —
+    // assert the packable range per row instead of trusting a comment.
     val rawId = col(idCol).cast("long")
     val guardedId = when(
       assert_true(rawId >= 0 && rawId < lit(1L << 32),
         concat(lit("jaccardPairs: doc id "), rawId.cast("string"),
           lit(" outside [0, 2^32) — packed pair keys require uint32 ids"))).isNull,
       rawId)
-    val sh = df.select(guardedId.as("doc"),
-        explode(TextFunctions.shingles(col(textCol), n)).as("s0"))
+    df.select(guardedId.as("doc"),
+      TextFunctions.shingles(col(textCol), n).as("set"))
+  }
+
+  private def pairCommonCountsFromSets(shSets: DataFrame,
+                                       maxPostings: Int): DataFrame = {
+    val sh = shSets.select(col("doc"), explode(col("set")).as("s0"))
       .select(col("doc"), xxhash64(col("s0")).as("s"))
     // Per-doc shingle-set size MAP-SIDE from the array (shingles() is
     // array_distinct'd, so size(array) IS the distinct count): a second
@@ -89,8 +110,9 @@ object TextDedup {
     // frame is ~n× the text and aggregating it costs a shuffle's map
     // side plus (previously) a persist of the whole exploded stream;
     // re-scanning the pruned (id, text) columns is cheaper than either.
-    val sizes = df.select(guardedId.as("doc"),
-        size(TextFunctions.shingles(col(textCol), n)).as("sz"))
+    // (When shSets is checkpointed — the recall report — the "re-scan"
+    // reads the materialized sets instead: cheaper still.)
+    val sizes = shSets.select(col("doc"), size(col("set")).as("sz"))
       .filter(col("sz") > 0)
     // Group each shingle's posting list once and emit doc pairs from it,
     // instead of a self-join: one shuffle on the shingle hash, no
@@ -402,10 +424,15 @@ object TextDedup {
     */
   def minhashLshPairsPortable(df: DataFrame, textCol: String, idCol: String,
                               n: Int = 3, k: Int = 16, bands: Int = 4,
-                              threshold: Double = 0.5): DataFrame = {
+                              threshold: Double = 0.5): DataFrame =
+    minhashLshPairsPortableBanded(
+      portableBanded(df, textCol, idCol, n, k, bands), k, threshold)
+
+  private def minhashLshPairsPortableBanded(banded0: DataFrame, k: Int,
+                                            threshold: Double): DataFrame = {
     // persist: the banded frame feeds both sides of the candidate
     // self-join (same discipline as minhashLshPairs' signature persist)
-    val banded = portableBanded(df, textCol, idCol, n, k, bands)
+    val banded = banded0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = banded.as("a"); val b = banded.as("b")
     a.join(b,
@@ -429,13 +456,17 @@ object TextDedup {
     * DuckDB oracle mirrors.
     */
   private def portableBanded(df: DataFrame, textCol: String, idCol: String,
-                             n: Int, k: Int, bands: Int): DataFrame = {
+                             n: Int, k: Int, bands: Int): DataFrame =
+    portableBandedFromSets(df.select(col(idCol).as("doc"),
+      TextFunctions.shingles(col(textCol), n).as("set")), k, bands)
+
+  private def portableBandedFromSets(shSets: DataFrame,
+                                     k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     require(k <= 16, "k > 16 risks 64-bit overflow in the a + i*b family")
     val r = k / bands
     val hex = md5(col("s"))
-    val sh = df.select(col(idCol).as("doc"),
-        explode(TextFunctions.shingles(col(textCol), n)).as("s"))
+    val sh = shSets.select(col("doc"), explode(col("set")).as("s"))
       .select(col("doc"),
         conv(substring(hex, 1, 12), 16, 10).cast("long").as("a"),
         conv(substring(hex, 13, 12), 16, 10).cast("long").as("b"))
@@ -751,10 +782,19 @@ object TextDedup {
   def lshRecallReport(df: DataFrame, textCol: String, idCol: String,
                       n: Int = 3, k: Int = 16, bands: Int = 4,
                       threshold: Double = 0.8): DataFrame = {
-    val exact = jaccardPairs(df, textCol, idCol, n = n, threshold = threshold)
+    // shingling is the shared linear pass of BOTH pipelines under
+    // comparison — checkpoint the (doc, set) frame once and fan out,
+    // instead of re-splitting the corpus three times (postings, sizes,
+    // md5 signatures). On the evaluation sample this is the dominant
+    // fixed cost; everything downstream diverges by design.
+    val shSets = shingleSetsGuarded(df, textCol, idCol, n).localCheckpoint()
+    val exact = pairCommonCountsFromSets(shSets, Int.MaxValue)
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
+      .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), lit(1).as("_e"))
-    val lsh = minhashLshPairsPortable(df, textCol, idCol, n = n, k = k,
-        bands = bands, threshold = threshold)
+    val lsh = minhashLshPairsPortableBanded(
+        portableBandedFromSets(shSets, k, bands), k, threshold)
       .select(col("doc_a"), col("doc_b"), lit(1).as("_l"))
     exact.join(lsh, Seq("doc_a", "doc_b"), "full_outer")
       .agg(count(col("_e")).as("n_exact"), count(col("_l")).as("n_lsh"),
