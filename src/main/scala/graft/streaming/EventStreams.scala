@@ -30,6 +30,29 @@ object EventStreams {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Windowed distinct-count SKETCH stream: per (window, group) HLL
+    * sketches with a watermark — the streaming face of
+    * `Aggs.distinctSketches`. Each emitted row carries the mergeable
+    * sketch binary, so a sink table of these rows IS an
+    * incrementally-built sketch table: any coarser rollup (daily from
+    * hourly, all-groups from per-group) runs later via
+    * `Aggs.mergeSketches` without touching the event stream again.
+    * State is bounded by the watermark like any windowed agg; the HLL
+    * aggregate is algebraic, so partial merges happen map-side
+    * per micro-batch. Append-mode compatible.
+    */
+  def distinctSketchStream(events: DataFrame, groupCol: String,
+                           valueCol: String, windowLen: String = "1 hour",
+                           watermark: String = "2 hours",
+                           lgK: Int = 12): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col(groupCol))
+      .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("sketch"),
+        count(col(valueCol)).as("n_rows"))
+      .select(col("window.start").as("window_start"), col(groupCol),
+        col("sketch"), col("n_rows"))
+
   /** Streaming exact dedup with bounded state: duplicates arriving within
     * the watermark horizon are dropped; state for keys older than the
     * watermark is evicted. The streaming counterpart of batch

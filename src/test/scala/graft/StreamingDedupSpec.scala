@@ -27,6 +27,38 @@ class StreamingDedupSpec extends SparkSpec {
     assert(got.toSeq == Seq(1L, 2L))
   }
 
+  test("streaming windowed HLL sketches roll up to the batch answer") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, String, Long)]
+    // two hourly windows, duplicate user ids within and across windows
+    src.addData(
+      (ts("2024-01-01 10:05:00"), "click", 1L),
+      (ts("2024-01-01 10:10:00"), "click", 1L),  // dup in-window
+      (ts("2024-01-01 10:20:00"), "click", 2L),
+      (ts("2024-01-01 11:05:00"), "click", 1L),  // same user, next window
+      (ts("2024-01-01 11:30:00"), "view", 3L),
+      (ts("2024-01-01 13:00:00"), "click", 9L))  // advances the watermark
+    val q = graft.streaming.EventStreams.distinctSketchStream(
+        src.toDF().toDF("ts", "event_type", "user_id"),
+        "event_type", "user_id", windowLen = "1 hour", watermark = "1 hour")
+      .writeStream.format("memory").queryName("sketch_stream_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val emitted = spark.table("sketch_stream_out")
+    // only watermark-closed windows emit in append mode
+    assert(emitted.count() >= 3, s"expected the 10:00/11:00 windows closed")
+    // the emitted rows ARE a sketch table: roll up across windows and
+    // event types — distinct users over the closed 10:00/11:00 windows
+    val rolled = graft.operators.Aggs.mergeSketches(
+        emitted.drop("window_start", "event_type").withColumn("g", lit(1)),
+        Seq("g"))
+      .select("approx_distinct", "n_rows").collect().head
+    assert(rolled.getLong(0) == 3L, s"distinct users ${rolled.getLong(0)}")
+    assert(rolled.getLong(1) == 5L, "row count should cover the closed windows")
+  }
+
   test("stream-static enrichment join attaches dimension per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     val src = org.apache.spark.sql.execution.streaming.runtime
