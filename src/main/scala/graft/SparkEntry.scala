@@ -518,6 +518,25 @@ object SparkEntry {
     }),
 
     // ---- training-data: text analysis --------------------------------
+    "q_entropy" -> ((s, d) => {
+      // token-distribution entropy per doc (quality dial: low entropy =
+      // repetitive/templated text, the Shannon complement of the
+      // repetition metrics). H = ln(n) − Σ c·ln(c)/n over per-doc token
+      // counts; each ln term rounded to 9dp then DECIMAL-summed, so the
+      // result is order-independent and cross-engine exact (the
+      // vocab_div discipline).
+      val tok = Tables.documents(s, d).select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("token"))
+      tok.groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(round(col("c").cast("double") * log(col("c")), 9)
+            .cast(DecimalType(28, 9))).as("s"),
+          sum(col("c")).as("n_tokens"))
+        .select(col("doc_id"), col("n_tokens"),
+          round(log(col("n_tokens")) - col("s").cast("double") / col("n_tokens"), 9)
+            .as("entropy"))
+        .orderBy("doc_id")
+    }),
     "q_text_stats" -> ((s, d) => {
       val q = TextFunctions.qualityStruct(col("text"))
       Tables.documents(s, d).select(
@@ -1717,6 +1736,19 @@ object SparkEntry {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, rk""".stripMargin,
+    "q_entropy" ->
+      // same 9dp-round-then-DECIMAL-sum ln terms; final H is one IEEE
+      // expression over the exact decimal sum
+      """WITH tok AS (SELECT doc_id,
+        |  unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        | FROM documents),
+        |c AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2),
+        |d AS (SELECT doc_id,
+        |  SUM(CAST(round(CAST(c AS DOUBLE) * ln(c), 9) AS DECIMAL(28,9))) AS s,
+        |  CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY doc_id)
+        |SELECT doc_id, n AS n_tokens,
+        | round(ln(n) - CAST(s AS DOUBLE) / n, 9) AS entropy
+        |FROM d ORDER BY doc_id""".stripMargin,
     "q_text_stats" ->
       """WITH t AS (SELECT doc_id, text,
         |  string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents)

@@ -176,4 +176,21 @@ class TextQualitySpec extends SparkSpec {
         Seq((9L, "a b a b")).toDF("doc_id", "text"), ref, "text", "doc_id")
         .head().getDouble(2) > got(1).getDouble(2))
   }
+
+  test("q_entropy: hand-computed Shannon entropy, degenerate docs at 0") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ent")
+    Seq((1L, "a a b", "en", "s", 5L), (2L, "x x x x", "en", "s", 7L),
+        (3L, "w", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q_entropy")(spark, dir.toString)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    // H(a a b) = ln3 − (round9(2ln2) + 0)/3
+    val expected = r9(math.log(3.0) -
+      r9(2.0 * math.log(2.0)).toDouble / 3.0).toDouble
+    assert(got(1L) == ((3L, expected)), s"got ${got(1L)}")
+    // single repeated token and single-token docs: zero entropy exactly
+    assert(got(2L) == ((4L, 0.0)) && got(3L) == ((1L, 0.0)))
+  }
 }
