@@ -1167,6 +1167,35 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), col("sim"))
         .orderBy("id_a", "id_b")
     }),
+    "q_embed_recall" -> ((s, d) => {
+      // the embedding-side analogue of q_lsh_recall: recall/precision of
+      // the multi-table hyperplane LSH screen vs exact-cosine truth on
+      // the planted corpus, same threshold. The LSH path verifies with
+      // the exact dot, so precision must be 1.0 — the report PROVES it
+      // rather than assuming it; recall measures the banding miss rate.
+      val base = Tables.embeddings(s, d).select(
+        col("vec_id").cast("long").as("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val dups = base.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            x * (lit(1.0) + lit(0.02) *
+              ((col("vec_id") + i) % 5 - 2).cast("double"))).as("embedding"))
+      val all = base.unionByName(dups)
+      val exact = Similarity.cosinePairsExact(all, "vec_id", "embedding", 0.9)
+        .select(col("id_a"), col("id_b"), lit(1).as("_e"))
+      val lsh = Similarity.lshNearDupPairs(all, "vec_id", "embedding",
+          threshold = 0.9, nbits = 14, tables = 4)
+        .select(col("id_a"), col("id_b"), lit(1).as("_l"))
+      exact.join(lsh, Seq("id_a", "id_b"), "full_outer")
+        .agg(count(col("_e")).as("n_exact"), count(col("_l")).as("n_lsh"),
+          count(when(col("_e").isNotNull && col("_l").isNotNull, 1)).as("n_hit"))
+        .select(col("n_exact"), col("n_lsh"), col("n_hit"),
+          when(col("n_exact") > 0,
+            col("n_hit").cast("double") / col("n_exact")).as("recall"),
+          when(col("n_lsh") > 0,
+            col("n_hit").cast("double") / col("n_lsh")).as("precision"))
+    }),
     "q_semantic_dedup" -> ((s, d) => {
       // SemDeDup end-to-end: the same planted perturbed copies as
       // q_embed_neardup (cosine ≈ 0.999 to their source) must collapse
@@ -1265,8 +1294,36 @@ object SparkEntry {
        |SELECT id_a, id_b, sim FROM p WHERE sim >= $threshold ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** q_embed_recall oracle: the lshNearDupOracle CTEs (planting,
+    * normalize, banding, verified pairs) plus the exact-cosine pair set,
+    * full-outer joined into confusion counts — recall/precision as
+    * bigint-over-bigint IEEE divisions.
+    */
+  private def embedRecallOracle(nbits: Int, tables: Int, dim: Int, seed: Long,
+                                threshold: Double): String = {
+    val base = lshNearDupOracle(nbits, tables, dim, seed, threshold)
+    // cut the final projection off the base oracle and continue its CTE
+    // list (the preceding `p AS (...)` needs the joining comma back)
+    val upToP = base.substring(0, base.lastIndexOf("SELECT id_a, id_b, sim"))
+      .stripTrailing + ",\n"
+    s"""${upToP}lshp AS (SELECT id_a, id_b FROM p WHERE sim >= $threshold),
+       |ex AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       | FROM n a JOIN n b ON a.vec_id < b.vec_id
+       | WHERE list_reduce(list_transform(list_zip(a.v, b.v), x -> x[1]*x[2]), (p,q)->p+q) >= $threshold),
+       |j AS (SELECT e.id_a AS ea, l.id_a AS la FROM ex e
+       | FULL OUTER JOIN lshp l ON e.id_a = l.id_a AND e.id_b = l.id_b),
+       |c AS (SELECT count(ea) AS n_exact, count(la) AS n_lsh,
+       |  count(CASE WHEN ea IS NOT NULL AND la IS NOT NULL THEN 1 END) AS n_hit FROM j)
+       |SELECT n_exact, n_lsh, n_hit,
+       | CASE WHEN n_exact > 0 THEN CAST(n_hit AS DOUBLE)/n_exact END AS recall,
+       | CASE WHEN n_lsh > 0 THEN CAST(n_hit AS DOUBLE)/n_lsh END AS "precision"
+       |FROM c""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_embed_neardup" -> lshNearDupOracle(nbits = 14, tables = 4, dim = 64,
+      seed = 42L, threshold = 0.9),
+    "q_embed_recall" -> embedRecallOracle(nbits = 14, tables = 4, dim = 64,
       seed = 42L, threshold = 0.9),
     "q_semantic_dedup" ->
       // full SemDeDup replay: planting (1-based list_transform index →
