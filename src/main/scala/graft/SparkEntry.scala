@@ -1196,6 +1196,27 @@ object SparkEntry {
           when(col("n_lsh") > 0,
             col("n_hit").cast("double") / col("n_lsh")).as("precision"))
     }),
+    "q_cross_semantic" -> ((s, d) => {
+      // incremental semantic screen: the corpus is assigned to md5-seeded
+      // cells ONCE (the persistable IVF index); the planted daily drop
+      // is assigned and compared only within its cell against corpus
+      // vectors — old×old is structurally excluded. Every stage
+      // (seeding, argmax assignment, exact dots) replays in DuckDB.
+      val corpus = Tables.embeddings(s, d).select(
+        col("vec_id").cast("long").as("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val cents = Similarity.hashSeedCentroids(corpus, "vec_id", "embedding",
+        k = 8, seed = 7L)
+      val idx = Similarity.assignToCentroids(corpus, cents, "vec_id", "embedding")
+      val drop = corpus.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            x * (lit(1.0) + lit(0.02) *
+              ((col("vec_id") + i) % 5 - 2).cast("double"))).as("embedding"))
+      Similarity.crossCorpusSemanticPairs(drop, "vec_id", "embedding",
+          idx, cents, tau = 0.9)
+        .orderBy("new_id", "corpus_id")
+    }),
     "q_semantic_dedup" -> ((s, d) => {
       // SemDeDup end-to-end: the same planted perturbed copies as
       // q_embed_neardup (cosine ≈ 0.999 to their source) must collapse
@@ -1325,6 +1346,41 @@ object SparkEntry {
       seed = 42L, threshold = 0.9),
     "q_embed_recall" -> embedRecallOracle(nbits = 14, tables = 4, dim = 64,
       seed = 42L, threshold = 0.9),
+    "q_cross_semantic" ->
+      // corpus normalize + md5 seed pick + argmax assignment for BOTH
+      // sides, then within-cell new×corpus exact dots
+      """WITH eb AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings),
+        |n0c AS (SELECT vec_id, e,
+        |  sqrt(list_reduce(list_transform(e, y->y*y),(p,q)->p+q)) AS nrm FROM eb),
+        |nc AS (SELECT vec_id, list_transform(e,
+        |  x -> CASE WHEN nrm = 0 THEN 0.0 ELSE x / nrm END) AS v FROM n0c),
+        |seeds AS (SELECT vec_id AS cent_id, v AS cv FROM nc
+        | ORDER BY md5(vec_id::VARCHAR || ':7'), vec_id LIMIT 8),
+        |ca AS (SELECT vec_id, cent_id FROM (
+        |  SELECT nc.vec_id, s.cent_id, row_number() OVER (PARTITION BY nc.vec_id
+        |   ORDER BY list_reduce(list_transform(list_zip(nc.v, s.cv), x->x[1]*x[2]),(p,q)->p+q) DESC,
+        |    s.cent_id) AS rn
+        |  FROM nc CROSS JOIN seeds s) WHERE rn = 1),
+        |nw AS (SELECT vec_id + 1000000 AS vec_id,
+        |  list_transform(e, (x, i) ->
+        |    x * (1.0 + 0.02 * CAST((vec_id + (i - 1)) % 5 - 2 AS DOUBLE))) AS e
+        | FROM eb WHERE vec_id % 10 = 0),
+        |n0n AS (SELECT vec_id, e,
+        |  sqrt(list_reduce(list_transform(e, y->y*y),(p,q)->p+q)) AS nrm FROM nw),
+        |nn AS (SELECT vec_id, list_transform(e,
+        |  x -> CASE WHEN nrm = 0 THEN 0.0 ELSE x / nrm END) AS v FROM n0n),
+        |na AS (SELECT vec_id, cent_id FROM (
+        |  SELECT nn.vec_id, s.cent_id, row_number() OVER (PARTITION BY nn.vec_id
+        |   ORDER BY list_reduce(list_transform(list_zip(nn.v, s.cv), x->x[1]*x[2]),(p,q)->p+q) DESC,
+        |    s.cent_id) AS rn
+        |  FROM nn CROSS JOIN seeds s) WHERE rn = 1),
+        |p AS (SELECT na.vec_id AS new_id, ca.vec_id AS corpus_id,
+        |  list_reduce(list_transform(list_zip(a.v, b.v), x -> x[1]*x[2]), (p,q)->p+q) AS sim
+        | FROM na JOIN ca ON na.cent_id = ca.cent_id
+        |  JOIN nn a ON a.vec_id = na.vec_id
+        |  JOIN nc b ON b.vec_id = ca.vec_id)
+        |SELECT new_id, corpus_id, sim FROM p WHERE sim >= 0.9
+        |ORDER BY new_id, corpus_id""".stripMargin,
     "q_semantic_dedup" ->
       // full SemDeDup replay: planting (1-based list_transform index →
       // i-1), normalize, md5-seeded centroid pick, argmax-dot assignment

@@ -492,6 +492,30 @@ object Similarity {
     * Returns (idCol, cent_id, group_id, is_canonical) — group_id is the
     * smallest id reachable through ≥ tau within-cell similarity.
     */
+  /** Cross-corpus SEMANTIC screen — the embedding analogue of
+    * `TextDedup.crossCorpusNearDups`: each new-drop vector is assigned
+    * to its centroid cell and compared (exact cosine) against only the
+    * CORPUS vectors already assigned to that cell. `corpusAssigned` is
+    * the persisted IVF index from [[assignToCentroids]] — built once
+    * when the corpus landed, partitioned by `cent_id` on disk — so a
+    * daily drop pays |new| assignment + per-cell |new|·|cell| dots and
+    * never re-reads, re-normalizes, or re-pairs the historical corpus.
+    * Old×old pairs are structurally impossible (the join is new×corpus).
+    * Returns (new_id, corpus_id, sim ≥ tau).
+    */
+  def crossCorpusSemanticPairs(newDocs: DataFrame, idCol: String,
+                               vecCol: String, corpusAssigned: DataFrame,
+                               centroids: DataFrame, tau: Double): DataFrame = {
+    val cent = normalized(centroids, idCol, vecCol, "cent_id", "centv")
+    val newAssigned = assignStage(cent,
+      normalized(newDocs, idCol, vecCol, "new_id", "v"), "new_id", 1)
+    newAssigned.join(corpusAssigned.select(col("cent_id"),
+        col("neighbor_id").as("corpus_id"), col("cvec")), Seq("cent_id"))
+      .select(col("new_id"), col("corpus_id"),
+        dot(col("v"), col("cvec")).as("sim"))
+      .filter(col("sim") >= tau)
+  }
+
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
                     centroids: DataFrame, tau: Double): DataFrame = {
     val cent = normalized(centroids, idCol, vecCol, "cent_id", "centv")

@@ -75,6 +75,31 @@ class SemanticDedupSpec extends SparkSpec {
     assert(other != a) // different seed, different pick (40 choose 5 space)
   }
 
+  test("cross-corpus screen: within-cell matches only, index reloads from parquet") {
+    val corpus = vecs(1L -> Seq(1.0, 0.05), 3L -> Seq(0.1, 1.0))
+    val idx = Similarity.assignToCentroids(corpus, axes, "vec_id", "embedding")
+    // new vec near corpus 1 (same x-cell); another near corpus 3 but
+    // pushed into the x-cell — cross-cell, so it must NOT match
+    val drop = vecs(100L -> Seq(1.0, 0.06), 200L -> Seq(0.72, 0.70))
+    val got = Similarity.crossCorpusSemanticPairs(drop, "vec_id", "embedding",
+        idx, axes, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((100L, 1L)), s"got $got")
+    // the index is the persisted artifact: reload must screen identically
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    idx.write.mode("overwrite").parquet(dir)
+    val reGot = Similarity.crossCorpusSemanticPairs(drop, "vec_id", "embedding",
+        spark.read.parquet(dir), axes, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(reGot == got, "reloaded index screens differently")
+    // old×old is structurally excluded: corpus as its own drop still
+    // reports only new×corpus rows (ids differ)
+    val self = Similarity.crossCorpusSemanticPairs(corpus, "vec_id", "embedding",
+      idx, axes, 0.999999)
+    assert(self.filter(col("new_id") === col("corpus_id")).count() == 2,
+      "self-pairs expected at cosine 1; old-old cross pairs must not appear")
+  }
+
   test("empty corpus and empty centroid frame are total") {
     val none = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "embedding")
     assert(Similarity.semanticDedup(none, "vec_id", "embedding", axes, 0.9).isEmpty)
