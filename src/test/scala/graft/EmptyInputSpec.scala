@@ -98,6 +98,31 @@ class EmptyInputSpec extends SparkSpec {
       Seq("view"), 10).isEmpty)
   }
 
+  test("round-6 additions on zero rows") {
+    val noVecs = Seq.empty[(Long, Array[Double])].toDF("vec_id", "embedding")
+    val noPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val noAssign = Seq.empty[(Long, Long)].toDF("node", "comp")
+    // incremental CC: empty assignment, empty edge batch, both
+    assert(Graph.incrementalComponents(noAssign, "node", "comp",
+      noPairs, "doc_a", "doc_b").isEmpty)
+    val someAssign = Seq((1L, 1L), (3L, 1L)).toDF("node", "comp")
+    assert(Graph.incrementalComponents(someAssign, "node", "comp",
+      noPairs, "doc_a", "doc_b").count() == 2)
+    // prefer-keep over an empty corpus
+    assert(Graph.dedupClustersBy(noDocs.withColumn("q", lit(1L)), "doc_id",
+      col("q"), noPairs, "doc_a", "doc_b").isEmpty)
+    // cross-corpus semantic screen: empty drop, empty index, both
+    val someVecs = Seq((1L, Array(1.0, 0.0))).toDF("vec_id", "embedding")
+    val axes = Seq((100L, Array(1.0, 0.0)), (200L, Array(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val emptyIdx = Similarity.assignToCentroids(noVecs, axes, "vec_id", "embedding")
+    assert(Similarity.crossCorpusSemanticPairs(someVecs, "vec_id", "embedding",
+      emptyIdx, axes, 0.9).isEmpty)
+    assert(Similarity.crossCorpusSemanticPairs(noVecs, "vec_id", "embedding",
+      Similarity.assignToCentroids(someVecs, axes, "vec_id", "embedding"),
+      axes, 0.9).isEmpty)
+  }
+
   test("retrieval and events analytics on zero rows") {
     assert(Retrieval.bm25TopK(noDocs, "text", "doc_id", Seq("x")).isEmpty)
     // funnel emits the step skeleton with zero counts, not zero rows —
