@@ -1259,6 +1259,18 @@ object SparkEntry {
           col("event_type"))
         .agg(count(lit(1)).as("n"), Compat.exactSum(col("value"), 4).as("total_value"))
         .orderBy("event_date", "hr", "event_type")),
+    "q_events_hopping" -> ((s, d) =>
+      // Spark's native multi-assign hopping window (1 h length, 30 min
+      // hop): each event lands in exactly TWO windows — smoothed rate
+      // curves without a self-join. The oracle replays the assignment
+      // as an explicit 2-way unnest over epoch arithmetic.
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          Compat.exactSum(col("value"), 4).as("total_value"))
+        .select(col("window.start").as("win_start"), col("event_type"),
+          col("n"), col("total_value"))
+        .orderBy("win_start", "event_type")),
     "q_events_sessions_native" -> ((s, d) =>
       // same gap sessions via Spark's native session_window operator
       // (boundary semantics differ from the lag form only at diff==gap,
@@ -2666,6 +2678,18 @@ object SparkEntry {
         | count(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1,2,3 ORDER BY event_date, hr, event_type""".stripMargin,
+    "q_events_hopping" ->
+      // window starts are hop-aligned: event t lands in starts
+      // floor(t/hop)·hop and the one hop earlier (len = 2·hop) —
+      // replayed as an explicit unnest([0,1]) fan-out
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+        |w AS (SELECT CAST(to_timestamp(
+        |   CAST(floor(epoch(e.ts)/1800)*1800 - 1800 + os.o*1800 AS BIGINT)) AS TIMESTAMP)
+        |   AS win_start, event_type, value
+        | FROM e, (SELECT unnest([0, 1]) AS o) os)
+        |SELECT win_start, event_type, count(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS total_value
+        |FROM w GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
     "q_events_sessions_native" ->
       // identical oracle to q_events_sessions: the native session_window
       // form produces the same sessions on data without exact-gap
