@@ -518,6 +518,15 @@ object SparkEntry {
     }),
 
     // ---- training-data: text analysis --------------------------------
+    "q_quantile_gate" -> ((s, d) =>
+      // drop the bottom half by length, per language — a distribution-
+      // adaptive curation cutoff (discrete median: the threshold is a
+      // value that exists in each group, invariant to tie order)
+      TextQuality.quantileGate(Tables.documents(s, d)
+          .select("doc_id", "lang", "n_chars"),
+        "lang", col("n_chars"), p = 0.5, tieBreak = col("doc_id"))
+        .select("lang", "doc_id", "n_chars")
+        .orderBy("lang", "doc_id")),
     "q_entropy" -> ((s, d) => {
       // token-distribution entropy per doc (quality dial: low entropy =
       // repetitive/templated text, the Shannon complement of the
@@ -1861,6 +1870,19 @@ object SparkEntry {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, rk""".stripMargin,
+    "q_quantile_gate" ->
+      // discrete per-group median by rank, replayed with the same
+      // (value, id) ascending order
+      """WITH r AS (SELECT lang, doc_id, n_chars,
+        |  row_number() OVER (PARTITION BY lang
+        |   ORDER BY n_chars NULLS FIRST, doc_id NULLS FIRST) AS rn,
+        |  count(*) OVER (PARTITION BY lang) AS n
+        | FROM documents),
+        |t AS (SELECT lang, n_chars AS thr FROM r
+        | WHERE rn = CAST(ceil(0.5 * n) AS BIGINT))
+        |SELECT d.lang, d.doc_id, d.n_chars
+        |FROM documents d JOIN t ON d.lang = t.lang AND d.n_chars >= t.thr
+        |ORDER BY d.lang NULLS FIRST, d.doc_id""".stripMargin,
     "q_entropy" ->
       // same 9dp-round-then-DECIMAL-sum ln terms; final H is one IEEE
       // expression over the exact decimal sum

@@ -37,6 +37,32 @@ object TextQuality {
       r.getField("max_token_run") <= maxTokenRun
   }
 
+  /** Per-group EXACT quantile gate: keep rows whose `value` is at or
+    * above the group's p-quantile (discrete — the value at ascending
+    * rank ⌈p·n⌉, so the threshold is always a value that EXISTS in the
+    * group; invariant to tie order). The "drop the bottom half by
+    * quality, per language" curation step with a deterministic,
+    * engine-portable cutoff — unlike a rate-based sampler this adapts
+    * to each group's own distribution. Costs one per-group sort window
+    * + a broadcast-back of the (tiny) threshold table; at 100 TB swap
+    * the threshold stage for [[Aggs.quantileSketches]] (approximate
+    * cutoff, no sort) and keep the same gate join.
+    */
+  def quantileGate(df: DataFrame, groupCol: String, value: Column,
+                   p: Double, tieBreak: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val thr = df
+      .select(col(groupCol), value.as("_v"), tieBreak.as("_t"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(groupCol).orderBy(col("_v").asc, col("_t").asc)))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(groupCol)))
+      .filter(col("_rn") === ceil(lit(p) * col("_n")).cast("long"))
+      .select(col(groupCol), col("_v").as("_thr"))
+    df.join(broadcast(thr), Seq(groupCol))
+      .filter(value >= col("_thr"))
+      .drop("_thr")
+  }
+
   /** Deterministic mixture sampling: per-stratum keep rates — the
     * "training mix" step (keep 30% of web, 100% of books…). Built on
     * the same hash-mod filter as [[TextFunctions.hashSampleFilter]], so

@@ -177,6 +177,21 @@ class TextQualitySpec extends SparkSpec {
         .head().getDouble(2) > got(1).getDouble(2))
   }
 
+  test("quantileGate: discrete per-group median, singleton groups, ties") {
+    import graft.operators.TextQuality
+    val rows = Seq(
+      (1L, "a", 10L), (2L, "a", 20L), (3L, "a", 30L), (4L, "a", 40L),
+      (9L, "b", 5L),                       // singleton survives any p
+      (11L, "c", 5L), (12L, "c", 5L), (13L, "c", 1L)) // tied median value
+      .toDF("doc_id", "lang", "n_chars")
+    val kept = TextQuality.quantileGate(rows, "lang", col("n_chars"),
+        p = 0.5, tieBreak = col("doc_id"))
+      .select("doc_id").as[Long].collect().toSet
+    // a: rank ceil(2)=2 → thr 20 → keep {2,3,4}; b: thr 5 → keep {9};
+    // c: rank ceil(1.5)=2 of (1,5,5) → thr 5 → keep both fives
+    assert(kept == Set(2L, 3L, 4L, 9L, 11L, 12L))
+  }
+
   test("q_entropy: hand-computed Shannon entropy, degenerate docs at 0") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ent")
     Seq((1L, "a a b", "en", "s", 5L), (2L, "x x x x", "en", "s", 7L),
