@@ -297,6 +297,22 @@ object SparkEntry {
         StructField("c_name", StringType),
         StructField("loyalty_score", DoubleType))))
         .orderBy("c_custkey")),
+    "q_w_rolling" -> ((s, d) => {
+      // time-RANGE window frame: per-user trailing-1-hour event count +
+      // DECIMAL-exact value sum at every event (rangeBetween over epoch
+      // seconds — the frame Spark sizes by VALUE distance, not row
+      // count; rows with equal timestamps share a frame, so the result
+      // is tie-order invariant)
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(col("ts").cast("long"))
+        .rangeBetween(-3600L, 0L)
+      Tables.events(s, d).select(
+        col("user_id"), col("event_id"), col("ts"), col("value"),
+        count(lit(1)).over(byUser).as("n_trailing_1h"),
+        sum(col("value").cast(DecimalType(27, 4))).over(byUser)
+          .cast("double").as("sum_trailing_1h"))
+        .orderBy("user_id", "ts", "event_id")
+    }),
     "q_w_running" -> ((s, d) => {
       val byCust = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
       Tables.orders(s, d).select(
@@ -2700,6 +2716,17 @@ object SparkEntry {
         | count(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1,2,3 ORDER BY event_date, hr, event_type""".stripMargin,
+    "q_w_rolling" ->
+      // same RANGE frame over floor(epoch seconds); frames are
+      // value-sized so equal timestamps share one frame in both engines
+      """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        | count(*) OVER w AS n_trailing_1h,
+        | CAST(SUM(CAST(value AS DECIMAL(27,4))) OVER w AS DOUBLE) AS sum_trailing_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        | ORDER BY CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+        | RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts, event_id""".stripMargin,
     "q_events_hopping" ->
       // window starts are hop-aligned: event t lands in starts
       // floor(t/hop)·hop and the one hop earlier (len = 2·hop) —
