@@ -366,6 +366,24 @@ class PlanAuditSpec extends SparkSpec {
       s"merged sketch table must broadcast to the candidate rows:\n$p")
   }
 
+  test("q_quantile_gate: threshold broadcast, window partitioned by group") {
+    val p = plan(q("q_quantile_gate"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"threshold table must broadcast to the gate join:\n$p")
+    assert(!p.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+      s"per-group window funneled through one partition:\n$p")
+  }
+
+  test("q_w_rolling / q_events_hopping: partitioned frames, partial aggs") {
+    val pr = plan(q("q_w_rolling"))
+    assert(pr.contains("Window"), s"no window node:\n$pr")
+    assert(!pr.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+      s"rolling window funneled through one partition:\n$pr")
+    val ph = plan(q("q_events_hopping"))
+    assert("HashAggregate".r.findAllIn(ph).size >= 2,
+      s"hopping aggregation lost its map-side partial:\n$ph")
+  }
+
   test("q_kll_rollup: sketch estimates broadcast back to the rank check") {
     val p = plan(q("q_kll_rollup"))
     assert(p.contains("BroadcastHashJoin"),

@@ -202,7 +202,11 @@ object PropertySpec extends Properties("graft") {
         val (ra, rb) = (find(a), find(b))
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
-      val expect = parent.keys.map(k => k -> find(k)).toMap
+      // snapshot keys BEFORE labeling: find() path-compresses (mutates
+      // the map), and iterating the live `keys` view during mutation
+      // drops entries — a reference-side bug that falsified the
+      // property against a CORRECT engine result
+      val expect = parent.keys.toList.map(k => k -> find(k)).toMap
       got == expect && gotDist == expect
     }
 
