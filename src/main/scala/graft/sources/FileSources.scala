@@ -111,6 +111,28 @@ object FileSources {
   def ndjson(spark: SparkSession, path: String): DataFrame =
     spark.read.json(path)
 
+  /** NDJSON twin of [[csvWithQuarantine]]: schema-enforced parse where
+    * malformed lines (bad JSON, type mismatches under the schema) land
+    * in a quarantine frame carrying the raw line — same from_json-over-
+    * text shape, same "count and inspect, never drop silently" contract.
+    */
+  def ndjsonWithQuarantine(spark: SparkSession, path: String,
+                           schema: org.apache.spark.sql.types.StructType): (DataFrame, DataFrame) = {
+    val withCorrupt = schema.add("_corrupt", "string")
+    val parsed = spark.read.text(path)
+      .filter(length(trim(col("value"))) > 0)
+      .select(col("value"),
+        from_json(col("value"), withCorrupt,
+          Map("mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> "_corrupt")).as("_p"))
+    val fields = schema.fieldNames.map(f => col(s"_p.`$f`")).toSeq
+    val clean = parsed.filter(col("_p._corrupt").isNull)
+      .select(fields: _*)
+    val quarantined = parsed.filter(col("_p._corrupt").isNotNull)
+      .select(fields :+ col("value").as("raw_line"): _*)
+    (clean, quarantined)
+  }
+
   /** S10: flatten an array-of-records wrapper column into a flat table
     * (`pd.json_normalize(raw[wrapper])`).
     */

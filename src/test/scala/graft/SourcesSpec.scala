@@ -230,6 +230,27 @@ class SourcesSpec extends SparkSpec {
     assert(bad.exists(_.contains("too,many,fields")))
   }
 
+  test("ndjsonWithQuarantine: malformed JSON isolated, clean rows typed") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("jquar").toString
+    Files.writeString(Paths.get(s"$dir/drop.ndjson"),
+      """{"id": 1, "amount": 10.5}""" + "\n" +
+        """{"id": 2, "amount": """ + "\n" +   // truncated JSON
+        """not json at all""" + "\n" +
+        """{"id": 3, "amount": 30.25}""" + "\n" +
+        "\n")                                  // blank line skipped, not quarantined
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("amount", DoubleType)))
+    val (clean, quarantined) = FileSources.ndjsonWithQuarantine(
+      spark, s"$dir/drop.ndjson", schema)
+    assert(clean.columns.toSeq == Seq("id", "amount"))
+    assert(clean.orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    assert(quarantined.count() == 2)
+    val bad = quarantined.collect().map(_.getAs[String]("raw_line"))
+    assert(bad.exists(_.contains("not json")) &&
+      bad.exists(_.startsWith("""{"id": 2""")))
+  }
+
   test("profileNumeric: one-pass per-column stats, null accounting, exact means") {
     import graft.operators.SchemaOps
     val df = Seq(
