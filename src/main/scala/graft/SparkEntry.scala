@@ -297,6 +297,19 @@ object SparkEntry {
         StructField("c_name", StringType),
         StructField("loyalty_score", DoubleType))))
         .orderBy("c_custkey")),
+    "q_scd2" -> ((s, d) =>
+      // SCD2 dimension versioning from the event stream: each user's
+      // purchase history becomes validity intervals (from, to, version,
+      // is_current) — one key-partitioned window; query as-of any time
+      // via AsOf, or filter is_current for the live snapshot
+      SchemaOps.scd2FromChanges(
+        Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"), col("value")),
+        "user_id", "ts", tieBreak = col("event_id"))
+        .select(col("user_id"), col("event_id"), col("effective_from"),
+          col("effective_to"), col("version"), col("is_current"))
+        .orderBy("user_id", "version")),
     "q_w_rolling" -> ((s, d) => {
       // time-RANGE window frame: per-user trailing-1-hour event count +
       // DECIMAL-exact value sum at every event (rangeBetween over epoch
@@ -2716,6 +2729,16 @@ object SparkEntry {
         | count(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1,2,3 ORDER BY event_date, hr, event_type""".stripMargin,
+    "q_scd2" ->
+      // same window replay: lead + row_number over (ts, event_id)
+      """SELECT user_id, event_id,
+        | CAST(ts AS TIMESTAMP) AS effective_from,
+        | lead(CAST(ts AS TIMESTAMP)) OVER w AS effective_to,
+        | CAST(row_number() OVER w AS INTEGER) AS version,
+        | lead(CAST(ts AS TIMESTAMP)) OVER w IS NULL AS is_current
+        |FROM events WHERE event_type = 'purchase'
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, version""".stripMargin,
     "q_w_rolling" ->
       // same RANGE frame over floor(epoch seconds); frames are
       // value-sized so equal timestamps share one frame in both engines

@@ -124,4 +124,25 @@ object SchemaOps {
       .agg(count(lit(1)).as("n_outliers"),
         min(x).as("min_outlier"), max(x).as("max_outlier"))
   }
+
+  /** SCD Type-2 dimension build from a change stream: each (key, ts)
+    * change row becomes a validity interval — `effective_from` = its
+    * timestamp, `effective_to` = the NEXT change's timestamp for the
+    * key (null while current), plus `version` and `is_current`. One
+    * key-partitioned window (lead + row_number over the same sort —
+    * one shuffle, one sort); ties broken by `tieBreak` so simultaneous
+    * changes version deterministically. Compose with [[AsOf]] to query
+    * the dimension as-of any time, or filter `is_current` for the
+    * live snapshot.
+    */
+  def scd2FromChanges(changes: DataFrame, keyCol: String, tsCol: String,
+                      tieBreak: org.apache.spark.sql.Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(col(tsCol).asc, tieBreak.asc)
+    changes
+      .withColumn("effective_from", col(tsCol))
+      .withColumn("effective_to", lead(col(tsCol), 1).over(w))
+      .withColumn("version", row_number().over(w))
+      .withColumn("is_current", col("effective_to").isNull)
+  }
 }

@@ -134,4 +134,26 @@ class OperatorsSpec extends SparkSpec {
     assert(clean.isEmpty)
   }
 
+  test("scd2FromChanges: chained intervals, one current, ties versioned by id") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val changes = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 10L),
+      (1L, ts("2024-02-01 00:00:00"), 11L),
+      (1L, ts("2024-02-01 00:00:00"), 12L), // simultaneous: id breaks tie
+      (2L, ts("2024-03-01 00:00:00"), 20L))
+      .toDF("user_id", "ts", "event_id")
+    val got = SchemaOps.scd2FromChanges(changes, "user_id", "ts", col("event_id"))
+      .orderBy("user_id", "version")
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[Int]("version"), r.getAs[java.sql.Timestamp]("effective_to"),
+        r.getAs[Boolean]("is_current")))
+    assert(got.map(t => (t._1, t._2, t._3, t._5)).toSeq == Seq(
+      (1L, 10L, 1, false), (1L, 11L, 2, false), (1L, 12L, 3, true),
+      (2L, 20L, 1, true)))
+    // intervals chain: each non-current row's effective_to equals the
+    // next version's effective_from
+    assert(got(0)._4 == ts("2024-02-01 00:00:00") &&
+      got(1)._4 == ts("2024-02-01 00:00:00") && got(2)._4 == null)
+  }
+
 }
