@@ -556,6 +556,28 @@ object SparkEntry {
         "lang", col("n_chars"), p = 0.5, tieBreak = col("doc_id"))
         .select("lang", "doc_id", "n_chars")
         .orderBy("lang", "doc_id")),
+    "q_keywords" -> ((s, d) => {
+      // per-doc keyword extraction: top-3 terms by tf·idf with
+      // idf = ln(N/df) rounded to 9dp before the product (the ln
+      // discipline), ties broken by term — topic labels / dedup-cluster
+      // naming without a model. Window is partitioned per doc (never
+      // global); df comes from one partial-aggregated pass.
+      val tok = Tables.documents(s, d).select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("token"))
+      val n = Tables.documents(s, d).count()
+      val df_ = tok.select("doc_id", "token").distinct()
+        .groupBy("token").agg(count(lit(1)).as("df"))
+      val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val scored = tf.join(df_, Seq("token"))
+        .select(col("doc_id"), col("token"),
+          (col("tf") * round(log(lit(n.toDouble) / col("df")), 9)).as("score"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("token"))
+      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("token"),
+          round(col("score"), 9).as("score"))
+        .orderBy("doc_id", "rk")
+    }),
     "q_entropy" -> ((s, d) => {
       // token-distribution entropy per doc (quality dial: low entropy =
       // repetitive/templated text, the Shannon complement of the
@@ -1899,6 +1921,23 @@ object SparkEntry {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, rk""".stripMargin,
+    "q_keywords" ->
+      // tf·round9(ln(N/df)) replayed; identical doubles ⇒ identical
+      // ordering, ties on token
+      """WITH tok AS (SELECT doc_id,
+        |  unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        | FROM documents),
+        |nn AS (SELECT count(*) AS n FROM documents),
+        |dfx AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |sc AS (SELECT doc_id, token,
+        |  tf * round(ln(CAST(nn.n AS DOUBLE) / df), 9) AS score
+        | FROM tf JOIN dfx USING (token) CROSS JOIN nn),
+        |r AS (SELECT doc_id, token, score, row_number() OVER (
+        |  PARTITION BY doc_id ORDER BY score DESC, token) AS rk FROM sc)
+        |SELECT doc_id, CAST(rk AS INTEGER) AS rk, token,
+        | round(score, 9) AS score
+        |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
     "q_quantile_gate" ->
       // discrete per-group median by rank, replayed with the same
       // (value, id) ascending order
