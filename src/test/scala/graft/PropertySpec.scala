@@ -377,4 +377,53 @@ object PropertySpec extends Properties("graft") {
       got == expect
     }
 
+  property("incrementalComponents(split) == connectedComponents(all)") =
+    Prop.forAll(edgeListGen, Gen.choose(0, 100)) { (es, cut) =>
+      val k = es.size * cut / 100
+      val (oldE, newE) = es.splitAt(k)
+      val full = operators.Graph.connectedComponents(es.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val oldAssign = operators.Graph
+        .connectedComponents(oldE.toDF("a", "b"), "a", "b")
+      val got = operators.Graph.incrementalComponents(oldAssign, "node",
+          "component", newE.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == full
+    }
+
+  property("quantileGate: threshold exists in group, kept fraction bounds") =
+    Prop.forAll(Gen.listOfN(30, Gen.choose(0L, 20L)),
+        Gen.choose(1, 9)) { (vs, p10) =>
+      {
+        val p = p10 / 10.0
+        val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, "g", v) }
+          .toDF("id", "g", "v")
+        val kept = operators.TextQuality.quantileGate(df, "g", col("v"), p,
+            col("id")).select("v").collect().map(_.getLong(0))
+        // the cutoff is the value at rank ceil(p*n): everything at or
+        // above it survives — at least the top (1-p) fraction, and
+        // never MORE than the rows >= the rank-value (tie inclusion)
+        val sorted = vs.sorted
+        val thr = sorted(math.ceil(p * vs.size).toInt - 1)
+        kept.length.toLong == vs.count(_ >= thr) &&
+          kept.forall(_ >= thr) && vs.contains(thr)
+      }
+    }
+
+  property("cmEstimate >= exact count for every random item") =
+    Prop.forAll(Gen.listOfN(40,
+        Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "h"))) { items =>
+      {
+        val df = items.map(i => ("g", i)).toDF("g", "item")
+        val merged = operators.Aggs.mergeCmSketches(
+          operators.Aggs.cmSketches(df, Seq("g"), "item", eps = 0.01), Seq("g"))
+        val est = df.groupBy("g", "item").agg(count(lit(1)).as("n"))
+          .join(merged, Seq("g"))
+          .select(col("item"), col("n"),
+            operators.Aggs.cmEstimate(col("sketch"), col("item")).as("e"))
+          .collect()
+        est.forall(r => r.getAs[Long]("e") >= r.getAs[Long]("n"))
+      }
+    }
+
 }
