@@ -297,6 +297,20 @@ object SparkEntry {
         StructField("c_name", StringType),
         StructField("loyalty_score", DoubleType))))
         .orderBy("c_custkey")),
+    "q_kanon" -> ((s, d) => {
+      // k-anonymity release gate over (lang, source) quasi-identifiers:
+      // per-combination counts of the kept side plus the suppressed
+      // combinations' sizes — the auditable shape of a privacy-gated
+      // extract (no row from a small cell escapes)
+      val (kept, suppressed) = SchemaOps.kAnonymize(
+        Tables.documents(s, d).select("doc_id", "lang", "source"),
+        Seq("lang", "source"), k = 20L)
+      kept.groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_rows"), lit(true).as("released"))
+        .unionByName(suppressed.select(col("lang"), col("source"),
+          col("n_rows"), lit(false).as("released")))
+        .orderBy("lang", "source")
+    }),
     "q_scd2" -> ((s, d) =>
       // SCD2 dimension versioning from the event stream: each user's
       // purchase history becomes validity intervals (from, to, version,
@@ -2768,6 +2782,11 @@ object SparkEntry {
         | count(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1,2,3 ORDER BY event_date, hr, event_type""".stripMargin,
+    "q_kanon" ->
+      // group sizes with the same >= k split
+      """SELECT lang, source, count(*) AS n_rows, count(*) >= 20 AS released
+        |FROM documents GROUP BY lang, source
+        |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin,
     "q_scd2" ->
       // same window replay: lead + row_number over (ts, event_id)
       """SELECT user_id, event_id,

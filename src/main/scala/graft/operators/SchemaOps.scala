@@ -125,6 +125,27 @@ object SchemaOps {
         min(x).as("min_outlier"), max(x).as("max_outlier"))
   }
 
+  /** k-anonymity release gate: suppress every row whose quasi-identifier
+    * combination is shared by fewer than k rows — the standard guard
+    * before publishing grouped extracts (a cell of 1 re-identifies its
+    * subject even with direct identifiers removed). Returns
+    * (kept, suppressed-summary): the summary reports each suppressed
+    * combination WITH its size but never the underlying rows, so the
+    * release decision is auditable without leaking what it suppressed.
+    * One partial-aggregated count + a broadcast-able join back; no
+    * windows.
+    */
+  def kAnonymize(df: DataFrame, quasiCols: Seq[String],
+                 k: Long): (DataFrame, DataFrame) = {
+    val sizes = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("_grp_n"))
+    val kept = df.join(sizes.filter(col("_grp_n") >= k), quasiCols)
+      .drop("_grp_n")
+    val suppressed = sizes.filter(col("_grp_n") < k)
+      .withColumnRenamed("_grp_n", "n_rows")
+    (kept, suppressed)
+  }
+
   /** SCD Type-2 dimension build from a change stream: each (key, ts)
     * change row becomes a validity interval — `effective_from` = its
     * timestamp, `effective_to` = the NEXT change's timestamp for the

@@ -134,6 +134,20 @@ class OperatorsSpec extends SparkSpec {
     assert(clean.isEmpty)
   }
 
+  test("kAnonymize: small cells fully suppressed, summary counts them") {
+    val rows = (1 to 25).map(i => (i.toLong, "en", "web")) ++
+      Seq((100L, "en", "rare"), (101L, "en", "rare")) ++  // cell of 2
+      Seq((200L, "fr", "web"))                            // cell of 1
+    val (kept, sup) = SchemaOps.kAnonymize(
+      rows.toDF("id", "lang", "src"), Seq("lang", "src"), k = 3L)
+    assert(kept.count() == 25 &&
+      kept.select("src").distinct().collect().map(_.getString(0)).toSeq == Seq("web"))
+    val s = sup.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(s == Set(("en", "rare", 2L), ("fr", "web", 1L)))
+    // no suppressed row id leaks through the kept side
+    assert(kept.filter(col("id") >= 100L).isEmpty)
+  }
+
   test("scd2FromChanges: chained intervals, one current, ties versioned by id") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val changes = Seq(
