@@ -297,6 +297,17 @@ object SparkEntry {
         StructField("c_name", StringType),
         StructField("loyalty_score", DoubleType))))
         .orderBy("c_custkey")),
+    "q_mix_temp" -> ((s, d) =>
+      // temperature-2 multilingual rebalance: per-lang token masses →
+      // sqrt-scaled sampling shares (upweights low-resource langs);
+      // sqrt is IEEE-exact so shares replay bit-for-bit
+      TextQuality.temperatureShares(
+        Tables.documents(s, d).select(col("lang"),
+          explode(TextFunctions.tokens(col("text"))).as("t"))
+          .groupBy("lang").agg(count(lit(1)).as("n_tokens")),
+        "lang", col("n_tokens"), alpha = 0.5)
+        .withColumnRenamed("weight", "n_tokens")
+        .orderBy("lang")),
     "q_kanon" -> ((s, d) => {
       // k-anonymity release gate over (lang, source) quasi-identifiers:
       // per-combination counts of the kept side plus the suppressed
@@ -2782,6 +2793,18 @@ object SparkEntry {
         | count(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1,2,3 ORDER BY event_date, hr, event_type""".stripMargin,
+    "q_mix_temp" ->
+      // sqrt(mass) rounded to 9dp, DECIMAL-summed, one IEEE division
+      """WITH tok AS (SELECT lang,
+        |  unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+        | FROM documents),
+        |c AS (SELECT lang, count(*) AS n_tokens FROM tok GROUP BY lang),
+        |w AS (SELECT lang, n_tokens,
+        |  CAST(round(sqrt(n_tokens), 9) AS DECIMAL(28,9)) AS w FROM c),
+        |t AS (SELECT SUM(w) AS tw FROM w)
+        |SELECT lang, n_tokens,
+        | round(CAST(w AS DOUBLE) / CAST(tw AS DOUBLE), 9) AS share
+        |FROM w CROSS JOIN t ORDER BY lang NULLS FIRST""".stripMargin,
     "q_kanon" ->
       // group sizes with the same >= k split
       """SELECT lang, source, count(*) AS n_rows, count(*) >= 20 AS released

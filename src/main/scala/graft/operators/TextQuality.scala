@@ -37,6 +37,30 @@ object TextQuality {
       r.getField("max_token_run") <= maxTokenRun
   }
 
+  /** Temperature-scaled mixture shares (the mT5/XLM-R multilingual
+    * rebalance): stratum i samples with share wᵢ^α / Σ wⱼ^α, α < 1
+    * upweighting low-resource strata relative to their raw token mass.
+    * α = 0.5 (temperature 2, the common setting) runs on `sqrt` — IEEE
+    * correctly-rounded, so shares are bit-identical cross-engine under
+    * the round9 + DECIMAL-sum discipline; other α use `pow`, whose last
+    * ulp is libm-specific — still deterministic per engine, but only
+    * the 0.5 path is oracle-pinned. Feed the shares to [[mixturePlan]]
+    * for rates/epochs against a token budget.
+    */
+  def temperatureShares(df: DataFrame, stratumCol: String, weight: Column,
+                        alpha: Double = 0.5): DataFrame = {
+    val w = df.groupBy(stratumCol)
+      .agg(sum(weight).as("weight"))
+      .select(col(stratumCol), col("weight"),
+        round(if (alpha == 0.5) sqrt(col("weight"))
+              else pow(col("weight"), lit(alpha)), 9)
+          .cast(org.apache.spark.sql.types.DecimalType(28, 9)).as("_w"))
+    w.crossJoin(w.agg(sum(col("_w")).as("_tw")))
+      .select(col(stratumCol), col("weight"),
+        round(col("_w").cast("double") / col("_tw").cast("double"), 9)
+          .as("share"))
+  }
+
   /** Per-group EXACT quantile gate: keep rows whose `value` is at or
     * above the group's p-quantile (discrete — the value at ascending
     * rank ⌈p·n⌉, so the threshold is always a value that EXISTS in the

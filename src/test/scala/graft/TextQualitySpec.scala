@@ -177,6 +177,18 @@ class TextQualitySpec extends SparkSpec {
         .head().getDouble(2) > got(1).getDouble(2))
   }
 
+  test("temperatureShares: sums to 1, upweights low-resource strata") {
+    import graft.operators.TextQuality
+    val rows = Seq(("big", 10000L), ("small", 100L)).toDF("lang", "n")
+    val got = TextQuality.temperatureShares(rows, "lang", col("n"))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(math.abs(got.values.sum - 1.0) < 1e-8, got.toString)
+    // raw proportion of 'small' is 100/10100 ≈ 0.0099; sqrt-scaling
+    // lifts it to 10/110 ≈ 0.0909
+    assert(math.abs(got("small") - 10.0 / 110.0) < 1e-9, got.toString)
+    assert(got("small") > 100.0 / 10100.0 * 5)
+  }
+
   test("quantileGate: discrete per-group median, singleton groups, ties") {
     import graft.operators.TextQuality
     val rows = Seq(
