@@ -680,6 +680,23 @@ object SparkEntry {
         "doc_a", "doc_b")
         .orderBy("doc_id")
     }),
+    "q_cluster_rollup" -> ((s, d) => {
+      // evidence-preserving dedup: each near-dup cluster keeps ONE doc
+      // but the rollup attaches the whole cluster's signals to it —
+      // total chars, source diversity, member list
+      val docs = Tables.documents(s, d)
+      val assign = Graph.dedupClusters(docs, "doc_id",
+        TextDedup.jaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.8),
+        "doc_a", "doc_b")
+      Graph.aggregateToCanonical(
+        docs.select(col("doc_id"), col("source"), col("n_chars")),
+        "doc_id", assign,
+        Seq(Compat.exactSum(col("n_chars"), 0).as("total_chars"),
+          count_distinct(col("source")).as("n_sources")))
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+          col("total_chars"), col("n_sources"))
+        .orderBy("doc_id")
+    }),
     "q_cluster_keep_best" -> ((s, d) => {
       // prefer-keep survivor rule over near-dup clusters: keep the
       // LONGEST member (n_chars), not the smallest id — the curation
@@ -2264,6 +2281,34 @@ object SparkEntry {
         | COALESCE(c.comp, d.doc_id) = d.doc_id AS is_canonical
         |FROM documents d LEFT JOIN comps c ON d.doc_id = c.node
         |ORDER BY doc_id""".stripMargin,
+    "q_cluster_rollup" ->
+      // reachability CTE + per-cluster aggregate joined to the min-id
+      // canonical row
+      """WITH RECURSIVE w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |  [ws[i]||'_'||ws[i+1]||'_'||ws[i+2] for i in range(1, len(ws)-1)])) AS s FROM w),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        | FROM sh a JOIN sh b ON a.s=b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT doc_a, doc_b FROM cand
+        | JOIN sizes sa ON doc_a=sa.doc_id JOIN sizes sb ON doc_b=sb.doc_id
+        | WHERE CAST(common AS DOUBLE)/(sa.sz + sb.sz - common) >= 0.8),
+        |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+        | UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(node, comp) AS (
+        | SELECT u, u FROM edges
+        | UNION
+        | SELECT e.u, r.comp FROM edges e JOIN reach r ON e.v = r.node),
+        |comps AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node),
+        |a AS (SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cluster_id,
+        |  d.source, d.n_chars
+        | FROM documents d LEFT JOIN comps c ON d.doc_id = c.node),
+        |r AS (SELECT cluster_id, count(*) AS cluster_size,
+        |  CAST(SUM(CAST(n_chars AS DECIMAL(27,0))) AS DOUBLE) AS total_chars,
+        |  count(DISTINCT source) AS n_sources FROM a GROUP BY cluster_id)
+        |SELECT a.doc_id, a.cluster_id, r.cluster_size, r.total_chars, r.n_sources
+        |FROM a JOIN r USING (cluster_id) WHERE a.doc_id = a.cluster_id
+        |ORDER BY a.doc_id""".stripMargin,
     "q_cluster_keep_best" ->
       // same reachability CTE; survivor = argmax(n_chars, tie min id)
       """WITH RECURSIVE w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),

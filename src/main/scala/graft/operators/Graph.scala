@@ -303,6 +303,28 @@ object Graph {
         (col(idCol) === col("_keep")).as("is_canonical"))
   }
 
+  /** Cluster rollup onto the canonical survivor: after near-dup
+    * clustering, the DROPPED copies' signals (view counts, source
+    * diversity, quality votes) usually shouldn't vanish with them —
+    * this aggregates caller-chosen metrics over each cluster and
+    * attaches them to the canonical row, so curation keeps one document
+    * but ALL its evidence. `assignment` is any
+    * (idCol, cluster_id, is_canonical) frame ([[dedupClusters]] /
+    * [[dedupClustersBy]] / the incremental path's join-back); `aggs`
+    * are standard aggregate columns over the joined docs. One
+    * partial-aggregated groupBy + a join back to the canonical rows.
+    */
+  def aggregateToCanonical(docs: DataFrame, idCol: String,
+                           assignment: DataFrame,
+                           aggs: Seq[Column]): DataFrame = {
+    val joined = docs.join(assignment, Seq(idCol))
+    val rolled = joined.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"), aggs: _*)
+    joined.filter(col("is_canonical"))
+      .drop("is_canonical")
+      .join(rolled, Seq("cluster_id"))
+  }
+
   /** INCREMENTAL connected components — the daily-drop shape: a
     * persisted (node, component) assignment absorbs a NEW batch of edges
     * (new×new and new×old pairs from e.g.

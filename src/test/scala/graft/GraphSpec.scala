@@ -104,6 +104,21 @@ class GraphSpec extends SparkSpec {
     assert(tied.map(_.getBoolean(2)).toSeq == Seq(true, false, false, true))
   }
 
+  test("aggregateToCanonical: cluster evidence lands on the survivor only") {
+    val docs = Seq(
+      (0L, "src1", 10L), (1L, "src2", 20L), (2L, "src1", 30L), // cluster 0
+      (3L, "src3", 5L))                                        // singleton
+      .toDF("doc_id", "source", "n")
+    val assign = Seq((0L, 0L, true), (1L, 0L, false), (2L, 0L, false),
+      (3L, 3L, true)).toDF("doc_id", "cluster_id", "is_canonical")
+    val got = Graph.aggregateToCanonical(docs, "doc_id", assign,
+        Seq(sum(col("n")).as("total_n"), count_distinct(col("source")).as("ns")))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_size"),
+        r.getAs[Long]("total_n"), r.getAs[Long]("ns")))
+    assert(got.toSeq == Seq((0L, 3L, 60L, 2L), (3L, 1L, 5L, 1L)))
+  }
+
   // ---- incremental components --------------------------------------
 
   private def incr(assign: Map[Long, Long],
