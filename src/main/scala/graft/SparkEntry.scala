@@ -1361,6 +1361,23 @@ object SparkEntry {
           col("event_type"))
         .agg(count(lit(1)).as("n"), Compat.exactSum(col("value"), 4).as("total_value"))
         .orderBy("event_date", "hr", "event_type")),
+    "q_paths" -> ((s, d) => {
+      // path analysis: the top event-type trigram journeys across
+      // users, built from windowed leads over the chronological
+      // per-user stream — no per-user buffers (the funnel discipline),
+      // one user shuffle, partial-aggregated counts
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .select(concat_ws(">", col("event_type"),
+            lead(col("event_type"), 1).over(w),
+            lead(col("event_type"), 2).over(w)).as("path"),
+          lead(col("event_type"), 2).over(w).as("_l2"))
+        .filter(col("_l2").isNotNull)
+        .groupBy("path").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path"))
+        .limit(10)
+    }),
     "q_events_hopping" -> ((s, d) =>
       // Spark's native multi-assign hopping window (1 h length, 30 min
       // hop): each event lands in exactly TWO windows — smoothed rate
@@ -2876,6 +2893,17 @@ object SparkEntry {
         | ORDER BY CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
         | RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, ts, event_id""".stripMargin,
+    "q_paths" ->
+      // identical windowed-lead trigrams; NULL-propagating || means the
+      // tail rows drop with the same l2 filter
+      """WITH p AS (SELECT
+        |  event_type || '>' || lead(event_type, 1) OVER w || '>' ||
+        |   lead(event_type, 2) OVER w AS path,
+        |  lead(event_type, 2) OVER w AS l2
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT path, count(*) AS n FROM p WHERE l2 IS NOT NULL
+        |GROUP BY path ORDER BY n DESC, path LIMIT 10""".stripMargin,
     "q_events_hopping" ->
       // window starts are hop-aligned: event t lands in starts
       // floor(t/hop)·hop and the one hop earlier (len = 2·hop) —
