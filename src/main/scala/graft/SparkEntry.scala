@@ -1139,6 +1139,29 @@ object SparkEntry {
         Seq("event_id", "value"), col("event_id"))
         .orderBy("event_id")
     }),
+    "q_attribution" -> ((s, d) => {
+      // last-touch attribution: each purchase credits the most recent
+      // click within a 1-hour lookback (as-of join + window filter) —
+      // purchases with no click, or a stale one, land in the
+      // unattributed bucket. DECIMAL-exact revenue split.
+      val ev = Tables.events(s, d)
+      val clicks = Dedup.dedupKeepFirst(
+        ev.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts"),
+        Seq("user_id", "ts"), Seq(col("event_id").desc))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      AsOf.join(purchases, clicks, "user_id", "user_id", "ts", "ts",
+          Seq("event_id", "ts"), col("event_id"))
+        .select(col("value"),
+          (col("asof_ts").isNotNull &&
+            (col("ts").cast("long") - col("asof_ts").cast("long")) <= 3600L)
+            .as("attributed"))
+        .groupBy("attributed")
+        .agg(count(lit(1)).as("n_purchases"),
+          Compat.exactSum(col("value"), 4).as("total_value"))
+        .orderBy("attributed")
+    }),
     "q_curate" -> ((s, d) => {
       val fp = TextFunctions.fingerprint(col("text"))
       val toks = size(TextFunctions.tokens(col("text")))
@@ -2893,6 +2916,25 @@ object SparkEntry {
         | ORDER BY CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
         | RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, ts, event_id""".stripMargin,
+    "q_attribution" ->
+      // DuckDB ASOF LEFT JOIN + the same floor(epoch) second arithmetic;
+      // FALSE AND NULL = FALSE in both engines, so the no-click bucket
+      // groups as unattributed
+      """WITH c0 AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+        |  FROM events WHERE event_type = 'click'),
+        |c AS (SELECT user_id, ts, event_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, ts
+        |    ORDER BY event_id DESC) AS rn FROM c0) WHERE rn = 1),
+        |p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        | FROM events WHERE event_type = 'purchase'),
+        |a AS (SELECT p.ts, p.value, c.ts AS click_ts
+        | FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts)
+        |SELECT (click_ts IS NOT NULL AND
+        |  CAST(floor(epoch(ts)) AS BIGINT) -
+        |   CAST(floor(epoch(click_ts)) AS BIGINT) <= 3600) AS attributed,
+        | count(*) AS n_purchases,
+        | CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS total_value
+        |FROM a GROUP BY 1 ORDER BY attributed""".stripMargin,
     "q_paths" ->
       // identical windowed-lead trigrams; NULL-propagating || means the
       // tail rows drop with the same l2 filter
