@@ -603,6 +603,25 @@ object SparkEntry {
           round(col("score"), 9).as("score"))
         .orderBy("doc_id", "rk")
     }),
+    "q_oov" -> ((s, d) => {
+      // vocabulary-coverage audit: build the corpus top-1000 vocab
+      // (tf-ranked, token tie-break) and measure each language's
+      // out-of-vocabulary token rate — the pre-training check that a
+      // tokenizer/vocab actually covers every slice. Exact integer
+      // counts; the rate is one IEEE division rounded to 9dp.
+      val tok = Tables.documents(s, d).select(col("lang"),
+        explode(TextFunctions.tokens(col("text"))).as("token"))
+      val vocab = tok.groupBy("token").agg(count(lit(1)).as("tf"))
+        .orderBy(col("tf").desc, col("token")).limit(1000)
+        .select("token")
+      tok.join(broadcast(vocab.withColumn("_inv", lit(1))), Seq("token"), "left")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_tokens"),
+          count(when(col("_inv").isNull, 1)).as("n_oov"))
+        .select(col("lang"), col("n_tokens"), col("n_oov"),
+          round(col("n_oov").cast("double") / col("n_tokens"), 9).as("oov_rate"))
+        .orderBy("lang")
+    }),
     "q_entropy" -> ((s, d) => {
       // token-distribution entropy per doc (quality dial: low entropy =
       // repetitive/templated text, the Shannon complement of the
@@ -2033,6 +2052,21 @@ object SparkEntry {
         |SELECT d.lang, d.doc_id, d.n_chars
         |FROM documents d JOIN t ON d.lang = t.lang AND d.n_chars >= t.thr
         |ORDER BY d.lang NULLS FIRST, d.doc_id""".stripMargin,
+    "q_oov" ->
+      // identical tf-ranked vocab cutoff; OOV counts are exact integers
+      """WITH tok AS (SELECT lang,
+        |  unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        | FROM documents),
+        |v AS (SELECT token FROM (
+        |  SELECT token, count(*) AS tf FROM tok GROUP BY token
+        |  ORDER BY tf DESC, token LIMIT 1000)),
+        |j AS (SELECT t.lang, v.token AS iv
+        | FROM tok t LEFT JOIN v ON t.token = v.token)
+        |SELECT lang, count(*) AS n_tokens,
+        | count(CASE WHEN iv IS NULL THEN 1 END) AS n_oov,
+        | round(CAST(count(CASE WHEN iv IS NULL THEN 1 END) AS DOUBLE)
+        |   / count(*), 9) AS oov_rate
+        |FROM j GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin,
     "q_entropy" ->
       // same 9dp-round-then-DECIMAL-sum ln terms; final H is one IEEE
       // expression over the exact decimal sum
