@@ -410,6 +410,53 @@ object PropertySpec extends Properties("graft") {
       }
     }
 
+  property("scd2FromChanges: contiguous versions, chained intervals, one current") =
+    Prop.forAll(eventGen) { es =>
+      import java.sql.Timestamp
+      def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+      val changes = es.zipWithIndex.map { case ((u, t, _), i) =>
+        (u, ts(t), i.toLong) }.toDF("k", "ts", "id")
+      val got = operators.SchemaOps.scd2FromChanges(changes, "k", "ts", col("id"))
+        .collect().map(r => (r.getAs[Long]("k"), r.getAs[Timestamp]("ts"),
+          r.getAs[Long]("id"), r.getAs[Timestamp]("effective_to"),
+          r.getAs[Int]("version"), r.getAs[Boolean]("is_current")))
+      got.groupBy(_._1).forall { case (_, rows) =>
+        val byV = rows.sortBy(_._5)
+        byV.map(_._5).toSeq == (1 to rows.size) &&           // contiguous versions
+          byV.count(_._6) == 1 && byV.last._6 &&             // exactly one current, the last
+          byV.toList.sliding(2).forall {                     // intervals chain
+            case List(a, b) => a._4 == b._2
+            case _ => true
+          } && byV.last._4 == null
+      }
+    }
+
+  property("kAnonymize: kept+suppressed partition rows, kept cells >= k") =
+    Prop.forAll(tableGen, Gen.choose(1L, 6L)) { (rows, k) =>
+      val df = rows.zipWithIndex.map { case ((g, s, v), i) => (i.toLong, g, s) }
+        .toDF("id", "g", "s")
+      val (kept, sup) = operators.SchemaOps.kAnonymize(df, Seq("g", "s"), k)
+      val keptRows = kept.count()
+      val supRows = sup.agg(sum(col("n_rows"))).collect().head
+      val supTotal = if (supRows.isNullAt(0)) 0L else supRows.getLong(0)
+      val cellOk = kept.groupBy("g", "s").count().collect()
+        .forall(_.getAs[Long]("count") >= k)
+      keptRows + supTotal == rows.size && cellOk
+    }
+
+  property("aggregateToCanonical: cluster sizes conserve the input rows") =
+    Prop.forAll(edgeListGen) { es =>
+      val nodes = (es.flatMap(e => Seq(e._1, e._2)).toSet + 0L).toSeq
+      val docs = nodes.map(n => (n, n * 2)).toDF("doc_id", "m")
+      val assign = operators.Graph.dedupClusters(docs, "doc_id",
+        es.toDF("a", "b"), "a", "b")
+      val rolled = operators.Graph.aggregateToCanonical(docs, "doc_id",
+        assign, Seq(sum(col("m")).as("sm")))
+      val sizes = rolled.agg(sum(col("cluster_size"))).collect().head.getLong(0)
+      sizes == nodes.size && rolled.count() ==
+        assign.filter(col("is_canonical")).count()
+    }
+
   property("cmEstimate >= exact count for every random item") =
     Prop.forAll(Gen.listOfN(40,
         Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "h"))) { items =>
