@@ -1411,8 +1411,10 @@ object SparkEntry {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       Tables.events(s, d)
         .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-        .select(concat_ws(">", col("event_type"),
-            lead(col("event_type"), 1).over(w),
+        // concat (not concat_ws): NULL event_type must propagate to a
+        // NULL path exactly like the oracle's `||`, not be skipped
+        .select(concat(col("event_type"), lit(">"),
+            lead(col("event_type"), 1).over(w), lit(">"),
             lead(col("event_type"), 2).over(w)).as("path"),
           lead(col("event_type"), 2).over(w).as("_l2"))
         .filter(col("_l2").isNotNull)

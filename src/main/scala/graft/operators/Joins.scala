@@ -305,10 +305,24 @@ object Joins {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.types.BinaryType
+    // XxHash64 is type-sensitive: INT 5 and BIGINT 5 hash differently, so
+    // mismatched key types would produce silent FALSE NEGATIVES (breaking
+    // the "composition is EXACT" contract) even though the exact join
+    // itself would coerce and match them. Hash both sides in their
+    // tightest common type; refuse pairs with no lossless widening.
+    val bigType = big.schema(bigKey).dataType
+    val smallType = small.schema(smallKey).dataType
+    val hashType =
+      if (bigType == smallType) bigType
+      else org.apache.spark.sql.catalyst.analysis.TypeCoercion
+        .findTightestCommonType(bigType, smallType)
+        .getOrElse(throw new IllegalArgumentException(
+          s"bloomPrune: no lossless common type for $bigKey:$bigType vs " +
+            s"$smallKey:$smallType — cast one side explicitly before pruning"))
     val numBits = math.max(64L,
       math.ceil(-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
     val agg = new BloomFilterAggregate(
-      new XxHash64(Seq(GraftColumnShim.expression(col(smallKey)))),
+      new XxHash64(Seq(GraftColumnShim.expression(col(smallKey).cast(hashType)))),
       Literal(expectedItems), Literal(numBits))
     val bytes = small.filter(col(smallKey).isNotNull)
       .select(GraftColumnShim.column(agg.toAggregateExpression()).as("bf"))
@@ -316,6 +330,6 @@ object Joins {
     if (bytes == null) big.filter(lit(false))
     else big.filter(GraftColumnShim.column(BloomFilterMightContain(
       Literal(bytes, BinaryType),
-      new XxHash64(Seq(GraftColumnShim.expression(col(bigKey)))))))
+      new XxHash64(Seq(GraftColumnShim.expression(col(bigKey).cast(hashType)))))))
   }
 }

@@ -137,12 +137,20 @@ object SchemaOps {
     */
   def kAnonymize(df: DataFrame, quasiCols: Seq[String],
                  k: Long): (DataFrame, DataFrame) = {
+    // groupBy treats NULL as a regular key value, so the join back must
+    // too: an equi-join would silently drop rows whose quasi tuple
+    // contains NULL (in neither kept nor suppressed — a hole in the
+    // auditable partition). Null-safe equality (<=>) keeps the
+    // kept ∪ suppressed ≡ all-rows invariant for NULL cells as well.
     val sizes = df.groupBy(quasiCols.map(col): _*)
       .agg(count(lit(1)).as("_grp_n"))
-    val kept = df.join(sizes.filter(col("_grp_n") >= k), quasiCols)
-      .drop("_grp_n")
+      .select(quasiCols.map(c => col(c).as(s"_ka_$c")) :+ col("_grp_n"): _*)
+    val keepCond = quasiCols.map(c => col(c) <=> col(s"_ka_$c")).reduce(_ && _)
+    val kept = df.join(sizes.filter(col("_grp_n") >= k), keepCond)
+      .select(df.columns.map(col): _*)
     val suppressed = sizes.filter(col("_grp_n") < k)
-      .withColumnRenamed("_grp_n", "n_rows")
+      .select(quasiCols.map(c => col(s"_ka_$c").as(c)) :+
+        col("_grp_n").as("n_rows"): _*)
     (kept, suppressed)
   }
 

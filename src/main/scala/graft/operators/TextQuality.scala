@@ -74,6 +74,9 @@ object TextQuality {
     */
   def quantileGate(df: DataFrame, groupCol: String, value: Column,
                    p: Double, tieBreak: Column): DataFrame = {
+    // p = 0 would make ceil(p·n) = 0 — no threshold row exists, and the
+    // gate join would silently drop EVERY group instead of keeping all.
+    require(p > 0.0 && p <= 1.0, s"quantileGate: p must be in (0, 1], got $p")
     import org.apache.spark.sql.expressions.Window
     val thr = df
       .select(col(groupCol), value.as("_v"), tieBreak.as("_t"))

@@ -60,9 +60,11 @@ object FileSources {
           Map("mode" -> "PERMISSIVE",
             "columnNameOfCorruptRecord" -> "_corrupt")).as("_p"))
     val fields = schema.fieldNames.map(f => col(s"_p.`$f`")).toSeq
-    val clean = parsed.filter(col("_p._corrupt").isNull)
+    // A NULL parse struct (the JSON literal `null`, a bare scalar) is a
+    // malformed line, not an all-null clean row — route it to quarantine.
+    val clean = parsed.filter(col("_p").isNotNull && col("_p._corrupt").isNull)
       .select(fields: _*)
-    val quarantined = parsed.filter(col("_p._corrupt").isNotNull)
+    val quarantined = parsed.filter(col("_p").isNull || col("_p._corrupt").isNotNull)
       .select(fields :+ col("value").as("raw_line"): _*)
     (clean, quarantined)
   }
@@ -126,9 +128,11 @@ object FileSources {
           Map("mode" -> "PERMISSIVE",
             "columnNameOfCorruptRecord" -> "_corrupt")).as("_p"))
     val fields = schema.fieldNames.map(f => col(s"_p.`$f`")).toSeq
-    val clean = parsed.filter(col("_p._corrupt").isNull)
+    // A NULL parse struct (the JSON literal `null`, a bare scalar) is a
+    // malformed line, not an all-null clean row — route it to quarantine.
+    val clean = parsed.filter(col("_p").isNotNull && col("_p._corrupt").isNull)
       .select(fields: _*)
-    val quarantined = parsed.filter(col("_p._corrupt").isNotNull)
+    val quarantined = parsed.filter(col("_p").isNull || col("_p._corrupt").isNotNull)
       .select(fields :+ col("value").as("raw_line"): _*)
     (clean, quarantined)
   }

@@ -433,7 +433,12 @@ object PropertySpec extends Properties("graft") {
 
   property("kAnonymize: kept+suppressed partition rows, kept cells >= k") =
     Prop.forAll(tableGen, Gen.choose(1L, 6L)) { (rows, k) =>
-      val df = rows.zipWithIndex.map { case ((g, s, v), i) => (i.toLong, g, s) }
+      // NULL quasi keys are legal input (r6 review: an equi-join back
+      // lost them from BOTH frames) — inject them so the partition
+      // invariant is exercised with NULL cells too
+      val df = rows.zipWithIndex.map { case ((g, s, v), i) =>
+        (i.toLong, if (g % 3 == 0) null else g.toString,
+          if (v % 4 == 0) null else s) }
         .toDF("id", "g", "s")
       val (kept, sup) = operators.SchemaOps.kAnonymize(df, Seq("g", "s"), k)
       val keptRows = kept.count()

@@ -188,4 +188,65 @@ class ReviewFixesSpec extends SparkSpec {
     // all four early events belong to ONE session (10:45 is within 30m of 10:20)
     assert(closed.exists(r => r.getLong(2) == 4), closed.mkString(";"))
   }
+
+  // ---- round-6 review findings ----
+
+  test("kAnonymize: NULL quasi keys partition into kept/suppressed, never vanish") {
+    import graft.operators.SchemaOps
+    val df = Seq(
+      (1L, null, "x"), (2L, null, "x"), (3L, null, "x"),   // NULL cell of 3
+      (4L, "a", null),                                     // NULL cell of 1
+      (5L, "a", "y"), (6L, "a", "y")                       // plain cell of 2
+    ).toDF("id", "g", "s")
+    val (kept, sup) = SchemaOps.kAnonymize(df, Seq("g", "s"), k = 2L)
+    val keptIds = kept.collect().map(_.getLong(0)).toSet
+    assert(keptIds == Set(1L, 2L, 3L, 5L, 6L), keptIds.toString)
+    val supRows = sup.collect()
+    assert(supRows.length == 1 && supRows(0).getAs[Long]("n_rows") == 1L)
+    assert(supRows(0).getAs[String]("g") == "a" && supRows(0).isNullAt(
+      supRows(0).fieldIndex("s")))
+    // the auditable partition: every input row is in exactly one frame
+    assert(keptIds.size + supRows.map(_.getAs[Long]("n_rows")).sum == 6)
+  }
+
+  test("bloomPrune: mismatched key widths still find every true match") {
+    val bigL = (1L to 500L).map(i => (i, s"row$i")).toDF("k", "payload")  // BIGINT
+    val smallI = Seq(3, 250, 499).map(k => (k, s"dim$k")).toDF("dk", "dim") // INT
+    val pruned = Joins.bloomPrune(bigL, "k", smallI, "dk",
+      expectedItems = 10L, fpp = 0.01)
+    // pre-fix: XxHash64(INT 3) != XxHash64(BIGINT 3) → silent false negatives
+    assert(pruned.join(smallI, pruned("k") === smallI("dk")).count() == 3)
+    val strs = Seq(("3", "s")).toDF("dk", "dim")
+    intercept[IllegalArgumentException] {
+      Joins.bloomPrune(bigL, "k", strs, "dk")
+    }
+  }
+
+  test("quantileGate rejects p outside (0, 1]") {
+    import graft.operators.TextQuality
+    val df = Seq(("en", 5L), ("en", 7L)).toDF("lang", "n")
+    intercept[IllegalArgumentException] {
+      TextQuality.quantileGate(df, "lang", col("n"), 0.0, col("n"))
+    }
+    intercept[IllegalArgumentException] {
+      TextQuality.quantileGate(df, "lang", col("n"), 1.5, col("n"))
+    }
+  }
+
+  test("ndjsonWithQuarantine: JSON null / bare scalar lines are quarantined") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("jnull").toString
+    Files.writeString(Paths.get(s"$dir/drop.ndjson"),
+      """{"id": 1, "amount": 10.5}""" + "\n" +
+        "null\n" +      // JSON literal null → NULL struct, not corrupt
+        "42\n" +        // bare scalar
+        """{"id": 2, "amount": 20.0}""" + "\n")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("amount", DoubleType)))
+    val (clean, quarantined) = FileSources.ndjsonWithQuarantine(
+      spark, s"$dir/drop.ndjson", schema)
+    assert(clean.orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    val bad = quarantined.collect().map(_.getAs[String]("raw_line")).toSet
+    assert(bad == Set("null", "42"), bad.toString)
+  }
 }
