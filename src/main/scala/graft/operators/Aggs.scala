@@ -118,14 +118,30 @@ object Aggs {
     * Nulls in the value column are ignored (SQL aggregate semantics); a
     * group with no non-null values is absent from the output (matching
     * `GROUP BY` over the filtered rows).
+    *
+    * `maxGroups` enforces the documented regime: the group cardinality is
+    * probed with a map-side `approx_count_distinct` before any shuffle,
+    * and the call fails fast when it exceeds the cap — catching the
+    * wrong-regime call BEFORE the O(partitions × groups) driver collect
+    * allocates, not after. Raise it explicitly only if the driver heap is
+    * sized for the resulting metadata.
     */
   def rankSelectPercentiles(df: DataFrame, groupCol: String, value: Column,
-                            percentiles: Seq[(Double, String)]): DataFrame = {
+                            percentiles: Seq[(Double, String)],
+                            maxGroups: Long = 100000L): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
     require(percentiles.nonEmpty && percentiles.forall { case (p, _) => p >= 0 && p <= 1 },
       "percentiles must be in [0, 1]")
     val spark = df.sparkSession
+    val approxGroups =
+      df.select(approx_count_distinct(col(groupCol)).as("_n")).head.getLong(0)
+    require(approxGroups <= maxGroups,
+      s"rankSelectPercentiles: ~$approxGroups distinct '$groupCol' groups exceed " +
+        s"maxGroups=$maxGroups. This operator holds O(partitions × groups) driver " +
+        "state and is meant for the huge-group/LOW-cardinality regime; for many " +
+        "small groups use percentile() or approx_percentile (per-group buffers " +
+        "are small there), or raise maxGroups if the driver heap is sized for it")
     val nPart = spark.sessionState.conf.numShufflePartitions
     val groupField = df.select(col(groupCol)).schema.head
 

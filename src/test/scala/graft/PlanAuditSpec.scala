@@ -391,4 +391,20 @@ class PlanAuditSpec extends SparkSpec {
     assert("ObjectHashAggregate|HashAggregate".r.findAllIn(p).size >= 2,
       s"KLL aggregation lost its partial pair:\n$p")
   }
+
+  test("q_text_stats: pure map-side metrics — no aggregate, no hash shuffle") {
+    // the one r5→r6 bench mover with no plan pin: its swings were JIT
+    // rotation, and this assertion keeps a real plan regression from
+    // ever hiding behind that explanation again
+    val p = plan(q("q_text_stats"))
+    assert(!p.contains("HashAggregate") && !p.contains("ObjectHashAggregate") &&
+      !p.contains("SortAggregate"),
+      s"per-doc metrics must not aggregate:\n$p")
+    assert(!p.contains("hashpartitioning"),
+      s"map-side query must not hash-shuffle (only the orderBy range exchange):\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"scan must read exactly (doc_id, text):\n$p")
+    assert(!p.contains("UDF") && !p.contains("BatchEvalPython"),
+      s"metrics must stay native expressions (codegen-friendly):\n$p")
+  }
 }

@@ -233,6 +233,21 @@ class ReviewFixesSpec extends SparkSpec {
     }
   }
 
+  test("rankSelectPercentiles fails fast in the high-cardinality regime") {
+    import graft.operators.Aggs
+    val many = spark.range(0, 5000L).selectExpr("id % 4000 as g", "id as v")
+    val ex = intercept[IllegalArgumentException] {
+      Aggs.rankSelectPercentiles(many, "g", col("v"),
+        Seq(0.5 -> "p50"), maxGroups = 1000L)
+    }
+    assert(ex.getMessage.contains("approx_percentile"), ex.getMessage)
+    // the documented regime still works under the same cap
+    val few = spark.range(0, 5000L).selectExpr("id % 3 as g", "id as v")
+    val out = Aggs.rankSelectPercentiles(few, "g", col("v"),
+      Seq(0.5 -> "p50"), maxGroups = 1000L)
+    assert(out.count() == 3)
+  }
+
   test("ndjsonWithQuarantine: JSON null / bare scalar lines are quarantined") {
     import org.apache.spark.sql.types._
     val dir = Files.createTempDirectory("jnull").toString
