@@ -941,12 +941,24 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
     "q_ann_ivf" -> ((s, d) => {
-      // no_oracle (golden-pinned): k-means|| centroid init seeds from
-      // xxhash64 sampling, so the final partition is engine-specific;
-      // SimilaritySpec proves brute-force parity (recall) instead
+      // deterministic modulo-sampled centroids (production would pass a
+      // fitCentroids k-means|| fit — engine-specific seeding — but this
+      // probe is fully replayable: DuckDB re-derives the same centroid
+      // set, assignment argmax, and nprobe=4 probe list bit-exactly)
       val e = Tables.embeddings(s, d)
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 10),
         e.filter(col("vec_id") % 25 === 0), "vec_id", "embedding", k = 5, nprobe = 4)
+        .orderBy("query_id", "rank")
+    }),
+    "q_ann_ivf_md5" -> ((s, d) => {
+      // oracle twin with the hash-ordered centroid pick (the same
+      // engine-portable md5 seeding that oracles q_semantic_dedup):
+      // proves the IVF probe end-to-end under a centroid set chosen by
+      // uniform hash order rather than the modulo stride
+      val e = Tables.embeddings(s, d)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 10),
+        Similarity.hashSeedCentroids(e, "vec_id", "embedding", k = 25, seed = 7),
+        "vec_id", "embedding", k = 5, nprobe = 4)
         .orderBy("query_id", "rank")
     }),
 
@@ -2673,6 +2685,62 @@ object SparkEntry {
         | FROM q, c WHERE qid<>nid),
         |r AS (SELECT qid AS query_id, nid AS neighbor_id, sim,
         |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM s)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, sim
+        |FROM r WHERE rank<=5 ORDER BY query_id, rank""".stripMargin,
+    "q_ann_ivf" ->
+      // full IVF replay: normalize, modulo centroid set, argmax-dot
+      // corpus assignment (tie → lowest cent_id, same as the struct-max),
+      // nprobe=4 query probe list, within-cell cosine, top-5
+      """WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings),
+        |n0 AS (SELECT vec_id, e,
+        |  sqrt(list_reduce(list_transform(e, y->y*y),(p,q)->p+q)) AS nrm FROM e0),
+        |n AS (SELECT vec_id, list_transform(e,
+        |  x -> CASE WHEN nrm = 0 THEN 0.0 ELSE x / nrm END) AS v FROM n0),
+        |cents AS (SELECT vec_id AS cent_id, v AS cv FROM n WHERE vec_id % 25 = 0),
+        |ca AS (SELECT vec_id, cent_id, v FROM (
+        |  SELECT nn.vec_id, c.cent_id, nn.v, row_number() OVER (
+        |    PARTITION BY nn.vec_id ORDER BY
+        |    list_reduce(list_transform(list_zip(nn.v, c.cv), x->x[1]*x[2]),(p,q)->p+q) DESC,
+        |    c.cent_id) AS rn
+        |  FROM n nn CROSS JOIN cents c) WHERE rn = 1),
+        |qa AS (SELECT vec_id AS query_id, cent_id, v AS qv FROM (
+        |  SELECT nn.vec_id, c.cent_id, nn.v, row_number() OVER (
+        |    PARTITION BY nn.vec_id ORDER BY
+        |    list_reduce(list_transform(list_zip(nn.v, c.cv), x->x[1]*x[2]),(p,q)->p+q) DESC,
+        |    c.cent_id) AS rn
+        |  FROM n nn CROSS JOIN cents c WHERE nn.vec_id < 10) WHERE rn <= 4),
+        |s AS (SELECT qa.query_id, ca.vec_id AS neighbor_id,
+        |  list_reduce(list_transform(list_zip(qa.qv, ca.v), x->x[1]*x[2]),(p,q)->p+q) AS sim
+        | FROM qa JOIN ca USING (cent_id) WHERE qa.query_id <> ca.vec_id),
+        |r AS (SELECT query_id, neighbor_id, sim,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM s)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, sim
+        |FROM r WHERE rank<=5 ORDER BY query_id, rank""".stripMargin,
+    "q_ann_ivf_md5" ->
+      """WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings),
+        |n0 AS (SELECT vec_id, e,
+        |  sqrt(list_reduce(list_transform(e, y->y*y),(p,q)->p+q)) AS nrm FROM e0),
+        |n AS (SELECT vec_id, list_transform(e,
+        |  x -> CASE WHEN nrm = 0 THEN 0.0 ELSE x / nrm END) AS v FROM n0),
+        |cents AS (SELECT vec_id AS cent_id, v AS cv FROM n
+        | ORDER BY md5(vec_id::VARCHAR || ':7'), vec_id LIMIT 25),
+        |ca AS (SELECT vec_id, cent_id, v FROM (
+        |  SELECT nn.vec_id, c.cent_id, nn.v, row_number() OVER (
+        |    PARTITION BY nn.vec_id ORDER BY
+        |    list_reduce(list_transform(list_zip(nn.v, c.cv), x->x[1]*x[2]),(p,q)->p+q) DESC,
+        |    c.cent_id) AS rn
+        |  FROM n nn CROSS JOIN cents c) WHERE rn = 1),
+        |qa AS (SELECT vec_id AS query_id, cent_id, v AS qv FROM (
+        |  SELECT nn.vec_id, c.cent_id, nn.v, row_number() OVER (
+        |    PARTITION BY nn.vec_id ORDER BY
+        |    list_reduce(list_transform(list_zip(nn.v, c.cv), x->x[1]*x[2]),(p,q)->p+q) DESC,
+        |    c.cent_id) AS rn
+        |  FROM n nn CROSS JOIN cents c WHERE nn.vec_id < 10) WHERE rn <= 4),
+        |s AS (SELECT qa.query_id, ca.vec_id AS neighbor_id,
+        |  list_reduce(list_transform(list_zip(qa.qv, ca.v), x->x[1]*x[2]),(p,q)->p+q) AS sim
+        | FROM qa JOIN ca USING (cent_id) WHERE qa.query_id <> ca.vec_id),
+        |r AS (SELECT query_id, neighbor_id, sim,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM s)
         |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, sim
         |FROM r WHERE rank<=5 ORDER BY query_id, rank""".stripMargin,
     "q_ann_quantized" ->
