@@ -30,35 +30,91 @@ object Excel {
 
   // ---- read ----------------------------------------------------------
 
-  /** Read one sheet into a DataFrame of strings.
+  /** Read one sheet into a DataFrame.
     * @param headerRows 0 → synthesized c0..cN names; 1 → plain header;
     *                   k>1 → hierarchical header flattened by
     *                   forward-filling each header row and joining
     *                   non-empty parts with "_" (pandas tidy() parity).
+    * @param inferTypes false (default) → every column StringType (the
+    *                   reference's pandas `object` ingest; downstream
+    *                   coercion via Compat). true → honor the xlsx cell
+    *                   `t` attribute and number-format styles per column,
+    *                   like `pd.read_excel` delivers typed numerics and
+    *                   datetimes (json_cleaning.ipynb:74-107 dtype dump;
+    *                   Financial Snapshot Preprocess.ipynb:77): a column
+    *                   whose non-empty cells are all integer numerics →
+    *                   LongType, all numerics → DoubleType, all
+    *                   date-formatted numerics → TimestampType (serial
+    *                   epoch 1899-12-30), all booleans → BooleanType;
+    *                   any mix falls back to StringType (pandas object).
     */
   def read(spark: SparkSession, path: String, sheet: Option[String] = None,
-           skipRows: Int = 0, headerRows: Int = 1): DataFrame = {
-    val rows = readSheetCells(path, sheet).drop(skipRows)
+           skipRows: Int = 0, headerRows: Int = 1,
+           inferTypes: Boolean = false): DataFrame = {
+    val rows = readSheetCellsTyped(path, sheet).drop(skipRows)
     if (rows.isEmpty)
       return spark.createDataFrame(new java.util.ArrayList[Row](), StructType(Nil))
     val width = rows.map(_.length).max
-    val padded = rows.map(r => r.padTo(width, ""))
+    val padded = rows.map(r => r.padTo(width, XCell("", 'e')))
 
     val (names, data) =
       if (headerRows == 0) ((0 until width).map(i => s"c$i"), padded)
       else {
-        val headers = padded.take(headerRows).map(forwardFill)
+        val headers = padded.take(headerRows).map(r => forwardFill(r.map(_.text)))
         val flat = (0 until width).map { i =>
           val parts = headers.map(_(i)).filter(_.nonEmpty)
           if (parts.isEmpty) s"c$i" else parts.mkString("_")
         }
         (dedupeNames(flat), padded.drop(headerRows))
       }
-    val schema = StructType(names.map(n => StructField(n, StringType, nullable = true)))
-    val javaRows = data.map(r =>
-      Row.fromSeq(r.map(v => if (v.isEmpty) null else v)): Row).asJava
+
+    if (!inferTypes) {
+      val schema = StructType(names.map(n => StructField(n, StringType, nullable = true)))
+      val javaRows = data.map(r =>
+        Row.fromSeq(r.map(c => if (c.text.isEmpty) null else c.text)): Row).asJava
+      return spark.createDataFrame(javaRows, schema)
+    }
+
+    import org.apache.spark.sql.types.{BooleanType, DoubleType, LongType, TimestampType}
+    val longRe = """-?\d+""".r
+    val colTypes = (0 until width).map { i =>
+      val kinds = data.iterator.map(_(i)).filter(_.kind != 'e').toSeq
+      if (kinds.isEmpty) StringType
+      else if (kinds.forall(_.kind == 'd')) TimestampType
+      else if (kinds.forall(_.kind == 'b')) BooleanType
+      else if (kinds.forall(_.kind == 'n'))
+        // openpyxl parity: a cell is integral iff its stored text is a
+        // plain integer literal; one "3.5" (or "1e30") → float64 column
+        if (kinds.forall(c => longRe.matches(c.text) &&
+            scala.util.Try(c.text.toLong).isSuccess)) LongType else DoubleType
+      else StringType
+    }
+    val schema = StructType(names.zip(colTypes).map { case (n, t) =>
+      StructField(n, t, nullable = true) })
+    val javaRows = data.map { r =>
+      Row.fromSeq(r.zip(colTypes).map { case (c, t) =>
+        if (c.kind == 'e' || c.text.isEmpty) null
+        else t match {
+          case TimestampType => serialToTimestamp(c.text.toDouble)
+          case LongType => c.text.toLong
+          case DoubleType => c.text.toDouble
+          case BooleanType => c.text == "1" || c.text.equalsIgnoreCase("true")
+          case _ => c.text
+        }
+      }): Row
+    }.asJava
     spark.createDataFrame(javaRows, schema)
   }
+
+  /** Excel serial day (epoch 1899-12-30, fraction = time of day) →
+    * timestamp; rounded to the millisecond to absorb the serial's double
+    * representation error (openpyxl rounds at microseconds the same way).
+    */
+  private def serialToTimestamp(serial: Double): java.sql.Timestamp =
+    new java.sql.Timestamp(math.round((serial - 25569.0) * 86400000.0))
+
+  private def timestampToSerial(ts: java.sql.Timestamp): Double =
+    ts.getTime.toDouble / 86400000.0 + 25569.0
 
   /** Sheet names in workbook order. */
   def sheetNames(path: String): Seq[String] = {
@@ -100,8 +156,45 @@ object Excel {
     }.toSeq
   }
 
-  /** All cell values of a sheet as row-major strings (sparse cells → ""). */
-  private def readSheetCells(path: String, sheet: Option[String]): Seq[Seq[String]] = {
+  /** A raw sheet cell: `text` is the stored value (shared/inline string
+    * content, or the literal `<v>` body for numerics/booleans); `kind`
+    * is 's' string, 'n' numeric, 'd' date-formatted numeric, 'b'
+    * boolean, 'e' empty.
+    */
+  private case class XCell(text: String, kind: Char)
+
+  /** numFmtIds Excel renders as dates: the builtin date/time ranges plus
+    * custom codes containing a date token outside quotes/brackets —
+    * the same heuristic openpyxl's `is_date_format` applies.
+    */
+  private def dateStyleIndexes(zf: ZipFile): Set[Int] = {
+    val entry = Option(zf.getEntry("xl/styles.xml")).getOrElse(return Set.empty)
+    val xml = new String(zf.getInputStream(entry).readAllBytes(), StandardCharsets.UTF_8)
+    val builtinDate = ((14 to 22) ++ (27 to 36) ++ (45 to 47) ++ (50 to 58)).toSet
+    def isDateCode(code: String): Boolean = {
+      val bare = code.replaceAll("\"[^\"]*\"", "").replaceAll("\\[[^\\]]*\\]", "")
+        .replaceAll("\\\\.", "")
+      bare.exists(c => "ymdhYMDH".indexOf(c) >= 0) ||
+        bare.contains("ss") || bare.contains("SS")
+    }
+    val customDate = """<numFmt[^>]*numFmtId="(\d+)"[^>]*formatCode="([^"]*)"""".r
+      .findAllMatchIn(xml)
+      .collect { case m if isDateCode(unescape(m.group(2))) => m.group(1).toInt }
+      .toSet
+    val dateFmtIds = builtinDate ++ customDate
+    """(?s)<cellXfs[^>]*>(.*?)</cellXfs>""".r.findFirstMatchIn(xml) match {
+      case None => Set.empty
+      case Some(sect) =>
+        """<xf[\s/>]([^>]*)""".r.findAllMatchIn(sect.group(1)).zipWithIndex
+          .collect { case (m, i) if """numFmtId="(\d+)"""".r
+            .findFirstMatchIn(m.group(1))
+            .exists(f => dateFmtIds(f.group(1).toInt)) => i }
+          .toSet
+    }
+  }
+
+  /** All cells of a sheet, row-major, with per-cell kind (sparse → 'e'). */
+  private def readSheetCellsTyped(path: String, sheet: Option[String]): Seq[Seq[XCell]] = {
     val zf = new ZipFile(path)
     try {
       val sheets = workbookSheets(zf)
@@ -118,36 +211,50 @@ object Excel {
             .map(t => unescape(t.group(1))).mkString)
           .toIndexedSeq
       }.getOrElse(IndexedSeq.empty)
+      val dateStyles = dateStyleIndexes(zf)
 
       val sheetXml = new String(
         zf.getInputStream(zf.getEntry(part)).readAllBytes(), StandardCharsets.UTF_8)
       val rowRe = """(?s)<row[^>]*>(.*?)</row>""".r
       val cellRe = """(?s)<c(\s[^>]*?)?(?:/>|>(.*?)</c>)""".r
       rowRe.findAllMatchIn(sheetXml).map { rm =>
-        val cells = mutable.ArrayBuffer.empty[(Int, String)]
+        val cells = mutable.ArrayBuffer.empty[(Int, XCell)]
         cellRe.findAllMatchIn(rm.group(1)).foreach { cm =>
           val attrs = Option(cm.group(1)).getOrElse("")
           val body = Option(cm.group(2)).getOrElse("")
           val ref = """r="([A-Z]+)\d+"""".r.findFirstMatchIn(attrs).map(_.group(1))
           val idx = ref.map(colIndex).getOrElse(cells.size)
           val t = """t="([^"]+)"""".r.findFirstMatchIn(attrs).map(_.group(1)).getOrElse("n")
-          val v = t match {
+          val cell = t match {
             case "inlineStr" =>
-              """<t[^>]*>([^<]*)</t>""".r.findAllMatchIn(body)
-                .map(m => unescape(m.group(1))).mkString
+              XCell("""<t[^>]*>([^<]*)</t>""".r.findAllMatchIn(body)
+                .map(m => unescape(m.group(1))).mkString, 's')
             case "s" =>
-              """<v>([^<]*)</v>""".r.findFirstMatchIn(body)
-                .map(m => shared(m.group(1).trim.toInt)).getOrElse("")
+              XCell("""<v>([^<]*)</v>""".r.findFirstMatchIn(body)
+                .map(m => shared(m.group(1).trim.toInt)).getOrElse(""), 's')
+            case "str" =>  // formula result string
+              XCell("""<v>([^<]*)</v>""".r.findFirstMatchIn(body)
+                .map(m => unescape(m.group(1))).getOrElse(""), 's')
+            case "b" =>
+              XCell("""<v>([^<]*)</v>""".r.findFirstMatchIn(body)
+                .map(m => m.group(1).trim).getOrElse(""), 'b')
             case _ =>
-              """<v>([^<]*)</v>""".r.findFirstMatchIn(body)
+              val v = """<v>([^<]*)</v>""".r.findFirstMatchIn(body)
                 .map(m => unescape(m.group(1))).getOrElse("")
+              val styleIdx = """s="(\d+)"""".r.findFirstMatchIn(attrs)
+                .map(_.group(1).toInt)
+              val kind =
+                if (v.isEmpty) 'e'
+                else if (styleIdx.exists(dateStyles)) 'd' else 'n'
+              XCell(v, kind)
           }
-          cells += ((idx, v))
+          cells += ((idx, if (cell.text.isEmpty && cell.kind != 'e')
+            cell.copy(kind = 'e') else cell))
         }
-        if (cells.isEmpty) Seq.empty[String]
+        if (cells.isEmpty) Seq.empty[XCell]
         else {
           val width = cells.map(_._1).max + 1
-          val arr = Array.fill(width)("")
+          val arr = Array.fill(width)(XCell("", 'e'))
           cells.foreach { case (i, v) => arr(i) = v }
           arr.toSeq
         }
@@ -238,6 +345,7 @@ object Excel {
           """<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>""" +
           """<Default Extension="xml" ContentType="application/xml"/>""" +
           """<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>""" +
+          """<Override PartName="/xl/styles.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.styles+xml"/>""" +
           (1 to n).map(i =>
             s"""<Override PartName="/xl/worksheets/sheet$i.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""")
             .mkString +
@@ -258,7 +366,19 @@ object Excel {
           """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
           (1 to n).map(i =>
             s"""<Relationship Id="rId$i" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet$i.xml"/>""")
-            .mkString + """</Relationships>""")
+            .mkString +
+          s"""<Relationship Id="rId${n + 1}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/styles" Target="styles.xml"/>""" +
+          """</Relationships>""")
+      // minimal styles: xf 0 = General, xf 1 = builtin datetime format 22
+      // ("m/d/yy h:mm") — the style typed timestamp cells reference
+      put("xl/styles.xml",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+          """<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""" +
+          """<fonts count="1"><font/></fonts><fills count="1"><fill/></fills>""" +
+          """<borders count="1"><border/></borders>""" +
+          """<cellStyleXfs count="1"><xf/></cellStyleXfs>""" +
+          """<cellXfs count="2"><xf numFmtId="0"/>""" +
+          """<xf numFmtId="22" applyNumberFormat="1"/></cellXfs></styleSheet>""")
       sheets.zipWithIndex.foreach { case ((_, df), i) =>
         put(s"xl/worksheets/sheet${i + 1}.xml", sheetXml(df))
       }
@@ -322,6 +442,10 @@ object Excel {
       case d: Double => s"<c><v>$d</v></c>"
       case f: Float => s"<c><v>$f</v></c>"
       case x: Number => s"<c><v>$x</v></c>"
+      case t: java.sql.Timestamp =>
+        // typed date cell: serial number + the datetime style (s="1"),
+        // so read(inferTypes = true) round-trips it as TimestampType
+        s"""<c s="1"><v>${timestampToSerial(t)}</v></c>"""
       case b: Boolean => s"<c t=\"inlineStr\"><is><t>$b</t></is></c>"
       case other => s"<c t=\"inlineStr\"><is><t>${escape(other.toString)}</t></is></c>"
     }

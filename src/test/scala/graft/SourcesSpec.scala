@@ -24,6 +24,54 @@ class SourcesSpec extends SparkSpec {
     assert(rows(2).isNullAt(1))                     // empty cell → null
   }
 
+  test("Excel: inferTypes round-trips long/double/timestamp/string like pd.read_excel") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("xlsx").toString
+    val ts1 = java.sql.Timestamp.valueOf("2024-03-15 10:30:00")
+    val ts2 = java.sql.Timestamp.valueOf("2025-12-01 00:00:00")
+    val df = Seq(
+      (1L, 10.5, ts1, "alpha", 7L),
+      (2L, 20.0, ts2, "beta", 8L),
+      (3L, 0.25, null.asInstanceOf[java.sql.Timestamp], null.asInstanceOf[String], 9L))
+      .toDF("id", "amount", "when", "label", "n")
+    Excel.write(df, s"$dir/typed.xlsx")
+
+    // default read: pandas-object parity, everything a string
+    val untyped = Excel.read(spark, s"$dir/typed.xlsx")
+    assert(untyped.schema.fields.forall(_.dataType == StringType))
+
+    val typed = Excel.read(spark, s"$dir/typed.xlsx", inferTypes = true)
+    assert(typed.schema.map(f => f.name -> f.dataType) == Seq(
+      "id" -> LongType, "amount" -> DoubleType, "when" -> TimestampType,
+      "label" -> StringType, "n" -> LongType), typed.schema.treeString)
+    val rows = typed.orderBy("id").collect()
+    assert(rows(0).getLong(0) == 1L && rows(0).getDouble(1) == 10.5)
+    assert(rows(0).getTimestamp(2) == ts1 && rows(1).getTimestamp(2) == ts2)
+    assert(rows(2).isNullAt(2) && rows(2).isNullAt(3))
+    // a groupBy.sum works with no explicit cast — the pd.read_excel
+    // porting gap the round-6 review called out
+    assert(typed.agg(sum("amount")).head.getDouble(0) == 30.75)
+  }
+
+  test("Excel: inferTypes falls back to string on mixed columns (pandas object)") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("xlsx").toString
+    // "days" holds a date-as-string AND a number — the reference's
+    // real-world junk column (Study Startup Legacy Data merge: a
+    // days-count column holding 1900-02-02 00:00:00 and 135 at once)
+    val df = Seq(("135", 1L), ("1900-02-02 00:00:00", 2L)).toDF("days", "id")
+    Excel.write(df, s"$dir/mixed.xlsx")
+    val typed = Excel.read(spark, s"$dir/mixed.xlsx", inferTypes = true)
+    assert(typed.schema("days").dataType == StringType)
+    assert(typed.schema("id").dataType == LongType)
+    // integral-looking doubles stay double when any cell is fractional
+    val df2 = Seq((3.0, "a"), (4.5, "b")).toDF("v", "k")
+    Excel.write(df2, s"$dir/frac.xlsx")
+    val t2 = Excel.read(spark, s"$dir/frac.xlsx", inferTypes = true)
+    assert(t2.schema("v").dataType == DoubleType)
+    assert(t2.orderBy("k").collect().map(_.getDouble(0)).toSeq == Seq(3.0, 4.5))
+  }
+
   test("Excel: multi-sheet workbook (K3) with sheet selection and names") {
     val dir = Files.createTempDirectory("xlsx").toString
     val a = Seq(("x", 1)).toDF("k", "v")
