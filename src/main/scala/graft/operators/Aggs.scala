@@ -107,8 +107,9 @@ object Aggs {
     *      needs the values at global ranks floor(r) and ceil(r),
     *      r = p·(n−1) — a second pass over the cached sorted data emits
     *      just those ≤ 2·|percentiles| rows per group;
-    *   4. linear interpolation v_lo + (r−⌊r⌋)·(v_hi − v_lo), the same
-    *      formula as Spark `percentile` / DuckDB `quantile_cont`.
+    *   4. linear interpolation (⌈r⌉−r)·v_lo + (r−⌊r⌋)·v_hi — the exact
+    *      symmetric form Spark `percentile` and DuckDB `quantile_cont`
+    *      evaluate, bit-for-bit.
     *
     * Driver state is O(partitions × groups + groups × percentiles):
     * meant for the huge-group/low-cardinality regime. For
@@ -202,7 +203,12 @@ object Aggs {
         val lo = hs.find(h => h._2 == i && !h._3).get._4
         val hi = hs.find(h => h._2 == i && h._3).get._4
         val r = p * (totals(g) - 1)
-        lo + (r - r.toLong) * (hi - lo)
+        // the SYMMETRIC weighted form — (⌈r⌉−r)·lo + (r−⌊r⌋)·hi — is what
+        // both Spark `percentile` and DuckDB `quantile_cont` evaluate;
+        // the asymmetric lo + frac·(hi−lo) differs in the last ulp on
+        // real data (caught by the sf0.1 oracle gate on p95 prices)
+        if (math.floor(r) == math.ceil(r)) hi
+        else (math.ceil(r) - r) * lo + (r - math.floor(r)) * hi
       }
       Row.fromSeq(g +: vals)
     }
