@@ -68,12 +68,16 @@ object ScaleData {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: ScaleData <inDir> <outDir> [replicas]")
-    val (inDir, outDir) = (args(0), args(1))
-    val replicas = if (args.length > 2) args(2).toInt else 10
     val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
       .getOrElse(Runtime.getRuntime.availableProcessors())
     val spark = Engine.session("graft-scaledata", cpus)
+    run(spark, args(0), args(1),
+      if (args.length > 2) args(2).toInt else 10)
+    spark.stop()
+  }
 
+  def run(spark: SparkSession, inDir: String, outDir: String,
+          replicas: Int): Unit = {
     def replicated(name: String, keys: Seq[String])
                   (extra: (DataFrame, Int) => DataFrame = (df, _) => df): Unit = {
       val base = if (name == "events") Tables.events(spark, inDir)
@@ -114,7 +118,5 @@ object ScaleData {
         col("embedding").getItem(perm(i)) * lit(signs(i))): _*)
       df.withColumn("embedding", rotated.cast("array<float>"))
     }
-
-    spark.stop()
   }
 }

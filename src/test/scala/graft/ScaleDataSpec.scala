@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** The scale-rehearsal generator's load-bearing invariants: a replica
+  * must preserve WITHIN-replica dedup/similarity structure exactly
+  * (else sf1 measurements don't speak for the operators) while
+  * destroying CROSS-replica similarity (else they measure the 100×
+  * pair blowup of copying, not the engine).
+  */
+class ScaleDataSpec extends SparkSpec {
+
+  private lazy val out: String = {
+    val dir = Files.createTempDirectory("sfgen").toString
+    ScaleData.run(spark, sf, dir, replicas = 3)
+    dir
+  }
+
+  test("row counts scale by the replica factor; keys stay unique") {
+    val li = spark.read.parquet(s"$out/lineitem.parquet")
+    val base = Tables.lineitem(spark, sf).count()
+    assert(li.count() == 3 * base)
+    val docs = spark.read.parquet(s"$out/documents.parquet")
+    assert(docs.select("doc_id").distinct().count() == docs.count())
+    // foreign keys stay joinable: every replicated lineitem finds its order
+    val o = spark.read.parquet(s"$out/orders.parquet")
+    val dangling = li.join(o, li("l_orderkey") === o("o_orderkey"), "left_anti")
+    assert(dangling.count() == 0)
+  }
+
+  test("document transform is length-preserving and within-replica bijective") {
+    val docs = spark.read.parquet(s"$out/documents.parquet")
+    // n_chars stays truthful for every replica
+    assert(docs.filter(length(col("text")) =!= col("n_chars")).count() == 0)
+    // replica 1 of a doc differs from replica 0 (transform applied)…
+    val pairs = docs.filter(col("doc_id") < 100)
+      .select(col("doc_id").as("id0"), col("text").as("t0"))
+      .join(docs.select((col("doc_id") - ScaleData.stride).as("id0"),
+        col("text").as("t1")), "id0")
+    assert(pairs.count() > 0)
+    assert(pairs.filter(col("t0") === col("t1")).count() == 0)
+    // …but token-set SIZE is preserved (bijection on characters ⇒
+    // bijection on tokens ⇒ within-replica Jaccard structure intact)
+    val sizes = pairs.select(
+      size(array_distinct(split(col("t0"), " "))).as("s0"),
+      size(array_distinct(split(col("t1"), " "))).as("s1"))
+    assert(sizes.filter(col("s0") =!= col("s1")).count() == 0)
+  }
+
+  test("embedding transform preserves within-replica cosine, kills cross-replica") {
+    val e = spark.read.parquet(s"$out/embeddings.parquet")
+    def dot(a: String, b: String) =
+      aggregate(zip_with(col(a), col(b), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+    // the same vector in replicas 0 and 1: a signed permutation is
+    // orthogonal, so norms are preserved and cross-replica cosine of
+    // the SAME source vector collapses to noise
+    val both = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("id0"), col("embedding").as("v0"))
+      .join(e.select((col("vec_id") - ScaleData.stride).as("id0"),
+        col("embedding").as("v1")), "id0")
+    val stats = both.select(
+      dot("v0", "v0").as("n0"), dot("v1", "v1").as("n1"),
+      (dot("v0", "v1") / sqrt(dot("v0", "v0") * dot("v1", "v1"))).as("cross"))
+      .agg(max(abs(col("n0") - col("n1"))).as("norm_drift"),
+        max(abs(col("cross"))).as("max_cross"))
+      .head()
+    assert(stats.getDouble(0) < 1e-4, s"norms drifted: ${stats.getDouble(0)}")
+    // 64 dims ⇒ random cosine std ≈ 1/8; |cos| stays far from near-dup taus
+    assert(stats.getDouble(1) < 0.6, s"cross-replica cosine too high: ${stats.getDouble(1)}")
+
+    // within replica 1, a planted near-dup pair keeps its exact cosine:
+    // compare vec k vs k in replica 0 relation — use two distinct base
+    // vectors and assert replica-0 cosine == replica-1 cosine bit-near
+    val v = e.filter(col("vec_id").isin(3L, 7L, ScaleData.stride + 3L, ScaleData.stride + 7L))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    val c0 = cos(v(3L), v(7L))
+    val c1 = cos(v(ScaleData.stride + 3L), v(ScaleData.stride + 7L))
+    assert(math.abs(c0 - c1) < 1e-9, s"within-replica cosine not preserved: $c0 vs $c1")
+  }
+}
