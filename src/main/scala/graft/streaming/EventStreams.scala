@@ -138,8 +138,23 @@ object EventStreams {
             }
           }
           cur.foreach { s =>
-            state.update(s)
-            state.setTimeoutTimestamp(s.last + gapMs)
+            // FMGWS does NOT filter late input: a batch can deliver
+            // events so old that the watermark already passed the
+            // session's gap deadline. Setting that stale deadline as the
+            // timeout throws (timeouts must be later than the
+            // watermark), so close the session NOW — by the watermark
+            // contract it could only have received more late events,
+            // which a gap session must not extend through anyway.
+            // (Found by the sf10 streaming probe: 13 wide-time-range
+            // micro-batches; never triggerable on single-batch fixtures.)
+            if (s.last + gapMs <= state.getCurrentWatermarkMs()) {
+              closedSessions ::= SessionUpdate(user,
+                new java.sql.Timestamp(s.start), s.n, s.total, closed = true)
+              if (state.exists) state.remove()
+            } else {
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
           }
           closedSessions.reverseIterator
         }

@@ -111,4 +111,39 @@ class StreamingSpec extends SparkSpec {
     val closed = spark.table("sess_out").collect()
     assert(closed.exists(r => r.getLong(2) == 2 && r.getDouble(3) == 3.0))
   }
+
+  test("sessionize survives late events whose gap deadline predates the watermark") {
+    // regression (sf10 stream probe): user 7's batch-2 event is 10 hours
+    // late — the watermark (advanced by user 8) already passed its
+    // 30-minute gap deadline, and setting that stale timeout threw
+    // FLATMAPGROUPSWITHSTATE_USER_FUNCTION_ERROR pre-fix. The session
+    // must close immediately instead.
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000)
+    // file-source shape, exactly like the sf10 drain: one file per
+    // micro-batch, back to back. The late-record filter runs one batch
+    // behind the eviction watermark, so batch-2 rows older than the
+    // eviction watermark still reach the user function with a stale
+    // gap deadline.
+    val dir = java.nio.file.Files.createTempDirectory("sess-late").toString
+    Seq((8L, ts(720), 1.0)).toDF("user_id", "ts", "value")
+      .coalesce(1).write.parquet(s"$dir/f1")
+    Thread.sleep(50)
+    Seq((7L, ts(5), 4.0), (7L, ts(10), 6.0)).toDF("user_id", "ts", "value")
+      .coalesce(1).write.parquet(s"$dir/f2")
+    val schema = spark.read.parquet(s"$dir/f1").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/*/")
+    val q = EventStreams.sessionize(spark, src, gapMs = 30 * 60000)
+      .writeStream.format("memory").queryName("sess_late").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.table("sess_late").collect()
+    val u7 = out.filter(_.getLong(0) == 7L)
+    assert(u7.length == 1 && u7(0).getLong(2) == 2 && u7(0).getDouble(3) == 10.0,
+      out.mkString(";"))
+  }
 }
