@@ -78,6 +78,13 @@ object ScaleData {
 
   def run(spark: SparkSession, inDir: String, outDir: String,
           replicas: Int): Unit = {
+    // two replicas sharing a letter map would be textually IDENTICAL —
+    // exactly the cross-replica dup blowup the transform exists to
+    // avoid. 10! >> replicas², but verify rather than trust the seeds.
+    val maps = (0 until replicas).map(letterMap)
+    require(maps.distinct.size == replicas,
+      s"letterMap collision among $replicas replicas — change seeds")
+
     def replicated(name: String, keys: Seq[String])
                   (extra: (DataFrame, Int) => DataFrame = (df, _) => df): Unit = {
       val base = if (name == "events") Tables.events(spark, inDir)

@@ -17,6 +17,14 @@ class ScaleDataSpec extends SparkSpec {
     dir
   }
 
+  test("letter maps and signed perms are pairwise distinct through 100 replicas") {
+    val maps = (0 until 100).map(ScaleData.letterMap)
+    assert(maps.distinct.size == 100)
+    assert(maps.forall(m => m.sorted == ScaleData.letterMap(0).sorted)) // bijections
+    val perms = (0 until 100).map(r => ScaleData.signedPerm(r, 64))
+    assert(perms.map { case (p, s) => (p.toSeq, s.toSeq) }.distinct.size == 100)
+  }
+
   test("row counts scale by the replica factor; keys stay unique") {
     val li = spark.read.parquet(s"$out/lineitem.parquet")
     val base = Tables.lineitem(spark, sf).count()
