@@ -1170,6 +1170,21 @@ object SparkEntry {
         Seq("event_id", "value"), col("event_id"))
         .orderBy("event_id")
     }),
+    "q_asof_forward" -> ((s, d) => {
+      // the NEXT-event lookup: for each click, the earliest same-user
+      // purchase at or after it (ties at one ts resolved keep-smallest
+      // on both sides, mirroring q_asof's keep-largest)
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = Dedup.dedupKeepFirst(
+        ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts", "value"),
+        Seq("user_id", "ts"), Seq(col("event_id").asc))
+      AsOf.joinForward(clicks, purchases, "user_id", "user_id", "ts", "ts",
+        Seq("event_id", "value"), col("event_id"))
+        .orderBy("event_id")
+    }),
     "q_attribution" -> ((s, d) => {
       // last-touch attribution: each purchase credits the most recent
       // click within a 1-hour lookback (as-of join + window filter) —
@@ -2841,6 +2856,18 @@ object SparkEntry {
         |SELECT c.event_id, c.user_id, c.ts,
         | p.event_id AS asof_event_id, p.value AS asof_value
         |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin,
+    "q_asof_forward" ->
+      """WITH p0 AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+        |  FROM events WHERE event_type='purchase'),
+        |p AS (SELECT user_id, ts, event_id, value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id ASC) AS rn
+        |  FROM p0) WHERE rn = 1),
+        |c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type='click')
+        |SELECT c.event_id, c.user_id, c.ts,
+        | p.event_id AS asof_event_id, p.value AS asof_value
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts
         |ORDER BY c.event_id""".stripMargin,
     "q_curate" ->
       """WITH t AS (SELECT doc_id, lang,
