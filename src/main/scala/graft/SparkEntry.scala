@@ -1170,6 +1170,22 @@ object SparkEntry {
         Seq("event_id", "value"), col("event_id"))
         .orderBy("event_id")
     }),
+    "q_asof_tol" -> ((s, d) => {
+      // staleness-bounded as-of: same match as q_asof but a purchase
+      // more than 1 hour old is NOT "the" purchase — its payload nulls
+      // out while the click row itself survives (left-join contract)
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = Dedup.dedupKeepFirst(
+        ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts", "value"),
+        Seq("user_id", "ts"), Seq(col("event_id").desc))
+      AsOf.join(clicks, purchases, "user_id", "user_id", "ts", "ts",
+        Seq("event_id", "value"), col("event_id"),
+        toleranceMs = Some(3600000L))
+        .orderBy("event_id")
+    }),
     "q_asof_forward" -> ((s, d) => {
       // the NEXT-event lookup: for each click, the earliest same-user
       // purchase at or after it (ties at one ts resolved keep-smallest
@@ -2855,6 +2871,21 @@ object SparkEntry {
         |  FROM events WHERE event_type='click')
         |SELECT c.event_id, c.user_id, c.ts,
         | p.event_id AS asof_event_id, p.value AS asof_value
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin,
+    "q_asof_tol" ->
+      """WITH p0 AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+        |  FROM events WHERE event_type='purchase'),
+        |p AS (SELECT user_id, ts, event_id, value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        |  FROM p0) WHERE rn = 1),
+        |c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type='click')
+        |SELECT c.event_id, c.user_id, c.ts,
+        | CASE WHEN epoch_ms(c.ts) - epoch_ms(p.ts) <= 3600000
+        |      THEN p.event_id END AS asof_event_id,
+        | CASE WHEN epoch_ms(c.ts) - epoch_ms(p.ts) <= 3600000
+        |      THEN p.value END AS asof_value
         |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
         |ORDER BY c.event_id""".stripMargin,
     "q_asof_forward" ->

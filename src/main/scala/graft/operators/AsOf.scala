@@ -25,18 +25,32 @@ object AsOf {
 
   /** @param payload right-side columns to attach (prefixed `asof_`)
     * @param tieBreak unique right-side ordering column for equal (key, ts)
+    * @param toleranceMs match only right rows within this many
+    *        milliseconds BEFORE the left timestamp (feature-store
+    *        staleness bound: a year-old price is not "the" price).
+    *        Stale matches become NULL payloads, exactly as if no right
+    *        row existed — the left row itself is always kept. Filtering
+    *        happens on the carried match, after the window: the nearest
+    *        right row is still the nearest even when it is too old, so
+    *        the one-shuffle plan is unchanged.
     */
   def join(left: DataFrame, right: DataFrame,
            leftKey: String, rightKey: String,
            leftTs: String, rightTs: String,
-           payload: Seq[String], tieBreak: Column): DataFrame = {
-    import org.apache.spark.sql.types.StructType
+           payload: Seq[String], tieBreak: Column,
+           toleranceMs: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
     val leftCols = left.columns
-    val payloadType = StructType(payload.map(p => right.schema(p)))
+    // the carried match wraps (payload struct, matched right ts) so a
+    // staleness bound can be applied AFTER the window — the nearest
+    // right row is the nearest whether or not it is too old
+    val wrapType = StructType(Seq(
+      StructField("p", StructType(payload.map(p => right.schema(p)))),
+      StructField("t", right.schema(rightTs).dataType)))
     val leftRowType = StructType(leftCols.map(c => left.schema(c)))
     val l = left.withColumn("_k", col(leftKey)).withColumn("_ts", col(leftTs))
       .withColumn("_side", lit(1))
-      .withColumn("_payload", lit(null).cast(payloadType))
+      .withColumn("_payload", lit(null).cast(wrapType))
       .withColumn("_tie", lit(null).cast("long"))
     // SQL ASOF-join semantics: a null right key or null right timestamp
     // never matches anything. Unfiltered, a null-ts right row would sort
@@ -48,7 +62,9 @@ object AsOf {
       .filter(col(rightKey).isNotNull && col(rightTs).isNotNull)
       .select(
         col(rightKey).as("_k"), col(rightTs).as("_ts"), lit(0).as("_side"),
-        struct(payload.map(col): _*).as("_payload"), tieBreak.cast("long").as("_tie"))
+        struct(struct(payload.map(col): _*).as("p"),
+          col(rightTs).as("t")).as("_payload"),
+        tieBreak.cast("long").as("_tie"))
     val rUnioned = r.select(
       lit(null).cast(leftRowType).as("_lrow"),
       col("_k"), col("_ts"), col("_side"), col("_payload"), col("_tie"))
@@ -66,8 +82,13 @@ object AsOf {
       .withColumn("_match", last(col("_payload"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
 
+    val fresh = toleranceMs match {
+      case None => lit(true)
+      case Some(tol) =>
+        unix_millis(col("_ts")) - unix_millis(col("_match.t")) <= tol
+    }
     val out = leftCols.map(c => col(s"_lrow.$c").as(c)) ++
-      payload.map(p => col(s"_match.$p").as(s"asof_$p"))
+      payload.map(p => when(fresh, col(s"_match.p.$p")).as(s"asof_$p"))
     carried.select(out: _*)
   }
 
@@ -86,20 +107,25 @@ object AsOf {
   def joinForward(left: DataFrame, right: DataFrame,
                   leftKey: String, rightKey: String,
                   leftTs: String, rightTs: String,
-                  payload: Seq[String], tieBreak: Column): DataFrame = {
-    import org.apache.spark.sql.types.StructType
+                  payload: Seq[String], tieBreak: Column,
+                  toleranceMs: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
     val leftCols = left.columns
-    val payloadType = StructType(payload.map(p => right.schema(p)))
+    val wrapType = StructType(Seq(
+      StructField("p", StructType(payload.map(p => right.schema(p)))),
+      StructField("t", right.schema(rightTs).dataType)))
     val leftRowType = StructType(leftCols.map(c => left.schema(c)))
     val l = left.withColumn("_k", col(leftKey)).withColumn("_ts", col(leftTs))
       .withColumn("_side", lit(1))
-      .withColumn("_payload", lit(null).cast(payloadType))
+      .withColumn("_payload", lit(null).cast(wrapType))
       .withColumn("_tie", lit(null).cast("long"))
     val r = right
       .filter(col(rightKey).isNotNull && col(rightTs).isNotNull)
       .select(
         col(rightKey).as("_k"), col(rightTs).as("_ts"), lit(0).as("_side"),
-        struct(payload.map(col): _*).as("_payload"), tieBreak.cast("long").as("_tie"))
+        struct(struct(payload.map(col): _*).as("p"),
+          col(rightTs).as("t")).as("_payload"),
+        tieBreak.cast("long").as("_tie"))
     val rUnioned = r.select(
       lit(null).cast(leftRowType).as("_lrow"),
       col("_k"), col("_ts"), col("_side"), col("_payload"), col("_tie"))
@@ -117,8 +143,13 @@ object AsOf {
       .withColumn("_match", last(col("_payload"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
 
+    val fresh = toleranceMs match {
+      case None => lit(true)
+      case Some(tol) =>
+        unix_millis(col("_match.t")) - unix_millis(col("_ts")) <= tol
+    }
     val out = leftCols.map(c => col(s"_lrow.$c").as(c)) ++
-      payload.map(p => col(s"_match.$p").as(s"asof_$p"))
+      payload.map(p => when(fresh, col(s"_match.p.$p")).as(s"asof_$p"))
     carried.select(out: _*)
   }
 }
