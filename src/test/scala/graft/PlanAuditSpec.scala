@@ -392,6 +392,17 @@ class PlanAuditSpec extends SparkSpec {
       s"KLL aggregation lost its partial pair:\n$p")
   }
 
+  test("as-of family: one keyed window, no cartesian, no SinglePartition funnel") {
+    Seq("q_asof", "q_asof_forward", "q_asof_tol").foreach { name =>
+      val p = plan(q(name))
+      assert(p.contains("Window"), s"$name lost its window:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name must never range-explode:\n$p")
+      assert(!p.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+        s"$name funneled through one partition:\n$p")
+    }
+  }
+
   test("q_text_stats: pure map-side metrics — no aggregate, no hash shuffle") {
     // the one r5→r6 bench mover with no plan pin: its swings were JIT
     // rotation, and this assertion keeps a real plan regression from
