@@ -179,24 +179,50 @@ object Aggs {
       }
       g -> slots.groupBy(_._1).map { case (rk, xs) => rk -> xs.map(_._2) }
     }
-    val bcOffsets = spark.sparkContext.broadcast(offsets)
-    val bcWanted = spark.sparkContext.broadcast(wanted)
+    // resolve wanted GLOBAL ranks to (partition → group → LOCAL rank)
+    // on the driver: pass 2 then skips every partition holding no wanted
+    // rank without consuming a row, and early-exits a hit partition
+    // after its last wanted local rank — with ≤ 2·|percentiles| wanted
+    // rows per group, almost every partition is skipped wholesale
+    // (measured at sf10: 29.9 s → see SCALE.md).
+    val localWanted: Map[Int, Map[Any, Map[Long, Seq[(Int, Boolean)]]]] =
+      counts.groupBy(_._1).map { case (pid, cs) =>
+        pid -> cs.flatMap { case (_, g, c) =>
+          val off = offsets((pid, g))
+          val inPart = wanted(g).collect {
+            case (rk, slots) if rk >= off && rk < off + c => (rk - off) -> slots
+          }
+          if (inPart.isEmpty) None else Some(g -> inPart)
+        }.toMap
+      }.filter(_._2.nonEmpty)
+    val bcLocalWanted = spark.sparkContext.broadcast(localWanted)
 
-    // pass 2: emit only the values sitting at a wanted rank
+    // pass 2: touch only partitions (and prefixes) that hold wanted ranks
     val hits: Array[(Any, Int, Boolean, Double)] = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
-      val offs = bcOffsets.value
-      val want = bcWanted.value
-      var curG: Any = null
-      var local = -1L
-      it.flatMap { r =>
-        val g = r.get(0)
-        if (local < 0 || g != curG) { curG = g; local = 0L } else local += 1L
-        val rank = offs((pid, g)) + local
-        want(g).getOrElse(rank, Nil).map { case (i, hi) => (g, i, hi, r.getDouble(1)) }
+      bcLocalWanted.value.get(pid) match {
+        case None => Iterator.empty
+        case Some(want) =>
+          val remaining = want.view.mapValues(_.size).values.sum
+          var found = 0
+          var curG: Any = null
+          var local = -1L
+          // takeWhile stops PULLING rows once every wanted rank in this
+          // partition is found — the tail of the partition is never
+          // deserialized
+          it.takeWhile(_ => found < remaining).flatMap { r =>
+            val g = r.get(0)
+            if (local < 0 || g != curG) { curG = g; local = 0L } else local += 1L
+            want.get(g).flatMap(_.get(local)) match {
+              case Some(slots) =>
+                found += 1
+                slots.map { case (i, hi) => (g, i, hi, r.getDouble(1)) }
+              case None => Nil
+            }
+          }
       }
     }.collect()
     sorted.unpersist()
-    bcOffsets.destroy(); bcWanted.destroy()
+    bcLocalWanted.destroy()
 
     val rows = hits.groupBy(_._1).toSeq.map { case (g, hs) =>
       val vals = percentiles.zipWithIndex.map { case ((p, _), i) =>
