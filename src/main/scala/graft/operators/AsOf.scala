@@ -136,8 +136,12 @@ object AsOf {
     // descending ts: right rows at equal ts still sort BEFORE left rows
     // (side 0 < 1 ascending breaks the tie), so an exactly-simultaneous
     // right row is visible; _tie DESC + last() carries the smallest.
+    // desc is nulls-LAST in Spark, which would let a NULL-ts left row
+    // sort after every right row and absorb the earliest payload —
+    // desc_nulls_first moves only null-ts LEFT rows to the front (right
+    // rows are pre-filtered non-null) so they correctly match nothing.
     val w = Window.partitionBy("_k")
-      .orderBy(col("_ts").desc, col("_side"), col("_tie").desc)
+      .orderBy(col("_ts").desc_nulls_first, col("_side"), col("_tie").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = rUnioned.unionByName(lUnioned)
       .withColumn("_match", last(col("_payload"), ignoreNulls = true).over(w))

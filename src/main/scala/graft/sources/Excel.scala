@@ -446,7 +446,8 @@ object Excel {
         // typed date cell: serial number + the datetime style (s="1"),
         // so read(inferTypes = true) round-trips it as TimestampType
         s"""<c s="1"><v>${timestampToSerial(t)}</v></c>"""
-      case b: Boolean => s"<c t=\"inlineStr\"><is><t>$b</t></is></c>"
+      // native boolean cell so read(inferTypes = true) round-trips BooleanType
+      case b: Boolean => s"""<c t="b"><v>${if (b) 1 else 0}</v></c>"""
       case other => s"<c t=\"inlineStr\"><is><t>${escape(other.toString)}</t></is></c>"
     }
     sb ++= "<row>" + header.map(h => cell(h)).mkString + "</row>"

@@ -73,9 +73,11 @@ object CorpusStream {
                 spark.read.parquet(indexPath), textCol, idCol,
                 n, k, bands, threshold, maxBucketSize)
             else
-              spark.emptyDataFrame
-                .select(lit(0L).as("new_id"), lit(0L).as("corpus_id"),
-                  lit(0.0).as("est_jaccard")).limit(0)
+              // derive new_id/corpus_id from the REAL id column type so the
+              // first-batch empty frame unions cleanly with withinPairs for
+              // any idCol type (not just long)
+              docs.select(col(idCol).as("new_id"), col(idCol).as("corpus_id"),
+                lit(0.0).as("est_jaccard")).limit(0)
 
           // 2. batch × batch, keep-first by id: reject the larger id
           val withinPairs = TextDedup.minhashLshPairs(docs, textCol, idCol,

@@ -264,4 +264,57 @@ class ReviewFixesSpec extends SparkSpec {
     val bad = quarantined.collect().map(_.getAs[String]("raw_line")).toSet
     assert(bad == Set("null", "42"), bad.toString)
   }
+
+  // ---- round-7 advice fixes ----
+
+  test("joinForward: NULL left timestamp matches nothing") {
+    import graft.operators.AsOf
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),
+      (2L, 10L, null.asInstanceOf[java.sql.Timestamp]),
+      (3L, 20L, null.asInstanceOf[java.sql.Timestamp]))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (100L, 10L, ts("2024-01-01 11:00:00"), 5.0),
+      (101L, 20L, ts("2024-01-01 09:00:00"), 9.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val got = AsOf.joinForward(left, right, "user_id", "user_id", "ts", "ts",
+      Seq("event_id", "value"), col("event_id"))
+      .orderBy("event_id").collect()
+    assert(got(0).getLong(3) == 100L && got(0).getDouble(4) == 5.0)
+    assert(got(1).isNullAt(3) && got(1).isNullAt(4),
+      s"null-ts left row absorbed a payload: ${got(1)}")
+    assert(got(2).isNullAt(3) && got(2).isNullAt(4),
+      s"null-ts left row absorbed a payload: ${got(2)}")
+  }
+
+  test("Excel: boolean columns round-trip through write + inferTypes read") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("xlsb").toString
+    val df = Seq((1L, true, "x"), (2L, false, "y")).toDF("id", "flag", "s")
+    Excel.write(df, s"$dir/b.xlsx")
+    val typed = Excel.read(spark, s"$dir/b.xlsx", inferTypes = true)
+    assert(typed.schema("flag").dataType == BooleanType, typed.schema.treeString)
+    val rows = typed.orderBy("id").collect()
+    assert(rows(0).getBoolean(1) && !rows(1).getBoolean(1))
+  }
+
+  test("CorpusStream first batch accepts docs with a STRING id column") {
+    import graft.streaming.CorpusStream
+    val docsDir = Files.createTempDirectory("cs-sid").toString
+    val stateDir = Files.createTempDirectory("cs-sid-state").toString
+    Seq(("a", "the quick brown fox jumps over the lazy dog near the river"),
+        ("b", "totally different legal boilerplate about contracts and parties"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$docsDir/d1")
+    val schema = spark.read.parquet(s"$docsDir/d1").schema
+    // pre-fix this threw at unionByName: first-batch empty corpusPairs
+    // hardcoded LongType new_id/corpus_id against string doc_b
+    val q = CorpusStream.ingest(spark, s"$docsDir/*/", schema, stateDir,
+      threshold = 0.5, maxFilesPerTrigger = 1)
+    q.awaitTermination()
+    val accepted = spark.read.parquet(s"$stateDir/accepted")
+      .select("doc_id").collect().map(_.getString(0)).toSet
+    assert(accepted == Set("a", "b"), accepted.toString)
+  }
 }
