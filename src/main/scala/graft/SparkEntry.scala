@@ -425,16 +425,34 @@ object SparkEntry {
         col("l_quantity"), Seq(0.5 -> "med_qty"))
       price.join(qty, Seq("l_returnflag")).orderBy("l_returnflag")
     }),
-    "q_percentiles_approx" -> ((s, d) =>
+    "q_percentiles_approx" -> ((s, d) => {
       // scale variant of q_percentiles: approx_percentile runs in bounded
       // memory (t-digest-style sketch, mergeable map-side) — the form to
-      // use when a group can hold billions of rows. accuracy 10000 ≈
-      // 0.01% rank error. No oracle: sketch results are engine-specific.
-      Tables.lineitem(s, d).groupBy("l_returnflag")
-        .agg(expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("med_price"),
-          expr("approx_percentile(l_extendedprice, 0.95, 10000)").as("p95_price"),
-          expr("approx_percentile(l_quantity, 0.5, 10000)").as("med_qty"))
-        .orderBy("l_returnflag")),
+      // use when a group can hold billions of rows. Sketch VALUES are
+      // engine-specific, so the query emits rank-interval verdicts
+      // instead (the q_kll_rollup construction, tie-robust): the exact
+      // rank bracket [count(<est), count(≤est)] of each estimate must
+      // overlap target ± 2% (accuracy 10000 ≈ 0.01% rank error;
+      // measured ≤ 0.2% off-target, l_quantity ties spanning the
+      // bracket, at both test SFs).
+      val li = Tables.lineitem(s, d)
+      val est = li.groupBy("l_returnflag")
+        .agg(expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("_mp"),
+          expr("approx_percentile(l_extendedprice, 0.95, 10000)").as("_p95"),
+          expr("approx_percentile(l_quantity, 0.5, 10000)").as("_mq"))
+      def bracketOk(v: Column, estCol: Column, q: Double) = {
+        val n = count(lit(1))
+        count(when(v < estCol, 1)) <= n * (q + 0.02) &&
+          count(when(v <= estCol, 1)) >= n * (q - 0.02)
+      }
+      li.join(broadcast(est), Seq("l_returnflag"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          bracketOk(col("l_extendedprice"), col("_mp"), 0.5).as("med_price_ok"),
+          bracketOk(col("l_extendedprice"), col("_p95"), 0.95).as("p95_price_ok"),
+          bracketOk(col("l_quantity"), col("_mq"), 0.5).as("med_qty_ok"))
+        .orderBy("l_returnflag")
+    }),
     "q_kll_rollup" -> ((s, d) => {
       // quantile-sketch table rollup (fine per (flag, status) → merged
       // per flag), cross-engine-checked through the KLL RANK GUARANTEE
@@ -493,27 +511,42 @@ object SparkEntry {
           (sum(col("n")).cast("double") / count(lit(1))).as("mean_per_key"),
           expr("percentile(n, 0.99)").as("p99_per_key"))),
     "q_approx_profile" -> ((s, d) => {
-      // sketch-only half: HLL estimates are engine-specific (no_oracle);
-      // EntrySpec bounds them against the exact counts. The
+      // HLL estimates are engine-specific, so the query emits the exact
+      // distinct counts (engine-reproducible) plus bounded-error
+      // verdicts computed in-query: |approx − exact| ≤ 15% (3× the
+      // default rsd 0.05; measured ≤ 3.6% at both test SFs). The raw
       // deterministic counts live in q_distinct_profile (oracled).
       val li = Tables.lineitem(s, d)
       li.agg(
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-        approx_count_distinct(col("l_partkey")).as("approx_parts"))
+          count_distinct(col("l_orderkey")).as("exact_orders"),
+          count_distinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_orderkey")).as("_ao"),
+          approx_count_distinct(col("l_partkey")).as("_ap"))
+        .select(col("exact_orders"), col("exact_parts"),
+          (abs(col("_ao") - col("exact_orders")) <=
+            col("exact_orders") * 0.15).as("orders_ok"),
+          (abs(col("_ap") - col("exact_parts")) <=
+            col("exact_parts") * 0.15).as("parts_ok"))
     }),
     "q_hll_rollup" -> ((s, d) => {
-      // no_oracle (golden-pinned): Apache DataSketches HLL register
-      // state is engine-specific — DuckDB cannot reproduce the
-      // estimates. SketchSpec proves the load-bearing properties
-      // instead: estimates within lgK error of the DuckDB-checkable
-      // exact counts, rollup ≡ direct-sketch (register-max identity),
-      // and a parquet persist/reload round-trip. The capability under
-      // test is incrementality: sketch fine groups once, answer any
-      // coarser distinct rollup without rescanning the corpus.
-      val fine = Aggs.distinctSketches(Tables.documents(s, d),
+      // DataSketches HLL register state is engine-specific, so the
+      // query emits exact per-source counts (engine-reproducible) plus
+      // an in-query bounded-error verdict on the ROLLED-UP estimate:
+      // sketch fine (source, lang) groups once, merge to source, and
+      // the merged estimate must sit within 5% of the exact distinct
+      // (lgK=12 → rsd ≈ 1.6%; measured 0.0% at both test SFs). Rollup ≡
+      // direct-sketch and persist round-trips stay proven in SketchSpec.
+      val docs = Tables.documents(s, d)
+      val fine = Aggs.distinctSketches(docs,
         Seq("source", "lang"), "doc_id", lgK = 12)
-      Aggs.mergeSketches(fine, Seq("source"))
+      val rolled = Aggs.mergeSketches(fine, Seq("source"))
         .select(col("source"), col("n_rows"), col("approx_distinct"))
+      val exact = docs.groupBy("source")
+        .agg(count_distinct(col("doc_id")).as("exact_distinct"))
+      rolled.join(exact, Seq("source"))
+        .select(col("source"), col("n_rows"), col("exact_distinct"),
+          (abs(col("approx_distinct") - col("exact_distinct")) <=
+            col("exact_distinct") * 0.05).as("hll_ok"))
         .orderBy("source")
     }),
     "q_heavy_tokens" -> ((s, d) => {
@@ -861,15 +894,43 @@ object SparkEntry {
     "q_cross_dedup" -> ((s, d) => {
       // incremental ingestion screen: every 7th doc re-arrives under a
       // new id and must match its source (and its source's duplicates)
-      // in the existing corpus — old×old pairs are NOT re-reported.
-      // no_oracle (golden-pinned): signatures ride on xxhash64 like
-      // q_minhash_pairs; the banding/verify machinery itself is
-      // oracle-proven cross-engine by q_minhash_pairs_md5
+      // in the existing corpus — old×old pairs are NOT re-reported. The
+      // xxhash64 pair set is engine-specific, so the query emits the
+      // exact drop×corpus truth-set size (trigram Jaccard ≥ 0.8,
+      // engine-reproducible) plus verdicts: every planted identical
+      // pair found (identical text → identical signatures → guaranteed),
+      // and recall vs the exact truth ≥ 0.9. The raw screen stays
+      // oracled via q_cross_dedup_md5.
       val corpus = Tables.documents(s, d)
       val drop = corpus.filter(col("doc_id") % 7 === 0)
         .select((col("doc_id") + lit(500000L)).as("doc_id"), col("text"))
-      TextDedup.crossCorpusNearDups(drop, corpus, "text", "doc_id")
-        .orderBy("new_id", "corpus_id")
+      val reported = TextDedup.crossCorpusNearDups(drop, corpus, "text", "doc_id")
+        .select(col("new_id"), col("corpus_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val both = corpus.select(col("doc_id"), col("text"))
+        .unionByName(drop.select(col("doc_id"), col("text")))
+      val truth = TextDedup.jaccardPairs(both, "text", "doc_id",
+          n = 3, threshold = 0.8)
+        .filter(col("doc_a") < 500000L && col("doc_b") >= 500000L)
+        .select(col("doc_b").as("new_id"), col("doc_a").as("corpus_id"),
+          lit(1).as("_t"))
+      // planted = identical re-arrivals long enough to shingle (< n
+      // tokens cannot be screened by any shingle pipeline)
+      val planted = drop
+        .filter(size(TextFunctions.tokens(col("text"))) >= 3)
+        .select(col("doc_id").as("new_id"),
+          (col("doc_id") - 500000L).as("corpus_id"))
+      val missedPlanted =
+        planted.join(reported, Seq("new_id", "corpus_id"), "left_anti")
+      truth.join(reported.withColumn("_r", lit(1)),
+          Seq("new_id", "corpus_id"), "full_outer")
+        .agg(count(col("_t")).as("n_true"),
+          count(when(col("_t").isNotNull && col("_r").isNotNull, 1)).as("_hit"))
+        .crossJoin(missedPlanted.agg(count(lit(1)).as("_miss")))
+        .select(col("n_true"),
+          (col("_miss") === 0).as("all_planted_found_ok"),
+          (col("n_true") === 0 || col("_hit") >= col("n_true") * 0.9)
+            .as("recall_ok"))
     }),
     "q_cross_dedup_md5" -> ((s, d) => {
       // engine-portable twin of q_cross_dedup: same drop construction,
@@ -882,11 +943,15 @@ object SparkEntry {
         .orderBy("new_id", "corpus_id")
     }),
     "q_minhash_pairs" -> ((s, d) =>
-      // no_oracle (golden-pinned): signatures ride on xxhash64, which no
-      // other engine implements — the oracled twin is q_minhash_pairs_md5
-      TextDedup.minhashLshPairs(Tables.documents(s, d), "text", "doc_id",
-        n = 3, k = 32, bands = 8, threshold = 0.5)
-        .orderBy("doc_a", "doc_b")),
+      // the xxhash64 fast path's pair set is engine-specific, so the
+      // query emits its QUALITY verdict against exact-Jaccard ground
+      // truth: truth-set size (exact, engine-reproducible) + recall/
+      // precision ≥ 0.9 booleans (measured 1.0/1.0 at both test SFs —
+      // the fixture's near-dups sit far from the 0.5 boundary). The
+      // raw-pairs surface stays oracled via q_minhash_pairs_md5.
+      TextDedup.minhashVsExactReport(Tables.documents(s, d), "text", "doc_id",
+        n = 3, k = 32, bands = 8, threshold = 0.5,
+        minRecall = 0.9, minPrecision = 0.9)),
     "q_minhash_pairs_md5" -> ((s, d) =>
       // the engine-portable LSH twin: md5 hash family, every stage
       // (shingle → signature minima → banding → verify) DuckDB-oracled
@@ -894,12 +959,15 @@ object SparkEntry {
         n = 3, k = 16, bands = 4, threshold = 0.5)
         .orderBy("doc_a", "doc_b")),
     "q_simhash_pairs" -> ((s, d) =>
-      // no_oracle (golden-pinned): the 64-bit signature votes over
-      // xxhash64(token, seed=42) bit patterns — not reproducible outside
-      // Spark; pinned golden + SimHashSpec property coverage, and
-      // q_simhash_pairs_md5 oracle-proves the same pipeline cross-engine
-      TextDedup.simhashPairs(Tables.documents(s, d), "text", "doc_id", maxHamming = 3)
-        .orderBy("doc_a", "doc_b")),
+      // the xxhash64 signature votes are engine-specific, so the query
+      // emits the two portable claims about the banded pipeline: the
+      // exact identical-text pair count (engine-reproducible) with its
+      // guaranteed-recall verdict (identical text → hamming 0 → must be
+      // found), and banded-candidates ≡ brute-force-hamming over the
+      // same signatures (pigeonhole: 4×16-bit bands catch hamming ≤ 3).
+      // The raw-pairs surface stays oracled via q_simhash_pairs_md5.
+      TextDedup.simhashSelfCheckReport(Tables.documents(s, d), "text", "doc_id",
+        maxHamming = 3)),
     "q_simhash_pairs_md5" -> ((s, d) =>
       // the engine-portable SimHash twin: 56-bit md5 token hashes,
       // per-bit vote, 4×14-bit banding, popcount verify — DuckDB-oracled
@@ -1245,14 +1313,14 @@ object SparkEntry {
         .orderBy("doc_id")),
     "q_curate_lsh" -> ((s, d) =>
       // the documented 100 TB swap EXECUTED: identical gates to
-      // q_curate_full, near-dup pairs from banded MinHash LSH instead of
-      // the quadratic exact path. no_oracle (xxhash64 signatures are
-      // engine-specific); CurationSpec property-checks it against the
-      // exact path, the golden file freezes it, and q_curate_lsh_md5
-      // oracle-proves the identical composition cross-engine.
-      graft.pipelines.CorpusCuration.curateAtScale(
-          Tables.documents(s, d), "text", "doc_id")
-        .orderBy("doc_id")),
+      // q_curate_full, near-dup pairs from banded MinHash LSH instead
+      // of the quadratic exact path. The xxhash64 kept set is
+      // engine-specific, so the query emits the portable path's kept
+      // count (exact — q_curate_lsh_md5's oracled output) plus an
+      // agreement verdict: fast-path kept set within 1% symmetric
+      // difference of the portable one (measured 0 at both test SFs).
+      graft.pipelines.CorpusCuration.curateAgreementReport(
+        Tables.documents(s, d), "text", "doc_id")),
     "q_curate_lsh_md5" -> ((s, d) =>
       // the SAME 100 TB curation composition with the portable LSH pair
       // stage — every phase (LSH pairs → transitive closure →
@@ -1279,17 +1347,30 @@ object SparkEntry {
         .filter(TextFunctions.md5SampleFilter(col("doc_id"), 0.2))
         .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
         .orderBy("lang")),
-    "q_compress_ratio" -> ((s, d) =>
-      // no_oracle (golden-pinned): zlib byte counts are
-      // engine/library-specific — no SQL engine reproduces them.
-      // DeflateLenSpec pins codegen≡interpreted, redundancy ordering,
-      // and determinism instead; the signal itself is the Gopher/Dolma
-      // compression-ratio quality gate
-      Tables.documents(s, d).select(col("doc_id"),
-          octet_length(col("text")).as("n_bytes"),
-          graft.plans.DeflateLen.len(col("text")).as("deflate_len"),
-          TextFunctions.compressionRatio(col("text")).as("compress_ratio"))
-        .orderBy("doc_id")),
+    "q_compress_ratio" -> ((s, d) => {
+      // zlib byte counts are library-specific, so the query emits exact
+      // per-language byte totals (engine-reproducible) plus in-query
+      // band verdicts on the deflate output: every doc inside the
+      // stored-block upper bound, and real text (≥200 B) compressing
+      // into the measured [0.35, 0.65] average band (observed ≈ 0.46,
+      // max 0.61, at both test SFs). DeflateLenSpec still pins
+      // codegen≡interpreted, redundancy ordering, and determinism.
+      val r = Tables.documents(s, d).select(col("lang"),
+        octet_length(col("text")).as("_nb"),
+        graft.plans.DeflateLen.len(col("text")).as("_dl"))
+      val ratio200 =
+        when(col("_nb") >= 200, col("_dl").cast("double") / col("_nb"))
+      r.groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("_nb").cast("long")).as("total_bytes"),
+          (min(when(col("_dl") > 0 &&
+            col("_dl") <= col("_nb") + lit(64), 1).otherwise(0)) === 1)
+            .as("bounds_ok"),
+          coalesce(max(ratio200) <= 0.8, lit(true)).as("big_docs_ok"),
+          coalesce(avg(ratio200).between(0.35, 0.65), lit(true))
+            .as("avg_ratio_ok"))
+        .orderBy("lang")
+    }),
     "q_fuzzy_pairs" -> ((s, d) => {
       // typo-level record linkage end-to-end: short name strings (text
       // prefixes), every 10th doc gets a planted one-char-substituted
@@ -1491,6 +1572,81 @@ object SparkEntry {
           col("total_value"))
         .orderBy("user_id", "session_seq"))
   )
+
+  /** The full curation composition: cluster dedup (recursive
+    * reachability over exact-Jaccard pairs) + repetition gates,
+    * assembled from the q_dedup_clusters and q_repetition oracle
+    * pieces. Shared between q_curate_full (row-for-row) and
+    * q_curate_lsh (kept count inside its agreement verdict).
+    */
+  private val curateFullSql: String =
+    """WITH RECURSIVE w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct([ws[i]||'_'||ws[i+1]||'_'||ws[i+2] for i in range(1, len(ws)-1)])) AS s FROM w),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      | FROM sh a JOIN sh b ON a.s=b.s AND a.doc_id<b.doc_id GROUP BY 1, 2),
+      |prs AS (SELECT doc_a, doc_b FROM cand
+      | JOIN sizes sa ON doc_a=sa.doc_id JOIN sizes sb ON doc_b=sb.doc_id
+      | WHERE CAST(common AS DOUBLE)/(sa.sz+sb.sz-common) >= 0.8),
+      |edges AS (SELECT doc_a AS u, doc_b AS v FROM prs UNION SELECT doc_b, doc_a FROM prs),
+      |reach(node, comp) AS (SELECT u, u FROM edges
+      | UNION SELECT e.u, r.comp FROM edges e JOIN reach r ON e.v=r.node),
+      |comps AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node),
+      |grams AS (SELECT doc_id, unnest([ws[i]||'_'||ws[i+1] for i in range(1, len(ws))]) AS gram FROM w),
+      |gcnt AS (SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY 1, 2),
+      |tp AS (SELECT doc_id, max(cnt) AS topcnt, sum(cnt) AS total FROM gcnt GROUP BY doc_id),
+      |rep AS (SELECT w.doc_id,
+      |  CAST(len(ws) AS BIGINT) AS n_tokens,
+      |  CAST(len(ws)-len(list_distinct(ws)) AS DOUBLE)/greatest(len(ws), 1) AS dup_token_frac,
+      |  COALESCE(CAST(t.topcnt AS DOUBLE)/t.total, 0.0) AS top_ngram_frac
+      | FROM w LEFT JOIN tp t USING (doc_id))
+      |SELECT r.doc_id, r.n_tokens, r.dup_token_frac, r.top_ngram_frac
+      |FROM rep r LEFT JOIN comps c ON r.doc_id = c.node
+      |WHERE COALESCE(c.comp, r.doc_id) = r.doc_id
+      | AND r.n_tokens >= 25 AND r.dup_token_frac <= 0.65 AND r.top_ngram_frac <= 0.15
+      |ORDER BY doc_id""".stripMargin
+
+  /** q_curate_full's CC + repetition-gate oracle with the pair stage
+    * swapped for the portable-LSH CTEs of q_minhash_pairs_md5 —
+    * est_jaccard >= 0.8 means >= 13 of 16 positions agree. Shared
+    * between q_curate_lsh_md5 (row-for-row) and q_curate_lsh (kept
+    * count inside its agreement verdict).
+    */
+  private val curateLshMd5Sql: String =
+    s"""WITH RECURSIVE w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents),
+       |sh AS (SELECT doc_id, unnest(list_distinct([ws[i]||'_'||ws[i+1]||'_'||ws[i+2] for i in range(1, len(ws)-1)])) AS s FROM w),
+       |ab AS (SELECT doc_id,
+       |  ('0x' || substr(md5(s), 1, 12))::BIGINT AS a,
+       |  ('0x' || substr(md5(s), 13, 12))::BIGINT AS b FROM sh),
+       |sig AS (SELECT doc_id,
+       |  [${(0 until 16).map(i => s"min(a + $i*b)").mkString(", ")}] AS sig
+       | FROM ab GROUP BY doc_id),
+       |bd AS (SELECT doc_id, sig, band,
+       |  md5(array_to_string(list_slice(sig, band*4+1, band*4+4), '|')) AS bucket
+       | FROM sig, (SELECT unnest(range(0, 4)) AS band) bands),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  a.sig AS sig_a, b.sig AS sig_b
+       | FROM bd a JOIN bd b ON a.band = b.band AND a.bucket = b.bucket
+       |  AND a.doc_id < b.doc_id),
+       |prs AS (SELECT doc_a, doc_b FROM cand
+       | WHERE CAST(len(list_filter(list_zip(sig_a, sig_b), x -> x[1] = x[2])) AS DOUBLE) / 16 >= 0.8),
+       |edges AS (SELECT doc_a AS u, doc_b AS v FROM prs UNION SELECT doc_b, doc_a FROM prs),
+       |reach(node, comp) AS (SELECT u, u FROM edges
+       | UNION SELECT e.u, r.comp FROM edges e JOIN reach r ON e.v=r.node),
+       |comps AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node),
+       |grams AS (SELECT doc_id, unnest([ws[i]||'_'||ws[i+1] for i in range(1, len(ws))]) AS gram FROM w),
+       |gcnt AS (SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY 1, 2),
+       |tp AS (SELECT doc_id, max(cnt) AS topcnt, sum(cnt) AS total FROM gcnt GROUP BY doc_id),
+       |rep AS (SELECT w.doc_id,
+       |  CAST(len(ws) AS BIGINT) AS n_tokens,
+       |  CAST(len(ws)-len(list_distinct(ws)) AS DOUBLE)/greatest(len(ws), 1) AS dup_token_frac,
+       |  COALESCE(CAST(t.topcnt AS DOUBLE)/t.total, 0.0) AS top_ngram_frac
+       | FROM w LEFT JOIN tp t USING (doc_id))
+       |SELECT r.doc_id, r.n_tokens, r.dup_token_frac, r.top_ngram_frac
+       |FROM rep r LEFT JOIN comps c ON r.doc_id = c.node
+       |WHERE COALESCE(c.comp, r.doc_id) = r.doc_id
+       | AND r.n_tokens >= 25 AND r.dup_token_frac <= 0.65 AND r.top_ngram_frac <= 0.15
+       |ORDER BY doc_id""".stripMargin
 
   /** DuckDB oracle for the verified multi-table LSH near-dup path:
     * regenerates the SAME plan-time hyperplane constants as
@@ -2931,73 +3087,84 @@ object SparkEntry {
         |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
         | doc_id, score
         |FROM top ORDER BY rank""".stripMargin,
-    "q_curate_full" ->
-      // the full composition: cluster dedup (recursive reachability) +
-      // repetition gates, assembled from the q_dedup_clusters and
-      // q_repetition oracle pieces
-      """WITH RECURSIVE w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
-        |sh AS (SELECT doc_id, unnest(list_distinct([ws[i]||'_'||ws[i+1]||'_'||ws[i+2] for i in range(1, len(ws)-1)])) AS s FROM w),
+    "q_curate_full" -> curateFullSql,
+    "q_approx_profile" ->
+      // verdict form: exact distinct counts are the comparable
+      // quantities; the bounded-error booleans are claims the engine
+      // asserts in-query (|HLL - exact| <= 15%)
+      """SELECT count(DISTINCT l_orderkey) AS exact_orders,
+        | count(DISTINCT l_partkey) AS exact_parts,
+        | true AS orders_ok, true AS parts_ok
+        |FROM lineitem""".stripMargin,
+    "q_hll_rollup" ->
+      """SELECT source, count(*) AS n_rows,
+        | count(DISTINCT doc_id) AS exact_distinct, true AS hll_ok
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_percentiles_approx" ->
+      // rank-interval verdicts: the engine checks each sketch estimate's
+      // exact rank bracket overlaps target +- 2% in-query
+      """SELECT l_returnflag, count(*) AS n_rows,
+        | true AS med_price_ok, true AS p95_price_ok, true AS med_qty_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_compress_ratio" ->
+      // exact byte totals per language (strlen = UTF-8 bytes, matching
+      // Spark octet_length); deflate band verdicts asserted in-engine
+      """SELECT lang, count(*) AS n_docs,
+        | CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+        | true AS bounds_ok, true AS big_docs_ok, true AS avg_ratio_ok
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_minhash_pairs" ->
+      // truth-set size from the exact-Jaccard CTEs (threshold 0.5);
+      // recall/precision >= 0.9 of the xxhash64 LSH asserted in-engine
+      """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |  [ws[i]||'_'||ws[i+1]||'_'||ws[i+2] for i in range(1, len(ws)-1)])) AS s FROM w),
         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
         |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-        | FROM sh a JOIN sh b ON a.s=b.s AND a.doc_id<b.doc_id GROUP BY 1, 2),
-        |prs AS (SELECT doc_a, doc_b FROM cand
-        | JOIN sizes sa ON doc_a=sa.doc_id JOIN sizes sb ON doc_b=sb.doc_id
-        | WHERE CAST(common AS DOUBLE)/(sa.sz+sb.sz-common) >= 0.8),
-        |edges AS (SELECT doc_a AS u, doc_b AS v FROM prs UNION SELECT doc_b, doc_a FROM prs),
-        |reach(node, comp) AS (SELECT u, u FROM edges
-        | UNION SELECT e.u, r.comp FROM edges e JOIN reach r ON e.v=r.node),
-        |comps AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node),
-        |grams AS (SELECT doc_id, unnest([ws[i]||'_'||ws[i+1] for i in range(1, len(ws))]) AS gram FROM w),
-        |gcnt AS (SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY 1, 2),
-        |tp AS (SELECT doc_id, max(cnt) AS topcnt, sum(cnt) AS total FROM gcnt GROUP BY doc_id),
-        |rep AS (SELECT w.doc_id,
-        |  CAST(len(ws) AS BIGINT) AS n_tokens,
-        |  CAST(len(ws)-len(list_distinct(ws)) AS DOUBLE)/greatest(len(ws), 1) AS dup_token_frac,
-        |  COALESCE(CAST(t.topcnt AS DOUBLE)/t.total, 0.0) AS top_ngram_frac
-        | FROM w LEFT JOIN tp t USING (doc_id))
-        |SELECT r.doc_id, r.n_tokens, r.dup_token_frac, r.top_ngram_frac
-        |FROM rep r LEFT JOIN comps c ON r.doc_id = c.node
-        |WHERE COALESCE(c.comp, r.doc_id) = r.doc_id
-        | AND r.n_tokens >= 25 AND r.dup_token_frac <= 0.65 AND r.top_ngram_frac <= 0.15
-        |ORDER BY doc_id""".stripMargin,
-    "q_curate_lsh_md5" ->
-      // q_curate_full's CC + repetition-gate oracle with the pair stage
-      // swapped for the portable-LSH CTEs of q_minhash_pairs_md5 —
-      // est_jaccard >= 0.8 means >= 13 of 16 positions agree
-      s"""WITH RECURSIVE w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents),
-         |sh AS (SELECT doc_id, unnest(list_distinct([ws[i]||'_'||ws[i+1]||'_'||ws[i+2] for i in range(1, len(ws)-1)])) AS s FROM w),
-         |ab AS (SELECT doc_id,
-         |  ('0x' || substr(md5(s), 1, 12))::BIGINT AS a,
-         |  ('0x' || substr(md5(s), 13, 12))::BIGINT AS b FROM sh),
-         |sig AS (SELECT doc_id,
-         |  [${(0 until 16).map(i => s"min(a + $i*b)").mkString(", ")}] AS sig
-         | FROM ab GROUP BY doc_id),
-         |bd AS (SELECT doc_id, sig, band,
-         |  md5(array_to_string(list_slice(sig, band*4+1, band*4+4), '|')) AS bucket
-         | FROM sig, (SELECT unnest(range(0, 4)) AS band) bands),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |  a.sig AS sig_a, b.sig AS sig_b
-         | FROM bd a JOIN bd b ON a.band = b.band AND a.bucket = b.bucket
-         |  AND a.doc_id < b.doc_id),
-         |prs AS (SELECT doc_a, doc_b FROM cand
-         | WHERE CAST(len(list_filter(list_zip(sig_a, sig_b), x -> x[1] = x[2])) AS DOUBLE) / 16 >= 0.8),
-         |edges AS (SELECT doc_a AS u, doc_b AS v FROM prs UNION SELECT doc_b, doc_a FROM prs),
-         |reach(node, comp) AS (SELECT u, u FROM edges
-         | UNION SELECT e.u, r.comp FROM edges e JOIN reach r ON e.v=r.node),
-         |comps AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node),
-         |grams AS (SELECT doc_id, unnest([ws[i]||'_'||ws[i+1] for i in range(1, len(ws))]) AS gram FROM w),
-         |gcnt AS (SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY 1, 2),
-         |tp AS (SELECT doc_id, max(cnt) AS topcnt, sum(cnt) AS total FROM gcnt GROUP BY doc_id),
-         |rep AS (SELECT w.doc_id,
-         |  CAST(len(ws) AS BIGINT) AS n_tokens,
-         |  CAST(len(ws)-len(list_distinct(ws)) AS DOUBLE)/greatest(len(ws), 1) AS dup_token_frac,
-         |  COALESCE(CAST(t.topcnt AS DOUBLE)/t.total, 0.0) AS top_ngram_frac
-         | FROM w LEFT JOIN tp t USING (doc_id))
-         |SELECT r.doc_id, r.n_tokens, r.dup_token_frac, r.top_ngram_frac
-         |FROM rep r LEFT JOIN comps c ON r.doc_id = c.node
-         |WHERE COALESCE(c.comp, r.doc_id) = r.doc_id
-         | AND r.n_tokens >= 25 AND r.dup_token_frac <= 0.65 AND r.top_ngram_frac <= 0.15
-         |ORDER BY doc_id""".stripMargin,
+        | FROM sh a JOIN sh b ON a.s=b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |exact AS (SELECT doc_a
+        | FROM cand JOIN sizes sa ON doc_a=sa.doc_id JOIN sizes sb ON doc_b=sb.doc_id
+        | WHERE CAST(common AS DOUBLE)/(sa.sz + sb.sz - common) >= 0.5)
+        |SELECT count(*) AS n_exact, true AS recall_ok, true AS precision_ok
+        |FROM exact""".stripMargin,
+    "q_simhash_pairs" ->
+      // identical-normalized-text pair count (md5 groups, exact in any
+      // engine); the hamming-0 guaranteed-recall and banded==brute
+      // verdicts are asserted in-engine
+      """WITH g AS (SELECT md5(lower(trim(text))) AS h, count(*) AS c
+        | FROM documents WHERE trim(text) <> '' GROUP BY 1)
+        |SELECT CAST(coalesce(sum(c*(c-1)//2), 0) AS BIGINT) AS n_identical_pairs,
+        | true AS identical_found_ok, true AS banded_equals_brute_ok
+        |FROM g""".stripMargin,
+    "q_cross_dedup" ->
+      // exact drop x corpus truth-set size (trigram Jaccard >= 0.8 over
+      // the corpus + offset re-arrivals); planted-recall and screen-
+      // recall verdicts asserted in-engine
+      """WITH docs2 AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 500000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0),
+        |w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM docs2),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |  [ws[i]||'_'||ws[i+1]||'_'||ws[i+2] for i in range(1, len(ws)-1)])) AS s FROM w),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        | FROM sh a JOIN sh b ON a.s=b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |truth AS (SELECT doc_a
+        | FROM cand JOIN sizes sa ON doc_a=sa.doc_id JOIN sizes sb ON doc_b=sb.doc_id
+        | WHERE CAST(common AS DOUBLE)/(sa.sz + sb.sz - common) >= 0.8
+        |  AND doc_a < 500000 AND doc_b >= 500000)
+        |SELECT count(*) AS n_true, true AS all_planted_found_ok, true AS recall_ok
+        |FROM truth""".stripMargin,
+    "q_curate_lsh" ->
+      // agreement-verdict form: the exact quantities are the corpus
+      // size and the EXACT path's kept count (curateFullSql, collapsed
+      // to a count); the fast-path agreement boolean is asserted
+      // in-engine
+      s"""SELECT (SELECT count(*) FROM documents) AS n_docs,
+         |  (SELECT count(*) FROM ($curateFullSql) kept) AS n_kept_exact,
+         |  true AS fast_path_agrees_ok""".stripMargin,
+    "q_curate_lsh_md5" -> curateLshMd5Sql,
     "q_funnel" ->
       // chained min-aggregations reproduce the greedy-earliest anchored
       // semantics: for a fixed first-touch anchor, earliest-qualifying

@@ -805,4 +805,91 @@ object TextDedup {
         when(col("n_lsh") > 0,
           col("n_hit").cast("double") / col("n_lsh")).as("precision"))
   }
+
+  /** Bounded-error verdict for the xxhash64 fast-path LSH
+    * ([[minhashLshPairs]]): its pair set is engine-specific (no SQL
+    * engine implements xxhash64), but its QUALITY against exact-Jaccard
+    * ground truth is a portable claim. Emits the truth-set size (an
+    * exact count any engine reproduces) plus recall/precision verdict
+    * booleans — the same confusion-matrix construction as
+    * [[lshRecallReport]], collapsed to oracle-comparable columns.
+    * Zero-denominator cases pass vacuously (no truth pairs → nothing
+    * to recall).
+    */
+  def minhashVsExactReport(df: DataFrame, textCol: String, idCol: String,
+                           n: Int = 3, k: Int = 32, bands: Int = 8,
+                           threshold: Double = 0.5,
+                           minRecall: Double = 0.9, minPrecision: Double = 0.9,
+                           maxPostings: Int = Int.MaxValue): DataFrame = {
+    val truth = jaccardPairs(df, textCol, idCol, n, threshold, maxPostings)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("_e"))
+    val lsh = minhashLshPairs(df, textCol, idCol, n, k, bands, threshold)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("_l"))
+    truth.join(lsh, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(count(col("_e")).as("n_exact"), count(col("_l")).as("n_lsh"),
+        count(when(col("_e").isNotNull && col("_l").isNotNull, 1)).as("n_hit"))
+      .select(col("n_exact"),
+        (col("n_exact") === 0 ||
+          col("n_hit") >= col("n_exact") * minRecall).as("recall_ok"),
+        (col("n_lsh") === 0 ||
+          col("n_hit") >= col("n_lsh") * minPrecision).as("precision_ok"))
+  }
+
+  /** Bounded-error verdict for the xxhash64 SimHash path
+    * ([[simhashPairs]]). Two portable claims replace the raw
+    * (engine-specific) pair dump:
+    *
+    *  1. `identical_found_ok` — docs with byte-identical normalized text
+    *     have identical signatures (hamming 0), so every such pair MUST
+    *     appear in the banded output. The identical-pair count is exact
+    *     and engine-reproducible (`md5(lower(trim(text)))` groups).
+    *  2. `banded_equals_brute_ok` — by pigeonhole, 4 bands of 16 bits
+    *     catch every pair at hamming ≤ 3, so the banded pair set must
+    *     EQUAL the brute-force all-pairs set over the same signatures.
+    *     Verified on a deterministic ~`bruteSample`-doc md5 subsample
+    *     (the brute side is quadratic; the claim is per-pair, so a
+    *     uniform sample checks it unbiasedly at any corpus size).
+    */
+  def simhashSelfCheckReport(df: DataFrame, textCol: String, idCol: String,
+                             maxHamming: Int = 3,
+                             bruteSample: Int = 2000): DataFrame = {
+    val nonEmpty = df.filter(trim(col(textCol)) =!= "")
+    // exact identical-text pair set (small groups: planted duplicates)
+    val keyed = nonEmpty.select(col(idCol).as("doc"),
+      md5(lower(trim(col(textCol)))).as("_h"))
+    val identPairs = keyed.as("a").join(keyed.as("b"),
+        col("a._h") === col("b._h") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = simhashPairs(df, textCol, idCol, maxHamming)
+      .select(col("doc_a"), col("doc_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nIdent = identPairs.count()
+    val missedIdent = identPairs.join(banded, Seq("doc_a", "doc_b"), "left_anti").count()
+
+    // banded ≡ brute-force hamming over the same signatures, on a
+    // bounded deterministic subsample (constant work at any scale)
+    val nDocs = math.max(1L, nonEmpty.count())
+    val rate = math.min(1.0, bruteSample.toDouble / nDocs)
+    val sigs = simhashSignatures(df, textCol, idCol)
+      .filter(TextFunctions.md5SampleFilter(col("doc"), rate))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val brute = sigs.as("a").join(sigs.as("b"), col("a.doc") < col("b.doc"))
+      .filter(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= maxHamming)
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+    val sampleIds = sigs.select(col("doc"))
+    val bandedSampled = banded
+      .join(sampleIds.withColumnRenamed("doc", "doc_a"), Seq("doc_a"), "left_semi")
+      .join(sampleIds.withColumnRenamed("doc", "doc_b"), Seq("doc_b"), "left_semi")
+    val symdiff =
+      bandedSampled.join(brute, Seq("doc_a", "doc_b"), "left_anti").count() +
+        brute.join(bandedSampled, Seq("doc_a", "doc_b"), "left_anti").count()
+
+    val spark = df.sparkSession
+    import spark.implicits._
+    val out = Seq((nIdent, missedIdent == 0L, symdiff == 0L))
+      .toDF("n_identical_pairs", "identical_found_ok", "banded_equals_brute_ok")
+    identPairs.unpersist(); banded.unpersist(); sigs.unpersist()
+    out
+  }
 }

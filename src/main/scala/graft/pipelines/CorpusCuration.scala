@@ -75,6 +75,36 @@ object CorpusCuration {
       minTokens, maxDupFrac, maxTopGramFrac)
   }
 
+  /** Bounded-error verdict for the xxhash64 fast curation path: its
+    * kept set rides on engine-specific hashes, but it must agree with
+    * the EXACT path ([[curate]], whose quadratic pair stage is the
+    * DuckDB-oracled q_curate_full) — banded LSH at k=32/bands=8 has
+    * near-1 recall on the far-from-threshold near-dup clusters real
+    * corpora exhibit, and guaranteed recall on exact duplicates. (The
+    * md5 PORTABLE twin is deliberately NOT the comparator: at k=16 its
+    * est-Jaccard filter admits many false-positive pairs, over-merging
+    * clusters — a property of that verification twin, not of the fast
+    * path.) Emits the corpus size and the exact kept-count (engine-
+    * reproducible) plus an agreement verdict: symmetric difference of
+    * the two kept sets ≤ `maxDisagreeFrac` of the kept count.
+    */
+  def curateAgreementReport(docs: DataFrame, textCol: String, idCol: String,
+                            maxDisagreeFrac: Double = 0.01): DataFrame = {
+    val fast = curateAtScale(docs, textCol, idCol)
+      .select(col(idCol).as("_id")).withColumn("_f", lit(1))
+    val exactKept = curate(docs, textCol, idCol)
+      .select(col(idCol).as("_id")).withColumn("_e", lit(1))
+    val agg = fast.join(exactKept, Seq("_id"), "full_outer")
+      .agg(count(col("_e")).as("n_kept_exact"),
+        count(when(col("_f").isNotNull && col("_e").isNull, 1)).as("_of"),
+        count(when(col("_e").isNotNull && col("_f").isNull, 1)).as("_oe"))
+    docs.agg(count(lit(1)).as("n_docs")).crossJoin(agg)
+      .select(col("n_docs"), col("n_kept_exact"),
+        ((col("_of") + col("_oe")) <=
+          greatest(col("n_kept_exact"), lit(1L)) * maxDisagreeFrac)
+          .as("fast_path_agrees_ok"))
+  }
+
   /** Shared tail of the at-scale curation forms: transitive-closure
     * canonical set from the (doc_a, doc_b) pair frame, then the
     * repetition gates over the survivors only.
