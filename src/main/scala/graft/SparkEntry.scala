@@ -636,6 +636,14 @@ object SparkEntry {
           round(col("score"), 9).as("score"))
         .orderBy("doc_id", "rk")
     }),
+    "q_bpe_merges" -> ((s, d) =>
+      // BPE vocabulary TRAINING (not just counting): learn the first 8
+      // merge rules over the corpus word-frequency table — one
+      // corpus-sized pass, then vocab-sized iterative aggregation with a
+      // 1-row argmax per step. Deterministic: ties break (lhs, rhs)
+      // lexicographically; the DuckDB oracle replays the identical
+      // algorithm as chained CTEs.
+      graft.operators.BpeTrain.learnMerges(Tables.documents(s, d), "text", 8)),
     "q_oov" -> ((s, d) => {
       // vocabulary-coverage audit: build the corpus top-1000 vocab
       // (tf-ranked, token tie-break) and measure each language's
@@ -2253,6 +2261,11 @@ object SparkEntry {
         |SELECT d.lang, d.doc_id, d.n_chars
         |FROM documents d JOIN t ON d.lang = t.lang AND d.n_chars >= t.thr
         |ORDER BY d.lang NULLS FIRST, d.doc_id""".stripMargin,
+    "q_bpe_merges" ->
+      // the same 8-step BPE training loop as chained CTEs: per step,
+      // pair counts over the wrapped-symbol strings, (count DESC, lhs,
+      // rhs) argmax, left-to-right non-overlapping replace
+      graft.operators.BpeTrain.oracleSql(8),
     "q_oov" ->
       // identical tf-ranked vocab cutoff; OOV counts are exact integers
       """WITH tok AS (SELECT lang,

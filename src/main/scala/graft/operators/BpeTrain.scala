@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Byte-pair-encoding vocabulary TRAINING as iterative DataFrame
+  * aggregation — the one LLM-pipeline primitive the surface counted
+  * tokens with but could not learn (TextFunctions.bpeishTokens counts
+  * against a fixed regex; this learns the merge table itself, Sennrich
+  * et al. 2016, "Neural Machine Translation of Rare Words with Subword
+  * Units").
+  *
+  * Scale design: the corpus is touched ONCE, to build the word-frequency
+  * table — from then on every iteration runs over that vocab-sized frame
+  * (state = |vocab|, not |corpus|; the standard industrial-trainer trick).
+  * Each merge step is one map-side-combinable pair-count aggregation
+  * (one shuffle over ~|vocab|·avg_word_len rows) plus a 1-row argmax to
+  * the driver; the merge rule is then applied with a codegen'd
+  * higher-order `aggregate` fold, no UDF. At 100 TB the word-freq build
+  * dominates and is a single groupBy; 32k merges over a few million
+  * distinct words is driver-trivial (32k rows of state). Lineage is cut
+  * with localCheckpoint every `checkpointEvery` merges so a long
+  * training run does not accrete a 32k-deep plan.
+  *
+  * Pair counting is positional (overlapping: "aaa" holds (a,a) twice),
+  * and merge application is left-to-right non-overlapping — both
+  * matching the reference BPE algorithm. Ties on pair count break
+  * lexicographically (left, then right), giving a total order so the
+  * learned table is deterministic and cross-engine-reproducible.
+  */
+object BpeTrain {
+
+  /** Corpus → (word, freq): lowercase, keep ASCII [a-z0-9] runs. The one
+    * corpus-sized pass; everything downstream is vocab-sized.
+    */
+  def wordFreqs(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** Adjacent symbol pairs of `seq` weighted by `freq`, aggregated to
+    * (lhs, rhs, pair_count). Empty/singleton sequences contribute
+    * nothing (slice length 0 → empty zip).
+    */
+  private def pairCounts(seqs: DataFrame): DataFrame =
+    seqs.select(col("freq"), explode(zip_with(
+        slice(col("seq"), lit(1), size(col("seq")) - 1),
+        slice(col("seq"), lit(2), size(col("seq")) - 1),
+        (a, b) => struct(a.as("lhs"), b.as("rhs")))).as("p"))
+      .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+      .agg(sum(col("freq")).as("pair_count"))
+
+  /** One left-to-right non-overlapping application of merge (l, r) → lr.
+    * A look-back fold is equivalent to the two-pointer scan: the merged
+    * token `l+r` can never equal `l` (r is non-empty), so a
+    * just-produced merge is never re-extended within the same rule.
+    */
+  private def applyMerge(seq: Column, l: String, r: String): Column =
+    aggregate(seq, array().cast("array<string>"), (acc, x) =>
+      when(size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Learn `numMerges` merge rules; returns the merge table
+    * (step, lhs, rhs, merged, pair_count) ordered by step. Stops early
+    * if the corpus runs out of pairs.
+    */
+  def learnMerges(docs: DataFrame, textCol: String, numMerges: Int,
+                  checkpointEvery: Int = 20): DataFrame = {
+    val spark = docs.sparkSession
+    var seqs = wordFreqs(docs, textCol)
+      .select(col("word"), col("freq"),
+        filter(split(col("word"), ""), _ =!= "").as("seq"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= numMerges && !exhausted) {
+      val best = pairCounts(seqs)
+        .orderBy(col("pair_count").desc, col("lhs"), col("rhs"))
+        .head(1)
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((step, l, r, l + r, cnt))
+        val next = seqs.withColumn("seq", applyMerge(col("seq"), l, r))
+        val cut = if (step % checkpointEvery == 0) next.localCheckpoint(false) else next
+        val persisted = cut.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted.count() // materialize before dropping the parent cache
+        seqs.unpersist()
+        seqs = persisted
+        step += 1
+      }
+    }
+    seqs.unpersist()
+    import spark.implicits._
+    merges.toSeq.toDF("step", "lhs", "rhs", "merged", "pair_count")
+      .orderBy("step")
+  }
+
+  /** DuckDB oracle for [[learnMerges]]: `numMerges` chained CTE blocks,
+    * each recomputing pair counts, picking the same
+    * (count DESC, lhs, rhs) argmax, and applying the merge as a string
+    * `replace` over a control-char-wrapped symbol encoding
+    * (chr(31) + sym + chr(30) per symbol — SQL replace is left-to-right
+    * non-overlapping, and the wrappers make symbol boundaries
+    * unambiguous, so it is exactly the fold above).
+    */
+  def oracleSql(numMerges: Int): String = {
+    val blocks = (1 to numMerges).map { i =>
+      val prev = s"s${i - 1}"
+      s"""p$i AS (
+         | SELECT u.l AS lhs, u.r AS rhs, CAST(sum(freq) AS BIGINT) AS pair_count
+         | FROM (SELECT freq, unnest([{'l': ws[k], 'r': ws[k+1]} for k in range(1, len(ws))]) AS u
+         |       FROM (SELECT freq, string_split(trim(s, chr(31)||chr(30)), chr(30)||chr(31)) AS ws FROM $prev))
+         | GROUP BY 1, 2),
+         |b$i AS (SELECT lhs, rhs, pair_count FROM p$i ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
+         |s$i AS (SELECT freq, replace(s,
+         |   (SELECT chr(31)||lhs||chr(30)||chr(31)||rhs||chr(30) FROM b$i),
+         |   (SELECT chr(31)||lhs||rhs||chr(30) FROM b$i)) AS s FROM $prev)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to numMerges).map { i =>
+      s"SELECT $i AS step, lhs, rhs, lhs||rhs AS merged, pair_count FROM b$i"
+    }.mkString("\nUNION ALL ")
+    s"""WITH w0 AS (
+       | SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+       |  SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word FROM documents)
+       | WHERE word <> '' GROUP BY word),
+       |s0 AS (SELECT freq, chr(31) || array_to_string(string_split(word, ''), chr(30)||chr(31)) || chr(30) AS s FROM w0),
+       |$blocks
+       |$union
+       |ORDER BY step""".stripMargin
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import graft.operators.BpeTrain
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** BPE merge training vs a plain-collections reference implementation
+  * (the textbook Sennrich algorithm), including the adversarial cases
+  * where positional pair counting and left-to-right merging diverge
+  * from naive alternatives: overlapping pairs ("aaa"), merges whose
+  * output abuts another rule site, and count ties.
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference BPE on word frequencies: positional (overlapping) pair
+    * counts, (count DESC, lhs, rhs) argmax, left-to-right
+    * non-overlapping application.
+    */
+  private def refBpe(words: Map[String, Long], k: Int): Seq[(Int, String, String, String, Long)] = {
+    var seqs: Seq[(Vector[String], Long)] =
+      words.toSeq.map { case (w, f) => (w.map(_.toString).toVector, f) }
+    val out = Seq.newBuilder[(Int, String, String, String, Long)]
+    var step = 1
+    var done = false
+    while (step <= k && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((s, f) <- seqs; i <- 0 until s.length - 1)
+        counts((s(i), s(i + 1))) = counts.getOrElse((s(i), s(i + 1)), 0L) + f
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), c) = counts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+        out += ((step, l, r, l + r, c))
+        seqs = seqs.map { case (s, f) =>
+          val b = Vector.newBuilder[String]
+          var i = 0
+          while (i < s.length) {
+            if (i + 1 < s.length && s(i) == l && s(i + 1) == r) { b += l + r; i += 2 }
+            else { b += s(i); i += 1 }
+          }
+          (b.result(), f)
+        }
+        step += 1
+      }
+    }
+    out.result()
+  }
+
+  private def learned(texts: Seq[String], k: Int, checkpointEvery: Int = 20) = {
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    BpeTrain.learnMerges(docs, "text", k, checkpointEvery)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .toSeq
+  }
+
+  private def refOn(texts: Seq[String], k: Int) = {
+    val words = texts.flatMap(_.toLowerCase.split("[^a-z0-9]+")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+    refBpe(words, k)
+  }
+
+  test("learnMerges matches the reference on an adversarial fixture") {
+    // "aaa" exercises overlapping counts; "abab" re-merge adjacency;
+    // identical counts exercise the lexicographic tie-break; the
+    // low/lower/lowest family is the textbook example
+    val texts = Seq(
+      "low low low lower lower lowest",
+      "aaa aaa aaab abab abab",
+      "newest newest widest b a")
+    val k = 10
+    assert(learned(texts, k) == refOn(texts, k))
+  }
+
+  test("localCheckpoint path (checkpointEvery=2) changes nothing") {
+    val texts = Seq("banana bandana ban ban banana")
+    assert(learned(texts, 6, checkpointEvery = 2) == refOn(texts, 6))
+  }
+
+  test("merge table property: Spark == reference on random corpora") {
+    val word = Gen.chooseNum(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val corpus = Gen.chooseNum(1, 25).flatMap(n => Gen.listOfN(n, word))
+    val prop = Prop.forAll(corpus) { ws =>
+      val text = Seq(ws.mkString(" "))
+      learned(text, 5) == refOn(text, 5)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("exhausted corpus stops early: single-char words learn no merges") {
+    assert(learned(Seq("a b c a b"), 4).isEmpty)
+  }
+}
