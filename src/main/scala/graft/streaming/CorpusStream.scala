@@ -13,10 +13,11 @@ import graft.operators.TextDedup
   *
   * New documents arrive as parquet file drops. Each micro-batch
   *   1. screens the batch against the PERSISTED band index (parquet,
-  *      partitioned by band — the same index the batch screens write),
+  *      partitioned by ingest batch + band — the same index the batch
+  *      screens write),
   *   2. screens the batch against ITSELF (a drop can carry its own
   *      duplicates; keep-first by id within a pair),
-  *   3. appends accepted docs to the corpus sink, their band
+  *   3. writes accepted docs to the corpus sink, their band
   *      signatures to the index, and all rejected pairs to a report.
   *
   * Cost per drop is |batch| hashing + band-bucket joins against the
@@ -26,22 +27,44 @@ import graft.operators.TextDedup
   * incremental ≡ full-recompute equivalence of the underlying screen
   * is proven by `q_cross_dedup`'s oracle and `q_inc_clusters`.
   *
-  * Retry semantics: the file source tracks processed files
-  * exactly-once, but `foreachBatch` parquet appends can replay on
-  * failure-retry. Replayed index rows only create duplicate
-  * CANDIDATES (results unchanged — candidates dedup by id pair);
-  * replayed accepted rows are removed by the downstream exact-dedup
-  * any training-data reader already runs (`dedup_exact`). For strict
-  * once-only sinks, point `acceptedPath` at a transactional table
-  * format; the screening logic is unchanged.
+  * == Exactly-once under foreachBatch replay ==
+  *
+  * The file source tracks processed files exactly-once, but a crash
+  * inside `foreachBatch` (after some sinks are written, before the
+  * checkpoint commit) re-runs the batch with the SAME `batchId`. Two
+  * mechanisms make that replay idempotent BY CONSTRUCTION rather than
+  * "duplicates removable downstream":
+  *
+  *   - Every sink is a per-batch DYNAMIC PARTITION OVERWRITE keyed by
+  *     the stable `batchId` (pairs by `batch_id`, corpus by
+  *     `ingest_batch`, index by `ingest_batch, band`): a replay
+  *     rewrites exactly the partitions its first attempt may have
+  *     half-written and touches nothing else, so no doc is lost and
+  *     none is double-accepted, whichever append the crash interrupted.
+  *   - The screen reads the index EXCLUDING the current `batchId`'s
+  *     partitions (partition-pruned filter), so a replay sees exactly
+  *     the pre-batch corpus even when the first attempt already wrote
+  *     its signatures — decisions are bit-identical across retries,
+  *     and a doc can never be rejected against its own replayed
+  *     signature.
+  *
+  * Residual caveat (documented, not hidden): parquet partition
+  * overwrite is not transactional — a crash during the overwrite's
+  * own commit window can tear a partition, which the NEXT replay then
+  * rewrites wholesale; between crash and restart, readers of the live
+  * sinks can observe a torn batch. For hard read-isolation point the
+  * sinks at a transactional table format; the screening logic is
+  * unchanged. CorpusStreamSpec drives kills at each crash point and
+  * proves final state ≡ the uninterrupted run.
   */
 object CorpusStream {
 
   /** Start the ingestion stream. `statePath` holds the three sinks:
-    * `band_index/` (partitioned by band), `accepted/`, `dup_pairs/`.
-    * Caller controls draining via the returned query (AvailableNow is
-    * applied — each invocation drains what has arrived, the reference's
-    * monthly-drop cadence generalized).
+    * `band_index/` (partitioned by ingest batch + band), `accepted/`
+    * (partitioned by ingest batch), `dup_pairs/` (partitioned by
+    * batch id). Caller controls draining via the returned query
+    * (AvailableNow is applied — each invocation drains what has
+    * arrived, the reference's monthly-drop cadence generalized).
     */
   def ingest(spark: SparkSession, docsDir: String, schema: StructType,
              statePath: String, textCol: String = "text",
@@ -66,12 +89,17 @@ object CorpusStream {
             .getFileSystem(spark.sparkContext.hadoopConfiguration)
             .exists(new org.apache.hadoop.fs.Path(indexPath))
 
-          // 1. batch × corpus (reloaded persisted index)
+          // 1. batch × corpus: the index MINUS this batch's own
+          // partitions (partition-pruned), so a replay after a
+          // completed index append still screens against exactly the
+          // pre-batch corpus
           val corpusPairs =
             if (indexExists)
               TextDedup.crossCorpusNearDupsBanded(docs,
-                spark.read.parquet(indexPath), textCol, idCol,
-                n, k, bands, threshold, maxBucketSize)
+                spark.read.parquet(indexPath)
+                  .filter(col("ingest_batch") =!= batchId)
+                  .drop("ingest_batch"),
+                textCol, idCol, n, k, bands, threshold, maxBucketSize)
             else
               // derive new_id/corpus_id from the REAL id column type so the
               // first-batch empty frame unions cleanly with withinPairs for
@@ -89,8 +117,10 @@ object CorpusStream {
           val accepted = docs
             .join(rejected, docs(idCol) === col("_rid"), "left_anti")
 
-          // 3. sinks: report, corpus, index (bands of ACCEPTED docs only —
-          // rejected docs must not become screen targets for later drops)
+          // 3. sinks, each an idempotent per-batch dynamic overwrite:
+          // report, corpus, index (bands of ACCEPTED docs only —
+          // rejected docs must not become screen targets for later
+          // drops)
           corpusPairs
             .select(col("new_id"), col("corpus_id"), col("est_jaccard"),
               lit("corpus").as("kind"), lit(batchId).as("batch_id"))
@@ -98,10 +128,18 @@ object CorpusStream {
               col("doc_b").as("new_id"), col("doc_a").as("corpus_id"),
               col("est_jaccard"), lit("batch").as("kind"),
               lit(batchId).as("batch_id")))
-            .write.mode("append").parquet(pairsPath)
-          accepted.write.mode("append").parquet(acceptedPath)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(pairsPath)
+          accepted.withColumn("ingest_batch", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch").parquet(acceptedPath)
           TextDedup.bandedSignatures(accepted, textCol, idCol, n, k, bands)
-            .write.partitionBy("band").mode("append").parquet(indexPath)
+            .withColumn("ingest_batch", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch", "band").parquet(indexPath)
         } finally docs.unpersist()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

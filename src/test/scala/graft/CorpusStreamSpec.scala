@@ -73,4 +73,87 @@ class CorpusStreamSpec extends SparkSpec {
       .select("doc").distinct().collect().map(_.getLong(0)).toSet
     assert(indexed == Set(1L, 2L, 4L, 5L, 8L), indexed.toString)
   }
+
+  private def rmrf(p: String): Unit = {
+    val f = new java.io.File(p)
+    if (f.isDirectory) f.listFiles.foreach(c => rmrf(c.getPath))
+    f.delete()
+  }
+
+  /** Full observable sink state, row-exact (multisets, not sets — a
+    * replay that double-writes rows must fail these).
+    */
+  private def sinkState(stateDir: String) = (
+    spark.read.parquet(s"$stateDir/accepted").select("doc_id")
+      .collect().map(_.getLong(0)).toSeq.sorted,
+    spark.read.parquet(s"$stateDir/band_index").select("doc", "band", "bucket")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .toSeq.sorted,
+    spark.read.parquet(s"$stateDir/dup_pairs").select("new_id", "corpus_id", "kind")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSeq.sortBy(_.toString))
+
+  test("mid-batch crash recovery: replay converges to the uninterrupted state") {
+    val docsDir = Files.createTempDirectory("cs2-docs").toString
+    val stateDir = Files.createTempDirectory("cs2-state").toString
+    Seq(doc(1L, base1),
+        doc(2L, "completely unrelated legal boilerplate about contracts and parties and obligations thereof"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$docsDir/d1")
+    Thread.sleep(30)
+    Seq(doc(3L, base1.replace("morning", "evening")),
+        doc(4L, base4),
+        doc(5L, "five example sentences about cooking pasta with garlic and olive oil on a sunday afternoon here"),
+        doc(6L, "five example sentences about cooking pasta with garlic and olive oil on a sunday afternoon here"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$docsDir/d2")
+    val schema = spark.read.parquet(s"$docsDir/d1").schema
+    def drain(): Unit =
+      CorpusStream.ingest(spark, s"$docsDir/*/", schema, stateDir,
+        threshold = 0.5, maxFilesPerTrigger = 1).awaitTermination()
+
+    drain()
+    val clean = sinkState(stateDir)
+    assert(clean._1 == Seq(1L, 2L, 4L, 5L), clean._1.toString)
+
+    // Crash point A — between the corpus append and the index append of
+    // batch 1 (accepted + pairs on disk, signatures not): kill = drop
+    // the checkpoint commit marker; the index partition for batch 1 was
+    // never written in this timeline
+    rmrf(s"$stateDir/_checkpoint/commits/1")
+    rmrf(s"$stateDir/band_index/ingest_batch=1")
+    drain()
+    assert(sinkState(stateDir) == clean,
+      "replay after index-append crash must converge to the uninterrupted state")
+
+    // Crash point B — after ALL three sink writes but before the
+    // checkpoint commit: the replay re-screens with its own signatures
+    // already in the index; the batch-partition exclusion must keep the
+    // decisions identical (no self-rejection, no duplicate rows)
+    rmrf(s"$stateDir/_checkpoint/commits/1")
+    drain()
+    assert(sinkState(stateDir) == clean,
+      "replay after completed writes must be a no-op")
+    val selfPairs = spark.read.parquet(s"$stateDir/dup_pairs")
+      .filter(col("new_id") === col("corpus_id")).count()
+    assert(selfPairs == 0, "a doc must never pair with its own replayed signature")
+
+    // Crash point C — mid corpus append (accepted partition torn away
+    // entirely, pairs written, index not): replay must restore the
+    // accepted docs without double-writing anything else
+    rmrf(s"$stateDir/_checkpoint/commits/1")
+    rmrf(s"$stateDir/accepted/ingest_batch=1")
+    rmrf(s"$stateDir/band_index/ingest_batch=1")
+    drain()
+    assert(sinkState(stateDir) == clean,
+      "replay after a torn corpus append must restore the accepted docs exactly")
+
+    // and the post-crash corpus still screens future drops correctly
+    Thread.sleep(30)
+    Seq(doc(7L, base4.replace("web", "internet")),
+        doc(8L, "a genuinely novel document mentioning telescopes satellites and the geometry of orbital mechanics"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$docsDir/d3")
+    drain()
+    val after = sinkState(stateDir)
+    assert(after._1 == Seq(1L, 2L, 4L, 5L, 8L), after._1.toString)
+    assert(after._3.contains((7L, 4L, "corpus")), after._3.toString)
+  }
 }

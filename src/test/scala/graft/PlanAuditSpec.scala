@@ -418,4 +418,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("UDF") && !p.contains("BatchEvalPython"),
       s"metrics must stay native expressions (codegen-friendly):\n$p")
   }
+
+  test("bucketed q3: zero shuffle Exchange, same rows as the plain path") {
+    // the 100 TB remedy for the one shuffle-bound query: lineitem and
+    // orders bucketed on orderkey join (and aggregate — orderkey
+    // hash-partitioning satisfies the orderkey-prefixed grouping)
+    // without any shuffle; only the customer broadcast remains
+    graft.sources.Sinks.writeBucketed(Tables.lineitem(spark, sf),
+      "pa_lineitem_bkt", Seq("l_orderkey"), 4, Seq("l_orderkey"))
+    graft.sources.Sinks.writeBucketed(Tables.orders(spark, sf),
+      "pa_orders_bkt", Seq("o_orderkey"), 4, Seq("o_orderkey"))
+    val bucketed = BucketProbe.q3(spark.table("pa_lineitem_bkt"),
+      spark.table("pa_orders_bkt"), Tables.customer(spark, sf))
+    assert(BucketProbe.shuffleCount(bucketed) == 0,
+      s"bucketed q3 still shuffles:\n${bucketed.queryExecution.executedPlan}")
+    val plain = BucketProbe.q3(Tables.lineitem(spark, sf),
+      Tables.orders(spark, sf), Tables.customer(spark, sf))
+    assert(BucketProbe.shuffleCount(plain) >= 1,
+      "probe self-check: the plain path should shuffle")
+    assert(bucketed.collect().toSeq == plain.collect().toSeq,
+      "bucketed layout changed the query result")
+  }
 }

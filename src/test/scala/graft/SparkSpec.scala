@@ -18,6 +18,10 @@ object SparkSpec {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // bucketed-table specs use saveAsTable; keep the warehouse out of
+      // the repo tree
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-test-wh").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
