@@ -16,6 +16,8 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // naive-micros parquet reads as TimestampType, not NTZ (see Engine)
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       // The suite compiles well over the default 100 generated-class

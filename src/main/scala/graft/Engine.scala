@@ -23,6 +23,12 @@ object Engine {
       // testdata events.parquet carries TIMESTAMP(NANOS); Spark only
       // supports micros — read nanos as long, Tables.events converts.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Input parquet may carry isAdjustedToUTC=false micros (pyarrow's
+      // default for naive datetimes); read them as plain TimestampType
+      // under the UTC session rather than TIMESTAMP_NTZ, so timestamp
+      // functions (unix_millis, watermarks, windows) keep working and
+      // values match the oracle's naive-timestamp semantics.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

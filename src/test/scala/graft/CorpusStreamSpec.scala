@@ -78,6 +78,12 @@ class CorpusStreamSpec extends SparkSpec {
     val f = new java.io.File(p)
     if (f.isDirectory) f.listFiles.foreach(c => rmrf(c.getPath))
     f.delete()
+    // the local FS keeps a checksum sibling (.name.crc) next to every
+    // file; a crash that never wrote `name` never wrote its crc either,
+    // and a stale crc makes the replay's rename-commit fail as a bogus
+    // "concurrent checkpoint use"
+    val crc = new java.io.File(f.getParentFile, s".${f.getName}.crc")
+    if (crc.exists()) crc.delete(): Unit
   }
 
   /** Full observable sink state, row-exact (multisets, not sets — a
@@ -87,7 +93,7 @@ class CorpusStreamSpec extends SparkSpec {
     spark.read.parquet(s"$stateDir/accepted").select("doc_id")
       .collect().map(_.getLong(0)).toSeq.sorted,
     spark.read.parquet(s"$stateDir/band_index").select("doc", "band", "bucket")
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
       .toSeq.sorted,
     spark.read.parquet(s"$stateDir/dup_pairs").select("new_id", "corpus_id", "kind")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))

@@ -17,6 +17,8 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // naive-micros parquet reads as TimestampType, not NTZ (see Engine)
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       // bucketed-table specs use saveAsTable; keep the warehouse out of
       // the repo tree
