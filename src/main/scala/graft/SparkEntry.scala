@@ -703,6 +703,15 @@ object SparkEntry {
       graft.sources.Sinks.packByBudget(docs, Seq(col("doc_id")), "n_tokens", budget = 2000L)
         .orderBy("doc_id")
     }),
+    "q_seq_pack" -> ((s, d) => {
+      // fixed-context training windows: docs concatenated in doc_id
+      // order, cut into exact 512-token sequences; one row per
+      // (doc, window) span
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
+      graft.sources.Sinks.packSequences(docs, Seq(col("doc_id")), "n_tokens", seqLen = 512L)
+        .orderBy("doc_id", "seq_id")
+    }),
     "q_repetition" -> ((s, d) =>
       TextQuality.repetitionReport(Tables.documents(s, d), "text", "doc_id", n = 2)
         .orderBy("doc_id")),
@@ -2321,6 +2330,23 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, CAST(running_total AS BIGINT) AS running_total,
         | CAST((running_total - n_tokens) // 2000 AS BIGINT) AS shard_id
         |FROM c ORDER BY doc_id""".stripMargin,
+    "q_seq_pack" ->
+      // same window/prefix-sum caveat as q_token_shards: the oracle may
+      // use the single-node window the engine avoids
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens
+        | FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |  CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS s
+        | FROM t),
+        |w AS (SELECT doc_id, n_tokens, s, s + n_tokens AS e FROM c WHERE n_tokens > 0),
+        |x AS (SELECT doc_id, n_tokens, s, e,
+        |  unnest(generate_series(s // 512, (e - 1) // 512)) AS seq_id FROM w)
+        |SELECT doc_id, n_tokens, CAST(seq_id AS BIGINT) AS seq_id,
+        |  CAST(greatest(s, seq_id * 512) - seq_id * 512 AS BIGINT) AS seq_offset,
+        |  CAST(greatest(s, seq_id * 512) - s AS BIGINT) AS doc_offset,
+        |  CAST(least(e, (seq_id + 1) * 512) - greatest(s, seq_id * 512) AS BIGINT) AS span_len
+        |FROM x ORDER BY doc_id, seq_id""".stripMargin,
     "q_pii_scan" ->
       // same injection, same three redaction passes (RE2-compatible
       // patterns, 'g' flag = Spark's replace-all), same per-source tag

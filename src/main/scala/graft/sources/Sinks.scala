@@ -85,6 +85,44 @@ object Sinks {
       .withColumn(shardCol, expr(s"(running_total - $tokenCol) div $budget"))
   }
 
+  /** Fixed-context sequence packing — the training-batch layout: walk
+    * the frame in `orderBy` order, concatenate every document's tokens
+    * into one unbroken stream, and cut the stream into back-to-back
+    * windows of exactly `seqLen` tokens (no padding; documents split
+    * across window boundaries — each window is one training sequence).
+    * Emits one row per (document, window) SPAN, the metadata a loader
+    * needs to assemble window `seq_id` from document slices:
+    * `seq_id` (window ordinal), `seq_offset` (where in the window the
+    * span starts), `doc_offset` (where in the document it starts),
+    * `span_len`. Every window except the stream's last sums to exactly
+    * `seqLen`; zero-token documents contribute no spans.
+    *
+    * Scale shape: one range-partitioned prefix sum
+    * ([[graft.operators.Joins.globalPrefixSum]] — never a global
+    * window) + a per-row explode of that row's window range; a doc of
+    * t tokens emits ⌈t/seqLen⌉+1 spans at most, so output is
+    * O(rows + totalTokens/seqLen) with no shuffle beyond the range
+    * partition.
+    */
+  def packSequences(df: DataFrame, orderBy: Seq[org.apache.spark.sql.Column],
+                    tokenCol: String, seqLen: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, explode, sequence, greatest, least, lit}
+    require(seqLen > 0, "seqLen must be positive")
+    graft.operators.Joins.globalPrefixSum(df, orderBy, col(tokenCol), "_pk_end")
+      .filter(col(tokenCol) > 0)
+      .withColumn("_pk_start", col("_pk_end") - col(tokenCol).cast("long"))
+      .withColumn("seq_id",
+        explode(sequence(expr(s"_pk_start div $seqLen"),
+          expr(s"(_pk_end - 1) div $seqLen"))))
+      .withColumn("_w0", col("seq_id") * lit(seqLen))
+      .withColumn("seq_offset", greatest(col("_pk_start"), col("_w0")) - col("_w0"))
+      .withColumn("doc_offset", greatest(col("_pk_start"), col("_w0")) - col("_pk_start"))
+      .withColumn("span_len",
+        least(col("_pk_end"), col("_w0") + lit(seqLen))
+          - greatest(col("_pk_start"), col("_w0")))
+      .drop("_pk_end", "_pk_start", "_w0")
+  }
+
   /** Bucketed table write — the storage layout for repeated co-located
     * joins/aggregations at 100 TB: rows hash-bucketed (and optionally
     * sorted) on the join key, so a join between two tables bucketed the

@@ -223,6 +223,30 @@ object PropertySpec extends Properties("graft") {
         got.map(_._4).toSeq == got.map(_._4).toSeq.sorted // shard ids non-decreasing
     }
 
+  property("packSequences spans tile the token stream exactly") =
+    Prop.forAll(Gen.listOfN(20, Gen.choose(0, 40))) { vals =>
+      val L = 16L
+      val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v.toLong) }
+        .toDF("id", "v").repartition(4)
+      val spans = graft.sources.Sinks.packSequences(df, Seq(col("id")), "v", L)
+        .orderBy("id", "seq_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))) // id, v, seq_id, seq_offset, doc_offset, span_len
+      val total = vals.map(_.toLong).sum
+      val perDoc = spans.groupBy(_._1).view.mapValues(_.map(_._6).sum).toMap
+      val perWin = spans.groupBy(_._3).view.mapValues(_.map(_._6).sum).toMap
+      val lastWin = if (total == 0) -1L else (total - 1) / L
+      // every doc's spans cover exactly its tokens, in doc_offset order
+      vals.zipWithIndex.forall { case (v, i) =>
+        if (v == 0) !perDoc.contains(i.toLong) else perDoc(i.toLong) == v.toLong } &&
+      // every window except the stream's last is exactly full
+      perWin.forall { case (w, s) => if (w == lastWin) s == total - lastWin * L
+                                     else s == L } &&
+      // spans sit inside their window and their doc
+      spans.forall { case (_, v, _, so, doff, sl) =>
+        so >= 0 && so + sl <= L && doff >= 0 && doff + sl <= v && sl > 0 }
+    }
+
   property("MaxRun == brute-force longest run on random token arrays") =
     Prop.forAll(Gen.listOf(Gen.oneOf("a", "b", "c"))) { toks =>
       val got = Seq(Tuple1(toks)).toDF("arr")
