@@ -32,6 +32,24 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Spill accounting for low-memory rehearsals: task-level
+    // memory/disk spill bytes summed across the whole run (spill is
+    // acceptable under a small heap; OOM is not — the JSON line makes
+    // the difference observable).
+    val memSpilled = new java.util.concurrent.atomic.AtomicLong
+    val diskSpilled = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null) {
+            memSpilled.addAndGet(m.memoryBytesSpilled)
+            diskSpilled.addAndGet(m.diskBytesSpilled): Unit
+          }
+        }
+      })
+
     val selected = if (args.nonEmpty) SparkEntry.queries.filter(q => args.contains(q._1))
                    else SparkEntry.queries
 
@@ -111,7 +129,7 @@ object Bench {
     // signature) — it is the diagnostic, not a perf metric.
     val nCompiles =
       org.apache.spark.metrics.source.CodegenMetrics.METRIC_COMPILATION_TIME.getCount
-    val line = f"""{"queries":$qs,"failed":${jsonArr(failed)},"cold_failed":${jsonArr(coldFailed)},"sf":"$sfDir","n_queries":${ok.size},"codegen_compiles":$nCompiles,"cold_total_sec":$coldTotal%.3f,"metric":"total","value":$total%.3f,"unit":"sec"}"""
+    val line = f"""{"queries":$qs,"failed":${jsonArr(failed)},"cold_failed":${jsonArr(coldFailed)},"sf":"$sfDir","n_queries":${ok.size},"codegen_compiles":$nCompiles,"mem_spilled_bytes":${memSpilled.get},"disk_spilled_bytes":${diskSpilled.get},"cold_total_sec":$coldTotal%.3f,"metric":"total","value":$total%.3f,"unit":"sec"}"""
     println(line)
     // Full, untruncated copy for anyone reading the repo after a run.
     try {
