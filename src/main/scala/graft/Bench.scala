@@ -18,6 +18,8 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // naive-micros parquet reads as TimestampType, not NTZ (see Engine)
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // micros not INT96 on write: INT96 has no min/max stats (see Engine)
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       // The suite compiles well over the default 100 generated-class

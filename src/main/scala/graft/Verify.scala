@@ -17,6 +17,11 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // naive-micros parquet reads as TimestampType, not NTZ (see Engine)
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // Verify keeps the INT96 write default DELIBERATELY, unlike
+      // Engine: the driver's oracle comparator reads these dumps with
+      // pandas, which maps annotated micros (isAdjustedToUTC=true) to
+      // tz-AWARE dtypes and then refuses naive comparisons. INT96 reads
+      // back tz-naive. Stats don't matter on one-shot correctness dumps.
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

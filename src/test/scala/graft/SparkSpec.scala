@@ -19,6 +19,8 @@ object SparkSpec {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // naive-micros parquet reads as TimestampType, not NTZ (see Engine)
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // micros not INT96 on write: INT96 has no min/max stats (see Engine)
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       // bucketed-table specs use saveAsTable; keep the warehouse out of
       // the repo tree
