@@ -75,6 +75,16 @@ class PlanAuditSpec extends SparkSpec {
       s"row ids regressed to a window (single-partition funnel at scale):\n$p")
   }
 
+  test("q_seq_pack: prefix sum stays range-partitioned — no Window, no SinglePartition funnel") {
+    val df = q("q_seq_pack")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"),
+      s"sequence packing regressed to a window (single-partition funnel at scale):\n$p")
+    assert(!p.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+      s"sequence packing funnels through one partition:\n$p")
+  }
+
   test("q_c_clean: JSON extraction + cleaning stays inside codegen, no UDF") {
     val df = q("q_c_clean")
     df.collect()
