@@ -141,6 +141,65 @@ object Sinks {
     sorted.saveAsTable(table)
   }
 
+  /** Z-order (Morton) sort key over 2+ columns — the multi-column
+    * data-skipping layout: each column is normalized to a `bits`-wide
+    * integer bucket between its min and max, and the bucket bits are
+    * interleaved so rows close in EVERY dimension land close in the
+    * sort order. A file/row group then owns a small hyper-rectangle of
+    * the value space, and parquet min/max stats prune on ANY of the
+    * z-ordered columns — where a plain sort prunes only its leading
+    * column. Numeric and timestamp columns supported; nulls sort
+    * first (bucket 0).
+    *
+    * `bits` per column × #cols must fit a long (≤ 63); 12 bits ≈ 4096
+    * buckets per dimension is plenty for file-level skipping.
+    */
+  def zOrderKey(df: DataFrame, cols: Seq[String], bits: Int = 12): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, lit, coalesce, unix_micros, shiftleft, shiftright, min => fmin, max => fmax}
+    import org.apache.spark.sql.types.TimestampType
+    require(cols.size >= 2, "z-order needs at least 2 columns (use a plain sort for 1)")
+    require(bits * cols.size <= 63, s"bits($bits) x cols(${cols.size}) must fit a long")
+    def numeric(c: String): org.apache.spark.sql.Column =
+      df.schema(c).dataType match {
+        case TimestampType => unix_micros(col(c)).cast("double")
+        case _ => col(c).cast("double")
+      }
+    // one tiny driver-side agg for the per-column ranges
+    val aggs = cols.flatMap(c => Seq(fmin(numeric(c)), fmax(numeric(c))))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val buckets = cols.zipWithIndex.map { case (c, i) =>
+      val (lo, hi) = (row.getDouble(2 * i), row.getDouble(2 * i + 1))
+      val span = if (hi > lo) hi - lo else 1.0
+      val maxB = (1L << bits) - 1
+      coalesce(((numeric(c) - lit(lo)) / lit(span) * lit(maxB.toDouble))
+        .cast("long"), lit(0L))
+    }
+    // interleave: bit i of column j lands at position i*#cols + j
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      cols.indices.foldLeft(acc) { (a, j) =>
+        a.bitwiseOR(shiftleft(
+          shiftright(buckets(j), i).bitwiseAND(lit(1L)), i * cols.size + j))
+      }
+    }
+  }
+
+  /** Z-ordered parquet write: range-partition + sort by [[zOrderKey]]
+    * so every output file and row group owns a tight hyper-rectangle
+    * in (cols)-space — selective predicates on ANY of the columns then
+    * skip most of the table via footer stats. The multi-column
+    * counterpart of the single-column sort-on-write layout (SCALE.md,
+    * LayoutProbe); shuffle paid once at write time.
+    */
+  def writeZOrdered(df: DataFrame, path: String, cols: Seq[String],
+                    numFiles: Int = 128, bits: Int = 12): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.withColumn("_zkey", zOrderKey(df, cols, bits))
+      .repartitionByRange(numFiles, col("_zkey"))
+      .sortWithinPartitions("_zkey")
+      .drop("_zkey")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** K5: console report — formatted summary rows (the reference's primary
     * human output in DOP VP Compare.py:188-223). Small frames only.
     */
