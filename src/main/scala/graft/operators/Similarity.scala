@@ -105,15 +105,43 @@ object Similarity {
       .withColumnRenamed("v", "cvec")
   }
 
-  /** Probe a prebuilt (possibly reloaded-from-parquet) IVF index. */
+  /** Per-cell occupancy of an IVF index — the skew observability the
+    * LSH paths get from `hotBucketReport`. Probe cost is Σ|cell| over
+    * the probed cells, so one cell holding a large corpus share makes
+    * every query touching it pay that share in exact dots (measured:
+    * the regenerated sf1 corpus concentrated the modulo-stride config's
+    * cells and tripled the probe, SCALE.md round 9). When top shares
+    * concentrate: re-fit with more/better centroids (`fitCentroids`),
+    * or cap with `maxCellSize` below.
+    */
+  def ivfCellReport(corpusAssigned: DataFrame, topN: Int = 20): DataFrame =
+    corpusAssigned.groupBy("cent_id").agg(count(lit(1)).as("n_vectors"))
+      .orderBy(col("n_vectors").desc, col("cent_id")).limit(topN)
+
+  /** Probe a prebuilt (possibly reloaded-from-parquet) IVF index.
+    *
+    * `maxCellSize > 0` drops WHOLE over-occupied cells from the probe
+    * (the LSH hot-bucket discipline): bounded per-probe cost in
+    * exchange for recall loss that is observable via [[ivfCellReport]]
+    * rather than silent. Default 0 = exact probe of every cell — the
+    * oracle-replayed configuration.
+    */
   def ivfTopKAssigned(corpusAssigned: DataFrame, queries: DataFrame,
                       centroids: DataFrame, idCol: String, vecCol: String,
-                      k: Int = 10, nprobe: Int = 2): DataFrame = {
+                      k: Int = 10, nprobe: Int = 2, maxCellSize: Long = 0L): DataFrame = {
     val cent = normalized(centroids, idCol, vecCol, "cent_id", "centv")
     val queryAssigned = assignStage(cent,
         normalized(queries, idCol, vecCol, "query_id", "v"), "query_id", nprobe)
       .withColumnRenamed("v", "qvec")
-    val scored = corpusAssigned.join(broadcast(queryAssigned), Seq("cent_id"))
+    val corpusCapped =
+      if (maxCellSize <= 0) corpusAssigned
+      else corpusAssigned.join(
+        broadcast(corpusAssigned.groupBy("cent_id")
+          .agg(count(lit(1)).as("_cellsz"))
+          .filter(col("_cellsz") <= maxCellSize)
+          .select("cent_id")),
+        Seq("cent_id"))
+    val scored = corpusCapped.join(broadcast(queryAssigned), Seq("cent_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         dot(col("qvec"), col("cvec")).as("sim"))

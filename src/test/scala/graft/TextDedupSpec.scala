@@ -161,6 +161,40 @@ class TextDedupSpec extends SparkSpec {
     assert(run(reloaded) == run(index))
   }
 
+  test("IVF hot-cell guard: report ranks cells, cap drops whole cells only") {
+    val e = Tables.embeddings(spark, sf)
+    val queries = e.filter(col("vec_id") < 3)
+    val cents = e.filter(col("vec_id") % 100 === 0) // few centroids → fat cells
+    val index = Similarity.assignToCentroids(e, cents, "vec_id", "embedding")
+
+    val report = Similarity.ivfCellReport(index).collect()
+    assert(report.map(_.getLong(1)).sum <= e.count())
+    assert(report.map(_.getLong(1)).toSeq == report.map(_.getLong(1)).toSeq.sortBy(-_),
+      "report must rank cells by occupancy")
+
+    val sizes = index.groupBy("cent_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cap = sizes.values.toSeq.sorted.apply(sizes.size / 2) // median occupancy
+    val surviving = sizes.filter(_._2 <= cap).keySet
+    val capped = Similarity.ivfTopKAssigned(index, queries, cents,
+      "vec_id", "embedding", k = 5, nprobe = sizes.size, maxCellSize = cap)
+    // with every centroid probed, results must draw exactly from the
+    // surviving cells: a capped cell contributes NO neighbors, a kept
+    // cell's members are still reachable
+    val gotNeighbors = capped.select("neighbor_id").collect().map(_.getLong(0)).toSet
+    val keptMembers = index.filter(col("cent_id").isin(surviving.toSeq: _*))
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(gotNeighbors.subsetOf(keptMembers),
+      "capped probe returned a neighbor from a dropped cell")
+    assert(gotNeighbors.nonEmpty, "cap dropped everything")
+    // default stays exact: maxCellSize = 0 ≡ the uncapped probe
+    val plain = Similarity.ivfTopKAssigned(index, queries, cents,
+      "vec_id", "embedding", k = 5, nprobe = 2)
+    val plainDefault = Similarity.ivfTopKAssigned(index, queries, cents,
+      "vec_id", "embedding", k = 5, nprobe = 2, maxCellSize = 0L)
+    assert(plain.collect().toSeq == plainDefault.collect().toSeq)
+  }
+
   test("crossCorpusNearDups: new batch screens against corpus, old pairs not re-reported") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog tonight"),
