@@ -644,6 +644,19 @@ object SparkEntry {
       // lexicographically; the DuckDB oracle replays the identical
       // algorithm as chained CTEs.
       graft.operators.BpeTrain.learnMerges(Tables.documents(s, d), "text", 8)),
+    "q_bpe_encode" -> ((s, d) => {
+      // the ENCODE half: tokenize with the table just learned — train 8
+      // rules, apply them in rank order to the distinct words (the
+      // vocab-sized application encodeDocs builds on), emit the top-50
+      // words by corpus frequency with their '|'-joined token runs
+      val docs = Tables.documents(s, d)
+      val merges = graft.operators.BpeTrain.learnMerges(docs, "text", 8)
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.operators.BpeTrain.encodeWords(
+          graft.operators.BpeTrain.wordFreqs(docs, "text"), "word", merges)
+        .select(col("word"), col("freq"), array_join(col("tokens"), "|").as("tokens"))
+        .orderBy(col("freq").desc, col("word")).limit(50)
+    }),
     "q_oov" -> ((s, d) => {
       // vocabulary-coverage audit: build the corpus top-1000 vocab
       // (tf-ranked, token tie-break) and measure each language's
@@ -2275,6 +2288,10 @@ object SparkEntry {
       // pair counts over the wrapped-symbol strings, (count DESC, lhs,
       // rhs) argmax, left-to-right non-overlapping replace
       graft.operators.BpeTrain.oracleSql(8),
+    "q_bpe_encode" ->
+      // the training chain's final state IS every word encoded; emit
+      // the top-50 by frequency as joined token strings
+      graft.operators.BpeTrain.encodeOracleSql(8, 50),
     "q_oov" ->
       // identical tf-ranked vocab cutoff; OOV counts are exact integers
       """WITH tok AS (SELECT lang,

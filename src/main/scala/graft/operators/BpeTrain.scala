@@ -99,6 +99,80 @@ object BpeTrain {
       .orderBy("step")
   }
 
+  /** Apply a learned merge table to WORDS — the encode half of BPE
+    * (tokenization with a trained vocab), deliberately vocab-sized:
+    * call it on the distinct-word frame, never the corpus ([[encodeDocs]]
+    * does the corpus-side join-back). Rules apply in rank order with
+    * the same left-to-right non-overlapping fold as training — the
+    * reference Sennrich encode.
+    *
+    * Two regimes: a small table (≤ `foldLimit` rules) chains the
+    * codegen'd `aggregate` fold per rule — pure Column ops, no
+    * serialization; a big table (32k production vocab) would explode
+    * the plan that way, so it switches to one mapPartitions pass with
+    * the rule array broadcast-captured — per-word imperative loop,
+    * O(rules × word_len) worst case, still vocab-sized not
+    * corpus-sized.
+    */
+  def encodeWords(words: DataFrame, wordCol: String,
+                  merges: Seq[(String, String)], tokensCol: String = "tokens",
+                  foldLimit: Int = 64): DataFrame = {
+    val chars = filter(split(col(wordCol), ""), _ =!= "")
+    if (merges.size <= foldLimit) {
+      val seq = merges.foldLeft(chars) { case (acc, (l, r)) => applyMerge(acc, l, r) }
+      words.withColumn(tokensCol, seq)
+    } else {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{ArrayType, StringType, StructField, StructType}
+      val rules = merges.toArray
+      val schema = StructType(words.schema.fields :+
+        StructField(tokensCol, ArrayType(StringType), nullable = true))
+      val wIdx = words.schema.fieldIndex(wordCol)
+      val out = words.rdd.mapPartitions { it =>
+        it.map { row =>
+          val w = row.getString(wIdx)
+          if (w == null) Row.fromSeq(row.toSeq :+ null)
+          else {
+            var toks = w.split("").filter(_.nonEmpty).toVector
+            var i = 0
+            while (i < rules.length) {
+              val (l, r) = rules(i)
+              val b = Vector.newBuilder[String]
+              var j = 0
+              while (j < toks.length) {
+                if (j + 1 < toks.length && toks(j) == l && toks(j + 1) == r) {
+                  b += (l + r); j += 2
+                } else { b += toks(j); j += 1 }
+              }
+              toks = b.result()
+              i += 1
+            }
+            Row.fromSeq(row.toSeq :+ toks)
+          }
+        }
+      }
+      words.sparkSession.createDataFrame(out, schema)
+    }
+  }
+
+  /** Tokenize a corpus with a learned merge table: the corpus-sized
+    * work is one word split + one join back — the encode loop itself
+    * runs only over DISTINCT words. Per doc: (doc, tokens) with words'
+    * token runs concatenated in document order.
+    */
+  def encodeDocs(docs: DataFrame, textCol: String, idCol: String,
+                 merges: Seq[(String, String)],
+                 tokensCol: String = "tokens"): DataFrame = {
+    val words = docs.select(col(idCol),
+        posexplode(split(lower(col(textCol)), "[^a-z0-9]+")).as(Seq("pos", "word")))
+      .filter(col("word") =!= "")
+    val encoded = encodeWords(words.select("word").distinct(), "word", merges, "_wt")
+    words.join(encoded, Seq("word"))
+      .groupBy(col(idCol))
+      .agg(flatten(array_sort(collect_list(struct(col("pos"), col("_wt"))))
+        .getField("_wt")).as(tokensCol))
+  }
+
   /** DuckDB oracle for [[learnMerges]]: `numMerges` chained CTE blocks,
     * each recomputing pair counts, picking the same
     * (count DESC, lhs, rhs) argmax, and applying the merge as a string
@@ -107,29 +181,49 @@ object BpeTrain {
     * non-overlapping, and the wrappers make symbol boundaries
     * unambiguous, so it is exactly the fold above).
     */
-  def oracleSql(numMerges: Int): String = {
+  private def oracleCtes(numMerges: Int): String = {
     val blocks = (1 to numMerges).map { i =>
       val prev = s"s${i - 1}"
-      s"""p$i AS (
+      s"""p$i AS MATERIALIZED (
          | SELECT u.l AS lhs, u.r AS rhs, CAST(sum(freq) AS BIGINT) AS pair_count
          | FROM (SELECT freq, unnest([{'l': ws[k], 'r': ws[k+1]} for k in range(1, len(ws))]) AS u
          |       FROM (SELECT freq, string_split(trim(s, chr(31)||chr(30)), chr(30)||chr(31)) AS ws FROM $prev))
          | GROUP BY 1, 2),
-         |b$i AS (SELECT lhs, rhs, pair_count FROM p$i ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
-         |s$i AS (SELECT freq, replace(s,
+         |b$i AS MATERIALIZED (SELECT lhs, rhs, pair_count FROM p$i ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
+         |s$i AS MATERIALIZED (SELECT word, freq, replace(s,
          |   (SELECT chr(31)||lhs||chr(30)||chr(31)||rhs||chr(30) FROM b$i),
          |   (SELECT chr(31)||lhs||rhs||chr(30) FROM b$i)) AS s FROM $prev)""".stripMargin
     }.mkString(",\n")
-    val union = (1 to numMerges).map { i =>
-      s"SELECT $i AS step, lhs, rhs, lhs||rhs AS merged, pair_count FROM b$i"
-    }.mkString("\nUNION ALL ")
-    s"""WITH w0 AS (
+    // AS MATERIALIZED on every chain CTE: each s_i applies its merge
+    // via two scalar subqueries on b_i, and without forced
+    // materialization the planner may inline the whole upstream chain
+    // into every reference — measured as a multi-minute blowup on the
+    // encode form (which reads s_N directly) vs sub-second materialized
+    s"""WITH w0 AS MATERIALIZED (
        | SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
        |  SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word FROM documents)
        | WHERE word <> '' GROUP BY word),
-       |s0 AS (SELECT freq, chr(31) || array_to_string(string_split(word, ''), chr(30)||chr(31)) || chr(30) AS s FROM w0),
-       |$blocks
+       |s0 AS MATERIALIZED (SELECT word, freq, chr(31) || array_to_string(string_split(word, ''), chr(30)||chr(31)) || chr(30) AS s FROM w0),
+       |$blocks""".stripMargin
+  }
+
+  def oracleSql(numMerges: Int): String = {
+    val union = (1 to numMerges).map { i =>
+      s"SELECT $i AS step, lhs, rhs, lhs||rhs AS merged, pair_count FROM b$i"
+    }.mkString("\nUNION ALL ")
+    s"""${oracleCtes(numMerges)}
        |$union
        |ORDER BY step""".stripMargin
   }
+
+  /** DuckDB oracle for the ENCODE half: the same training CTE chain,
+    * whose final state s{numMerges} IS every word encoded under the
+    * learned table — emitted as '|'-joined token strings for the top
+    * `topK` words by corpus frequency.
+    */
+  def encodeOracleSql(numMerges: Int, topK: Int): String =
+    s"""${oracleCtes(numMerges)}
+       |SELECT word, freq,
+       | array_to_string(string_split(trim(s, chr(31)||chr(30)), chr(30)||chr(31)), '|') AS tokens
+       |FROM s$numMerges ORDER BY freq DESC, word LIMIT $topK""".stripMargin
 }

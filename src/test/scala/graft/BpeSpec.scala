@@ -90,4 +90,44 @@ class BpeSpec extends SparkSpec {
   test("exhausted corpus stops early: single-char words learn no merges") {
     assert(learned(Seq("a b c a b"), 4).isEmpty)
   }
+
+  test("encodeWords: fold path ≡ mapPartitions path ≡ reference on random words") {
+    val merges = Seq("a" -> "b", "ab" -> "c", "b" -> "b", "c" -> "abc")
+    def refEncode(w: String): Vector[String] =
+      merges.foldLeft(w.split("").filter(_.nonEmpty).toVector) { case (toks, (l, r)) =>
+        val b = Vector.newBuilder[String]
+        var i = 0
+        while (i < toks.length) {
+          if (i + 1 < toks.length && toks(i) == l && toks(i + 1) == r) { b += l + r; i += 2 }
+          else { b += toks(i); i += 1 }
+        }
+        b.result()
+      }
+    val word = Gen.chooseNum(1, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val prop = Prop.forAll(Gen.listOfN(12, word)) { ws0 =>
+      val ws = ws0.distinct
+      val df = ws.toDF("word")
+      def run(limit: Int) =
+        BpeTrain.encodeWords(df, "word", merges, foldLimit = limit)
+          .collect().map(r => r.getString(0) -> r.getSeq[String](1).toVector).toMap
+      val (fold, imp) = (run(64), run(0))
+      val ref = ws.map(w => w -> refEncode(w)).toMap
+      fold == ref && imp == ref
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("encodeDocs: per-doc token runs concatenate in document order") {
+    val docs = Seq((1L, "Banana ban!  Banana."), (2L, "ban banana"), (3L, ""))
+      .toDF("doc_id", "text")
+    val merges = Seq("a" -> "n", "b" -> "an")
+    // "banana" -> ban|an|a ; "ban" -> ban
+    val got = BpeTrain.encodeDocs(docs, "text", "doc_id", merges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    assert(got(1L) == List("ban", "an", "a", "ban", "ban", "an", "a"))
+    assert(got(2L) == List("ban", "ban", "an", "a"))
+    assert(!got.contains(3L) || got(3L).isEmpty) // empty doc: no words
+  }
 }
