@@ -657,6 +657,24 @@ object SparkEntry {
         .select(col("word"), col("freq"), array_join(col("tokens"), "|").as("tokens"))
         .orderBy(col("freq").desc, col("word")).limit(50)
     }),
+    "q_bpe_docs" -> ((s, d) => {
+      // the PRODUCTION tokenization regime end-to-end: an 80-rule merge
+      // table (past encodeWords' 64-rule fold limit, so the application
+      // runs the mapPartitions path real 32k-vocab tokenizers need)
+      // trained by the in-memory trainer over the collected vocab-sized
+      // word-frequency table, then the whole corpus tokenized via
+      // encodeDocs' distinct-word join-back. Per doc: token count + md5
+      // of the '|'-joined stream — a full-content encode check for
+      // every document. 80 rules because the synthetic 31-word vocab
+      // exhausts at 89 merges; BpeSpec proves the >=256-rule regime on
+      // a wider vocab.
+      val docs = Tables.documents(s, d)
+      val merges = graft.operators.BpeTrain.learnMergesLocal(docs, "text", 80)
+      graft.operators.BpeTrain.encodeDocs(docs, "text", "doc_id", merges)
+        .select(col("doc_id"), size(col("tokens")).cast("long").as("n_tokens"),
+          md5(array_join(col("tokens"), "|")).as("tok_md5"))
+        .orderBy("doc_id")
+    }),
     "q_oov" -> ((s, d) => {
       // vocabulary-coverage audit: build the corpus top-1000 vocab
       // (tf-ranked, token tie-break) and measure each language's
@@ -2292,6 +2310,12 @@ object SparkEntry {
       // the training chain's final state IS every word encoded; emit
       // the top-50 by frequency as joined token strings
       graft.operators.BpeTrain.encodeOracleSql(8, 50),
+    "q_bpe_docs" ->
+      // production-regime tokenization: 80-rule chain (the corpus's
+      // 31-word vocab ceilings at 89 learnable merges, so 80 is the
+      // deepest table with argmax margin), then every doc's token
+      // stream checked by count + md5
+      graft.operators.BpeTrain.docsOracleSql(80),
     "q_oov" ->
       // identical tf-ranked vocab cutoff; OOV counts are exact integers
       """WITH tok AS (SELECT lang,

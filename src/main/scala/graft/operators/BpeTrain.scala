@@ -99,6 +99,66 @@ object BpeTrain {
       .orderBy("step")
   }
 
+  /** Driver-side trainer over the COLLECTED word-frequency table — the
+    * regime industrial tokenizer trainers run in (the corpus is reduced
+    * to (word, freq) once, distributed; the merge loop then iterates in
+    * memory over that vocab-sized state). Identical algorithm to
+    * [[learnMerges]]: positional overlapping pair counts weighted by
+    * freq, (count DESC, lhs, rhs) argmax, left-to-right non-overlapping
+    * merge — so the two trainers and the DuckDB oracle agree rule for
+    * rule. Stops early when the corpus runs out of pairs.
+    *
+    * Scale: the ONLY corpus-sized work is the one wordFreqs groupBy;
+    * what is collected is the distinct-word table, which `minFreq`
+    * bounds at 100 TB exactly as production trainers do (hapax noise
+    * words are dropped before the loop, keeping driver state at
+    * real-vocab size — millions of rows, not corpus rows). Each merge
+    * step is O(vocab · avg_len) driver work — microseconds — where the
+    * distributed loop pays a full Spark job; use this when the vocab
+    * fits the driver (it does for every real tokenizer-training corpus)
+    * and [[learnMerges]] when it cannot.
+    */
+  def learnMergesLocal(docs: DataFrame, textCol: String, numMerges: Int,
+                       minFreq: Long = 1L): Seq[(String, String)] = {
+    val wf = wordFreqs(docs, textCol).filter(col("freq") >= minFreq)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val seqs = wf.map { case (w, f) => (w.split("").filter(_.nonEmpty), f) }
+    val merges = Seq.newBuilder[(String, String)]
+    var step = 0
+    var exhausted = false
+    while (step < numMerges && !exhausted) {
+      val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      seqs.foreach { case (s, f) =>
+        var i = 0
+        while (i < s.length - 1) {
+          val k = (s(i), s(i + 1))
+          pc.update(k, pc.getOrElse(k, 0L) + f)
+          i += 1
+        }
+      }
+      if (pc.isEmpty) exhausted = true
+      else {
+        val ((l, r), _) = pc.minBy { case ((a, b), c) => (-c, a, b) }
+        merges += ((l, r))
+        var k = 0
+        while (k < seqs.length) {
+          val (s, f) = seqs(k)
+          val b = Array.newBuilder[String]
+          var j = 0
+          while (j < s.length) {
+            if (j + 1 < s.length && s(j) == l && s(j + 1) == r) {
+              b += (l + r); j += 2
+            } else { b += s(j); j += 1 }
+          }
+          seqs(k) = (b.result(), f)
+          k += 1
+        }
+        step += 1
+      }
+    }
+    merges.result()
+  }
+
   /** Apply a learned merge table to WORDS — the encode half of BPE
     * (tokenization with a trained vocab), deliberately vocab-sized:
     * call it on the distinct-word frame, never the corpus ([[encodeDocs]]
@@ -226,4 +286,26 @@ object BpeTrain {
        |SELECT word, freq,
        | array_to_string(string_split(trim(s, chr(31)||chr(30)), chr(30)||chr(31)), '|') AS tokens
        |FROM s$numMerges ORDER BY freq DESC, word LIMIT $topK""".stripMargin
+
+  /** DuckDB oracle for [[encodeDocs]]: the training chain's final state
+    * s{numMerges} IS every word's token run; re-split each doc with word
+    * positions (DuckDB zips parallel unnests), join, and flatten the
+    * runs in document order — per doc the token COUNT plus an md5 of
+    * the '|'-joined token stream, a full-content check without shipping
+    * megabyte token arrays through the compare harness.
+    */
+  def docsOracleSql(numMerges: Int): String =
+    s"""${oracleCtes(numMerges)},
+       |enc AS MATERIALIZED (
+       | SELECT word, string_split(trim(s, chr(31)||chr(30)), chr(30)||chr(31)) AS toks FROM s$numMerges),
+       |dw AS (
+       | SELECT doc_id, pos, word FROM (
+       |  SELECT doc_id, unnest(ws) AS word, unnest(range(1, len(ws)+1)) AS pos
+       |  FROM (SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS ws FROM documents))
+       | WHERE word <> ''),
+       |flat AS (
+       | SELECT doc_id, flatten(list(toks ORDER BY pos)) AS ft
+       | FROM dw JOIN enc USING (word) GROUP BY doc_id)
+       |SELECT doc_id, CAST(len(ft) AS BIGINT) AS n_tokens, md5(array_to_string(ft, '|')) AS tok_md5
+       |FROM flat ORDER BY doc_id""".stripMargin
 }

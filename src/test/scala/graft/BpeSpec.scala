@@ -119,6 +119,61 @@ class BpeSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("learnMergesLocal ≡ learnMerges (reference) on fixture and random corpora") {
+    val texts = Seq(
+      "low low low lower lower lowest",
+      "aaa aaa aaab abab abab",
+      "newest newest widest b a")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    assert(BpeTrain.learnMergesLocal(docs, "text", 10) ==
+      refOn(texts, 10).map(m => (m._2, m._3)))
+    val word = Gen.chooseNum(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val corpus = Gen.chooseNum(1, 25).flatMap(n => Gen.listOfN(n, word))
+    val prop = Prop.forAll(corpus) { ws =>
+      val text = Seq(ws.mkString(" "))
+      val df = text.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      BpeTrain.learnMergesLocal(df, "text", 5) == refOn(text, 5).map(m => (m._2, m._3))
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("production regime: >=256-rule table trains and encodes through the mapPartitions path") {
+    // the driver corpus's 31-word vocab ceilings at 89 merges, so the
+    // 256+-rule regime real tokenizers run in is proven here on a wider
+    // deterministic vocab: 600 pseudo-words over 10 letters
+    val rng = new scala.util.Random(42)
+    val letters = "abcdefghij"
+    val vocab = (0 until 600).map { _ =>
+      val n = 3 + rng.nextInt(6)
+      (0 until n).map(_ => letters(rng.nextInt(letters.length))).mkString
+    }.distinct
+    val text = vocab.zipWithIndex
+      .flatMap { case (w, i) => Seq.fill(1 + (i % 7))(w) }.mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+
+    val merges = BpeTrain.learnMergesLocal(docs, "text", 300)
+    assert(merges.size >= 256, s"vocab too narrow: only ${merges.size} merges learned")
+    assert(merges == refOn(Seq(text), 300).map(m => (m._2, m._3)))
+
+    // 300 rules > foldLimit=64 → encodeWords takes the mapPartitions
+    // path; verify every word against the plain-Scala reference encoder
+    def refEncode(w: String): Vector[String] =
+      merges.foldLeft(w.split("").filter(_.nonEmpty).toVector) { case (toks, (l, r)) =>
+        val b = Vector.newBuilder[String]
+        var i = 0
+        while (i < toks.length) {
+          if (i + 1 < toks.length && toks(i) == l && toks(i + 1) == r) { b += l + r; i += 2 }
+          else { b += toks(i); i += 1 }
+        }
+        b.result()
+      }
+    val got = BpeTrain.encodeWords(vocab.toDF("word"), "word", merges)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toVector).toMap
+    assert(got == vocab.map(w => w -> refEncode(w)).toMap)
+  }
+
   test("encodeDocs: per-doc token runs concatenate in document order") {
     val docs = Seq((1L, "Banana ban!  Banana."), (2L, "ban banana"), (3L, ""))
       .toDF("doc_id", "text")
