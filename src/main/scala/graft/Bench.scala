@@ -129,6 +129,20 @@ object Bench {
     // measured passes should add ~nothing over the warmup pass. A large
     // number here means the cache is thrashing again (the rotating-stall
     // signature) — it is the diagnostic, not a perf metric.
+    // The listener bus is async: without settling, task-end events from
+    // the last query can still be in flight and the spill counters
+    // undercount (LayoutProbe settles its byte counters for the same
+    // race). Poll until both counters are stable for 3 ticks.
+    locally {
+      var settled = 0
+      var prev = (memSpilled.get, diskSpilled.get)
+      while (settled < 3) {
+        Thread.sleep(100)
+        val cur = (memSpilled.get, diskSpilled.get)
+        if (cur == prev) settled += 1 else settled = 0
+        prev = cur
+      }
+    }
     val nCompiles =
       org.apache.spark.metrics.source.CodegenMetrics.METRIC_COMPILATION_TIME.getCount
     val line = f"""{"queries":$qs,"failed":${jsonArr(failed)},"cold_failed":${jsonArr(coldFailed)},"sf":"$sfDir","n_queries":${ok.size},"codegen_compiles":$nCompiles,"mem_spilled_bytes":${memSpilled.get},"disk_spilled_bytes":${diskSpilled.get},"cold_total_sec":$coldTotal%.3f,"metric":"total","value":$total%.3f,"unit":"sec"}"""

@@ -22,6 +22,19 @@ import org.apache.spark.sql.functions._
   */
 object LayoutProbe {
 
+  /** Scratch path for the date-sorted lineitem layout, keyed by the
+    * source sf dir: ZOrderProbe reuses the layout when `_SUCCESS`
+    * exists, and a path shared across scale factors would hand it a
+    * stale layout from a previous run at a different SF — which only
+    * surfaces later as a confusing "layouts disagree" failure, after
+    * the z-order write cost is already paid.
+    */
+  def sortedLayoutPath(sfDir: String): String = {
+    val key = java.lang.Integer.toHexString(
+      new java.io.File(sfDir).getAbsolutePath.hashCode)
+    s"/tmp/graft_layout_lineitem_sorted_$key"
+  }
+
   def query(l: DataFrame): DataFrame =
     l.filter(col("l_shipdate") >= lit("1998-06-01").cast("timestamp") &&
              col("l_shipdate") <  lit("1998-07-01").cast("timestamp"))
@@ -68,7 +81,7 @@ object LayoutProbe {
       if (a._1 <= b._1) a else b
     }
 
-    val sortedPath = "/tmp/graft_layout_lineitem_sorted"
+    val sortedPath = LayoutProbe.sortedLayoutPath(sfDir)
     val plain = () => Tables.lineitem(spark, sfDir)
 
     val tw0 = System.nanoTime()

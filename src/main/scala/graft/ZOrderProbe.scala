@@ -40,8 +40,10 @@ object ZOrderProbe {
     val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt).getOrElse(32)
     val spark = Engine.session("graft-zorderprobe", cpus)
 
-    val datePath = "/tmp/graft_layout_lineitem_sorted"
-    val zPath = "/tmp/graft_layout_lineitem_zorder"
+    // sf-keyed scratch paths: reusing a layout written from a different
+    // sf dir would only surface as a late "layouts disagree" failure
+    val datePath = LayoutProbe.sortedLayoutPath(sfDir)
+    val zPath = datePath.replace("_sorted_", "_zorder_")
     val plain = () => Tables.lineitem(spark, sfDir)
 
     // date-sorted layout (reuse LayoutProbe's if present)

@@ -153,22 +153,44 @@ object Sinks {
     *
     * `bits` per column × #cols must fit a long (≤ 63); 12 bits ≈ 4096
     * buckets per dimension is plenty for file-level skipping.
+    *
+    * NOTE: building the key runs one eager min/max aggregation over
+    * `df` — a full scan (cheap per row, but a real pass at 100 TB; at
+    * write time it is amortized into the write job that follows).
+    * Columns must be numeric, timestamp, or date; an empty frame or an
+    * all-null column degrades to bucket 0 for that column rather than
+    * failing the write.
     */
   def zOrderKey(df: DataFrame, cols: Seq[String], bits: Int = 12): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions.{col, lit, coalesce, unix_micros, shiftleft, shiftright, min => fmin, max => fmax}
-    import org.apache.spark.sql.types.TimestampType
+    import org.apache.spark.sql.functions.{col, lit, coalesce, unix_date, unix_micros, shiftleft, shiftright, min => fmin, max => fmax}
+    import org.apache.spark.sql.types.{DateType, NumericType, TimestampType}
     require(cols.size >= 2, "z-order needs at least 2 columns (use a plain sort for 1)")
     require(bits * cols.size <= 63, s"bits($bits) x cols(${cols.size}) must fit a long")
+    cols.foreach { c =>
+      df.schema(c).dataType match {
+        case TimestampType | DateType => ()
+        case _: NumericType => ()
+        case other => throw new IllegalArgumentException(
+          s"z-order column '$c' has unsupported type ${other.simpleString}: " +
+            "numeric, timestamp, or date required")
+      }
+    }
     def numeric(c: String): org.apache.spark.sql.Column =
       df.schema(c).dataType match {
         case TimestampType => unix_micros(col(c)).cast("double")
+        case DateType => unix_date(col(c)).cast("double")
         case _ => col(c).cast("double")
       }
     // one tiny driver-side agg for the per-column ranges
     val aggs = cols.flatMap(c => Seq(fmin(numeric(c)), fmax(numeric(c))))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     val buckets = cols.zipWithIndex.map { case (c, i) =>
-      val (lo, hi) = (row.getDouble(2 * i), row.getDouble(2 * i + 1))
+      // min/max are null on an empty frame or an all-null column —
+      // fall back to a degenerate (0,1) range: every row (there are
+      // none, or all-null) lands in bucket 0 via the row-level coalesce
+      val (lo, hi) =
+        if (row.isNullAt(2 * i) || row.isNullAt(2 * i + 1)) (0.0, 1.0)
+        else (row.getDouble(2 * i), row.getDouble(2 * i + 1))
       val span = if (hi > lo) hi - lo else 1.0
       val maxB = (1L << bits) - 1
       coalesce(((numeric(c) - lit(lo)) / lit(span) * lit(maxB.toDouble))

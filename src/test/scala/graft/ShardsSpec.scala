@@ -82,4 +82,42 @@ class ShardsSpec extends SparkSpec {
     assert(spans.min <= global / 4 + 1,
       s"no file shows partkey clustering (spans=${spans.toSeq}, global=$global)")
   }
+
+  test("zOrderKey degenerate inputs: empty frame, all-null column, constant column, date, bad type") {
+    import spark.implicits._
+    // empty frame: min/max agg returns nulls — key must build and the
+    // write must succeed, not NPE
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(empty.withColumn("z", Sinks.zOrderKey(empty, Seq("a", "b"))).count() == 0)
+    val dir = Files.createTempDirectory("zdegen").toString
+    Sinks.writeZOrdered(empty, s"$dir/empty", Seq("a", "b"))
+    assert(spark.read.parquet(s"$dir/empty").count() == 0)
+
+    // all-null column: every row falls in bucket 0 on that dim; the
+    // other dim still orders
+    val nulls = Seq((1L, Option.empty[Long]), (2L, None), (3L, None))
+      .toDF("a", "b")
+    val zs = nulls.withColumn("z", Sinks.zOrderKey(nulls, Seq("a", "b")))
+      .orderBy("a").collect().map(_.getLong(2))
+    assert(zs.length == 3 && zs.head <= zs.last, s"null-dim keys unordered: ${zs.toSeq}")
+
+    // constant column: span degenerates to 1.0 — all rows bucket 0 on
+    // that dim, no divide-by-zero
+    val const = Seq((1L, 7L), (2L, 7L), (3L, 7L)).toDF("a", "b")
+    assert(const.withColumn("z", Sinks.zOrderKey(const, Seq("a", "b"))).count() == 3)
+
+    // DateType buckets via unix_date, not an opaque cast failure
+    val dated = Seq((1L, java.sql.Date.valueOf("2024-01-01")),
+      (2L, java.sql.Date.valueOf("2024-06-01"))).toDF("a", "d")
+    val dk = dated.withColumn("z", Sinks.zOrderKey(dated, Seq("a", "d")))
+      .orderBy("a").collect().map(_.getLong(2))
+    assert(dk(0) < dk(1), "date dimension did not order")
+
+    // unsupported type: clear rejection at build time
+    val bad = Seq((1L, "x")).toDF("a", "s")
+    val e = intercept[IllegalArgumentException] {
+      Sinks.zOrderKey(bad, Seq("a", "s"))
+    }
+    assert(e.getMessage.contains("unsupported type"))
+  }
 }
