@@ -675,6 +675,26 @@ object SparkEntry {
           md5(array_join(col("tokens"), "|")).as("tok_md5"))
         .orderBy("doc_id")
     }),
+    "q_answer_parse" -> ((s, d) => {
+      // LLM-output parsing (the reference's analysis/final channel
+      // split, LLM Testing.ipynb 54defb73): synthesize each doc's raw
+      // chat-template decode deterministically from its text — every
+      // 7th doc truncated before the final channel to exercise the
+      // reference's "N/A" no-match fallback — then extract both
+      // sections with the notebook's own DOTALL patterns
+      val reasoning = concat(lit("step:\n "), substring(col("text"), 1, 80), lit(" \n"))
+      val answer = concat(lit(" final: "), substring(col("text"), 1, 40), lit("\n"))
+      val head = concat(
+        lit("<|end|><|start|>assistant<|channel|>analysis<|message|>"),
+        reasoning, lit("<|end|>"))
+      val raw = when(col("doc_id") % 7 === 0, concat(head, lit("truncated")))
+        .otherwise(concat(head,
+          lit("<|start|>assistant<|channel|>final<|message|>"), answer, lit("<|return|>")))
+      Tables.documents(s, d).select(col("doc_id"),
+        TextFunctions.extractAnswer(raw, TextFunctions.thinkingPattern).as("thinking"),
+        TextFunctions.extractAnswer(raw, TextFunctions.finalPattern).as("final_text"))
+        .orderBy("doc_id")
+    }),
     "q_oov" -> ((s, d) => {
       // vocabulary-coverage audit: build the corpus top-1000 vocab
       // (tf-ranked, token tie-break) and measure each language's
@@ -1077,6 +1097,32 @@ object SparkEntry {
         "vec_id", "embedding", k = 5, nprobe = 4)
         .orderBy("query_id", "rank")
     }),
+    "q_ann_ivf_capped" -> ((s, d) => {
+      // the hot-cell guard on the DRIVER surface: cap = the observed
+      // max occupancy (a centroid-count-sized agg), i.e. the largest
+      // cap that drops nothing — the oracle (identical to q_ann_ivf's)
+      // pins that the capping machinery (occupancy count + broadcast
+      // semi-filter) is exactly identity on a non-skewed corpus;
+      // TextDedupSpec proves the drop + recall-loss report on a skewed
+      // one. At 100 TB the cap is the knob that bounds per-probe cost
+      // when a degenerate centroid swallows the corpus.
+      val e = Tables.embeddings(s, d)
+      val cents = e.filter(col("vec_id") % 25 === 0)
+      val assigned = Similarity.assignToCentroids(e, cents, "vec_id", "embedding")
+      val maxCell = Similarity.ivfCellReport(assigned, topN = 1).head().getLong(1)
+      Similarity.ivfTopKAssigned(assigned, e.filter(col("vec_id") < 10), cents,
+        "vec_id", "embedding", k = 5, nprobe = 4, maxCellSize = maxCell)
+        .orderBy("query_id", "rank")
+    }),
+    "q_ivf_cells" -> ((s, d) =>
+      // the occupancy report itself, oracled: top-20 IVF cells by
+      // vector count — the skew observability a 100 TB probe needs
+      // BEFORE paying Σ|cell| in exact dots (see ivfCellReport scaladoc)
+      Similarity.ivfCellReport(
+        Similarity.assignToCentroids(Tables.embeddings(s, d),
+          Tables.embeddings(s, d).filter(col("vec_id") % 25 === 0),
+          "vec_id", "embedding"), topN = 20)
+        .orderBy(col("n_vectors").desc, col("cent_id"))),
 
     // ---- training-data: multimodal (REAL javax.imageio pixel decode) --
     "q_multimodal_meta" -> ((s, d) => {
@@ -1763,6 +1809,38 @@ object SparkEntry {
        |FROM c""".stripMargin
   }
 
+  /** Shared by q_ann_ivf and q_ann_ivf_capped: the capped variant's cap
+    * equals the observed max occupancy, so its output is definitionally
+    * the uncapped probe — one oracle pins both (the pin IS the point:
+    * capping at max-cell must change nothing on a non-skewed corpus).
+    */
+  private val annIvfOracle: String =
+    """WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings),
+      |n0 AS (SELECT vec_id, e,
+      |  sqrt(list_reduce(list_transform(e, y->y*y),(p,q)->p+q)) AS nrm FROM e0),
+      |n AS (SELECT vec_id, list_transform(e,
+      |  x -> CASE WHEN nrm = 0 THEN 0.0 ELSE x / nrm END) AS v FROM n0),
+      |cents AS (SELECT vec_id AS cent_id, v AS cv FROM n WHERE vec_id % 25 = 0),
+      |ca AS (SELECT vec_id, cent_id, v FROM (
+      |  SELECT nn.vec_id, c.cent_id, nn.v, row_number() OVER (
+      |    PARTITION BY nn.vec_id ORDER BY
+      |    list_reduce(list_transform(list_zip(nn.v, c.cv), x->x[1]*x[2]),(p,q)->p+q) DESC,
+      |    c.cent_id) AS rn
+      |  FROM n nn CROSS JOIN cents c) WHERE rn = 1),
+      |qa AS (SELECT vec_id AS query_id, cent_id, v AS qv FROM (
+      |  SELECT nn.vec_id, c.cent_id, nn.v, row_number() OVER (
+      |    PARTITION BY nn.vec_id ORDER BY
+      |    list_reduce(list_transform(list_zip(nn.v, c.cv), x->x[1]*x[2]),(p,q)->p+q) DESC,
+      |    c.cent_id) AS rn
+      |  FROM n nn CROSS JOIN cents c WHERE nn.vec_id < 10) WHERE rn <= 4),
+      |s AS (SELECT qa.query_id, ca.vec_id AS neighbor_id,
+      |  list_reduce(list_transform(list_zip(qa.qv, ca.v), x->x[1]*x[2]),(p,q)->p+q) AS sim
+      | FROM qa JOIN ca USING (cent_id) WHERE qa.query_id <> ca.vec_id),
+      |r AS (SELECT query_id, neighbor_id, sim,
+      |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM s)
+      |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, sim
+      |FROM r WHERE rank<=5 ORDER BY query_id, rank""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_embed_neardup" -> lshNearDupOracle(nbits = 14, tables = 4, dim = 64,
       seed = 42L, threshold = 0.9),
@@ -2316,6 +2394,35 @@ object SparkEntry {
       // deepest table with argmax margin), then every doc's token
       // stream checked by count + md5
       graft.operators.BpeTrain.docsOracleSql(80),
+    "q_answer_parse" ->
+      // identical synthesis + the notebook's DOTALL patterns in RE2;
+      // regexp-based trim on both sides so newline handling agrees
+      """WITH raw AS (SELECT doc_id,
+        | CASE WHEN doc_id % 7 = 0 THEN
+        |  '<|end|><|start|>assistant<|channel|>analysis<|message|>'
+        |   || 'step:' || chr(10) || ' ' || substr(text, 1, 80) || ' ' || chr(10)
+        |   || '<|end|>' || 'truncated'
+        | ELSE
+        |  '<|end|><|start|>assistant<|channel|>analysis<|message|>'
+        |   || 'step:' || chr(10) || ' ' || substr(text, 1, 80) || ' ' || chr(10)
+        |   || '<|end|>'
+        |   || '<|start|>assistant<|channel|>final<|message|>'
+        |   || ' final: ' || substr(text, 1, 40) || chr(10) || '<|return|>'
+        | END AS raw FROM documents)
+        |SELECT doc_id,
+        | CASE WHEN regexp_matches(raw,
+        |   '(?s)<\|end\|><\|start\|>assistant<\|channel\|>analysis<\|message\|>(.*?)<\|end\|>')
+        |  THEN regexp_replace(regexp_extract(raw,
+        |   '(?s)<\|end\|><\|start\|>assistant<\|channel\|>analysis<\|message\|>(.*?)<\|end\|>', 1),
+        |   '^\s+|\s+$', '', 'g')
+        |  ELSE 'N/A' END AS thinking,
+        | CASE WHEN regexp_matches(raw,
+        |   '(?s)<\|start\|>assistant<\|channel\|>final<\|message\|>(.*?)<\|return\|>')
+        |  THEN regexp_replace(regexp_extract(raw,
+        |   '(?s)<\|start\|>assistant<\|channel\|>final<\|message\|>(.*?)<\|return\|>', 1),
+        |   '^\s+|\s+$', '', 'g')
+        |  ELSE 'N/A' END AS final_text
+        |FROM raw ORDER BY doc_id""".stripMargin,
     "q_oov" ->
       // identical tf-ranked vocab cutoff; OOV counts are exact integers
       """WITH tok AS (SELECT lang,
@@ -2958,31 +3065,28 @@ object SparkEntry {
       // full IVF replay: normalize, modulo centroid set, argmax-dot
       // corpus assignment (tie → lowest cent_id, same as the struct-max),
       // nprobe=4 query probe list, within-cell cosine, top-5
+      annIvfOracle,
+    "q_ann_ivf_capped" ->
+      // cap = observed max occupancy ⇒ definitionally the uncapped
+      // probe; the shared oracle pins the cap machinery as identity
+      annIvfOracle,
+    "q_ivf_cells" ->
+      // the same assignment CTE, aggregated to per-cell occupancy
       """WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings),
         |n0 AS (SELECT vec_id, e,
         |  sqrt(list_reduce(list_transform(e, y->y*y),(p,q)->p+q)) AS nrm FROM e0),
         |n AS (SELECT vec_id, list_transform(e,
         |  x -> CASE WHEN nrm = 0 THEN 0.0 ELSE x / nrm END) AS v FROM n0),
         |cents AS (SELECT vec_id AS cent_id, v AS cv FROM n WHERE vec_id % 25 = 0),
-        |ca AS (SELECT vec_id, cent_id, v FROM (
-        |  SELECT nn.vec_id, c.cent_id, nn.v, row_number() OVER (
+        |ca AS (SELECT vec_id, cent_id FROM (
+        |  SELECT nn.vec_id, c.cent_id, row_number() OVER (
         |    PARTITION BY nn.vec_id ORDER BY
         |    list_reduce(list_transform(list_zip(nn.v, c.cv), x->x[1]*x[2]),(p,q)->p+q) DESC,
         |    c.cent_id) AS rn
-        |  FROM n nn CROSS JOIN cents c) WHERE rn = 1),
-        |qa AS (SELECT vec_id AS query_id, cent_id, v AS qv FROM (
-        |  SELECT nn.vec_id, c.cent_id, nn.v, row_number() OVER (
-        |    PARTITION BY nn.vec_id ORDER BY
-        |    list_reduce(list_transform(list_zip(nn.v, c.cv), x->x[1]*x[2]),(p,q)->p+q) DESC,
-        |    c.cent_id) AS rn
-        |  FROM n nn CROSS JOIN cents c WHERE nn.vec_id < 10) WHERE rn <= 4),
-        |s AS (SELECT qa.query_id, ca.vec_id AS neighbor_id,
-        |  list_reduce(list_transform(list_zip(qa.qv, ca.v), x->x[1]*x[2]),(p,q)->p+q) AS sim
-        | FROM qa JOIN ca USING (cent_id) WHERE qa.query_id <> ca.vec_id),
-        |r AS (SELECT query_id, neighbor_id, sim,
-        |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM s)
-        |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, sim
-        |FROM r WHERE rank<=5 ORDER BY query_id, rank""".stripMargin,
+        |  FROM n nn CROSS JOIN cents c) WHERE rn = 1)
+        |SELECT cent_id, CAST(count(*) AS BIGINT) AS n_vectors
+        |FROM ca GROUP BY cent_id
+        |ORDER BY n_vectors DESC, cent_id LIMIT 20""".stripMargin,
     "q_ann_ivf_md5" ->
       """WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings),
         |n0 AS (SELECT vec_id, e,

@@ -268,4 +268,29 @@ object TextFunctions {
       (digits / greatest(nChars, lit(1.0))).as("digit_ratio"),
       (stopHits.cast("double") / greatest(nTok, lit(1.0))).as("stopword_ratio"))
   }
+
+  /** Parse a section out of a model's raw generated output — the
+    * LLM-output answer/thinking extraction the reference does per
+    * response with `re.search(..., re.DOTALL)` + `.strip()` and an
+    * "N/A" fallback (LLM Testing.ipynb cell 54defb73: the
+    * analysis/final channel split of a chat-template decode). `pattern`
+    * must carry ONE capture group; matching is DOTALL (sections span
+    * lines). No-match (or null input) yields `default` — distinct from
+    * a matched-but-empty section, which yields "" exactly as the
+    * reference's `.strip()` does. Whitespace-trim of the capture is
+    * regexp-based so Spark and the oracle agree on newlines, not just
+    * spaces. Pure codegen'd built-ins, row-parallel at any scale.
+    */
+  def extractAnswer(c: Column, pattern: String, default: String = "N/A"): Column = {
+    val p = "(?s)" + pattern
+    when(c.isNotNull && c.rlike(p),
+      regexp_replace(regexp_extract(c, p, 1), "^\\s+|\\s+$", ""))
+      .otherwise(lit(default))
+  }
+
+  /** The reference's two section patterns (LLM Testing.ipynb 54defb73). */
+  val thinkingPattern: String =
+    """<\|end\|><\|start\|>assistant<\|channel\|>analysis<\|message\|>(.*?)<\|end\|>"""
+  val finalPattern: String =
+    """<\|start\|>assistant<\|channel\|>final<\|message\|>(.*?)<\|return\|>"""
 }
