@@ -212,15 +212,26 @@ object Sinks {
     * counterpart of the single-column sort-on-write layout (SCALE.md,
     * LayoutProbe); shuffle paid once at write time.
     */
-  def writeZOrdered(df: DataFrame, path: String, cols: Seq[String],
-                    numFiles: Int = 128, bits: Int = 12): Unit = {
+  /** The pre-write z-ordered frame — exposed so PlanAuditSpec can pin
+    * the layout plan (range Exchange on `_zkey`, local Sort below the
+    * dropping Project): the write relies on Project preserving child
+    * ordering after `drop("_zkey")`, which is true today but not a
+    * documented optimizer contract — the pin turns a future silent
+    * unsort into a CI failure.
+    */
+  def zOrdered(df: DataFrame, cols: Seq[String],
+               numFiles: Int = 128, bits: Int = 12): DataFrame = {
     import org.apache.spark.sql.functions.col
     df.withColumn("_zkey", zOrderKey(df, cols, bits))
       .repartitionByRange(numFiles, col("_zkey"))
       .sortWithinPartitions("_zkey")
       .drop("_zkey")
-      .write.mode(SaveMode.Overwrite).parquet(path)
   }
+
+  def writeZOrdered(df: DataFrame, path: String, cols: Seq[String],
+                    numFiles: Int = 128, bits: Int = 12): Unit =
+    zOrdered(df, cols, numFiles, bits)
+      .write.mode(SaveMode.Overwrite).parquet(path)
 
   /** K5: console report — formatted summary rows (the reference's primary
     * human output in DOP VP Compare.py:188-223). Small frames only.

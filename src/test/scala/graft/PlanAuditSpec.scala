@@ -429,6 +429,49 @@ class PlanAuditSpec extends SparkSpec {
       s"metrics must stay native expressions (codegen-friendly):\n$p")
   }
 
+  test("writeZOrdered layout plan: range Exchange on _zkey, sort survives the drop") {
+    // the 9.4× multi-column skipping claim (SCALE.md, ZOrderProbe)
+    // rests on two plan properties this pins: (1) the write is
+    // range-partitioned on the Morton key — each output file owns a
+    // contiguous _zkey slice; (2) the Project that drops _zkey does NOT
+    // eliminate the sort below it — rows inside each file stay
+    // key-ordered so row-group stats are tight
+    val li = Tables.lineitem(spark, sf).limit(20000)
+      .select("l_orderkey", "l_partkey", "l_shipdate")
+    val zdf = graft.sources.Sinks.zOrdered(li, Seq("l_shipdate", "l_partkey"), numFiles = 8)
+    zdf.collect()
+    val p = zdf.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("Exchange rangepartitioning(_zkey"),
+      s"z-order write lost its range partitioning on the Morton key:\n$p")
+    assert("Sort \\[_zkey".r.findAllIn(p).size >= 1,
+      s"the within-partition sort on _zkey was optimized away:\n$p")
+
+    // structural proof on the written files: re-derive the key on the
+    // read-back (zOrderKey bakes global min/max into the Column, so the
+    // same expression applies per file) — file key-ranges must be
+    // pairwise disjoint (range partition) and keys monotone within a
+    // file (the sort survived the drop + write)
+    val dir = java.nio.file.Files.createTempDirectory("zpin").toString
+    graft.sources.Sinks.writeZOrdered(li, s"$dir/z", Seq("l_shipdate", "l_partkey"), numFiles = 8)
+    val back = spark.read.parquet(s"$dir/z")
+    val key = graft.sources.Sinks.zOrderKey(back, Seq("l_shipdate", "l_partkey"))
+    val files = new java.io.File(s"$dir/z").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    assert(files.length >= 2, "need multiple files to prove disjointness")
+    val ranges = files.map { f =>
+      val ks = spark.read.parquet(f).withColumn("_z", key)
+        .select("_z").collect().map(_.getLong(0))
+      assert(ks.sameElements(ks.sorted),
+        s"file $f is not key-sorted — the drop un-sorted the write")
+      (ks.min, ks.max)
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) =>
+        assert(hi <= lo2, s"file key-ranges overlap: $hi > $lo2 — range partitioning lost")
+      case _ => ()
+    }
+  }
+
   test("bucketed q3: zero shuffle Exchange, same rows as the plain path") {
     // the 100 TB remedy for the one shuffle-bound query: lineitem and
     // orders bucketed on orderkey join (and aggregate — orderkey
