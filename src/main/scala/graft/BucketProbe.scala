@@ -58,8 +58,20 @@ object BucketProbe {
     val buckets = if (args.length > 1) args(1).toInt else 32
     val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt).getOrElse(32)
     // bucket metadata lives in the session catalog; keep the warehouse
-    // out of the repo tree
-    System.setProperty("spark.sql.warehouse.dir", "/tmp/graft_bucket_warehouse")
+    // out of the repo tree, key it by sfDir (the LayoutProbe discipline)
+    // and clean a stale copy — a leftover location from a previous run
+    // fails the managed-table create (the catalog is fresh each run and
+    // cannot Overwrite a table it never registered)
+    val warehouse = new java.io.File(
+      s"/tmp/graft_bucket_warehouse_${java.lang.Integer.toHexString(new java.io.File(sfDir).getAbsolutePath.hashCode)}")
+    if (warehouse.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      rm(warehouse)
+    }
+    System.setProperty("spark.sql.warehouse.dir", warehouse.getAbsolutePath)
     val spark = Engine.session("graft-bucketprobe", cpus)
 
     val plainTime = bestOfTwo(() =>
@@ -80,6 +92,11 @@ object BucketProbe {
     def bucketed() = q3(spark.table("lineitem_bkt"), spark.table("orders_bkt"),
       Tables.customer(spark, sfDir))
     val bucketedShuffles = shuffleCount(bucketed())
+    // the probe IS the layout regression gate: a bucketed q3 that
+    // shuffles means the co-located join contract broke — fail loudly,
+    // don't record a silently-degraded timing
+    require(bucketedShuffles == 0,
+      s"bucketed q3 shuffles ($bucketedShuffles Exchanges) — layout regression")
     val bucketedTime = bestOfTwo(() => bucketed())
 
     println(f"""{"sf":"$sfDir","buckets":$buckets,"plain_sec":$plainTime%.3f,"bucketed_sec":$bucketedTime%.3f,"bucket_write_sec":$writeSec%.3f,"plain_shuffles":$plainShuffles,"bucketed_shuffles":$bucketedShuffles}""")
