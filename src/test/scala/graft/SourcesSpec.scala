@@ -320,4 +320,26 @@ class SourcesSpec extends SparkSpec {
     assert(wa.select("row_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
     assert(wb.select("row_id").collect().map(_.getLong(0)).toSeq == Seq(3L))
   }
+
+  test("events entry path survives BOTH driver timestamp encodings (nanos + naive micros)") {
+    // The driver regenerates testdata each round with an unstable parquet
+    // timestamp encoding: older drops used TIMESTAMP(NANOS) (Spark reads
+    // long under the nanosAsLong pin; Tables.events div-converts), newer
+    // drops naive micros (isAdjustedToUTC=false), which without the
+    // inferTimestampNTZ=false pin would read as TIMESTAMP_NTZ and break
+    // unix_millis/watermarks. The round-9 regeneration broke 8 suites
+    // this way; these checked-in pyarrow fixtures (one per encoding,
+    // identical instants) pin the whole entry path — session confs +
+    // Tables.events conversion — against the next silent flip.
+    import org.apache.spark.sql.types.TimestampType
+    val expected = (0 until 10).map(i => 1700000000000L + i * 3600000L)
+    for (enc <- Seq("nanos", "micros_ntz")) {
+      val df = Tables.events(spark, s"src/test/resources/tsfixtures/$enc")
+      assert(df.schema("ts").dataType == TimestampType,
+        s"$enc: ts must surface as TimestampType, got ${df.schema("ts").dataType}")
+      val got = df.orderBy("event_id")
+        .select(unix_millis(col("ts"))).collect().map(_.getLong(0)).toSeq
+      assert(got == expected, s"$enc: instants drifted: $got")
+    }
+  }
 }
