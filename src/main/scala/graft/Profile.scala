@@ -10,14 +10,10 @@ import graft.operators.{Graph, TextDedup}
 object Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // the shared builder carries every parquet-compat pin (nanosAsLong,
+    // inferTimestampNTZ=false, TIMESTAMP_MICROS out) — a hand-rolled
+    // builder here drifted once already
+    val spark = Engine.session("graft-profile", 32)
     spark.sparkContext.setLogLevel("WARN")
 
     def time[A](label: String)(f: => A): A = {
