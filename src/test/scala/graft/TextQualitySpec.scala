@@ -220,4 +220,22 @@ class TextQualitySpec extends SparkSpec {
     // single repeated token and single-token docs: zero entropy exactly
     assert(got(2L) == ((4L, 0.0)) && got(3L) == ((1L, 0.0)))
   }
+
+  test("extractAnswer: matched-empty vs no-match vs null (the reference's strip/N-A split)") {
+    // the oracle corpus always carries non-empty sections, so the
+    // matched-but-EMPTY capture (re.search hits, group(1).strip() == "")
+    // is pinned here: it must yield "", never the no-match "N/A"
+    import graft.functions.TextFunctions.{extractAnswer, finalPattern}
+    val rows = Seq(
+      (1L, Some("<|start|>assistant<|channel|>final<|message|> ans \nhere <|return|>")),
+      (2L, Some("<|start|>assistant<|channel|>final<|message|> \n <|return|>")),
+      (3L, Some("no markers at all")),
+      (4L, Option.empty[String]))
+      .toDF("id", "raw")
+    val got = rows.select(col("id"), extractAnswer(col("raw"), finalPattern).as("a"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "ans \nhere", got(1L))   // DOTALL spans lines; ends trimmed
+    assert(got(2L) == "", got(2L))             // matched-empty ≠ N/A
+    assert(got(3L) == "N/A" && got(4L) == "N/A")
+  }
 }
