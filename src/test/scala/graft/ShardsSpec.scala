@@ -120,4 +120,51 @@ class ShardsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("unsupported type"))
   }
+
+  test("compact: small-file merge hits target count; sorted regime restores skipping layout") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("compact").toString
+    // fragmented ingest: 64 single-row-group files
+    (0 until 6400).map(i => (i.toLong, s"payload_$i" * 8))
+      .toDF("k", "v").repartition(64).write.parquet(s"$dir/frag")
+    val nFrag = new java.io.File(s"$dir/frag").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(nFrag == 64)
+    val frag = spark.read.parquet(s"$dir/frag")
+    val totalBytes = new java.io.File(s"$dir/frag").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+
+    // narrow regime: zero-shuffle coalesce to ~4 target-sized files
+    val target = totalBytes / 4
+    val n1 = Sinks.compact(frag, s"$dir/frag", s"$dir/merged", target)
+    val merged = spark.read.parquet(s"$dir/merged")
+    val nMerged = new java.io.File(s"$dir/merged").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    // the returned plan count is an upper bound on files written (an
+    // empty output partition writes no file); what matters is the
+    // fragmentation actually collapsed to ~4 target-sized files
+    assert(nMerged <= n1 && nMerged >= 3 && nMerged <= 6,
+      s"planned $n1, wrote $nMerged files")
+    assert(merged.count() == 6400 &&
+      merged.agg(sum("k")).head.getLong(0) == frag.agg(sum("k")).head.getLong(0))
+
+    // sorted regime: compaction + range layout in one shuffle — each
+    // output file owns a disjoint key slice (footer-stat skipping back)
+    val n2 = Sinks.compact(frag, s"$dir/frag", s"$dir/sorted", target, Some("k"))
+    val spans = spark.read.parquet(s"$dir/sorted")
+      .groupBy(input_file_name().as("f"))
+      .agg(min("k").as("lo"), max("k").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(spans.length <= n2 && spans.length >= 3)
+    spans.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) =>
+        assert(hi < lo2, s"sorted-compact file ranges overlap: $hi >= $lo2")
+      case _ => ()
+    }
+
+    // in-place request is rejected, not silently destructive
+    intercept[IllegalArgumentException] {
+      Sinks.compact(frag, s"$dir/frag", s"$dir/frag", target)
+    }
+  }
 }
