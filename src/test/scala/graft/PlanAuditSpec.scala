@@ -470,6 +470,26 @@ class PlanAuditSpec extends SparkSpec {
         assert(hi <= lo2, s"file key-ranges overlap: $hi > $lo2 — range partitioning lost")
       case _ => ()
     }
+
+    // read-side pruning proof: a selective TWO-dimension predicate must
+    // materialize far fewer rows out of the scan than the table holds —
+    // parquet skipping is row-group-level, so the scan node's own
+    // numOutputRows (rows surviving footer-stat skipping + pushdown,
+    // BEFORE the Filter node) is the observable. This is the property
+    // the 9.4× sf10 probe measures, pinned at CI scale.
+    val total = back.count()
+    val narrow = back
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1995-04-01").cast("timestamp") &&
+              col("l_partkey").between(100, 400))
+    narrow.collect()
+    val scans = narrow.queryExecution.executedPlan.collectLeaves().collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty, "no parquet scan found in the pruned query plan")
+    val rowsOutOfScan = scans.map(_.metrics("numOutputRows").value).sum
+    assert(rowsOutOfScan < total / 2,
+      s"two-predicate scan materialized $rowsOutOfScan/$total rows — z-order skipping lost")
   }
 
   test("bucketed q3: zero shuffle Exchange, same rows as the plain path") {
