@@ -123,6 +123,29 @@ class EmptyInputSpec extends SparkSpec {
       axes, 0.9).isEmpty)
   }
 
+  test("BPE family, answer parse, compaction on zero rows") {
+    // training on nothing: both trainers stop at an empty merge table
+    assert(BpeTrain.learnMerges(noDocs, "text", 4).isEmpty)
+    assert(BpeTrain.learnMergesLocal(noDocs, "text", 4).isEmpty)
+    // encode on nothing, both regimes (0 rules = fold, 70 > foldLimit =
+    // mapPartitions), and the corpus join-back
+    val noWords = noDocs.select(col("text").as("word"))
+    assert(BpeTrain.encodeWords(noWords, "word", Seq.empty).isEmpty)
+    val bigTable = (1 to 70).map(i => (s"a$i", "b"))
+    assert(BpeTrain.encodeWords(noWords, "word", bigTable).isEmpty)
+    assert(BpeTrain.encodeDocs(noDocs, "text", "doc_id", Seq("a" -> "b")).isEmpty)
+    // answer parse on an empty frame keeps schema, no rows
+    val parsed = noDocs.select(graft.functions.TextFunctions
+      .extractAnswer(col("text"), graft.functions.TextFunctions.finalPattern).as("a"))
+    assert(parsed.isEmpty && parsed.columns.toSeq == Seq("a"))
+    // compacting an empty dataset yields a readable empty dataset
+    val dir = java.nio.file.Files.createTempDirectory("empty-compact").toString
+    noDocs.write.parquet(s"$dir/in")
+    graft.sources.Sinks.compact(spark.read.parquet(s"$dir/in"), s"$dir/in", s"$dir/out")
+    val back = spark.read.parquet(s"$dir/out")
+    assert(back.isEmpty && back.columns.toSeq == Seq("doc_id", "text"))
+  }
+
   test("retrieval and events analytics on zero rows") {
     assert(Retrieval.bm25TopK(noDocs, "text", "doc_id", Seq("x")).isEmpty)
     // funnel emits the step skeleton with zero counts, not zero rows —
