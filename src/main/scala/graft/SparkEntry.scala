@@ -889,6 +889,32 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum(size(TextFunctions.tokens(col("text"))).cast("long")).as("n_tokens"))
         .orderBy("split", "lang")),
+    "q_split_leakage" -> ((s, d) => {
+      // eval-contamination audit: near-dup pairs (portable banded LSH,
+      // the q_minhash_pairs_md5 stage) crossed with the hash-split
+      // assignment (the q_split stage) — cells with split_a != split_b
+      // are test/val documents with a train near-twin, the leakage a
+      // content-blind split cannot prevent
+      val docs = Tables.documents(s, d)
+      val assigned = TextQuality.hashSplit(docs, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      val pairs = TextDedup.minhashLshPairsPortable(docs, "text", "doc_id",
+        n = 3, k = 16, bands = 4, threshold = 0.5)
+      TextQuality.splitLeakage(assigned, "doc_id", "split",
+        pairs, "doc_a", "doc_b")
+    }),
+    "q_threshold_sweep" -> ((s, d) => {
+      // gate-calibration sweep: for each candidate length floor, the
+      // doc count and token mass a `n_tokens >= t` gate keeps — ONE
+      // corpus pass binned to the grid, suffix sums over the grid-sized
+      // aggregate (the oracle replays the naive corpus x grid form)
+      val docs = Tables.documents(s, d)
+        .select(size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
+      TextQuality.thresholdSweep(
+        docs.withColumn("score", col("n_tokens").cast("double")),
+        "score", Seq(10.0, 25.0, 50.0, 100.0, 200.0, 400.0),
+        weightCol = Some("n_tokens"))
+    }),
     "q_pii_scan" -> ((s, d) => {
       // PII redaction audit: deterministic synthetic PII (emails, a
       // phone, long digit runs) is injected IN-QUERY so both engines
@@ -1950,6 +1976,60 @@ object SparkEntry {
          | CAST(sum(len(string_split_regex(lower(trim(text)), '\\s+'))) AS BIGINT) AS n_tokens
          |FROM s GROUP BY split, lang
          |ORDER BY split NULLS FIRST, lang NULLS FIRST""".stripMargin,
+    "q_split_leakage" ->
+      // the q_minhash_pairs_md5 portable-LSH CTE chain (threshold 0.5)
+      // crossed with q_split's md5-interval assignment; least/greatest
+      // canonicalize the cell, n_docs unions both endpoints
+      s"""WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_distinct(
+         |  [ws[i]||'_'||ws[i+1]||'_'||ws[i+2] for i in range(1, len(ws)-1)])) AS s FROM w),
+         |ab AS (SELECT doc_id,
+         |  ('0x' || substr(md5(s), 1, 12))::BIGINT AS a,
+         |  ('0x' || substr(md5(s), 13, 12))::BIGINT AS b FROM sh),
+         |sig AS (SELECT doc_id,
+         |  [${(0 until 16).map(i => s"min(a + $i*b)").mkString(", ")}] AS sig
+         | FROM ab GROUP BY doc_id),
+         |bd AS (SELECT doc_id, sig, band,
+         |  md5(array_to_string(list_slice(sig, band*4+1, band*4+4), '|')) AS bucket
+         | FROM sig, (SELECT unnest(range(0, 4)) AS band) bands),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  a.sig AS sig_a, b.sig AS sig_b
+         | FROM bd a JOIN bd b ON a.band = b.band AND a.bucket = b.bucket
+         |  AND a.doc_id < b.doc_id),
+         |lshp AS (SELECT doc_a, doc_b FROM cand
+         | WHERE CAST(len(list_filter(list_zip(sig_a, sig_b), x -> x[1] = x[2])) AS DOUBLE) / 16 >= 0.5),
+         |asg AS (SELECT doc_id,
+         |  CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '${TextFunctions.md5SampleThreshold(0.8)}' THEN 'train'
+         |       WHEN md5(CAST(doc_id AS VARCHAR)) < '${TextFunctions.md5SampleThreshold(0.9)}' THEN 'val'
+         |       ELSE 'test' END AS split
+         | FROM documents),
+         |px AS (SELECT p.doc_a, p.doc_b,
+         |  least(x.split, y.split) AS split_a, greatest(x.split, y.split) AS split_b
+         | FROM lshp p JOIN asg x ON p.doc_a = x.doc_id JOIN asg y ON p.doc_b = y.doc_id),
+         |cells AS (SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs
+         | FROM px GROUP BY 1, 2),
+         |dd AS (SELECT split_a, split_b, CAST(count(DISTINCT doc) AS BIGINT) AS n_docs FROM
+         |  (SELECT split_a, split_b, doc_a AS doc FROM px
+         |   UNION ALL SELECT split_a, split_b, doc_b FROM px) u GROUP BY 1, 2)
+         |SELECT split_a, split_b, n_pairs, n_docs
+         |FROM cells JOIN dd USING (split_a, split_b)
+         |ORDER BY split_a, split_b""".stripMargin,
+    "q_threshold_sweep" ->
+      // naive corpus x grid replay of the binned suffix-sum sweep;
+      // fractions are single BIGINT-over-BIGINT IEEE divisions
+      """WITH d AS (SELECT len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens FROM documents),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS tn, CAST(sum(n_tokens) AS BIGINT) AS tw FROM d),
+        |t AS (SELECT unnest([10.0, 25.0, 50.0, 100.0, 200.0, 400.0]) AS threshold),
+        |k AS (SELECT t.threshold AS threshold,
+        |  CAST(count(CASE WHEN d.n_tokens >= t.threshold THEN 1 END) AS BIGINT) AS n_kept,
+        |  CAST(coalesce(sum(CASE WHEN d.n_tokens >= t.threshold THEN d.n_tokens END), 0) AS BIGINT) AS w_kept
+        | FROM t CROSS JOIN d GROUP BY t.threshold)
+        |SELECT threshold, n_kept,
+        | CAST(n_kept AS DOUBLE) / CAST(tn AS DOUBLE) AS frac_kept,
+        | w_kept,
+        | CAST(w_kept AS DOUBLE) / CAST(tw AS DOUBLE) AS w_frac_kept
+        |FROM k CROSS JOIN tot
+        |ORDER BY threshold""".stripMargin,
     "q_sample_strat" ->
       // identical md5-hex threshold literal as md5SampleFilter(_, 0.2):
       // lowercase hex compares lexicographically = numerically in both

@@ -458,4 +458,136 @@ object TextQuality {
       }
     df.withColumn(as, assigned)
   }
+
+  /** Quality-gate threshold sweep: for each candidate cutoff `t` report
+    * how much of the corpus a `scoreCol >= t` gate would KEEP — row
+    * count, row fraction, and (optionally) a weight column's kept mass
+    * (token counts, bytes). The calibration table a pipeline reads
+    * BEFORE committing a gate: "a length floor of 50 keeps 61% of docs
+    * but 94% of tokens" is this table's row, and eyeballing it is how
+    * cutoffs are actually chosen.
+    *
+    * Scale shape: ONE corpus pass. Each row is binned to the number of
+    * thresholds at or below its score (a grid-sized literal-array fold,
+    * codegen'd, map-side), then a partial-aggregated groupBy over ≤
+    * |thresholds|+1 bins. The keep-counts are suffix sums over that
+    * GRID-sized aggregate — the window runs on ≤ a few hundred rows, a
+    * driver-scale frame, never the corpus (contrast the naive form: one
+    * corpus scan per threshold, or a corpus × grid cross join). Fractions
+    * are single BIGINT-over-BIGINT IEEE divisions — bit-identical
+    * cross-engine.
+    *
+    * Rows with a null score count toward the totals but are kept by no
+    * threshold (a gate on a null score drops the row in both engines).
+    */
+  def thresholdSweep(df: DataFrame, scoreCol: String, thresholds: Seq[Double],
+                     weightCol: Option[String] = None): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    require(thresholds == thresholds.sorted && thresholds.distinct == thresholds,
+      "thresholds must be strictly ascending")
+    val ts = thresholds
+    // bin = #thresholds <= score: kept-at-t(i) = rows in bins > i, so
+    // keep counts are suffix sums over the per-bin aggregate
+    val bin = size(filter(
+      array(ts.map(t => (col(scoreCol) >= lit(t)).cast("int")): _*),
+      x => x === 1))
+    val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
+    val perBin = df.select(bin.as("_bin"), w.as("_w"))
+      .groupBy("_bin")
+      .agg(count(lit(1)).as("_n"), sum(col("_w")).as("_wsum"))
+    // grid-sized from here on: |bins| <= |thresholds|+1
+    val total = perBin.agg(sum(col("_n")).as("_tn"), sum(col("_wsum")).as("_tw"))
+    val win = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_bin").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val suffix = perBin
+      .withColumn("_kept_n", sum(col("_n")).over(win))
+      .withColumn("_kept_w", sum(col("_wsum")).over(win))
+    val grid = df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(ts.zipWithIndex.map { case (t, i) =>
+        org.apache.spark.sql.Row(t, i + 1) }: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("threshold",
+          org.apache.spark.sql.types.DoubleType, nullable = false),
+        org.apache.spark.sql.types.StructField("_minbin",
+          org.apache.spark.sql.types.IntegerType, nullable = false))))
+    // kept at threshold i = suffix sum over bins >= i, read off at the
+    // SMALLEST such bin (min_by); a threshold no row reaches has no
+    // such bin -> kept 0
+    grid.join(suffix, suffix("_bin") >= grid("_minbin"), "left")
+      .groupBy(col("threshold"))
+      .agg(coalesce(min_by(col("_kept_n"), col("_bin")), lit(0L)).as("n_kept"),
+        coalesce(min_by(col("_kept_w"), col("_bin")), lit(0L)).as("w_kept"))
+      .crossJoin(broadcast(total))
+      .select(col("threshold"),
+        col("n_kept"),
+        (col("n_kept").cast("double") / col("_tn").cast("double")).as("frac_kept"),
+        col("w_kept"),
+        (col("w_kept").cast("double") / col("_tw").cast("double")).as("w_frac_kept"))
+      .orderBy("threshold")
+  }
+
+  /** Near-dup split-leakage report: given a per-document split
+    * assignment (`hashSplit`'s output shape) and a near-dup pair frame
+    * (any of the LSH/exact pair operators), count the pairs whose
+    * endpoints fall in each (split, split) cell. Cells with
+    * `split_a != split_b` ARE eval contamination: a test document with a
+    * train near-twin inflates the benchmark, and the hash split — being
+    * content-blind — cannot prevent it. This is the audit a pipeline
+    * runs after splitting; the actionable quarantine list is
+    * [[leakedDocs]].
+    *
+    * Output: one row per observed cell (`split_a <= split_b`
+    * lexicographically), `n_pairs`, and `n_docs` = distinct documents
+    * touching the cell's pairs.
+    *
+    * Scale shape: the pair frame is the banded-LSH output (sub-quadratic
+    * by construction); attaching splits is two equi-joins on the doc id
+    * against the map-side split assignment; the report is a
+    * partial-aggregated groupBy onto ≤ |splits|² cells. Nothing here
+    * rescans text.
+    */
+  def splitLeakage(assigned: DataFrame, idCol: String, splitCol: String,
+                   pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val s = assigned.select(col(idCol).as("_sid"), col(splitCol).as("_split"))
+    val joined = pairs.select(col(aCol).as("_a"), col(bCol).as("_b"))
+      .join(s.select(col("_sid").as("_a"), col("_split").as("_sa")), Seq("_a"))
+      .join(s.select(col("_sid").as("_b"), col("_split").as("_sb")), Seq("_b"))
+      .select(col("_a"), col("_b"),
+        least(col("_sa"), col("_sb")).as("split_a"),
+        greatest(col("_sa"), col("_sb")).as("split_b"))
+    val cells = joined.groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("n_pairs"))
+    val docs = joined.select(col("split_a"), col("split_b"),
+        explode(array(col("_a"), col("_b"))).as("_doc"))
+      .groupBy("split_a", "split_b")
+      .agg(count_distinct(col("_doc")).as("n_docs"))
+    cells.join(docs, Seq("split_a", "split_b"))
+      .orderBy("split_a", "split_b")
+  }
+
+  /** The quarantine list [[splitLeakage]] motivates: documents assigned
+    * to `targetSplit` that have a near-dup partner in ANY other split.
+    * Dropping (or re-homing) exactly these rows restores the
+    * train/eval independence the hash split intended. One row per
+    * leaked document with the count of its cross-split partners —
+    * deterministic, re-runnable, and join-backable to the corpus as an
+    * anti-join.
+    */
+  def leakedDocs(assigned: DataFrame, idCol: String, splitCol: String,
+                 pairs: DataFrame, aCol: String, bCol: String,
+                 targetSplit: String): DataFrame = {
+    val s = assigned.select(col(idCol).as("_sid"), col(splitCol).as("_split"))
+    val both = pairs.select(col(aCol).as("_a"), col(bCol).as("_b"))
+      .join(s.select(col("_sid").as("_a"), col("_split").as("_sa")), Seq("_a"))
+      .join(s.select(col("_sid").as("_b"), col("_split").as("_sb")), Seq("_b"))
+    // a pair leaks INTO the target from either side
+    val hits = both.filter(col("_sa") === targetSplit && col("_sb") =!= targetSplit)
+        .select(col("_a").as("doc"))
+      .unionAll(both.filter(col("_sb") === targetSplit && col("_sa") =!= targetSplit)
+        .select(col("_b").as("doc")))
+    hits.groupBy("doc")
+      .agg(count(lit(1)).as("n_cross_pairs"))
+      .orderBy("doc")
+  }
 }

@@ -66,4 +66,63 @@ class SplitSpec extends SparkSpec {
     assert(df.collect().map(r => (r.getString(0), r.getString(1))).toSet ==
       viaLiterals.collect().map(r => (r.getString(0), r.getString(1))).toSet)
   }
+
+  test("splitLeakage: cells canonicalized, pair and distinct-doc counts exact") {
+    import spark.implicits._
+    val assigned = Seq(
+      (1L, "train"), (2L, "train"), (3L, "val"),
+      (4L, "test"), (5L, "test"), (6L, "train")).toDF("doc_id", "split")
+    val pairs = Seq(
+      (1L, 2L),            // train-train (benign cell)
+      (1L, 4L), (6L, 4L),  // test-train leaks sharing doc 4
+      (3L, 5L)             // test-val leak
+    ).toDF("doc_a", "doc_b")
+    val got = TextQuality.splitLeakage(assigned, "doc_id", "split",
+        pairs, "doc_a", "doc_b")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      ("test", "train", 2L, 3L),  // pairs (1,4),(6,4): docs {1,4,6}
+      ("test", "val", 1L, 2L),
+      ("train", "train", 1L, 2L)))
+  }
+
+  test("splitLeakage: pairs with unassigned endpoints drop; empty pairs -> empty report") {
+    import spark.implicits._
+    val assigned = Seq((1L, "train"), (2L, "test")).toDF("doc_id", "split")
+    val dangling = Seq((1L, 99L)).toDF("doc_a", "doc_b")
+    assert(TextQuality.splitLeakage(assigned, "doc_id", "split",
+      dangling, "doc_a", "doc_b").count() == 0)
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val rep = TextQuality.splitLeakage(assigned, "doc_id", "split",
+      empty, "doc_a", "doc_b")
+    assert(rep.count() == 0)
+    assert(rep.columns.toSeq == Seq("split_a", "split_b", "n_pairs", "n_docs"))
+  }
+
+  test("leakedDocs: quarantine list is target-split docs with cross-split partners") {
+    import spark.implicits._
+    val assigned = Seq(
+      (1L, "train"), (2L, "train"), (3L, "val"),
+      (4L, "test"), (5L, "test")).toDF("doc_id", "split")
+    val pairs = Seq(
+      (1L, 4L), (2L, 4L), // doc 4 leaks twice
+      (3L, 5L),           // doc 5 leaks from val
+      (4L, 5L),           // test-test: not a leak
+      (1L, 2L)            // train-train: not a leak
+    ).toDF("doc_a", "doc_b")
+    val got = TextQuality.leakedDocs(assigned, "doc_id", "split",
+        pairs, "doc_a", "doc_b", targetSplit = "test")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((4L, 2L), (5L, 1L)))
+    // anti-joining the quarantine restores independence: no cross-split
+    // pair touches a surviving test doc
+    val surviving = assigned.join(
+      TextQuality.leakedDocs(assigned, "doc_id", "split",
+        pairs, "doc_a", "doc_b", "test").withColumnRenamed("doc", "doc_id"),
+      Seq("doc_id"), "left_anti")
+    val rep = TextQuality.splitLeakage(surviving, "doc_id", "split",
+        pairs, "doc_a", "doc_b")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rep.forall { case (a, b) => a == b || !(a == "test" || b == "test") })
+  }
 }

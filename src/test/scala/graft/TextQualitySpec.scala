@@ -10,6 +10,46 @@ import org.apache.spark.sql.functions._
 class TextQualitySpec extends SparkSpec {
   import spark.implicits._
 
+  test("thresholdSweep: hand-computed suffix sums, weights, null scores, unreachable thresholds") {
+    val df = Seq(
+      (Some(5.0), 5L), (Some(15.0), 15L), (Some(30.0), 30L),
+      (Some(120.0), 120L), (None, 7L) // null score: in totals, kept by nothing
+    ).toDF("score", "w")
+    val got = TextQuality.thresholdSweep(df, "score",
+        Seq(10.0, 25.0, 50.0, 100.0, 200.0), weightCol = Some("w"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4)))
+    val tn = 5.0; val tw = 177.0
+    assert(got.toSeq == Seq(
+      (10.0, 3L, 3 / tn, 165L, 165 / tw),
+      (25.0, 2L, 2 / tn, 150L, 150 / tw),
+      (50.0, 1L, 1 / tn, 120L, 120 / tw),
+      (100.0, 1L, 1 / tn, 120L, 120 / tw),
+      (200.0, 0L, 0.0, 0L, 0.0))) // unreachable threshold: kept 0, not a missing row
+  }
+
+  test("thresholdSweep: no weight column defaults to row counts; unsorted grid rejected") {
+    val df = Seq(1.0, 2.0, 3.0).toDF("score")
+    val got = TextQuality.thresholdSweep(df, "score", Seq(2.0))
+      .collect().map(r => (r.getLong(1), r.getLong(3)))
+    assert(got.toSeq == Seq((2L, 2L))) // w == n when unweighted
+    intercept[IllegalArgumentException] {
+      TextQuality.thresholdSweep(df, "score", Seq(3.0, 1.0))
+    }
+    intercept[IllegalArgumentException] {
+      TextQuality.thresholdSweep(df, "score", Seq.empty)
+    }
+  }
+
+  test("thresholdSweep: empty frame keeps the grid with zero counts and null fractions") {
+    val df = Seq.empty[(Double, Long)].toDF("score", "w")
+    val got = TextQuality.thresholdSweep(df, "score", Seq(1.0, 2.0),
+      weightCol = Some("w")).collect()
+    assert(got.length == 2)
+    assert(got.forall(r => r.getLong(1) == 0L && r.getLong(3) == 0L))
+    assert(got.forall(r => r.isNullAt(2) && r.isNullAt(4))) // 0-of-nothing: fraction undefined
+  }
+
   test("sampleKPerGroup: exact quotas, small groups whole, deterministic") {
     import graft.operators.TextQuality
     val rows = ((1 to 30).map(i => (i.toLong, "big")) ++
