@@ -903,6 +903,18 @@ object SparkEntry {
       TextQuality.splitLeakage(assigned, "doc_id", "split",
         pairs, "doc_a", "doc_b")
     }),
+    "q_leaked_docs" -> ((s, d) => {
+      // the actionable half of q_split_leakage: the quarantine list —
+      // test docs with a cross-split near-twin, with partner counts;
+      // anti-join this against the corpus to restore independence
+      val docs = Tables.documents(s, d)
+      val assigned = TextQuality.hashSplit(docs, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      val pairs = TextDedup.minhashLshPairsPortable(docs, "text", "doc_id",
+        n = 3, k = 16, bands = 4, threshold = 0.5)
+      TextQuality.leakedDocs(assigned, "doc_id", "split",
+        pairs, "doc_a", "doc_b", targetSplit = "test")
+    }),
     "q_threshold_sweep" -> ((s, d) => {
       // gate-calibration sweep: for each candidate length floor, the
       // doc count and token mass a `n_tokens >= t` gate keeps — ONE
@@ -2014,6 +2026,39 @@ object SparkEntry {
          |SELECT split_a, split_b, n_pairs, n_docs
          |FROM cells JOIN dd USING (split_a, split_b)
          |ORDER BY split_a, split_b""".stripMargin,
+    "q_leaked_docs" ->
+      // same LSH + assignment CTEs, un-canonicalized endpoint splits;
+      // a doc leaks once per cross-split partner, from either side
+      s"""WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_distinct(
+         |  [ws[i]||'_'||ws[i+1]||'_'||ws[i+2] for i in range(1, len(ws)-1)])) AS s FROM w),
+         |ab AS (SELECT doc_id,
+         |  ('0x' || substr(md5(s), 1, 12))::BIGINT AS a,
+         |  ('0x' || substr(md5(s), 13, 12))::BIGINT AS b FROM sh),
+         |sig AS (SELECT doc_id,
+         |  [${(0 until 16).map(i => s"min(a + $i*b)").mkString(", ")}] AS sig
+         | FROM ab GROUP BY doc_id),
+         |bd AS (SELECT doc_id, sig, band,
+         |  md5(array_to_string(list_slice(sig, band*4+1, band*4+4), '|')) AS bucket
+         | FROM sig, (SELECT unnest(range(0, 4)) AS band) bands),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  a.sig AS sig_a, b.sig AS sig_b
+         | FROM bd a JOIN bd b ON a.band = b.band AND a.bucket = b.bucket
+         |  AND a.doc_id < b.doc_id),
+         |lshp AS (SELECT doc_a, doc_b FROM cand
+         | WHERE CAST(len(list_filter(list_zip(sig_a, sig_b), x -> x[1] = x[2])) AS DOUBLE) / 16 >= 0.5),
+         |asg AS (SELECT doc_id,
+         |  CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '${TextFunctions.md5SampleThreshold(0.8)}' THEN 'train'
+         |       WHEN md5(CAST(doc_id AS VARCHAR)) < '${TextFunctions.md5SampleThreshold(0.9)}' THEN 'val'
+         |       ELSE 'test' END AS split
+         | FROM documents),
+         |px AS (SELECT p.doc_a, p.doc_b, x.split AS sa, y.split AS sb
+         | FROM lshp p JOIN asg x ON p.doc_a = x.doc_id JOIN asg y ON p.doc_b = y.doc_id),
+         |hits AS (SELECT doc_a AS doc FROM px WHERE sa = 'test' AND sb <> 'test'
+         | UNION ALL SELECT doc_b FROM px WHERE sb = 'test' AND sa <> 'test')
+         |SELECT doc, CAST(count(*) AS BIGINT) AS n_cross_pairs
+         |FROM hits GROUP BY doc
+         |ORDER BY doc""".stripMargin,
     "q_threshold_sweep" ->
       // naive corpus x grid replay of the binned suffix-sum sweep;
       // fractions are single BIGINT-over-BIGINT IEEE divisions
