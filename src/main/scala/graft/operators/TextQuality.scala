@@ -492,17 +492,31 @@ object TextQuality {
       array(ts.map(t => (col(scoreCol) >= lit(t)).cast("int")): _*),
       x => x === 1))
     val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
+    // sentinel empty top bin: every threshold's suffix range is
+    // non-empty (unreachable cutoffs read kept=0 off it), and totals
+    // come from an unbounded window over the SAME grid-sized aggregate
+    // — re-deriving them from `df` would scan the corpus again (plan
+    // pin: exactly one scan)
+    val sentinel = df.sparkSession.range(1)
+      .select(lit(ts.size).as("_bin"), lit(0L).as("_n"), lit(0L).as("_wsum"))
     val perBin = df.select(bin.as("_bin"), w.as("_w"))
       .groupBy("_bin")
-      .agg(count(lit(1)).as("_n"), sum(col("_w")).as("_wsum"))
-    // grid-sized from here on: |bins| <= |thresholds|+1
-    val total = perBin.agg(sum(col("_n")).as("_tn"), sum(col("_wsum")).as("_tw"))
+      .agg(count(lit(1)).as("_n"), sum(coalesce(col("_w"), lit(0L))).as("_wsum"))
+      .unionByName(sentinel)
+      .groupBy("_bin")
+      .agg(sum(col("_n")).as("_n"), sum(col("_wsum")).as("_wsum"))
+    // grid-sized from here on: |bins| <= |thresholds|+2
+    val unb = org.apache.spark.sql.expressions.Window.unboundedPreceding
     val win = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_bin").desc).rowsBetween(unb, 0)
+    val winAll = org.apache.spark.sql.expressions.Window
       .orderBy(col("_bin").desc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      .rowsBetween(unb, org.apache.spark.sql.expressions.Window.unboundedFollowing)
     val suffix = perBin
       .withColumn("_kept_n", sum(col("_n")).over(win))
       .withColumn("_kept_w", sum(col("_wsum")).over(win))
+      .withColumn("_tn", sum(col("_n")).over(winAll))
+      .withColumn("_tw", sum(col("_wsum")).over(winAll))
     val grid = df.sparkSession.createDataFrame(
       java.util.Arrays.asList(ts.zipWithIndex.map { case (t, i) =>
         org.apache.spark.sql.Row(t, i + 1) }: _*),
@@ -512,18 +526,19 @@ object TextQuality {
         org.apache.spark.sql.types.StructField("_minbin",
           org.apache.spark.sql.types.IntegerType, nullable = false))))
     // kept at threshold i = suffix sum over bins >= i, read off at the
-    // SMALLEST such bin (min_by); a threshold no row reaches has no
-    // such bin -> kept 0
+    // SMALLEST such bin (min_by); the sentinel guarantees a match
     grid.join(suffix, suffix("_bin") >= grid("_minbin"), "left")
       .groupBy(col("threshold"))
-      .agg(coalesce(min_by(col("_kept_n"), col("_bin")), lit(0L)).as("n_kept"),
-        coalesce(min_by(col("_kept_w"), col("_bin")), lit(0L)).as("w_kept"))
-      .crossJoin(broadcast(total))
+      .agg(min_by(col("_kept_n"), col("_bin")).as("n_kept"),
+        min_by(col("_kept_w"), col("_bin")).as("w_kept"),
+        max(col("_tn")).as("_tn"), max(col("_tw")).as("_tw"))
       .select(col("threshold"),
         col("n_kept"),
-        (col("n_kept").cast("double") / col("_tn").cast("double")).as("frac_kept"),
+        when(col("_tn") > 0,
+          col("n_kept").cast("double") / col("_tn").cast("double")).as("frac_kept"),
         col("w_kept"),
-        (col("w_kept").cast("double") / col("_tw").cast("double")).as("w_frac_kept"))
+        when(col("_tw") > 0,
+          col("w_kept").cast("double") / col("_tw").cast("double")).as("w_frac_kept"))
       .orderBy("threshold")
   }
 

@@ -512,4 +512,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(bucketed.collect().toSeq == plain.collect().toSeq,
       "bucketed layout changed the query result")
   }
+
+  test("q_threshold_sweep: ONE corpus scan — grid binning map-side, window only over the grid-sized aggregate") {
+    val p = plan(q("q_threshold_sweep"))
+    // the naive forms this operator exists to avoid would show here as
+    // one scan per threshold (6) or a corpus x grid cross join
+    assert("Location: InMemoryFileIndex".r.findAllIn(p).size == 1,
+      s"corpus scanned more than once:\n$p")
+    assert(!p.contains("CartesianProduct"), "corpus x grid cross join")
+    assert(p.contains("ReadSchema: struct<text:string>"),
+      "scan reads columns beyond text")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "bin aggregate lost its map-side partial half")
+  }
+
+  test("q_split_leakage / q_leaked_docs: banded pair stage, no cartesian, pruned corpus scans") {
+    for (name <- Seq("q_split_leakage", "q_leaked_docs")) {
+      val p = plan(q(name))
+      assert(!p.contains("CartesianProduct"), s"$name went all-pairs:\n$p")
+      // every corpus read is doc_id and/or text only — the audit never
+      // drags unrelated document columns through the LSH shuffle
+      val schemas = "ReadSchema: struct<[^>]*>".r.findAllIn(p).toList
+      assert(schemas.nonEmpty && schemas.forall(s =>
+        s == "ReadSchema: struct<text:string>" ||
+        s == "ReadSchema: struct<doc_id:bigint>" ||
+        s == "ReadSchema: struct<doc_id:bigint,text:string>"),
+        s"$name scan schemas not pruned: $schemas")
+    }
+  }
 }
