@@ -153,10 +153,13 @@ object TextDedup {
       .groupBy("s").agg(sort_array(collect_set(col("doc"))).as("ds"))
       .filter(size(col("ds")) > 1)
     // pair key packed into one long (doc ids < 2^32): single-word
-    // group-by key, cheaper to hash and shuffle than a two-field struct
-    val pairs = postings.select(explode(expr(
-        "flatten(transform(ds, (x, i) -> transform(slice(ds, i + 2, size(ds)), " +
-          "y -> shiftleft(x, 32) | y)))")).as("pk"))
+    // group-by key, cheaper to hash and shuffle than a two-field struct.
+    // Native expression (plans/PackedPairs): the composed
+    // flatten/transform/slice form allocated O(m²) transient arrays per
+    // posting list — measured as the 2× run-to-run swing of the exact
+    // stage at sf10
+    val pairs = postings.select(
+        explode(graft.plans.PackedPairs.pairs(col("ds"))).as("pk"))
       .groupBy("pk")
       .agg(count(lit(1)).as("common"))
       .select(shiftright(col("pk"), 32).as("doc_a"),
@@ -268,7 +271,7 @@ object TextDedup {
     * ([[crossCorpusNearDups]]) all band through here, which is what
     * makes their buckets bit-compatible.
     */
-  private def bandSigFrame(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
+  private[graft] def bandSigFrame(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
     val r = k / bands
     val bandCols = (0 until bands).map(b =>
       xxhash64(lit(b), slice(col("sig"), b * r + 1, r)))
@@ -355,8 +358,8 @@ object TextDedup {
       .dropDuplicates("new_id", "corpus_id")
     candidates
       .withColumn("est_jaccard",
-        size(filter(zip_with(col("sig_new"), col("sig_corpus"),
-          (x, y) => x === y), b => b)).cast("double") / k)
+        graft.plans.SigAgree.agree(col("sig_new"), col("sig_corpus"))
+          .cast("double") / k)
       .filter(col("est_jaccard") >= threshold)
       .select("new_id", "corpus_id", "est_jaccard")
   }
@@ -403,7 +406,7 @@ object TextDedup {
       .dropDuplicates("doc_a", "doc_b")
     candidates
       .withColumn("est_jaccard",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+        graft.plans.SigAgree.agree(col("sig_a"), col("sig_b"))
           .cast("double") / k)
       .filter(col("est_jaccard") >= threshold)
       .select("doc_a", "doc_b", "est_jaccard")
@@ -442,7 +445,7 @@ object TextDedup {
         col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
       .dropDuplicates("doc_a", "doc_b")
       .withColumn("est_jaccard",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), p => p))
+        graft.plans.SigAgree.agree(col("sig_a"), col("sig_b"))
           .cast("double") / k)
       .filter(col("est_jaccard") >= threshold)
       .select("doc_a", "doc_b", "est_jaccard")
@@ -502,8 +505,8 @@ object TextDedup {
       .select("new_id", "corpus_id", "sig_new", "sig_corpus")
       .dropDuplicates("new_id", "corpus_id")
       .withColumn("est_jaccard",
-        size(filter(zip_with(col("sig_new"), col("sig_corpus"),
-          (x, y) => x === y), b => b)).cast("double") / k)
+        graft.plans.SigAgree.agree(col("sig_new"), col("sig_corpus"))
+          .cast("double") / k)
       .filter(col("est_jaccard") >= threshold)
       .select("new_id", "corpus_id", "est_jaccard")
   }
