@@ -2061,7 +2061,13 @@ object SparkEntry {
          |ORDER BY doc""".stripMargin,
     "q_threshold_sweep" ->
       // naive corpus x grid replay of the binned suffix-sum sweep;
-      // fractions are single BIGINT-over-BIGINT IEEE divisions
+      // fractions are single BIGINT-over-BIGINT IEEE divisions.
+      // Non-empty-corpus assumption: on an EMPTY documents table the
+      // engine still emits one row per grid threshold (zero counts,
+      // null fractions — pinned by TextQualitySpec) while this oracle's
+      // GROUP BY over `t CROSS JOIN d` would return zero rows. The
+      // harness never runs the oracle on an empty table; if that ever
+      // changes, LEFT JOIN from `t` here to keep the grid.
       """WITH d AS (SELECT len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens FROM documents),
         |tot AS (SELECT CAST(count(*) AS BIGINT) AS tn, CAST(sum(n_tokens) AS BIGINT) AS tw FROM d),
         |t AS (SELECT unnest([10.0, 25.0, 50.0, 100.0, 200.0, 400.0]) AS threshold),

@@ -117,11 +117,29 @@ object BpeTrain {
     * distributed loop pays a full Spark job; use this when the vocab
     * fits the driver (it does for every real tokenizer-training corpus)
     * and [[learnMerges]] when it cannot.
+    *
+    * `maxVocab` makes "the vocab fits the driver" fail-loud instead of
+    * OOM: the collect is a `take(maxVocab + 1)` (bounded driver transfer
+    * even when the guard trips — the fetch stops as soon as the limit
+    * is exceeded, it never ships the whole oversized vocab), and one
+    * word past the cap raises with a pointer at `minFreq`. Measured
+    * anchor (SCALE.md "BPE driver-vocab bound", BpeVocabProbe): the
+    * sf10 corpus reduces 27.07M running words to 2,274 distinct — four
+    * orders of magnitude under the default cap — and real 100 TB web
+    * corpora sit at tens of millions AFTER the standard minFreq hapax
+    * cut, still inside it.
+    * Merge iteration is frequency-sum arithmetic, so take()'s partition
+    * order cannot affect the learned table (determinism spec'd).
     */
   def learnMergesLocal(docs: DataFrame, textCol: String, numMerges: Int,
-                       minFreq: Long = 1L): Seq[(String, String)] = {
-    val wf = wordFreqs(docs, textCol).filter(col("freq") >= minFreq)
-      .collect().map(r => (r.getString(0), r.getLong(1)))
+                       minFreq: Long = 1L,
+                       maxVocab: Int = 16000000): Seq[(String, String)] = {
+    val taken = wordFreqs(docs, textCol).filter(col("freq") >= minFreq)
+      .take(maxVocab + 1)
+    if (taken.length > maxVocab) throw new IllegalArgumentException(
+      s"learnMergesLocal: distinct-word vocab exceeds maxVocab=$maxVocab at minFreq=$minFreq - " +
+        "raise minFreq (hapax/noise cut) or use the distributed learnMerges")
+    val wf = taken.map(r => (r.getString(0), r.getLong(1)))
     val seqs = wf.map { case (w, f) => (w.split("").filter(_.nonEmpty), f) }
     val merges = Seq.newBuilder[(String, String)]
     var step = 0

@@ -76,27 +76,42 @@ object Joins {
   /** J7: join-key discovery — for candidate (leftCol, rightCol) pairs,
     * report the distinct-value overlap so a caller can pick the best key.
     * The reference brute-forces this with a cartesian pandas loop
-    * (Accruals Report.ipynb:234-292); here each candidate is one
-    * distinct-project + semi-join count, unioned into a report frame.
+    * (Accruals Report.ipynb:234-292).
+    *
+    * Scale shape: ONE scan per side, independent of the candidate count.
+    * Each side is unpivoted (explode over a struct array of its candidate
+    * columns, values cast to string so they share a column — string
+    * equality is how heterogeneous key discovery compares anyway, and
+    * the cast is injective for the atomic key types join discovery runs
+    * on), deduped per (column, value), and the two sides meet in a
+    * single equi-join on the value; counts group onto ≤ |candidates|
+    * cells. The previous form built one distinct + semi-join branch per
+    * candidate inside one unioned plan — C candidates cost 2C scans of
+    * inputs that at corpus scale are the widest tables in the lake.
+    * Zero-overlap candidates still get a row (overlap = 0) via the
+    * left join from the literal candidate frame.
     */
   def keyOverlapReport(left: DataFrame, right: DataFrame,
                        candidates: Seq[(String, String)]): DataFrame = {
-    val frames = candidates.map { case (lc, rc) =>
-      // cast to string only when the candidate columns' types differ —
-      // the cast exists to make heterogeneous keys comparable, and for
-      // same-type keys it would just block pushdown and cost per-row work
-      val sameType = left.schema(lc).dataType == right.schema(rc).dataType
-      def side(df: DataFrame, c: String) = {
-        val v = if (sameType) col(c) else col(c).cast("string")
-        df.select(v.as("v")).na.drop().distinct()
-      }
-      val lv = side(left, lc)
-      val rv = side(right, rc)
-      lv.join(rv, Seq("v"), "left_semi")
-        .agg(count(lit(1)).as("overlap"))
-        .select(lit(lc).as("left_col"), lit(rc).as("right_col"), col("overlap"))
-    }
-    frames.reduce(_ unionByName _)
+    def unpivot(df: DataFrame, cols: Seq[String], tag: String) =
+      df.select(explode(array(cols.map(c =>
+          struct(lit(c).as("c"), col(c).cast("string").as("v"))): _*)).as("x"))
+        .select(col("x.c").as(tag), col("x.v").as("v"))
+        .na.drop(Seq("v"))
+        .distinct()
+    val lv = unpivot(left, candidates.map(_._1).distinct, "left_col")
+    val rv = unpivot(right, candidates.map(_._2).distinct, "right_col")
+    // values shared by a (left column, right column) cell; non-candidate
+    // cells are joined away below
+    val counts = lv.join(rv, Seq("v"))
+      .groupBy(col("left_col"), col("right_col"))
+      .agg(count(lit(1)).as("n"))
+    val spark = left.sparkSession
+    import spark.implicits._
+    val cand = candidates.toDF("left_col", "right_col")
+    cand.join(counts, Seq("left_col", "right_col"), "left")
+      .select(col("left_col"), col("right_col"),
+        coalesce(col("n"), lit(0L)).as("overlap"))
   }
 
   /** J8: union of heterogeneous tables on their common columns

@@ -571,13 +571,15 @@ object TextQuality {
       .select(col("_a"), col("_b"),
         least(col("_sa"), col("_sb")).as("split_a"),
         greatest(col("_sa"), col("_sb")).as("split_b"))
-    val cells = joined.groupBy("split_a", "split_b")
-      .agg(count(lit(1)).as("n_pairs"))
-    val docs = joined.select(col("split_a"), col("split_b"),
+    // One pass over the joined pairs: exploding both endpoints gives
+    // exactly 2 rows per pair, so n_pairs = rows/2 and n_docs =
+    // count_distinct in the SAME aggregate — the candidate self-join and
+    // both split equi-joins above execute once, not once per metric.
+    joined.select(col("split_a"), col("split_b"),
         explode(array(col("_a"), col("_b"))).as("_doc"))
       .groupBy("split_a", "split_b")
-      .agg(count_distinct(col("_doc")).as("n_docs"))
-    cells.join(docs, Seq("split_a", "split_b"))
+      .agg((count(lit(1)) / 2).cast("long").as("n_pairs"),
+        count_distinct(col("_doc")).as("n_docs"))
       .orderBy("split_a", "split_b")
   }
 

@@ -31,9 +31,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * never emits null); if one does appear the expression returns NULL
   * rather than a corrupt packing. Ids must fit unsigned 32 bits, as in
   * the composed form (packing is the caller's contract, unchanged).
-  * A single list longer than 2^16 entries (≥ ~2G pairs) fails loudly
+  * A single list longer than `MaxList` (23170) entries fails loudly
   * with a pointer at `maxPostings` instead of attempting the
-  * allocation the composed form would also have died on.
+  * allocation the composed form would also have died on. The cap is
+  * the `UnsafeArrayData.fromPrimitiveArray` byte ceiling (~268M
+  * longs): 23170 * 23169 / 2 = 268,413,365 pairs is the largest pair
+  * array that encoder accepts, so the IllegalArgumentException below
+  * is the failure mode for EVERY oversized list — not an Int overflow
+  * (m*(m-1)/2 computed in int would go negative past m = 46341) and
+  * not an opaque encoder error.
   */
 case class PackedPairs(child: Expression) extends UnaryExpression {
 
@@ -52,7 +58,7 @@ case class PackedPairs(child: Expression) extends UnaryExpression {
     if (m > PackedPairs.MaxList) throw new IllegalArgumentException(PackedPairs.TooHot)
     var i = 0
     while (i < m) { if (xs.isNullAt(i)) return null; i += 1 }
-    val out = new Array[Long](m * (m - 1) / 2)
+    val out = new Array[Long]((m.toLong * (m - 1) / 2).toInt)
     var p = 0
     i = 0
     while (i < m) {
@@ -81,7 +87,7 @@ case class PackedPairs(child: Expression) extends UnaryExpression {
          |  if ($x.isNullAt($i)) { ${ev.isNull} = true; break; }
          |}
          |if (!${ev.isNull}) {
-         |  final long[] $out = new long[$m * ($m - 1) / 2];
+         |  final long[] $out = new long[(int) ((long) $m * ($m - 1) / 2)];
          |  int $p = 0;
          |  for (int $i = 0; $i < $m; $i++) {
          |    final long $hi = $x.getLong($i) << 32;
@@ -101,9 +107,15 @@ case class PackedPairs(child: Expression) extends UnaryExpression {
 }
 
 object PackedPairs {
-  private[plans] val MaxList = 1 << 16
+  // Largest m whose pair count m(m-1)/2 fits UnsafeArrayData.fromPrimitiveArray's
+  // ~268M-long byte ceiling; beyond this the encoder (not the allocation) is the
+  // binding limit, so the guard must trip first to keep the error actionable.
+  private[plans] val MaxList = 23170
   private[plans] val TooHot =
-    "posting list exceeds 65536 entries - cap it with maxPostings before pair emission"
+    "posting list exceeds 23170 entries - cap it with maxPostings before pair emission"
+
+  /** The guard ceiling, exposed for specs and for callers sizing `maxPostings`. */
+  def maxListSize: Int = MaxList
 
   /** Column-level entry: wraps the expression directly (no registry). */
   def pairs(ds: Column): Column =

@@ -139,6 +139,27 @@ class BpeSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("maxVocab guard trips loudly before collecting an oversized vocab; result is take()-order-insensitive") {
+    val texts = Seq("low low low lower lower lowest",
+      "aaa aaa aaab abab abab", "newest newest widest b a")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    // the fixture holds 10 distinct words: a cap of 9 must trip with the
+    // actionable minFreq pointer, never an OOM-shaped failure
+    val ex = intercept[IllegalArgumentException] {
+      BpeTrain.learnMergesLocal(docs, "text", 10, maxVocab = 9)
+    }
+    assert(ex.getMessage.contains("minFreq") && ex.getMessage.contains("maxVocab=9"))
+    // cap exactly at the vocab size passes and learns the identical table
+    // (take() vs collect() partition-order differences cannot matter:
+    // pair counting sums frequencies, argmax is a total order)
+    assert(BpeTrain.learnMergesLocal(docs, "text", 10, maxVocab = 10) ==
+      BpeTrain.learnMergesLocal(docs, "text", 10))
+    // minFreq is the documented remedy: the hapax cut (4 words survive
+    // freq >= 2) brings the same corpus back under the 9-word cap
+    assert(BpeTrain.learnMergesLocal(docs, "text", 10, minFreq = 2L, maxVocab = 9) ==
+      BpeTrain.learnMergesLocal(docs, "text", 10, minFreq = 2L))
+  }
+
   test("production regime: >=256-rule table trains and encodes through the mapPartitions path") {
     // the driver corpus's 31-word vocab ceilings at 89 merges, so the
     // 256+-rule regime real tokenizers run in is proven here on a wider

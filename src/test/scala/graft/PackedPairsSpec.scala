@@ -37,6 +37,7 @@ class PackedPairsSpec extends SparkSpec {
     val wholestage = lists.select(col("id"), expr0).collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    val prevFactory = spark.conf.get("spark.sql.codegen.factoryMode")
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
     spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
     try {
@@ -45,8 +46,24 @@ class PackedPairsSpec extends SparkSpec {
       assert(wholestage == interpreted)
     } finally {
       spark.conf.set("spark.sql.codegen.wholeStage", prev)
-      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      spark.conf.set("spark.sql.codegen.factoryMode", prevFactory)
     }
+  }
+
+  test("oversized posting list fails loudly at the MaxList guard, not the encoder") {
+    // MaxList (23170) is the largest m whose m(m-1)/2 pair array fits
+    // UnsafeArrayData.fromPrimitiveArray; 23171 must hit the guard's
+    // actionable message, not an Int-overflow NegativeArraySizeException
+    // (m*(m-1)/2 in int goes negative past m = 46341) or an encoder error.
+    val big = spark.range(1).select(
+      sequence(lit(1L), lit(PackedPairs.maxListSize + 1L)).as("ds"))
+    val ex = intercept[Exception] {
+      big.select(PackedPairs.pairs(col("ds"))).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8).toSeq
+    assert(chain(ex).exists(c => c.isInstanceOf[IllegalArgumentException] &&
+      c.getMessage.contains("maxPostings")), s"got: $ex")
   }
 
   test("null list and null element yield NULL; wrong type rejected") {

@@ -526,6 +526,18 @@ class PlanAuditSpec extends SparkSpec {
       "bin aggregate lost its map-side partial half")
   }
 
+  test("q_j7_key_discovery: one scan per side per report — candidate count adds no scans") {
+    // keyOverlapReport unpivots each side once; C candidates must cost 2
+    // scans, not 2C. q_j7 unions two reports over (customer, orders) with
+    // 2 candidates and (orders, lineitem) with 1 → exactly 4 table scans.
+    // The pre-round-11 per-candidate form showed 6 here (and 2C in
+    // general — a C-candidate discovery over the lake's widest tables).
+    val p = plan(q("q_j7_key_discovery"))
+    val scans = "Location: InMemoryFileIndex".r.findAllIn(p).size
+    assert(scans == 4, s"expected 4 table scans (2 per report), got $scans:\n$p")
+    assert(!p.contains("CartesianProduct"), "discovery went all-pairs")
+  }
+
   test("q_split_leakage / q_leaked_docs: banded pair stage, no cartesian, pruned corpus scans") {
     for (name <- Seq("q_split_leakage", "q_leaked_docs")) {
       val p = plan(q(name))

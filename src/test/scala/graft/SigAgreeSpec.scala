@@ -36,6 +36,7 @@ class SigAgreeSpec extends SparkSpec {
     val wholestage = sigs.select(col("id"), expr).collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    val prevFactory = spark.conf.get("spark.sql.codegen.factoryMode")
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
     spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
     try {
@@ -44,7 +45,7 @@ class SigAgreeSpec extends SparkSpec {
       assert(wholestage == interpreted)
     } finally {
       spark.conf.set("spark.sql.codegen.wholeStage", prev)
-      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      spark.conf.set("spark.sql.codegen.factoryMode", prevFactory)
     }
   }
 
