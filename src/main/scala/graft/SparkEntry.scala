@@ -927,6 +927,21 @@ object SparkEntry {
         "score", Seq(10.0, 25.0, 50.0, 100.0, 200.0, 400.0),
         weightCol = Some("n_tokens"))
     }),
+    "q_calibrated_gate" -> ((s, d) => {
+      // the sweep's decision APPLIED: choose the strictest length floor
+      // still keeping >= 50% of docs, gate the corpus with it — one
+      // declared plan (sweep scan + gate scan joined by a 1-row
+      // broadcast cutoff), the composition a curation run executes
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
+        .withColumn("score", col("n_tokens").cast("double"))
+      TextQuality.calibratedGate(docs, "score",
+          Seq(10.0, 25.0, 50.0, 100.0, 200.0, 400.0), minFracKept = 0.5,
+          weightCol = Some("n_tokens"))
+        .select(col("doc_id"), col("n_tokens"), col("cut"))
+        .orderBy("doc_id")
+    }),
     "q_pii_scan" -> ((s, d) => {
       // PII redaction audit: deterministic synthetic PII (emails, a
       // phone, long digit runs) is injected IN-QUERY so both engines
@@ -2081,6 +2096,23 @@ object SparkEntry {
         | CAST(w_kept AS DOUBLE) / CAST(tw AS DOUBLE) AS w_frac_kept
         |FROM k CROSS JOIN tot
         |ORDER BY threshold""".stripMargin,
+    "q_calibrated_gate" ->
+      // the sweep replay picks the strictest threshold with
+      // frac_kept >= 0.5 (loosest as the infeasible-target fallback),
+      // then the gate filter applies it — same IEEE BIGINT/BIGINT
+      // division as the engine's frac_kept comparison
+      """WITH d AS (SELECT doc_id, CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens FROM documents),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS tn FROM d),
+        |t AS (SELECT unnest([10.0, 25.0, 50.0, 100.0, 200.0, 400.0]) AS threshold),
+        |k AS (SELECT t.threshold AS threshold,
+        |  CAST(count(CASE WHEN d.n_tokens >= t.threshold THEN 1 END) AS BIGINT) AS n_kept
+        | FROM t CROSS JOIN d GROUP BY t.threshold),
+        |cut AS (SELECT coalesce(
+        |   max(CASE WHEN CAST(n_kept AS DOUBLE) / CAST(tn AS DOUBLE) >= 0.5 THEN threshold END),
+        |   min(threshold)) AS cut FROM k CROSS JOIN tot)
+        |SELECT d.doc_id, d.n_tokens, cut.cut AS cut
+        |FROM d CROSS JOIN cut WHERE CAST(d.n_tokens AS DOUBLE) >= cut.cut
+        |ORDER BY d.doc_id""".stripMargin,
     "q_sample_strat" ->
       // identical md5-hex threshold literal as md5SampleFilter(_, 0.2):
       // lowercase hex compares lexicographically = numerically in both

@@ -542,6 +542,40 @@ object TextQuality {
       .orderBy("threshold")
   }
 
+  /** Calibrate-then-gate: the composition a real curation run executes —
+    * [[thresholdSweep]] measures what each candidate cutoff would keep,
+    * the STRICTEST grid threshold whose kept-fraction still meets
+    * `minFracKept` is chosen, and a `score >= cutoff` gate applies it —
+    * all declared as ONE plan (no driver round-trip between the
+    * calibration and the gate; the chosen cutoff flows through a 1-row
+    * broadcast). If even the loosest grid threshold keeps less than the
+    * target, that loosest threshold applies (the closest achievable
+    * gate) — never a silently-empty result from an infeasible target.
+    *
+    * Output: the kept rows plus a `cut` column carrying the threshold
+    * that was applied, so the decision is visible in the result, not
+    * just in logs. Rows with a null score are dropped by any cutoff,
+    * matching [[thresholdSweep]]'s accounting.
+    *
+    * Scale shape: exactly TWO corpus scans — one for the sweep (binned,
+    * partial-aggregated, grid-sized from there on), one for the gate —
+    * joined by a broadcast of the 1-row cutoff; the gate join is a
+    * BroadcastNestedLoopJoin against one row, i.e. a filter. Plan pinned
+    * (PlanAuditSpec): 2 scans, no cartesian wider than the 1-row
+    * broadcast, partial aggregation intact.
+    */
+  def calibratedGate(df: DataFrame, scoreCol: String, thresholds: Seq[Double],
+                     minFracKept: Double,
+                     weightCol: Option[String] = None): DataFrame = {
+    require(minFracKept > 0.0 && minFracKept <= 1.0,
+      s"calibratedGate: minFracKept must be in (0, 1], got $minFracKept")
+    val sweep = thresholdSweep(df, scoreCol, thresholds, weightCol)
+    val cut = sweep.agg(coalesce(
+      max(when(col("frac_kept") >= minFracKept, col("threshold"))),
+      min(col("threshold"))).as("cut"))
+    df.join(broadcast(cut), col(scoreCol) >= col("cut"))
+  }
+
   /** Near-dup split-leakage report: given a per-document split
     * assignment (`hashSplit`'s output shape) and a near-dup pair frame
     * (any of the LSH/exact pair operators), count the pairs whose

@@ -526,6 +526,20 @@ class PlanAuditSpec extends SparkSpec {
       "bin aggregate lost its map-side partial half")
   }
 
+  test("q_calibrated_gate: sweep scan + gate scan only, cutoff reaches the gate as a 1-row broadcast") {
+    val p = plan(q("q_calibrated_gate"))
+    // exactly 2 corpus scans: one feeds the grid-binned sweep, one is
+    // gated; a regression to per-threshold scans or a corpus x grid
+    // cross join shows up as extra locations / a wide CartesianProduct
+    assert("Location: InMemoryFileIndex".r.findAllIn(p).size == 2,
+      s"expected 2 corpus scans (sweep + gate), got:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "chosen cutoff is not broadcast to the gate")
+    assert(!p.contains("CartesianProduct"), "corpus-sized cartesian in the gate")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "sweep bin aggregate lost its map-side partial half")
+  }
+
   test("q_j7_key_discovery: one scan per side per report — candidate count adds no scans") {
     // keyOverlapReport unpivots each side once; C candidates must cost 2
     // scans, not 2C. q_j7 unions two reports over (customer, orders) with

@@ -50,6 +50,27 @@ class TextQualitySpec extends SparkSpec {
     assert(got.forall(r => r.isNullAt(2) && r.isNullAt(4))) // 0-of-nothing: fraction undefined
   }
 
+  test("calibratedGate: strictest feasible cutoff applies; infeasible target falls back to loosest; empty stays empty") {
+    // scores 5,15,30,120 + one null. Grid (10,25,50): frac_kept = 3/5,
+    // 2/5, 1/5 — target 0.4 picks 25 (strictest with frac >= 0.4)
+    val df = Seq(Some(5.0), Some(15.0), Some(30.0), Some(120.0), None)
+      .toDF("score")
+    val kept = TextQuality.calibratedGate(df, "score", Seq(10.0, 25.0, 50.0), 0.4)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).sortBy(_._1)
+    assert(kept.toSeq == Seq((30.0, 25.0), (120.0, 25.0))) // null score gated out
+    // target 0.9 is infeasible on this grid (max frac is 3/5): the
+    // loosest threshold (10) applies rather than an empty result
+    val fb = TextQuality.calibratedGate(df, "score", Seq(10.0, 25.0, 50.0), 0.9)
+      .collect().map(_.getDouble(0)).sorted
+    assert(fb.toSeq == Seq(15.0, 30.0, 120.0))
+    // empty input: empty output, no null-cut explosion
+    assert(TextQuality.calibratedGate(Seq.empty[Double].toDF("score"),
+      "score", Seq(10.0), 0.5).count() == 0)
+    intercept[IllegalArgumentException] {
+      TextQuality.calibratedGate(df, "score", Seq(10.0), 0.0)
+    }
+  }
+
   test("sampleKPerGroup: exact quotas, small groups whole, deterministic") {
     import graft.operators.TextQuality
     val rows = ((1 to 30).map(i => (i.toLong, "big")) ++
