@@ -800,6 +800,19 @@ object SparkEntry {
         "doc_a", "doc_b")
         .orderBy("doc_id")
     }),
+    "q_dedup_clusters_sampled" -> ((s, d) => {
+      // the sf10 gate form of q_dedup_clusters: the exact quadratic
+      // pair stage runs only on the md5 quarter-sample (the full-exact
+      // form is the measured JIT-band swinger at 100×); full-corpus CC
+      // at scale stays exercised by the gate's q_curate_lsh_md5, whose
+      // pair stage is the banded production path
+      val docs = Tables.documents(s, d)
+        .filter(TextFunctions.md5SampleFilter(col("doc_id"), 0.25))
+      Graph.dedupClusters(docs, "doc_id",
+        TextDedup.jaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.8),
+        "doc_a", "doc_b")
+        .orderBy("doc_id")
+    }),
     "q_cluster_rollup" -> ((s, d) => {
       // evidence-preserving dedup: each near-dup cluster keeps ONE doc
       // but the rollup attaches the whole cluster's signals to it —
@@ -1073,6 +1086,16 @@ object SparkEntry {
       TextDedup.minhashVsExactReport(Tables.documents(s, d), "text", "doc_id",
         n = 3, k = 32, bands = 8, threshold = 0.5,
         minRecall = 0.9, minPrecision = 0.9)),
+    "q_minhash_pairs_sampled" -> ((s, d) =>
+      // the 100 TB form of the q_minhash_pairs verdict: exact-Jaccard
+      // truth on a deterministic md5 quarter-sample (pair population
+      // 1/16th), fast-path LSH still over the WHOLE corpus, confusion
+      // matrix on the sampled subpopulation (unbiased per-pair — see
+      // minhashVsExactSampledReport). This is the sf10 gate's query;
+      // the full-exact q_minhash_pairs stays on the oracle gates.
+      TextDedup.minhashVsExactSampledReport(Tables.documents(s, d), "text", "doc_id",
+        n = 3, k = 32, bands = 8, threshold = 0.5,
+        minRecall = 0.9, minPrecision = 0.9, sampleFrac = 0.25)),
     "q_minhash_pairs_md5" -> ((s, d) =>
       // the engine-portable LSH twin: md5 hash family, every stage
       // (shingle → signature minima → banding → verify) DuckDB-oracled
@@ -1468,6 +1491,16 @@ object SparkEntry {
       // difference of the portable one (measured 0 at both test SFs).
       graft.pipelines.CorpusCuration.curateAgreementReport(
         Tables.documents(s, d), "text", "doc_id")),
+    "q_curate_lsh_sampled" -> ((s, d) =>
+      // the 100 TB form of the q_curate_lsh verdict: BOTH curation
+      // paths over a deterministic md5 quarter-sample (kept sets are
+      // whole-corpus-clustering-dependent, so the sound sampled
+      // comparison runs both paths on the same subcorpus — see
+      // curateAgreementSampledReport). The sf10 gate runs this plus
+      // q_curate_lsh_md5 (full-corpus portable fast path); the
+      // full-exact q_curate_lsh stays on the oracle gates.
+      graft.pipelines.CorpusCuration.curateAgreementSampledReport(
+        Tables.documents(s, d), "text", "doc_id", sampleFrac = 0.25)),
     "q_curate_lsh_md5" -> ((s, d) =>
       // the SAME 100 TB curation composition with the portable LSH pair
       // stage — every phase (LSH pairs → transitive closure →
@@ -1726,8 +1759,15 @@ object SparkEntry {
     * pieces. Shared between q_curate_full (row-for-row) and
     * q_curate_lsh (kept count inside its agreement verdict).
     */
-  private val curateFullSql: String =
-    """WITH RECURSIVE w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+  /** The md5-sampled documents subquery both sampled-verdict oracles
+    * read from — the exact SQL twin of
+    * `TextFunctions.md5SampleFilter(col("doc_id"), 0.25)`.
+    */
+  private def sampledDocsSrc(rate: Double): String =
+    s"(SELECT doc_id, text FROM documents WHERE md5(CAST(doc_id AS VARCHAR)) < '${graft.functions.TextFunctions.md5SampleThreshold(rate)}')"
+
+  private def curateFullSqlOver(src: String): String =
+    s"""WITH RECURSIVE w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM $src),
       |sh AS (SELECT doc_id, unnest(list_distinct([ws[i]||'_'||ws[i+1]||'_'||ws[i+2] for i in range(1, len(ws)-1)])) AS s FROM w),
       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
       |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
@@ -1752,6 +1792,8 @@ object SparkEntry {
       |WHERE COALESCE(c.comp, r.doc_id) = r.doc_id
       | AND r.n_tokens >= 25 AND r.dup_token_frac <= 0.65 AND r.top_ngram_frac <= 0.15
       |ORDER BY doc_id""".stripMargin
+
+  private val curateFullSql: String = curateFullSqlOver("documents")
 
   /** q_curate_full's CC + repetition-gate oracle with the pair stage
     * swapped for the portable-LSH CTEs of q_minhash_pairs_md5 —
@@ -2906,6 +2948,31 @@ object SparkEntry {
         | COALESCE(c.comp, d.doc_id) = d.doc_id AS is_canonical
         |FROM documents d LEFT JOIN comps c ON d.doc_id = c.node
         |ORDER BY doc_id""".stripMargin,
+    "q_dedup_clusters_sampled" ->
+      // the q_dedup_clusters CTEs over the md5 quarter-sample — the
+      // sf10 gate form (the full exact pair stage is the known JIT-band
+      // swinger at 100×; full-exact stays on the oracle gates)
+      s"""WITH RECURSIVE docs_s AS (SELECT doc_id, text FROM documents WHERE md5(CAST(doc_id AS VARCHAR)) < '${graft.functions.TextFunctions.md5SampleThreshold(0.25)}'),
+        |w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM docs_s),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |  [ws[i]||'_'||ws[i+1]||'_'||ws[i+2] for i in range(1, len(ws)-1)])) AS s FROM w),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        | FROM sh a JOIN sh b ON a.s=b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT doc_a, doc_b FROM cand
+        | JOIN sizes sa ON doc_a=sa.doc_id JOIN sizes sb ON doc_b=sb.doc_id
+        | WHERE CAST(common AS DOUBLE)/(sa.sz + sb.sz - common) >= 0.8),
+        |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+        | UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(node, comp) AS (
+        | SELECT u, u FROM edges
+        | UNION
+        | SELECT e.u, r.comp FROM edges e JOIN reach r ON e.v = r.node),
+        |comps AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node)
+        |SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cluster_id,
+        | COALESCE(c.comp, d.doc_id) = d.doc_id AS is_canonical
+        |FROM docs_s d LEFT JOIN comps c ON d.doc_id = c.node
+        |ORDER BY doc_id""".stripMargin,
     "q_cluster_rollup" ->
       // reachability CTE + per-cluster aggregate joined to the min-id
       // canonical row
@@ -3474,6 +3541,23 @@ object SparkEntry {
         | WHERE CAST(common AS DOUBLE)/(sa.sz + sb.sz - common) >= 0.5)
         |SELECT count(*) AS n_exact, true AS recall_ok, true AS precision_ok
         |FROM exact""".stripMargin,
+    "q_minhash_pairs_sampled" ->
+      // the q_minhash_pairs CTEs over the md5 quarter-sample — the
+      // sampled truth count is md5-deterministic, so the 100 TB gate
+      // query is itself oracle-exact; verdict booleans asserted
+      // in-engine (full-corpus LSH restricted to sampled endpoints
+      // equals LSH-on-the-sample: pairwise property)
+      s"""WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM ${sampledDocsSrc(0.25)}),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |  [ws[i]||'_'||ws[i+1]||'_'||ws[i+2] for i in range(1, len(ws)-1)])) AS s FROM w),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        | FROM sh a JOIN sh b ON a.s=b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |exact AS (SELECT doc_a
+        | FROM cand JOIN sizes sa ON doc_a=sa.doc_id JOIN sizes sb ON doc_b=sb.doc_id
+        | WHERE CAST(common AS DOUBLE)/(sa.sz + sb.sz - common) >= 0.5)
+        |SELECT count(*) AS n_exact_sampled, true AS recall_ok, true AS precision_ok
+        |FROM exact""".stripMargin,
     "q_simhash_pairs" ->
       // identical-normalized-text pair count (md5 groups, exact in any
       // engine); the hamming-0 guaranteed-recall and banded==brute
@@ -3510,6 +3594,13 @@ object SparkEntry {
       // in-engine
       s"""SELECT (SELECT count(*) FROM documents) AS n_docs,
          |  (SELECT count(*) FROM ($curateFullSql) kept) AS n_kept_exact,
+         |  true AS fast_path_agrees_ok""".stripMargin,
+    "q_curate_lsh_sampled" ->
+      // the exact curation replay over the md5 quarter-sample: kept
+      // count is md5-deterministic; the fast-vs-exact agreement boolean
+      // (both paths on the SAME subcorpus) asserted in-engine
+      s"""SELECT (SELECT count(*) FROM documents) AS n_docs,
+         |  (SELECT count(*) FROM (${curateFullSqlOver(sampledDocsSrc(0.25))}) kept) AS n_kept_exact_sampled,
          |  true AS fast_path_agrees_ok""".stripMargin,
     "q_curate_lsh_md5" -> curateLshMd5Sql,
     "q_funnel" ->

@@ -1,21 +1,31 @@
 package graft
 
-import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
-/** Streaming throughput probe: `runMain graft.StreamProbe <sfDir>
-  * [maxFilesPerTrigger]` drives the real Structured Streaming pipelines
-  * (file source → watermark → stateful op → sink) over the scale
-  * rehearsal's events table with `Trigger.AvailableNow`, reporting
-  * events/sec per pipeline. Micro-batch boundaries come from
-  * `maxFilesPerTrigger`, so the run exercises multi-batch state
-  * handling (watermark advance, timeout sweeps, state store churn),
-  * not a single monolithic batch.
+/** Streaming throughput probe AND standing gate: `runMain
+  * graft.StreamProbe <sfDir> [maxFilesPerTrigger] [minEventsPerSec]`
+  * drives the real Structured Streaming pipelines (file source →
+  * watermark → stateful op → sink) over the scale rehearsal's events
+  * table with `Trigger.AvailableNow`, reporting events/sec per
+  * pipeline. Micro-batch boundaries come from `maxFilesPerTrigger`, so
+  * the run exercises multi-batch state handling (watermark advance,
+  * timeout sweeps, state store churn), not a single monolithic batch.
+  *
+  * Gate semantics (round 11): the probe emits ONE JSON line
+  * (`{"probe":"stream_throughput",...}`) for merging into
+  * BENCH_sf10.json — the standing record the verify skill re-runs per
+  * round — and, when `minEventsPerSec` is given, FAILS LOUDLY if any
+  * pipeline drains below it, so a stream-path regression surfaces like
+  * a batch one instead of living as a one-off prose measurement.
+  * Round-7 band at sf10: 650-810k events/s; the gate floor is set at
+  * 250k — under the measured band by more than the box's ±25% ambient
+  * swing, loud on any real (2-3×) regression.
   */
 object StreamProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/repo/testdata-sf10"
     val maxFiles = if (args.length > 1) args(1).toInt else 8
+    val minRate = if (args.length > 2) args(2).toDouble else 0.0
     val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt).getOrElse(32)
     val spark = Engine.session("graft-streamprobe", cpus)
 
@@ -25,7 +35,7 @@ object StreamProbe {
     println(s"[stream] $nEvents events, maxFilesPerTrigger=$maxFiles")
 
     def drain(name: String, build: org.apache.spark.sql.DataFrame =>
-        org.apache.spark.sql.Dataset[_]): Unit = {
+        org.apache.spark.sql.Dataset[_]): (String, Double, Int) = {
       val src = spark.readStream
         .schema(schema)
         .option("maxFilesPerTrigger", maxFiles)
@@ -40,15 +50,29 @@ object StreamProbe {
       q.awaitTermination()
       val dt = (System.nanoTime() - t0) / 1e9
       val batches = q.recentProgress.length
-      println(f"[stream] $name: $dt%.1f s, ${nEvents / dt}%.0f events/s, $batches batches")
+      val rate = nEvents / dt
+      println(f"[stream] $name: $dt%.1f s, $rate%.0f events/s, $batches batches")
+      (name, rate, batches)
     }
 
-    drain("hourly_agg", df =>
-      streaming.EventStreams.hourlyByType(df, watermark = "2 hours"))
-    drain("dedup", df =>
-      streaming.EventStreams.dedupStream(df, Seq("event_id"), watermark = "2 hours"))
-    drain("sessionize_fmgws", df =>
-      streaming.EventStreams.sessionize(spark, df))
+    val rows = Seq(
+      drain("hourly_agg", df =>
+        streaming.EventStreams.hourlyByType(df, watermark = "2 hours")),
+      drain("dedup", df =>
+        streaming.EventStreams.dedupStream(df, Seq("event_id"), watermark = "2 hours")),
+      drain("sessionize_fmgws", df =>
+        streaming.EventStreams.sessionize(spark, df)))
+
+    val pipelines = rows.map { case (n, r, b) =>
+      f""""$n":{"events_per_sec":$r%.0f,"batches":$b}""" }.mkString(",")
+    println(f"""{"probe":"stream_throughput","sf_dir":"$sfDir","n_events":$nEvents,"max_files_per_trigger":$maxFiles,"min_events_per_sec_gate":$minRate%.0f,$pipelines}""")
+
+    val slow = rows.filter(_._2 < minRate)
     spark.stop()
+    if (slow.nonEmpty) {
+      System.err.println(s"[stream] GATE FAILED: ${slow.map(s =>
+        f"${s._1} ${s._2}%.0f ev/s < $minRate%.0f").mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

@@ -838,6 +838,50 @@ object TextDedup {
           col("n_hit") >= col("n_lsh") * minPrecision).as("precision_ok"))
   }
 
+  /** [[minhashVsExactReport]] with the exact-Jaccard truth twin run on a
+    * deterministic md5 document sample — the shape the verdict takes at
+    * 100 TB, where the full quadratic truth set is not computable. The
+    * LSH fast path still runs over the WHOLE corpus (it is the
+    * production stage being graded); its pair set is then restricted to
+    * pairs with both endpoints in the sample, which equals LSH-on-the-
+    * sample exactly because band-bucket membership and signature-
+    * agreement verification are pairwise properties (no corpus-global
+    * state), so the confusion matrix over the subpopulation is an
+    * unbiased per-pair estimate of corpus-wide recall/precision (each
+    * pair surveys in with probability sampleFrac², uniformly).
+    *
+    * This is what the sf10 bench gate runs (SCALE.md "Round-11 gate
+    * stabilization"): the full-exact twin stays on the sf0.01/sf0.1
+    * oracle gates where it is cheap; at 100× it was 60-90% of the
+    * query's cost and swung with JVM JIT state. The sampled count is
+    * md5-deterministic, so this report is itself oracle-checkable.
+    */
+  def minhashVsExactSampledReport(df: DataFrame, textCol: String, idCol: String,
+                                  n: Int = 3, k: Int = 32, bands: Int = 8,
+                                  threshold: Double = 0.5,
+                                  minRecall: Double = 0.9, minPrecision: Double = 0.9,
+                                  sampleFrac: Double = 0.25): DataFrame = {
+    require(sampleFrac > 0.0 && sampleFrac <= 1.0,
+      s"sampleFrac must be in (0, 1], got $sampleFrac")
+    import graft.functions.TextFunctions.md5SampleFilter
+    val sampled = df.filter(md5SampleFilter(col(idCol), sampleFrac))
+    val truth = jaccardPairs(sampled, textCol, idCol, n, threshold)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("_e"))
+    val lsh = minhashLshPairs(df, textCol, idCol, n, k, bands, threshold)
+      .filter(md5SampleFilter(col("doc_a"), sampleFrac) &&
+        md5SampleFilter(col("doc_b"), sampleFrac))
+      .select(col("doc_a"), col("doc_b"), lit(1).as("_l"))
+    truth.join(lsh, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(count(col("_e")).as("n_exact_sampled"),
+        count(col("_l")).as("n_lsh"),
+        count(when(col("_e").isNotNull && col("_l").isNotNull, 1)).as("n_hit"))
+      .select(col("n_exact_sampled"),
+        (col("n_exact_sampled") === 0 ||
+          col("n_hit") >= col("n_exact_sampled") * minRecall).as("recall_ok"),
+        (col("n_lsh") === 0 ||
+          col("n_hit") >= col("n_lsh") * minPrecision).as("precision_ok"))
+  }
+
   /** Bounded-error verdict for the xxhash64 SimHash path
     * ([[simhashPairs]]). Two portable claims replace the raw
     * (engine-specific) pair dump:

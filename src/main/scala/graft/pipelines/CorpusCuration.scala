@@ -105,6 +105,46 @@ object CorpusCuration {
           .as("fast_path_agrees_ok"))
   }
 
+  /** [[curateAgreementReport]] with BOTH curation paths run over a
+    * deterministic md5 document sample — the 100 TB form of the verdict,
+    * where the exact path's quadratic pair stage cannot run corpus-wide.
+    * Unlike the pair-level sampled report (where restricting full-corpus
+    * LSH pairs to sampled endpoints is exact), a KEPT SET depends on
+    * whole-corpus clustering — a doc's canonical status can hinge on a
+    * near-twin outside the sample — so the only sound comparison runs
+    * both paths over the SAME subcorpus: the verdict is then an exact
+    * fast-vs-exact agreement on that md5-uniform subcorpus, not an
+    * approximation with boundary artifacts. `n_docs` stays the full
+    * corpus count; `n_kept_exact_sampled` is md5-deterministic and
+    * DuckDB-oracle-checkable.
+    *
+    * This is what the sf10 bench gate runs; the full-corpus fast path
+    * is exercised at scale by its portable twin (q_curate_lsh_md5 in
+    * the same gate group), and the full-exact verdict stays on the
+    * sf0.01/sf0.1 oracle gates (SCALE.md "Round-11 gate stabilization").
+    */
+  def curateAgreementSampledReport(docs: DataFrame, textCol: String, idCol: String,
+                                   maxDisagreeFrac: Double = 0.01,
+                                   sampleFrac: Double = 0.25): DataFrame = {
+    require(sampleFrac > 0.0 && sampleFrac <= 1.0,
+      s"sampleFrac must be in (0, 1], got $sampleFrac")
+    val sample = docs.filter(
+      graft.functions.TextFunctions.md5SampleFilter(col(idCol), sampleFrac))
+    val fast = curateAtScale(sample, textCol, idCol)
+      .select(col(idCol).as("_id")).withColumn("_f", lit(1))
+    val exactKept = curate(sample, textCol, idCol)
+      .select(col(idCol).as("_id")).withColumn("_e", lit(1))
+    val agg = fast.join(exactKept, Seq("_id"), "full_outer")
+      .agg(count(col("_e")).as("n_kept_exact_sampled"),
+        count(when(col("_f").isNotNull && col("_e").isNull, 1)).as("_of"),
+        count(when(col("_e").isNotNull && col("_f").isNull, 1)).as("_oe"))
+    docs.agg(count(lit(1)).as("n_docs")).crossJoin(agg)
+      .select(col("n_docs"), col("n_kept_exact_sampled"),
+        ((col("_of") + col("_oe")) <=
+          greatest(col("n_kept_exact_sampled"), lit(1L)) * maxDisagreeFrac)
+          .as("fast_path_agrees_ok"))
+  }
+
   /** Shared tail of the at-scale curation forms: transitive-closure
     * canonical set from the (doc_a, doc_b) pair frame, then the
     * repetition gates over the survivors only.

@@ -286,6 +286,129 @@ object Sinks {
     numFiles
   }
 
+  /** Versioned table root — the manifest-swap recipe that makes
+    * [[compact]] (and any full rewrite) safe under CONCURRENT readers
+    * without a transactional table format. Layout:
+    *
+    * {{{
+    *   root/
+    *     _manifest-00000   # content: "v00000" — highest seq wins
+    *     v00000/part-... .parquet
+    *     v00001/part-... .parquet  # being written, unreferenced until its manifest lands
+    * }}}
+    *
+    * Invariants that make mid-rewrite reads safe:
+    *   - data dirs are IMMUTABLE once their manifest exists: a rewrite
+    *     always targets a fresh `v{seq}` dir, never a referenced one;
+    *   - a manifest is published by writing `.tmp-manifest-{seq}` and
+    *     renaming it to `_manifest-{seq}` — a rename to a FRESH name in
+    *     the same directory, atomic on POSIX and HDFS, so a reader
+    *     listing manifests sees the new one fully written or not at all;
+    *   - readers resolve max-seq manifest → dir at scan-set time; a
+    *     reader that resolved the OLD version keeps reading a complete,
+    *     untouched dir (old versions are retained until [[vacuumVersioned]],
+    *     whose `keep` is the reader grace window).
+    *
+    * So a read concurrent with compaction yields either the old or the
+    * new COMPLETE layout — never a partially-written or half-deleted mix.
+    * Spec: ShardsSpec "compactVersioned under a concurrent reader".
+    */
+  object Versioned {
+    private val ManifestPrefix = "_manifest-"
+
+    private def fs(spark: org.apache.spark.sql.SparkSession, root: String) =
+      new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    private def manifests(spark: org.apache.spark.sql.SparkSession,
+                          root: String): Seq[(Int, Path)] = {
+      val f = fs(spark, root)
+      val rootPath = new Path(root)
+      if (!f.exists(rootPath)) Seq.empty
+      else f.listStatus(rootPath).toSeq
+        .map(_.getPath)
+        .filter(_.getName.startsWith(ManifestPrefix))
+        .map(p => (p.getName.stripPrefix(ManifestPrefix).toInt, p))
+        .sortBy(_._1)
+    }
+
+    /** The live version's seq and data dir, from the max-seq manifest. */
+    def current(spark: org.apache.spark.sql.SparkSession,
+                root: String): Option[(Int, String)] =
+      manifests(spark, root).lastOption.map { case (seq, p) =>
+        val f = fs(spark, root)
+        val in = f.open(p)
+        val dir = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+                  finally in.close()
+        (seq, s"$root/$dir")
+      }
+
+    /** Write `df` as the next version and publish its manifest. Returns
+      * the new seq. The data write completes BEFORE the manifest rename,
+      * so the version is never referenced while partial.
+      */
+    def write(df: DataFrame, root: String): Int = {
+      val spark = df.sparkSession
+      val seq = manifests(spark, root).lastOption.map(_._1 + 1).getOrElse(0)
+      val dirName = f"v$seq%05d"
+      df.write.mode(SaveMode.ErrorIfExists).parquet(s"$root/$dirName")
+      val f = fs(spark, root)
+      val tmp = new Path(root, f".tmp-manifest-$seq%05d")
+      val out = f.create(tmp, false)
+      try out.write(dirName.getBytes("UTF-8")) finally out.close()
+      val fin = new Path(root, f"$ManifestPrefix$seq%05d")
+      if (!f.rename(tmp, fin))
+        throw new java.io.IOException(s"manifest publish failed: $tmp -> $fin")
+      seq
+    }
+
+    /** Read the live version. Scan set resolves NOW: the returned frame
+      * keeps reading this complete dir even if a newer version lands.
+      */
+    def read(spark: org.apache.spark.sql.SparkSession, root: String): DataFrame =
+      spark.read.parquet(current(spark, root)
+        .getOrElse(throw new java.io.FileNotFoundException(
+          s"no published version under $root"))._2)
+
+    /** [[Sinks.compact]] against a versioned root: compacts the live
+      * version into the next one and publishes it. Readers mid-flight
+      * stay on the old complete dir; new readers get the new one.
+      */
+    def compact(spark: org.apache.spark.sql.SparkSession, root: String,
+                targetBytes: Long = 128L << 20,
+                sortCol: Option[String] = None): Int = {
+      val (seq, dir) = current(spark, root).getOrElse(
+        throw new java.io.FileNotFoundException(s"no published version under $root"))
+      val df = spark.read.parquet(dir)
+      val nextDir = f"$root/v${seq + 1}%05d"
+      Sinks.compact(df, dir, nextDir, targetBytes, sortCol)
+      val f = fs(spark, root)
+      val tmp = new Path(root, f".tmp-manifest-${seq + 1}%05d")
+      val out = f.create(tmp, false)
+      try out.write(f"v${seq + 1}%05d".getBytes("UTF-8")) finally out.close()
+      val fin = new Path(root, f"$ManifestPrefix${seq + 1}%05d")
+      if (!f.rename(tmp, fin))
+        throw new java.io.IOException(s"manifest publish failed: $tmp -> $fin")
+      seq + 1
+    }
+
+    /** Drop all but the newest `keep` versions (dirs + manifests). `keep`
+      * is the reader grace window: never vacuum below 2 while readers may
+      * hold last-version scan sets.
+      */
+    def vacuum(spark: org.apache.spark.sql.SparkSession, root: String,
+               keep: Int = 2): Int = {
+      require(keep >= 1, "keep >= 1")
+      val ms = manifests(spark, root)
+      val f = fs(spark, root)
+      val stale = ms.dropRight(keep)
+      stale.foreach { case (seq, p) =>
+        f.delete(new Path(root, f"v$seq%05d"), true)
+        f.delete(p, false): Unit
+      }
+      stale.size
+    }
+  }
+
   /** K5: console report — formatted summary rows (the reference's primary
     * human output in DOP VP Compare.py:188-223). Small frames only.
     */

@@ -3,6 +3,7 @@ package graft
 import graft.sources.Sinks
 import org.apache.spark.sql.functions._
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 
 /** Sharded training-data writes: partition layout + pruned read-back. */
 class ShardsSpec extends SparkSpec {
@@ -166,5 +167,66 @@ class ShardsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Sinks.compact(frag, s"$dir/frag", s"$dir/frag", target)
     }
+  }
+
+  test("compactVersioned under a concurrent reader: every read is a complete layout, old or new") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("versioned").toString + "/tbl"
+    // v0: fragmented ingest, 1000 rows across 40 tiny files
+    val v0 = Sinks.Versioned.write(
+      (0L until 1000L).toDF("k").repartition(40), root)
+    assert(v0 == 0 && Sinks.Versioned.read(spark, root).count() == 1000)
+
+    // hammer reads from another thread while versions land and compaction
+    // rewrites: every observed state must be one of the COMPLETE layouts
+    // (1000 or 2000 rows with the exact sum) — never partial, never an
+    // exception from a half-written or half-deleted dir
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[(Long, Long), java.lang.Boolean]())
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() => {
+      try {
+        while (!done.get()) {
+          val agg = Sinks.Versioned.read(spark, root)
+            .agg(count(lit(1)), sum("k")).head()
+          seen.add((agg.getLong(0), agg.getLong(1))): Unit
+        }
+      } catch { case t: Throwable => failure.set(t) }
+    })
+    reader.start()
+    try {
+      // publish v1 with MORE data (so "old vs new" is observable), then
+      // compact twice — three manifest swaps racing the reader
+      Sinks.Versioned.write((0L until 2000L).toDF("k").repartition(40), root)
+      Sinks.Versioned.compact(spark, root, targetBytes = 1L << 20)
+      Sinks.Versioned.compact(spark, root, targetBytes = 1L << 20)
+    } finally {
+      done.set(true)
+      reader.join(60000)
+    }
+    assert(failure.get() == null, s"concurrent reader failed: ${failure.get()}")
+    val okStates = Set((1000L, (0L until 1000L).sum), (2000L, (0L until 2000L).sum))
+    assert(seen.size() > 0 && seen.asScala.forall(okStates),
+      s"reader observed a partial layout: ${seen.asScala.toSeq.sorted}")
+
+    // compaction actually compacted: the live dir is few files, content exact
+    val (seq, liveDir) = Sinks.Versioned.current(spark, root).get
+    assert(seq == 3)
+    val liveFiles = new java.io.File(liveDir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(liveFiles < 40, s"live version still fragmented: $liveFiles files")
+    assert(spark.read.parquet(liveDir).count() == 2000)
+
+    // old versions retained for in-flight readers until an explicit
+    // vacuum; keep=2 removes v0/v1, live + one grace version survive
+    assert(new java.io.File(s"$root/v00000").exists())
+    val removed = Sinks.Versioned.vacuum(spark, root, keep = 2)
+    assert(removed == 2)
+    assert(!new java.io.File(s"$root/v00000").exists() &&
+      !new java.io.File(s"$root/v00001").exists() &&
+      new java.io.File(s"$root/v00002").exists() &&
+      new java.io.File(s"$root/v00003").exists())
+    assert(Sinks.Versioned.read(spark, root).count() == 2000)
   }
 }
