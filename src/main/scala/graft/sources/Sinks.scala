@@ -342,6 +342,17 @@ object Sinks {
         (seq, s"$root/$dir")
       }
 
+    private def publish(spark: org.apache.spark.sql.SparkSession,
+                        root: String, seq: Int): Unit = {
+      val f = fs(spark, root)
+      val tmp = new Path(root, f".tmp-manifest-$seq%05d")
+      val out = f.create(tmp, false)
+      try out.write(f"v$seq%05d".getBytes("UTF-8")) finally out.close()
+      val fin = new Path(root, f"$ManifestPrefix$seq%05d")
+      if (!f.rename(tmp, fin))
+        throw new java.io.IOException(s"manifest publish failed: $tmp -> $fin")
+    }
+
     /** Write `df` as the next version and publish its manifest. Returns
       * the new seq. The data write completes BEFORE the manifest rename,
       * so the version is never referenced while partial.
@@ -349,15 +360,8 @@ object Sinks {
     def write(df: DataFrame, root: String): Int = {
       val spark = df.sparkSession
       val seq = manifests(spark, root).lastOption.map(_._1 + 1).getOrElse(0)
-      val dirName = f"v$seq%05d"
-      df.write.mode(SaveMode.ErrorIfExists).parquet(s"$root/$dirName")
-      val f = fs(spark, root)
-      val tmp = new Path(root, f".tmp-manifest-$seq%05d")
-      val out = f.create(tmp, false)
-      try out.write(dirName.getBytes("UTF-8")) finally out.close()
-      val fin = new Path(root, f"$ManifestPrefix$seq%05d")
-      if (!f.rename(tmp, fin))
-        throw new java.io.IOException(s"manifest publish failed: $tmp -> $fin")
+      df.write.mode(SaveMode.ErrorIfExists).parquet(f"$root/v$seq%05d")
+      publish(spark, root, seq)
       seq
     }
 
@@ -378,17 +382,30 @@ object Sinks {
                 sortCol: Option[String] = None): Int = {
       val (seq, dir) = current(spark, root).getOrElse(
         throw new java.io.FileNotFoundException(s"no published version under $root"))
-      val df = spark.read.parquet(dir)
-      val nextDir = f"$root/v${seq + 1}%05d"
-      Sinks.compact(df, dir, nextDir, targetBytes, sortCol)
-      val f = fs(spark, root)
-      val tmp = new Path(root, f".tmp-manifest-${seq + 1}%05d")
-      val out = f.create(tmp, false)
-      try out.write(f"v${seq + 1}%05d".getBytes("UTF-8")) finally out.close()
-      val fin = new Path(root, f"$ManifestPrefix${seq + 1}%05d")
-      if (!f.rename(tmp, fin))
-        throw new java.io.IOException(s"manifest publish failed: $tmp -> $fin")
+      Sinks.compact(spark.read.parquet(dir), dir, f"$root/v${seq + 1}%05d",
+        targetBytes, sortCol)
+      publish(spark, root, seq + 1)
       seq + 1
+    }
+
+    /** Publish a compacted SNAPSHOT of an external directory as this
+      * root's next version — the maintenance step that pairs with a
+      * continuously-appending sink (CorpusStream's `accepted/` accretes
+      * per-batch small files, and its documented caveat is that readers
+      * of the LIVE sink can observe a torn batch between a crash and
+      * its replay). Consumers that read through the versioned root
+      * instead see only complete, compacted snapshots: the stream keeps
+      * sole ownership of the live dir, this step copies-compacts it
+      * aside, and the manifest swap is atomic. Returns the new seq.
+      */
+    def snapshot(spark: org.apache.spark.sql.SparkSession, srcDir: String,
+                 root: String, targetBytes: Long = 128L << 20,
+                 sortCol: Option[String] = None): Int = {
+      val seq = manifests(spark, root).lastOption.map(_._1 + 1).getOrElse(0)
+      Sinks.compact(spark.read.parquet(srcDir), srcDir, f"$root/v$seq%05d",
+        targetBytes, sortCol)
+      publish(spark, root, seq)
+      seq
     }
 
     /** Drop all but the newest `keep` versions (dirs + manifests). `keep`

@@ -74,6 +74,51 @@ class CorpusStreamSpec extends SparkSpec {
     assert(indexed == Set(1L, 2L, 4L, 5L, 8L), indexed.toString)
   }
 
+  test("accepted sink -> versioned snapshot: downstream readers get complete compacted corpus states") {
+    // the maintenance composition for the documented torn-batch read
+    // caveat: the stream owns `accepted/` (per-batch small files,
+    // non-transactional partition overwrites); consumers read through a
+    // Versioned root that `snapshot` advances — complete states only
+    val docsDir = Files.createTempDirectory("cs-snap-docs").toString
+    val stateDir = Files.createTempDirectory("cs-snap-state").toString
+    val readRoot = Files.createTempDirectory("cs-snap-read").toString + "/corpus"
+
+    Seq(doc(1L, base1), doc(2L, base4))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$docsDir/d1")
+    val schema = spark.read.parquet(s"$docsDir/d1").schema
+    CorpusStream.ingest(spark, s"$docsDir/*/", schema, stateDir,
+      threshold = 0.5, maxFilesPerTrigger = 1).awaitTermination()
+    val v0 = graft.sources.Sinks.Versioned.snapshot(
+      spark, s"$stateDir/accepted", readRoot)
+    assert(v0 == 0)
+    val snap0 = graft.sources.Sinks.Versioned.read(spark, readRoot)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(snap0 == Set(1L, 2L))
+
+    // a later drop lands and is ingested; the PUBLISHED snapshot is
+    // unchanged until the next maintenance tick — readers never observe
+    // the live sink mid-append
+    Thread.sleep(30)
+    Seq(doc(3L, base1.replace("morning", "evening")),
+        doc(4L, "a genuinely novel document mentioning telescopes satellites and orbital mechanics"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$docsDir/d2")
+    CorpusStream.ingest(spark, s"$docsDir/*/", schema, stateDir,
+      threshold = 0.5, maxFilesPerTrigger = 1).awaitTermination()
+    assert(graft.sources.Sinks.Versioned.read(spark, readRoot)
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+
+    val v1 = graft.sources.Sinks.Versioned.snapshot(
+      spark, s"$stateDir/accepted", readRoot)
+    assert(v1 == 1)
+    val snap1 = graft.sources.Sinks.Versioned.read(spark, readRoot)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(snap1 == Set(1L, 2L, 4L), snap1.toString) // 3 screened as a near-dup
+    // snapshots carry the ingest_batch partition column as data, and
+    // compaction collapsed the per-batch fragments
+    assert(graft.sources.Sinks.Versioned.read(spark, readRoot)
+      .columns.contains("ingest_batch"))
+  }
+
   private def rmrf(p: String): Unit = {
     val f = new java.io.File(p)
     if (f.isDirectory) f.listFiles.foreach(c => rmrf(c.getPath))
