@@ -146,6 +146,31 @@ class EmptyInputSpec extends SparkSpec {
     assert(back.isEmpty && back.columns.toSeq == Seq("doc_id", "text"))
   }
 
+  test("round-11 additions on zero rows") {
+    // sampled verdict reports on an empty corpus: one row, zero counts,
+    // vacuously-true verdicts (no truth pairs -> nothing to recall)
+    val m = TextDedup.minhashVsExactSampledReport(noDocs, "text", "doc_id")
+      .collect()
+    assert(m.length == 1 && m(0).getLong(0) == 0L &&
+      m(0).getBoolean(1) && m(0).getBoolean(2))
+    val c = graft.pipelines.CorpusCuration
+      .curateAgreementSampledReport(noDocs, "text", "doc_id").collect()
+    assert(c.length == 1 && c(0).getLong(0) == 0L && c(0).getLong(1) == 0L &&
+      c(0).getBoolean(2))
+    // versioned root with no published version fails loudly on read and
+    // compact, not with an empty frame that hides a missing publish
+    val root = java.nio.file.Files.createTempDirectory("empty-vroot").toString + "/t"
+    intercept[java.io.FileNotFoundException] {
+      graft.sources.Sinks.Versioned.read(spark, root)
+    }
+    intercept[java.io.FileNotFoundException] {
+      graft.sources.Sinks.Versioned.compact(spark, root)
+    }
+    // an empty frame still publishes a complete, readable version
+    assert(graft.sources.Sinks.Versioned.write(noDocs, root) == 0)
+    assert(graft.sources.Sinks.Versioned.read(spark, root).isEmpty)
+  }
+
   test("retrieval and events analytics on zero rows") {
     assert(Retrieval.bm25TopK(noDocs, "text", "doc_id", Seq("x")).isEmpty)
     // funnel emits the step skeleton with zero counts, not zero rows —

@@ -540,6 +540,24 @@ class PlanAuditSpec extends SparkSpec {
       "sweep bin aggregate lost its map-side partial half")
   }
 
+  test("sampled gate twins: no cartesian, corpus scans pruned to doc_id/text") {
+    // the sf10 gate queries must keep the banded/sampled shape — a
+    // regression to an all-pairs comparison or a fat scan would ship as
+    // a silent gate blowup at 100x
+    for (name <- Seq("q_minhash_pairs_sampled", "q_curate_lsh_sampled",
+        "q_dedup_clusters_sampled")) {
+      val p = plan(q(name))
+      assert(!p.contains("CartesianProduct"), s"$name went all-pairs:\n$p")
+      val schemas = "ReadSchema: struct<[^>]*>".r.findAllIn(p).toList
+      assert(schemas.nonEmpty && schemas.forall(s =>
+        s == "ReadSchema: struct<>" || // the n_docs count scan: zero columns
+        s == "ReadSchema: struct<text:string>" ||
+        s == "ReadSchema: struct<doc_id:bigint>" ||
+        s == "ReadSchema: struct<doc_id:bigint,text:string>"),
+        s"$name scan schemas not pruned: $schemas")
+    }
+  }
+
   test("q_j7_key_discovery: one scan per side per report — candidate count adds no scans") {
     // keyOverlapReport unpivots each side once; C candidates must cost 2
     // scans, not 2C. q_j7 unions two reports over (customer, orders) with
