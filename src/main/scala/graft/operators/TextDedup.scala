@@ -468,16 +468,17 @@ object TextDedup {
     require(k % bands == 0, "k must be divisible by bands")
     require(k <= 16, "k > 16 risks 64-bit overflow in the a + i*b family")
     val r = k / bands
-    val hex = md5(col("s"))
-    val sh = shSets.select(col("doc"), explode(col("set")).as("s"))
-      .select(col("doc"),
-        conv(substring(hex, 1, 12), 16, 10).cast("long").as("a"),
-        conv(substring(hex, 13, 12), 16, 10).cast("long").as("b"))
-    val minCols = (0 until k).map(i =>
-      min(col("a") + lit(i.toLong) * col("b")).as(s"_h$i"))
-    val sigs = sh.groupBy("doc")
-      .agg(minCols.head, minCols.tail: _*)
-      .select(col("doc"), array((0 until k).map(i => col(s"_h$i")): _*).as("sig"))
+    // ONE native pass per doc (plans/Md5MinHashSig) — value-identical to
+    // the previous explode → groupBy(min×k) composition (spec'd against
+    // it element-for-element) but map-side: the per-shingle exchange of
+    // (doc, a, b) rows is gone, and only the band self-join shuffles.
+    // The empty-set filter reproduces the exploded form's semantics
+    // (docs with no shingles emitted no rows there); sig is never null
+    // past it because shingles() yields no null elements.
+    val sigs = shSets
+      .filter(size(col("set")) > 0)
+      .select(col("doc"), graft.plans.Md5MinHashSig.sig(col("set"), k).as("sig"))
+      .filter(col("sig").isNotNull)
     val bandCols = (0 until bands).map(b =>
       md5(concat_ws("|", slice(col("sig"), b * r + 1, r).cast("array<string>"))))
     sigs.select(col("doc"), col("sig"),

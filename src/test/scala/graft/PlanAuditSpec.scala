@@ -221,12 +221,13 @@ class PlanAuditSpec extends SparkSpec {
       s"detail orderBy's range exchange leaked into the summary plan:\n$p")
   }
 
-  test("q_minhash_pairs_md5: banded equi-join, never a cartesian; partial min aggregates") {
+  test("q_minhash_pairs_md5: banded equi-join, never a cartesian") {
     val p = plan(q("q_minhash_pairs_md5"))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"portable LSH regressed to an all-pairs join:\n$p")
-    assert("HashAggregate".r.findAllIn(p).size >= 2,
-      s"signature minima lost their map-side partial aggregate:\n$p")
+    // (round 11: the signature min-aggregate is gone entirely — the
+    // native md5_minhash_sig computes per-doc minima map-side; the
+    // companion pin below bounds the Exchange count instead)
   }
 
   test("q_d6_prefer: keep-first window partitioned by the dedup key, never SinglePartition") {
@@ -538,6 +539,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "corpus-sized cartesian in the gate")
     assert("HashAggregate".r.findAllIn(p).size >= 2,
       "sweep bin aggregate lost its map-side partial half")
+  }
+
+  test("q_minhash_pairs_md5: map-side native signatures — no per-shingle exchange") {
+    // the portable twin's signature stage must stay the one-pass native
+    // expression: a regression to the explode → groupBy(min×k) form
+    // re-adds a full shuffle of |corpus shingles| (doc, a, b) rows (the
+    // plan grows from 3 Exchanges to 4, and a per-shingle HashAggregate
+    // pair appears below the banding)
+    val p = plan(q("q_minhash_pairs_md5"))
+    assert(p.contains("md5_minhash_sig"), s"native signature expression missing:\n$p")
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges <= 3, s"expected <= 3 Exchanges, got $exchanges:\n$p")
   }
 
   test("sampled gate twins: no cartesian, corpus scans pruned to doc_id/text") {
