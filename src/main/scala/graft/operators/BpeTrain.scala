@@ -202,7 +202,12 @@ object BpeTrain {
     } else {
       import org.apache.spark.sql.Row
       import org.apache.spark.sql.types.{ArrayType, StringType, StructField, StructType}
-      val rules = merges.toArray
+      // (l, r, merged) with the merged token interned once per rule —
+      // the fold below is rules × word_len, and per-step Vector builders
+      // plus l + r concatenations were the measured allocation churn of
+      // this loop (it encodes the DISTINCT-word table, but a 32k-rule
+      // production pass still visits every rule per word)
+      val rules = merges.toArray.map { case (l, r) => (l, r, l + r) }
       val schema = StructType(words.schema.fields :+
         StructField(tokensCol, ArrayType(StringType), nullable = true))
       val wIdx = words.schema.fieldIndex(wordCol)
@@ -211,21 +216,30 @@ object BpeTrain {
           val w = row.getString(wIdx)
           if (w == null) Row.fromSeq(row.toSeq :+ null)
           else {
-            var toks = w.split("").filter(_.nonEmpty).toVector
+            // in-place two-pointer compaction per rule: one char-split
+            // array is allocated per word and shrunk logically; no
+            // per-rule collection rebuild
+            val toks: Array[String] = w.split("").filter(_.nonEmpty)
+            var m = toks.length
             var i = 0
-            while (i < rules.length) {
-              val (l, r) = rules(i)
-              val b = Vector.newBuilder[String]
+            while (i < rules.length && m >= 2) {
+              val (l, r, lr) = rules(i)
+              var wr = 0
               var j = 0
-              while (j < toks.length) {
-                if (j + 1 < toks.length && toks(j) == l && toks(j + 1) == r) {
-                  b += (l + r); j += 2
-                } else { b += toks(j); j += 1 }
+              while (j < m) {
+                if (j + 1 < m && toks(j) == l && toks(j + 1) == r) {
+                  toks(wr) = lr; j += 2
+                } else { toks(wr) = toks(j); j += 1 }
+                wr += 1
               }
-              toks = b.result()
+              m = wr
               i += 1
             }
-            Row.fromSeq(row.toSeq :+ toks)
+            val res: Seq[String] =
+              scala.collection.immutable.ArraySeq.unsafeWrapArray(
+                java.util.Arrays.copyOf(toks.asInstanceOf[Array[AnyRef]], m))
+                .asInstanceOf[Seq[String]]
+            Row.fromSeq(row.toSeq :+ res)
           }
         }
       }
