@@ -30,8 +30,11 @@ import org.apache.spark.sql.functions._
 object SkewProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/repo/testdata-sf10"
+    // sorted ascending regardless of input order: the break-even below
+    // is "the LOWEST hot share where salting wins", which a find over
+    // unsorted levels would misreport
     val levels = (if (args.length > 1) args(1) else "3,6,9")
-      .split(",").map(_.trim.toInt).toSeq
+      .split(",").map(_.trim.toInt).toSeq.sorted
     val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt).getOrElse(32)
     val spark = Engine.session("graft-skewprobe", cpus)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -97,9 +100,14 @@ object SkewProbe {
     }.mkString("[", ",", "]")
     val line = s"""{"probe":"skew_crossover","sf_dir":"$sfDir","buckets":32,"levels":$rows,"salted_beats_aqe_from_hot_pct":${breakEven.map(_.toString).getOrElse("null")}}"""
     println(line)
+    // the JSON line above is the record of truth; a failed file write
+    // must be VISIBLE (a silently-stale standing artifact would read as
+    // a fresh measurement next round), but must not fail the probe
     try java.nio.file.Files.write(java.nio.file.Paths.get("SKEW_CROSSOVER.json"),
       line.getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[skew] WARNING: could not write SKEW_CROSSOVER.json: $e")
+    }
     spark.stop()
   }
 }

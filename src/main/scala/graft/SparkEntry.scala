@@ -942,9 +942,10 @@ object SparkEntry {
     }),
     "q_calibrated_gate" -> ((s, d) => {
       // the sweep's decision APPLIED: choose the strictest length floor
-      // still keeping >= 50% of docs, gate the corpus with it — one
-      // declared plan (sweep scan + gate scan joined by a 1-row
-      // broadcast cutoff), the composition a curation run executes
+      // still keeping >= 50% of the TOKEN MASS (weightCol drives the
+      // target), gate the corpus with it — one declared plan (sweep
+      // scan + gate scan joined by a 1-row broadcast cutoff), the
+      // composition a curation run executes
       val docs = Tables.documents(s, d)
         .select(col("doc_id"),
           size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
@@ -2139,18 +2140,19 @@ object SparkEntry {
         |FROM k CROSS JOIN tot
         |ORDER BY threshold""".stripMargin,
     "q_calibrated_gate" ->
-      // the sweep replay picks the strictest threshold with
-      // frac_kept >= 0.5 (loosest as the infeasible-target fallback),
-      // then the gate filter applies it — same IEEE BIGINT/BIGINT
-      // division as the engine's frac_kept comparison
+      // the sweep replay picks the strictest threshold with WEIGHTED
+      // kept-fraction >= 0.5 (the weight column drives the target;
+      // loosest as the infeasible-target fallback), then the gate
+      // filter applies it — same IEEE BIGINT/BIGINT division as the
+      // engine's w_frac_kept comparison
       """WITH d AS (SELECT doc_id, CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens FROM documents),
-        |tot AS (SELECT CAST(count(*) AS BIGINT) AS tn FROM d),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tw FROM d),
         |t AS (SELECT unnest([10.0, 25.0, 50.0, 100.0, 200.0, 400.0]) AS threshold),
         |k AS (SELECT t.threshold AS threshold,
-        |  CAST(count(CASE WHEN d.n_tokens >= t.threshold THEN 1 END) AS BIGINT) AS n_kept
+        |  CAST(coalesce(sum(CASE WHEN d.n_tokens >= t.threshold THEN d.n_tokens END), 0) AS BIGINT) AS w_kept
         | FROM t CROSS JOIN d GROUP BY t.threshold),
         |cut AS (SELECT coalesce(
-        |   max(CASE WHEN CAST(n_kept AS DOUBLE) / CAST(tn AS DOUBLE) >= 0.5 THEN threshold END),
+        |   max(CASE WHEN CAST(w_kept AS DOUBLE) / CAST(tw AS DOUBLE) >= 0.5 THEN threshold END),
         |   min(threshold)) AS cut FROM k CROSS JOIN tot)
         |SELECT d.doc_id, d.n_tokens, cut.cut AS cut
         |FROM d CROSS JOIN cut WHERE CAST(d.n_tokens AS DOUBLE) >= cut.cut
@@ -2952,7 +2954,7 @@ object SparkEntry {
       // the q_dedup_clusters CTEs over the md5 quarter-sample — the
       // sf10 gate form (the full exact pair stage is the known JIT-band
       // swinger at 100×; full-exact stays on the oracle gates)
-      s"""WITH RECURSIVE docs_s AS (SELECT doc_id, text FROM documents WHERE md5(CAST(doc_id AS VARCHAR)) < '${graft.functions.TextFunctions.md5SampleThreshold(0.25)}'),
+      s"""WITH RECURSIVE docs_s AS (SELECT * FROM ${sampledDocsSrc(0.25)}),
         |w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM docs_s),
         |sh AS (SELECT doc_id, unnest(list_distinct(
         |  [ws[i]||'_'||ws[i+1]||'_'||ws[i+2] for i in range(1, len(ws)-1)])) AS s FROM w),

@@ -105,9 +105,13 @@ object ZOrderProbe {
     }
     val line = s"""{"probe":"zorder_curve","sf_dir":"$sfDir","rows_total":$total,"bits_per_dim":12,"layouts":${rows.mkString("[", ",", "]")}}"""
     println(line)
+    // visible-on-failure, like SkewProbe: a silently-stale standing
+    // artifact would masquerade as a fresh measurement next round
     try java.nio.file.Files.write(java.nio.file.Paths.get("ZORDER_CURVE.json"),
       line.getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[zcurve] WARNING: could not write ZORDER_CURVE.json: $e")
+    }
   }
 
   def main(args: Array[String]): Unit = {

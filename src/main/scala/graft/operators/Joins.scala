@@ -80,16 +80,23 @@ object Joins {
     *
     * Scale shape: ONE scan per side, independent of the candidate count.
     * Each side is unpivoted (explode over a struct array of its candidate
-    * columns, values cast to string so they share a column — string
-    * equality is how heterogeneous key discovery compares anyway, and
-    * the cast is injective for the atomic key types join discovery runs
-    * on), deduped per (column, value), and the two sides meet in a
-    * single equi-join on the value; counts group onto ≤ |candidates|
-    * cells. The previous form built one distinct + semi-join branch per
-    * candidate inside one unioned plan — C candidates cost 2C scans of
-    * inputs that at corpus scale are the widest tables in the lake.
-    * Zero-overlap candidates still get a row (overlap = 0) via the
-    * left join from the literal candidate frame.
+    * columns, values cast to string so they share a column), deduped per
+    * (column, value), and the two sides meet in a single equi-join on
+    * the value; counts group onto ≤ |candidates| cells. The previous
+    * form built one distinct + semi-join branch per candidate inside
+    * one unioned plan — C candidates cost 2C scans of inputs that at
+    * corpus scale are the widest tables in the lake. Zero-overlap
+    * candidates still get a row (overlap = 0) via the left join from
+    * the literal candidate frame.
+    *
+    * Equality semantics: values compare by their CANONICAL STRING FORM
+    * for every candidate — exactly what the DuckDB oracle's VARCHAR
+    * comparison always did, and injective for the id/code/date types
+    * key discovery actually runs on. For floating-point candidates
+    * this diverges from raw numeric equality at exactly the edges where
+    * numeric equality is itself a bad join-key signal ("-0.0" ≠ "0.0",
+    * "NaN" = "NaN"); discovering a JOIN KEY on a float column is the
+    * real smell that report would be surfacing.
     */
   def keyOverlapReport(left: DataFrame, right: DataFrame,
                        candidates: Seq[(String, String)]): DataFrame = {

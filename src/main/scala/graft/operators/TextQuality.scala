@@ -548,7 +548,10 @@ object TextQuality {
     * `minFracKept` is chosen, and a `score >= cutoff` gate applies it —
     * all declared as ONE plan (no driver round-trip between the
     * calibration and the gate; the chosen cutoff flows through a 1-row
-    * broadcast). If even the loosest grid threshold keeps less than the
+    * broadcast). The kept-fraction the target applies to is the WEIGHT
+    * mass when `weightCol` is given (keep ≥ X of the token/byte mass —
+    * the reason a caller passes a weight) and the row fraction
+    * otherwise. If even the loosest grid threshold keeps less than the
     * target, that loosest threshold applies (the closest achievable
     * gate) — never a silently-empty result from an infeasible target.
     *
@@ -570,8 +573,9 @@ object TextQuality {
     require(minFracKept > 0.0 && minFracKept <= 1.0,
       s"calibratedGate: minFracKept must be in (0, 1], got $minFracKept")
     val sweep = thresholdSweep(df, scoreCol, thresholds, weightCol)
+    val frac = if (weightCol.isDefined) col("w_frac_kept") else col("frac_kept")
     val cut = sweep.agg(coalesce(
-      max(when(col("frac_kept") >= minFracKept, col("threshold"))),
+      max(when(frac >= minFracKept, col("threshold"))),
       min(col("threshold"))).as("cut"))
     df.join(broadcast(cut), col(scoreCol) >= col("cut"))
   }

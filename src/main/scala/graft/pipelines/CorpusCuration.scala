@@ -89,19 +89,30 @@ object CorpusCuration {
     * the two kept sets ≤ `maxDisagreeFrac` of the kept count.
     */
   def curateAgreementReport(docs: DataFrame, textCol: String, idCol: String,
-                            maxDisagreeFrac: Double = 0.01): DataFrame = {
-    val fast = curateAtScale(docs, textCol, idCol)
+                            maxDisagreeFrac: Double = 0.01): DataFrame =
+    agreementVerdict(docs, docs, textCol, idCol, "n_kept_exact", maxDisagreeFrac)
+
+  /** Shared verdict body of the full and sampled agreement reports:
+    * run BOTH curation paths over `universe`, compare kept sets, attach
+    * the full-corpus doc count — one place for the disagreement
+    * arithmetic so the two reports can never diverge on it.
+    */
+  private def agreementVerdict(allDocs: DataFrame, universe: DataFrame,
+                               textCol: String, idCol: String,
+                               keptCol: String,
+                               maxDisagreeFrac: Double): DataFrame = {
+    val fast = curateAtScale(universe, textCol, idCol)
       .select(col(idCol).as("_id")).withColumn("_f", lit(1))
-    val exactKept = curate(docs, textCol, idCol)
+    val exactKept = curate(universe, textCol, idCol)
       .select(col(idCol).as("_id")).withColumn("_e", lit(1))
     val agg = fast.join(exactKept, Seq("_id"), "full_outer")
-      .agg(count(col("_e")).as("n_kept_exact"),
+      .agg(count(col("_e")).as(keptCol),
         count(when(col("_f").isNotNull && col("_e").isNull, 1)).as("_of"),
         count(when(col("_e").isNotNull && col("_f").isNull, 1)).as("_oe"))
-    docs.agg(count(lit(1)).as("n_docs")).crossJoin(agg)
-      .select(col("n_docs"), col("n_kept_exact"),
+    allDocs.agg(count(lit(1)).as("n_docs")).crossJoin(agg)
+      .select(col("n_docs"), col(keptCol),
         ((col("_of") + col("_oe")) <=
-          greatest(col("n_kept_exact"), lit(1L)) * maxDisagreeFrac)
+          greatest(col(keptCol), lit(1L)) * maxDisagreeFrac)
           .as("fast_path_agrees_ok"))
   }
 
@@ -130,19 +141,8 @@ object CorpusCuration {
       s"sampleFrac must be in (0, 1], got $sampleFrac")
     val sample = docs.filter(
       graft.functions.TextFunctions.md5SampleFilter(col(idCol), sampleFrac))
-    val fast = curateAtScale(sample, textCol, idCol)
-      .select(col(idCol).as("_id")).withColumn("_f", lit(1))
-    val exactKept = curate(sample, textCol, idCol)
-      .select(col(idCol).as("_id")).withColumn("_e", lit(1))
-    val agg = fast.join(exactKept, Seq("_id"), "full_outer")
-      .agg(count(col("_e")).as("n_kept_exact_sampled"),
-        count(when(col("_f").isNotNull && col("_e").isNull, 1)).as("_of"),
-        count(when(col("_e").isNotNull && col("_f").isNull, 1)).as("_oe"))
-    docs.agg(count(lit(1)).as("n_docs")).crossJoin(agg)
-      .select(col("n_docs"), col("n_kept_exact_sampled"),
-        ((col("_of") + col("_oe")) <=
-          greatest(col("n_kept_exact_sampled"), lit(1L)) * maxDisagreeFrac)
-          .as("fast_path_agrees_ok"))
+    agreementVerdict(docs, sample, textCol, idCol, "n_kept_exact_sampled",
+      maxDisagreeFrac)
   }
 
   /** Shared tail of the at-scale curation forms: transitive-closure

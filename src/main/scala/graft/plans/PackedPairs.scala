@@ -31,15 +31,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * never emits null); if one does appear the expression returns NULL
   * rather than a corrupt packing. Ids must fit unsigned 32 bits, as in
   * the composed form (packing is the caller's contract, unchanged).
-  * A single list longer than `MaxList` (23170) entries fails loudly
+  * A single list longer than `MaxList` (22992) entries fails loudly
   * with a pointer at `maxPostings` instead of attempting the
   * allocation the composed form would also have died on. The cap is
-  * the `UnsafeArrayData.fromPrimitiveArray` byte ceiling (~268M
-  * longs): 23170 * 23169 / 2 = 268,413,365 pairs is the largest pair
-  * array that encoder accepts, so the IllegalArgumentException below
-  * is the failure mode for EVERY oversized list — not an Int overflow
-  * (m*(m-1)/2 computed in int would go negative past m = 46341) and
-  * not an opaque encoder error.
+  * the `UnsafeArrayData.fromPrimitiveArray` ceiling INCLUDING its
+  * null-bitmap header (8 + ceil(n/64)*8 bytes on top of 8n value
+  * bytes, all of which must fit 2^31-1): n = 22992*22991/2 =
+  * 264,304,536 pairs totals 268,434,296 longs — the largest that
+  * fits — while 22993 overflows it. So the IllegalArgumentException
+  * below is the failure mode for EVERY oversized list — not an Int
+  * overflow (m*(m-1)/2 computed in int would go negative past
+  * m = 46341) and not an opaque encoder error.
   */
 case class PackedPairs(child: Expression) extends UnaryExpression {
 
@@ -107,12 +109,13 @@ case class PackedPairs(child: Expression) extends UnaryExpression {
 }
 
 object PackedPairs {
-  // Largest m whose pair count m(m-1)/2 fits UnsafeArrayData.fromPrimitiveArray's
-  // ~268M-long byte ceiling; beyond this the encoder (not the allocation) is the
-  // binding limit, so the guard must trip first to keep the error actionable.
-  private[plans] val MaxList = 23170
+  // Largest m whose pair count n = m(m-1)/2 fits UnsafeArrayData.fromPrimitiveArray:
+  // (8 + ceil(n/64)*8 header bytes) + 8n value bytes <= 2^31-1. Beyond this the
+  // encoder (not the allocation) is the binding limit, so the guard must trip
+  // first to keep the error actionable.
+  private[plans] val MaxList = 22992
   private[plans] val TooHot =
-    "posting list exceeds 23170 entries - cap it with maxPostings before pair emission"
+    "posting list exceeds 22992 entries - cap it with maxPostings before pair emission"
 
   /** The guard ceiling, exposed for specs and for callers sizing `maxPostings`. */
   def maxListSize: Int = MaxList

@@ -346,11 +346,30 @@ object Sinks {
                         root: String, seq: Int): Unit = {
       val f = fs(spark, root)
       val tmp = new Path(root, f".tmp-manifest-$seq%05d")
+      // self-heal: a crash between create and rename leaves a stale tmp
+      // for this seq; it was never referenced, so retrying the publish
+      // must replace it rather than wedge on create(overwrite = false)
+      if (f.exists(tmp)) f.delete(tmp, false)
       val out = f.create(tmp, false)
       try out.write(f"v$seq%05d".getBytes("UTF-8")) finally out.close()
       val fin = new Path(root, f"$ManifestPrefix$seq%05d")
       if (!f.rename(tmp, fin))
         throw new java.io.IOException(s"manifest publish failed: $tmp -> $fin")
+    }
+
+    /** Self-heal before writing version `seq`: a `v{seq}` dir with no
+      * manifest is an orphan from a crashed earlier attempt (the seq is
+      * always max published + 1, and a dir becomes immutable only once
+      * its manifest lands) — never referenced by any reader, so the
+      * retry deletes and rewrites it instead of wedging forever on
+      * ErrorIfExists. Without this, one SIGKILL mid-write would make
+      * every subsequent maintenance run of the standing job fail.
+      */
+    private def clearOrphan(spark: org.apache.spark.sql.SparkSession,
+                            root: String, seq: Int): Unit = {
+      val f = fs(spark, root)
+      val dir = new Path(root, f"v$seq%05d")
+      if (f.exists(dir)) f.delete(dir, true): Unit
     }
 
     /** Write `df` as the next version and publish its manifest. Returns
@@ -360,6 +379,7 @@ object Sinks {
     def write(df: DataFrame, root: String): Int = {
       val spark = df.sparkSession
       val seq = manifests(spark, root).lastOption.map(_._1 + 1).getOrElse(0)
+      clearOrphan(spark, root, seq)
       df.write.mode(SaveMode.ErrorIfExists).parquet(f"$root/v$seq%05d")
       publish(spark, root, seq)
       seq
@@ -382,6 +402,7 @@ object Sinks {
                 sortCol: Option[String] = None): Int = {
       val (seq, dir) = current(spark, root).getOrElse(
         throw new java.io.FileNotFoundException(s"no published version under $root"))
+      clearOrphan(spark, root, seq + 1)
       Sinks.compact(spark.read.parquet(dir), dir, f"$root/v${seq + 1}%05d",
         targetBytes, sortCol)
       publish(spark, root, seq + 1)
@@ -397,11 +418,24 @@ object Sinks {
       * instead see only complete, compacted snapshots: the stream keeps
       * sole ownership of the live dir, this step copies-compacts it
       * aside, and the manifest swap is atomic. Returns the new seq.
+      *
+      * Coordination contract: call this while no writer is COMMITTING
+      * into `srcDir` — for the AvailableNow ingest used here, between
+      * drains (each `ingest(...).awaitTermination()` returns with every
+      * batch fully committed), which is how a maintenance tick naturally
+      * interleaves anyway. A snapshot racing a mid-commit batch would
+      * list a subset of that batch's part files and pin the partial
+      * state into an immutable version — the source dir has no manifest
+      * of its own to make the listing atomic (that is this API's job,
+      * one level up). Same residual caveat as the ingest documents:
+      * hard isolation against a concurrently-committing writer needs a
+      * transactional table format on the SOURCE side too.
       */
     def snapshot(spark: org.apache.spark.sql.SparkSession, srcDir: String,
                  root: String, targetBytes: Long = 128L << 20,
                  sortCol: Option[String] = None): Int = {
       val seq = manifests(spark, root).lastOption.map(_._1 + 1).getOrElse(0)
+      clearOrphan(spark, root, seq)
       Sinks.compact(spark.read.parquet(srcDir), srcDir, f"$root/v$seq%05d",
         targetBytes, sortCol)
       publish(spark, root, seq)

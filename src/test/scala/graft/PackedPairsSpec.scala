@@ -51,10 +51,11 @@ class PackedPairsSpec extends SparkSpec {
   }
 
   test("oversized posting list fails loudly at the MaxList guard, not the encoder") {
-    // MaxList (23170) is the largest m whose m(m-1)/2 pair array fits
-    // UnsafeArrayData.fromPrimitiveArray; 23171 must hit the guard's
-    // actionable message, not an Int-overflow NegativeArraySizeException
-    // (m*(m-1)/2 in int goes negative past m = 46341) or an encoder error.
+    // MaxList (22992) is the largest m whose m(m-1)/2 pair array fits
+    // UnsafeArrayData.fromPrimitiveArray INCLUDING its null-bitmap
+    // header; one past it must hit the guard's actionable message, not
+    // an Int-overflow NegativeArraySizeException (m*(m-1)/2 in int goes
+    // negative past m = 46341) or an opaque encoder error.
     val big = spark.range(1).select(
       sequence(lit(1L), lit(PackedPairs.maxListSize + 1L)).as("ds"))
     val ex = intercept[Exception] {

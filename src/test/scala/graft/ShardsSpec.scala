@@ -229,4 +229,26 @@ class ShardsSpec extends SparkSpec {
       new java.io.File(s"$root/v00003").exists())
     assert(Sinks.Versioned.read(spark, root).count() == 2000)
   }
+
+  test("versioned root self-heals from a crash mid-write or mid-publish") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("versioned-heal").toString + "/tbl"
+    assert(Sinks.Versioned.write((0L until 100L).toDF("k"), root) == 0)
+
+    // crash simulation 1: v00001 was written but its manifest never
+    // landed — an unreferenced orphan. The retry must replace it, not
+    // wedge forever on ErrorIfExists.
+    (0L until 7L).toDF("k").write.parquet(s"$root/v00001")
+    assert(Sinks.Versioned.current(spark, root).get._1 == 0) // orphan unreferenced
+    assert(Sinks.Versioned.write((0L until 200L).toDF("k"), root) == 1)
+    assert(Sinks.Versioned.read(spark, root).count() == 200)
+
+    // crash simulation 2: a stale tmp manifest for the next seq — the
+    // create(overwrite = false) inside publish must not trip on it
+    val stale = new java.io.File(s"$root/.tmp-manifest-00002")
+    assert(stale.createNewFile())
+    assert(Sinks.Versioned.compact(spark, root, targetBytes = 1L << 20) == 2)
+    assert(Sinks.Versioned.read(spark, root).count() == 200)
+    assert(Sinks.Versioned.current(spark, root).get._1 == 2)
+  }
 }

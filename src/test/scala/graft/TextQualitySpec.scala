@@ -71,6 +71,21 @@ class TextQualitySpec extends SparkSpec {
     }
   }
 
+  test("calibratedGate: a weight column makes the target a MASS fraction, not a row fraction") {
+    // scores 5, 15, 30, 120 with weights = scores: total mass 170.
+    // Grid (10, 25): w_frac_kept = 165/170 ≈ 0.97 and 150/170 ≈ 0.88,
+    // but frac_kept (rows) = 3/4 and 2/4. A 0.8 target must pick 25
+    // when weighted (mass says yes) and 10 when unweighted (rows say no)
+    val df = Seq((5.0, 5L), (15.0, 15L), (30.0, 30L), (120.0, 120L))
+      .toDF("score", "w")
+    val weighted = TextQuality.calibratedGate(df, "score", Seq(10.0, 25.0), 0.8,
+      weightCol = Some("w")).collect().map(_.getDouble(0)).sorted
+    assert(weighted.toSeq == Seq(30.0, 120.0), weighted.toSeq.toString)
+    val unweighted = TextQuality.calibratedGate(df, "score", Seq(10.0, 25.0), 0.8)
+      .collect().map(_.getDouble(0)).sorted
+    assert(unweighted.toSeq == Seq(15.0, 30.0, 120.0), unweighted.toSeq.toString)
+  }
+
   test("sampleKPerGroup: exact quotas, small groups whole, deterministic") {
     import graft.operators.TextQuality
     val rows = ((1 to 30).map(i => (i.toLong, "big")) ++
