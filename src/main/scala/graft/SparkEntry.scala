@@ -211,6 +211,22 @@ object SparkEntry {
         .orderBy(col("o_orderkey"), col("o_custkey").asc_nulls_first,
           col("o_orderpriority").asc_nulls_first)
     }),
+    "q_upsert" -> ((s, d) => {
+      // MERGE-style snapshot maintenance: every 7th customer gets an
+      // updated balance, every 11th inserts as a new (negated-key) row,
+      // the rest pass through — base side is a broadcast anti join
+      // against the delta keys, so the big side never shuffles
+      val base = Tables.customer(s, d)
+      val updates = base.filter(col("c_custkey") % 7 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") * 2)
+        .unionByName(base.filter(col("c_custkey") % 11 === 0)
+          // -(k+1): injective, strictly negative (keys start at 0), so
+          // insert keys never collide with base or update keys
+          .withColumn("c_custkey", -(col("c_custkey") + 1))
+          .withColumn("c_mktsegment", lit("NEW")))
+      Joins.upsert(base, updates, Seq("c_custkey"))
+        .orderBy("c_custkey")
+    }),
     "q_salted_join" -> ((s, d) => {
       // salted skew join must produce exactly the plain-join result —
       // proven here against the plain-join oracle
@@ -1577,6 +1593,14 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 0), "text", "doc_id")
         .orderBy("doc_id")
     }),
+    "q_quality_classifier" -> ((s, d) =>
+      // fastText-shaped model-based gate: unigram+bigram hashing trick
+      // into 4096 buckets, deterministic centered integer weights
+      // summed as BIGINT (order-free), ONE final IEEE division — the
+      // whole score is a scalar expression (zero explode, zero
+      // shuffle), so 100 TB scoring is pure map work on the scan
+      TextQuality.hashedLinearScore(Tables.documents(s, d), "text", "doc_id")
+        .orderBy("doc_id")),
     "q_pps_sample" -> ((s, d) =>
       // systematic PPS: exactly 10 docs per language, selected with
       // probability proportional to token count — integer-exact
@@ -2202,6 +2226,20 @@ object SparkEntry {
         | CAST(s.slp AS DOUBLE)/s.n_bigrams AS avg_logprob
         |FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 2 = 1) d
         |LEFT JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q_quality_classifier" ->
+      // hashing-trick replay: same md5-leading-8-hex bucket, same
+      // centered (bucket % 2001 − 1000) integer weights, BIGINT sum →
+      // one double division, so scores match to the last bit
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+        |f AS (SELECT doc_id, ws || [ws[i]||'_'||ws[i+1] for i in range(1, len(ws))] AS fs FROM t),
+        |s AS (SELECT doc_id, CAST(len(fs) AS BIGINT) AS n_feats,
+        |  CAST(coalesce(list_aggregate(list_transform(fs,
+        |    x -> (('0x' || substr(md5(x), 1, 8))::BIGINT % 4096) % 2001 - 1000), 'sum'), 0) AS BIGINT) AS w_sum
+        | FROM f)
+        |SELECT doc_id, n_feats, w_sum,
+        | CASE WHEN n_feats > 0 THEN CAST(w_sum AS DOUBLE)/(n_feats * 1000.0) END AS score,
+        | coalesce(CASE WHEN n_feats > 0 THEN CAST(w_sum AS DOUBLE)/(n_feats * 1000.0) END > 0.0, FALSE) AS keep
+        |FROM s ORDER BY doc_id""".stripMargin,
     "q_outliers" ->
       // the engine's exact-moment formula replayed verbatim (decimal
       // sums → double ratios → IEEE sqrt — NOT avg/stddev_pop, whose
@@ -2485,6 +2523,21 @@ object SparkEntry {
       """SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, o.o_orderpriority
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin,
+    "q_upsert" ->
+      // MERGE replay: updates override, inserts add, untouched rows
+      // pass through (doubling a double is IEEE-exact cross-engine)
+      """WITH upd AS (
+        | SELECT c_custkey, c_name, c_nationkey, c_acctbal*2 AS c_acctbal, c_mktsegment
+        | FROM customer WHERE c_custkey % 7 = 0
+        | UNION ALL
+        | SELECT -(c_custkey + 1) AS c_custkey, c_name, c_nationkey, c_acctbal,
+        |   'NEW' AS c_mktsegment
+        | FROM customer WHERE c_custkey % 11 = 0)
+        |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM upd
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer
+        |WHERE c_custkey NOT IN (SELECT c_custkey FROM upd)
+        |ORDER BY c_custkey""".stripMargin,
     "q_a2_salted" ->
       """SELECT l_returnflag,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS sum_qty,

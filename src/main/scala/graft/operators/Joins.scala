@@ -354,4 +354,58 @@ object Joins {
       Literal(bytes, BinaryType),
       new XxHash64(Seq(GraftColumnShim.expression(col(bigKey).cast(hashType)))))))
   }
+
+  /** MERGE-style keyed upsert: apply a batch of `updates` to `base` with
+    * latest-wins semantics — updated keys take the update row, new keys
+    * insert, untouched base rows pass through. The snapshot-maintenance
+    * primitive a dimension table needs between SCD2 loads (which keep
+    * history; this keeps the current image).
+    *
+    * When `updates` carries several rows per key, `versionOrder` picks
+    * the survivor (max wins, ties broken by the key itself upstream —
+    * callers pass a total order, same contract as [[Dedup.keepFirst]]);
+    * without it, duplicate update keys are refused loudly rather than
+    * resolved arbitrarily.
+    *
+    * Scale shape: the common case is a huge base and a small delta, so
+    * the base side is a broadcast LEFT ANTI join against the update
+    * KEYS — the 100 TB base never shuffles and never round-trips the
+    * driver; the delta dedup shuffles only the delta. With
+    * `broadcastUpdates = false` (delta too big to broadcast) the anti
+    * join becomes a shuffled hash join on the key — still one shuffle
+    * of each side, no full rewrite. Output column order is `base`'s
+    * (updates are conformed by name), so the result unions cleanly and
+    * publishes atomically through [[graft.sources.Sinks.Versioned]] —
+    * merge-then-swap, never in-place.
+    */
+  def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String],
+             versionOrder: Option[Column] = None,
+             broadcastUpdates: Boolean = true): DataFrame = {
+    require(keys.nonEmpty, "upsert needs at least one key column")
+    val cols = base.columns.toSeq
+    require(updates.columns.toSet == cols.toSet,
+      s"upsert: updates columns ${updates.columns.sorted.mkString(",")} " +
+        s"must match base columns ${cols.sorted.mkString(",")}")
+    val latest = versionOrder match {
+      case Some(ord) =>
+        val w = Window.partitionBy(keys.map(col): _*).orderBy(ord.desc)
+        updates.withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1).drop("_rn")
+      case None =>
+        // lazy in-plan guard — no eager driver action; the window count
+        // shuffles only the delta, and assert_true fails the job loudly
+        // on the first duplicate key at execution time
+        val w = Window.partitionBy(keys.map(col): _*)
+        updates.withColumn("_dup_chk", assert_true(
+            count(lit(1)).over(w) === 1,
+            lit("upsert: duplicate keys in updates and no versionOrder given — " +
+              "pass versionOrder to pick a survivor")))
+          .filter(col("_dup_chk").isNull).drop("_dup_chk")
+    }
+    val updateKeys = latest.select(keys.map(col): _*).distinct()
+    val keep = base.join(
+      if (broadcastUpdates) broadcast(updateKeys) else updateKeys,
+      keys, "left_anti")
+    keep.unionByName(latest.select(cols.map(col): _*))
+  }
 }

@@ -645,4 +645,43 @@ object TextQuality {
       .agg(count(lit(1)).as("n_cross_pairs"))
       .orderBy("doc")
   }
+
+  /** Model-based quality scoring, fastText-shaped: hash unigram +
+    * bigram features into `buckets` via the hashing trick, dot the
+    * sparse feature vector with a weight table, squash to a keep/drop
+    * decision — the "quality classifier" stage of a web-scale curation
+    * run (the CCNet/fastText recipe), as distinct from the rule-based
+    * gates above.
+    *
+    * The weight table here is a deterministic stand-in for trained
+    * parameters — `w(bucket) = (bucket % 2001 − 1000) / 1000` — so the
+    * whole score is replayable bit-exactly by any engine with md5
+    * (the DuckDB oracle replays it); swapping in a trained table is a
+    * broadcast-map substitution that changes no plan shape.
+    *
+    * Scale design: the entire score is ONE scalar expression per row —
+    * tokens → features → md5-bucket → integer weight → `aggregate` fold
+    * — all codegen'd built-ins, zero explode, zero shuffle; scoring
+    * 100 TB is embarrassingly parallel map work on the corpus scan.
+    * Determinism: weights are INTEGERS summed as BIGINT (order-free);
+    * the only floating-point op is one final division, so Spark and the
+    * oracle agree to the last bit. `n_feats = 0` (and all-null feature
+    * arrays) yields a null score and `keep = false`.
+    */
+  def hashedLinearScore(df: DataFrame, textCol: String, idCol: String,
+                        buckets: Int = 4096, cutoff: Double = 0.0): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val ws = TextFunctions.tokens(col(textCol))
+    val feats = concat(ws, TextFunctions.ngrams(col(textCol), 2))
+    // md5 leading 8 hex chars → unsigned 32-bit → bucket → centered weight
+    val weights = transform(feats, f =>
+      (conv(substring(md5(f), 1, 8), 16, 10).cast("long") % buckets) % 2001 - 1000)
+    df.select(
+        col(idCol),
+        size(feats).cast("long").as("n_feats"),
+        aggregate(weights, lit(0L), (acc, w) => acc + w).as("w_sum"))
+      .withColumn("score",
+        when(col("n_feats") > 0, col("w_sum").cast("double") / (col("n_feats") * 1000.0)))
+      .withColumn("keep", coalesce(col("score") > cutoff, lit(false)))
+  }
 }

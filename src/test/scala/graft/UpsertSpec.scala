@@ -1,0 +1,103 @@
+package graft
+
+import graft.operators.{Joins, TextQuality}
+import org.apache.spark.sql.functions._
+
+/** Keyed MERGE/upsert semantics and the hashed linear quality scorer
+  * (the two round-11 snapshot/curation additions).
+  */
+class UpsertSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def base = Seq(
+    (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+    .toDF("k", "name", "bal")
+
+  test("upsert: updates override, inserts add, untouched rows pass through") {
+    val updates = Seq((2L, "b2", 25.0), (9L, "new", 99.0)).toDF("k", "name", "bal")
+    val got = Joins.upsert(base, updates, Seq("k"))
+      .orderBy("k").as[(Long, String, Double)].collect().toSeq
+    assert(got == Seq((1L, "a", 10.0), (2L, "b2", 25.0), (3L, "c", 30.0), (9L, "new", 99.0)))
+  }
+
+  test("upsert: versionOrder picks the max-version row per key") {
+    val updates = Seq((2L, "old", 1.0), (2L, "newest", 3.0), (2L, "mid", 2.0))
+      .toDF("k", "name", "bal")
+    val got = Joins.upsert(base, updates, Seq("k"), versionOrder = Some(col("bal")))
+      .orderBy("k").as[(Long, String, Double)].collect().toSeq
+    assert(got == Seq((1L, "a", 10.0), (2L, "newest", 3.0), (3L, "c", 30.0)))
+  }
+
+  test("upsert: duplicate update keys without versionOrder fail loudly at execution") {
+    val updates = Seq((2L, "x", 1.0), (2L, "y", 2.0)).toDF("k", "name", "bal")
+    val merged = Joins.upsert(base, updates, Seq("k"))  // lazy: no error yet
+    val e = intercept[Exception] { merged.collect() }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("versionOrder")), e.getMessage)
+  }
+
+  test("upsert: mismatched update schema refused") {
+    val updates = Seq((2L, "x")).toDF("k", "name")
+    val e = intercept[IllegalArgumentException] {
+      Joins.upsert(base, updates, Seq("k"))
+    }
+    assert(e.getMessage.contains("must match base columns"))
+  }
+
+  test("upsert: shuffled (non-broadcast) path returns the identical snapshot") {
+    val updates = Seq((1L, "a2", 11.0), (4L, "d", 40.0)).toDF("k", "name", "bal")
+    val b = Joins.upsert(base, updates, Seq("k"), broadcastUpdates = true)
+      .orderBy("k").collect().toSeq
+    val s = Joins.upsert(base, updates, Seq("k"), broadcastUpdates = false)
+      .orderBy("k").collect().toSeq
+    assert(b == s && b.size == 4)
+  }
+
+  // ---- hashedLinearScore ---------------------------------------------
+
+  /** Reference replay of the deterministic weight table. */
+  private def refScore(text: String, buckets: Int = 4096): (Long, Long) = {
+    val ws = text.trim.toLowerCase.split("\\s+").toSeq
+    val feats = ws ++ ws.sliding(2).filter(_.size == 2).map(_.mkString("_"))
+    val wsum = feats.map { f =>
+      val hex = org.apache.commons.codec.digest.DigestUtils.md5Hex(
+        f.getBytes("UTF-8")).substring(0, 8)
+      (java.lang.Long.parseLong(hex, 16) % buckets) % 2001 - 1000
+    }.sum
+    (feats.size.toLong, wsum)
+  }
+
+  test("hashedLinearScore: matches the md5 hashing-trick replay, keep = score > cutoff") {
+    val docs = Seq((1L, "the quick brown fox"), (2L, "word")).toDF("doc_id", "text")
+    val got = TextQuality.hashedLinearScore(docs, "text", "doc_id")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Option[Double], Boolean)].collect().toSeq
+    for (((id, nf, wsum, score, keep), txt) <- got.zip(Seq("the quick brown fox", "word"))) {
+      val (en, ew) = refScore(txt)
+      assert(nf == en && wsum == ew, s"doc $id: got ($nf,$wsum) want ($en,$ew)")
+      assert(score.contains(ew.toDouble / (en * 1000.0)))
+      assert(keep == (score.get > 0.0))
+    }
+  }
+
+  test("hashedLinearScore: null text scores null and is dropped, not kept") {
+    val docs = Seq((1L, Some("alpha beta")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val got = TextQuality.hashedLinearScore(docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(got.length == 2)
+    val nullRow = got(1)
+    assert(nullRow.isNullAt(nullRow.fieldIndex("score")))
+    assert(!nullRow.getBoolean(nullRow.fieldIndex("keep")))
+  }
+
+  test("hashedLinearScore: cutoff shifts the keep decision") {
+    val docs = Seq((1L, "some words here")).toDF("doc_id", "text")
+    val lo = TextQuality.hashedLinearScore(docs, "text", "doc_id", cutoff = -2.0)
+      .select("keep").head().getBoolean(0)
+    val hi = TextQuality.hashedLinearScore(docs, "text", "doc_id", cutoff = 2.0)
+      .select("keep").head().getBoolean(0)
+    assert(lo && !hi)  // weights are bounded in [-1, 1] per feature
+  }
+}
