@@ -146,4 +146,60 @@ object CorpusStream {
       .option("checkpointLocation", s"$statePath/_checkpoint")
       .start()
   }
+
+  /** One emitted candidate: `doc_id` collided with the bucket anchored
+    * by `dup_of` in `band`. A document is near-dup-flagged when it
+    * appears here for ANY band; distinct (doc_id, dup_of) downstream.
+    */
+  case class ScreenHit(doc_id: Long, dup_of: Long, band: Int)
+
+  /** The STATE-STORE twin of [[ingest]]'s parquet band index: the LSH
+    * bucket → anchor-document map lives in the streaming state store
+    * (checkpointed, exactly-once with the source offsets — no external
+    * index files to coordinate), keyed by `(band, bucket)` via
+    * `flatMapGroupsWithState`. Each arriving document's band buckets
+    * are checked against their anchors; a collision emits a
+    * [[ScreenHit]] in append mode, a fresh bucket installs the
+    * (deterministic: min id in the batch) anchor.
+    *
+    * Semantics are LSH-accept — a candidate is flagged on any band
+    * collision with no exact-verify stage, the documented 100 TB screen
+    * recipe (`q_lsh_recall` measures exactly this accept rule's
+    * precision/recall; the full signatures that an est-Jaccard verify
+    * would need stay OUT of state by design). State size is one long
+    * per occupied bucket — `bands` longs per unique corpus document —
+    * so 1 B docs × 8 bands ≈ tens of GB across the cluster: configure
+    * the RocksDB state store provider for corpus-scale runs, and pair
+    * with the parquet-index [[ingest]] when the index must also be
+    * readable at rest.
+    *
+    * Works identically on a batch frame (state starts empty, single
+    * "batch"), which the spec uses to pin stream ≡ batch parity.
+    */
+  def nearDupScreenStateful(docs: DataFrame, textCol: String = "text",
+                            idCol: String = "doc_id", n: Int = 3,
+                            k: Int = 32, bands: Int = 8)
+      : org.apache.spark.sql.Dataset[ScreenHit] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    require(k % bands == 0, "k must be divisible by bands")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(docs.schema(idCol).dataType ==
+        org.apache.spark.sql.types.LongType,
+      s"nearDupScreenStateful keys state by a long id; cast $idCol first")
+    val banded = TextDedup
+      .bandedSignatures(docs, textCol, idCol, n, k, bands)
+      .select(col("band").cast("int").as("band"), col("bucket"),
+        col("doc").as("doc_id"))
+      .as[(Int, Long, Long)]
+    banded.groupByKey { case (band, bucket, _) => (band, bucket) }
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: (Int, Long), rows: Iterator[(Int, Long, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[Long]) => {
+          val ids = rows.map(_._3).toArray
+          java.util.Arrays.sort(ids)
+          val anchor = if (state.exists) state.get else { state.update(ids(0)); ids(0) }
+          ids.iterator.filter(_ != anchor).map(ScreenHit(_, anchor, key._1))
+        })
+  }
 }

@@ -142,6 +142,47 @@ class StreamingDedupSpec extends SparkSpec {
     assert(hits.toSet == Set((100L, 1L)), s"got $hits")
   }
 
+  test("nearDupScreenStateful: bucket anchors persist across micro-batches, fresh docs pass") {
+    import graft.streaming.CorpusStream
+    implicit val sqlCtx = spark.sqlContext
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val hits = CorpusStream.nearDupScreenStateful(
+      src.toDF().toDF("doc_id", "text"))
+    val q = hits.writeStream.format("memory").queryName("neardup_state_out")
+      .outputMode("append").start()
+    // batch 1: two distinct docs install their bucket anchors
+    src.addData(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely unrelated second document with different words entirely"))
+    q.processAllAvailable()
+    // batch 2: doc 3 duplicates doc 1 (state from batch 1 must flag it),
+    // doc 4 is fresh
+    src.addData(
+      (3L, "the quick brown fox jumps over the lazy dog"),
+      (4L, "a genuinely novel third text sharing nothing with the others"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("neardup_state_out")
+      .select("doc_id", "dup_of").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((3L, 1L)), s"got $got")
+  }
+
+  test("nearDupScreenStateful: batch-frame parity (state starts empty, min id anchors)") {
+    import graft.streaming.CorpusStream
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely unrelated second document with different words entirely"),
+      (3L, "the quick brown fox jumps over the lazy dog"),
+      (4L, "a genuinely novel third text sharing nothing with the others"))
+      .toDF("doc_id", "text")
+    val got = CorpusStream.nearDupScreenStateful(docs)
+      .toDF().select("doc_id", "dup_of").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((3L, 1L)), s"got $got")
+  }
+
   test("duplicates report: all copies + group sizes on composite key") {
     val df = Seq((1, "a"), (1, "a"), (1, "a"), (2, "b")).toDF("k", "s")
     val rep = DuplicatesReport.report(df, Seq("k", "s"))
