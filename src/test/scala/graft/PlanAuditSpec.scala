@@ -597,4 +597,27 @@ class PlanAuditSpec extends SparkSpec {
         s"$name scan schemas not pruned: $schemas")
     }
   }
+
+  test("hashedLinearScore: one pruned scan, zero exchanges — scoring is pure map work") {
+    // audit the operator (q_quality_classifier adds the oracle orderBy)
+    val p = plan(graft.operators.TextQuality.hashedLinearScore(
+      Tables.documents(spark, sf), "text", "doc_id"))
+    assert(!p.contains("Exchange"), s"classifier scoring must not shuffle:\n$p")
+    val schemas = "ReadSchema: struct<[^>]*>".r.findAllIn(p).toList
+    assert(schemas == List("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"classifier scan not pruned to (doc_id, text): $schemas")
+    assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("ScalaUDF"),
+      "classifier must stay inside codegen'd built-ins")
+  }
+
+  test("q_upsert: base side anti-joins BROADCAST delta keys — the big side never shuffles") {
+    val p = plan(q("q_upsert"))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"expected broadcast left-anti against delta keys:\n$p")
+    // the only Exchanges allowed are the delta-sized duplicate-key
+    // window guard and the oracle orderBy's range partitioning — never
+    // a hash Exchange of the full base for the merge itself
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList
+    assert(exchanges.size <= 1, s"unexpected base-side shuffles:\n$p")
+  }
 }
