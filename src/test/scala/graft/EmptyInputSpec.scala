@@ -181,4 +181,22 @@ class EmptyInputSpec extends SparkSpec {
     assert(Funnel.cohortRetention(noEvents, "user_id", "ts").isEmpty)
     assert(Funnel.transitions(noEvents, "user_id", "ts", "event_type").isEmpty)
   }
+
+  test("upsert and hashed classifier on zero rows") {
+    val base = Seq((1L, "a")).toDF("k", "name")
+    val noRows = base.limit(0)
+    // empty delta: base passes through unchanged
+    assert(Joins.upsert(base, noRows, Seq("k")).collect().toSeq ==
+      base.collect().toSeq)
+    // empty base: the delta IS the snapshot
+    assert(Joins.upsert(noRows, base, Seq("k")).collect().toSeq ==
+      base.collect().toSeq)
+    assert(Joins.upsert(noRows, noRows, Seq("k")).isEmpty)
+    val scored = TextQuality.hashedLinearScore(noDocs, "text", "doc_id")
+    assert(scored.isEmpty && scored.columns.toSeq ==
+      Seq("doc_id", "n_feats", "w_sum", "score", "keep"))
+    // streaming screen's batch form on zero docs: no hits, no throw
+    assert(graft.streaming.CorpusStream
+      .nearDupScreenStateful(noDocs).isEmpty)
+  }
 }
