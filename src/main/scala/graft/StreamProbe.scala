@@ -63,11 +63,38 @@ object StreamProbe {
       drain("sessionize_fmgws", df =>
         streaming.EventStreams.sessionize(spark, df)))
 
+    // 4th pipeline, separate corpus + units: the state-store near-dup
+    // screen over the DOCUMENTS table (MinHash + band-keyed fMGWS).
+    // Hashing-dominated, so its docs/s floor (optional arg 4) is its
+    // own — never compared against the events pipelines' gate.
+    val docsDir = s"$sfDir/documents.parquet"
+    val docsSchema = spark.read.parquet(docsDir).schema
+    val nDocs = spark.read.parquet(docsDir).count()
+    val minDocRate = if (args.length > 3) args(3).toDouble else 0.0
+    val screenRow = {
+      val src = spark.readStream.schema(docsSchema)
+        .option("maxFilesPerTrigger", maxFiles).parquet(docsDir)
+      val t0 = System.nanoTime()
+      val q = streaming.CorpusStream.nearDupScreenStateful(src)
+        .writeStream.format("noop")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("sp-screen").toString)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val dt = (System.nanoTime() - t0) / 1e9
+      val rate = nDocs / dt
+      println(f"[stream] neardup_screen: $dt%.1f s, $rate%.0f docs/s, ${q.recentProgress.length} batches")
+      (rate, q.recentProgress.length)
+    }
+
     val pipelines = rows.map { case (n, r, b) =>
       f""""$n":{"events_per_sec":$r%.0f,"batches":$b}""" }.mkString(",")
-    println(f"""{"probe":"stream_throughput","sf_dir":"$sfDir","n_events":$nEvents,"max_files_per_trigger":$maxFiles,"min_events_per_sec_gate":$minRate%.0f,$pipelines}""")
+    println(f"""{"probe":"stream_throughput","sf_dir":"$sfDir","n_events":$nEvents,"max_files_per_trigger":$maxFiles,"min_events_per_sec_gate":$minRate%.0f,$pipelines,"neardup_screen":{"n_docs":$nDocs,"docs_per_sec":${screenRow._1}%.0f,"batches":${screenRow._2},"min_docs_per_sec_gate":$minDocRate%.0f}}""")
 
-    val slow = rows.filter(_._2 < minRate)
+    val slow = rows.filter(_._2 < minRate) ++
+      (if (screenRow._1 < minDocRate) Seq(("neardup_screen", screenRow._1, screenRow._2)) else Nil)
     spark.stop()
     if (slow.nonEmpty) {
       System.err.println(s"[stream] GATE FAILED: ${slow.map(s =>
