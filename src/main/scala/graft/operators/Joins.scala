@@ -377,6 +377,11 @@ object Joins {
     * (updates are conformed by name), so the result unions cleanly and
     * publishes atomically through [[graft.sources.Sinks.Versioned]] —
     * merge-then-swap, never in-place.
+    *
+    * Null keys follow join semantics: a null-keyed base row never
+    * matches a delta key (it always passes through), and a null-keyed
+    * delta row always inserts — upsert keys should be non-null by
+    * schema contract, same as any MERGE.
     */
   def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String],
              versionOrder: Option[Column] = None,
