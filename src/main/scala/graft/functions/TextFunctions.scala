@@ -58,6 +58,16 @@ object TextFunctions {
     * good enough for budget estimation).
     */
   def tokenCountBpeIsh(c: Column): Column =
+    graft.plans.BpeIshCount.bpeishCount(c)
+
+  /** The regex formulation [[tokenCountBpeIsh]] replaced — kept ONLY as
+    * the equivalence witness for BpeIshCountSpec's property check. Never
+    * use in a pipeline: besides materializing every match into an array,
+    * this exact three-branch alternation hits a measured java.util.regex
+    * thread-scaling cliff (SCALE.md "The regex that would not
+    * parallelize") that caps a whole executor at ~105k docs/s.
+    */
+  private[graft] def tokenCountBpeIshRegex(c: Column): Column =
     size(regexp_extract_all(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
   /** Distinct word n-gram shingles joined with '_'.
