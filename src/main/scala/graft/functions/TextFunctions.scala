@@ -262,13 +262,22 @@ object TextFunctions {
   /** Quality signals: length, token stats, punctuation/digit ratios,
     * English stopword ratio — the standard cheap pre-filters for a
     * training-data pipeline.
+    *
+    * The class counts are `length − length(translate(...))` — counting
+    * by REMOVAL with codegen'd builtins, identical to
+    * `regexp_count("[class]")` for literal ASCII classes but with no
+    * regex machinery in the per-row path at all (and `translate` scans
+    * bytes once; see SCALE.md "The regex that would not parallelize"
+    * for why regex stays out of hot scans on principle now).
     */
   def qualityStruct(c: Column): Column = {
     val toks = tokens(c)
     val nChars = length(c).cast("double")
     val nTok = size(toks).cast("double")
-    val punct = regexp_count(c, lit("[.,;:!?]")).cast("double")
-    val digits = regexp_count(c, lit("[0-9]")).cast("double")
+    def classCount(cls: String) =
+      (length(c) - length(translate(c, cls, ""))).cast("double")
+    val punct = classCount(".,;:!?")
+    val digits = classCount("0123456789")
     val stopHits = size(filter(toks, t => t.isin(stopwords("en"): _*)))
     struct(
       nChars.as("n_chars"),

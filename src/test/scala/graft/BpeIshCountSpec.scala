@@ -44,6 +44,18 @@ class BpeIshCountSpec extends SparkSpec {
       assert(native == regex, s"'$t': native $native vs regex $regex")
   }
 
+  test("translate-diff class counts == regexp_count (qualityStruct's punct/digit path)") {
+    val texts = Seq("a.b,c;d:e!f?g", "no punct here", "123 4 5,6", "", "é!½?")
+    val df = texts.toDF("text")
+    val got = df.select(
+      (length(col("text")) - length(translate(col("text"), ".,;:!?", ""))).as("p1"),
+      regexp_count(col("text"), lit("[.,;:!?]")).as("p2"),
+      (length(col("text")) - length(translate(col("text"), "0123456789", ""))).as("d1"),
+      regexp_count(col("text"), lit("[0-9]")).as("d2")).collect()
+    for (r <- got)
+      assert(r.getInt(0) == r.getInt(1) && r.getInt(2) == r.getInt(3), r.toString)
+  }
+
   test("null text yields null, matching the regex form") {
     val df = Seq(Some("ab"), None).toDF("text")
     val got = df.select(

@@ -54,6 +54,22 @@ class UpsertSpec extends SparkSpec {
     assert(b == s && b.size == 4)
   }
 
+  test("upsert → Versioned publish: merge-then-swap, old snapshot intact until the new one lands") {
+    import graft.sources.Sinks.Versioned
+    val root = java.nio.file.Files.createTempDirectory("upsert-ver").toString
+    assert(Versioned.write(base, root) == 0)
+    val updates = Seq((2L, "b2", 25.0), (9L, "new", 99.0)).toDF("k", "name", "bal")
+    val merged = Joins.upsert(Versioned.read(spark, root), updates, Seq("k"))
+    assert(Versioned.write(merged, root) == 1)
+    val got = Versioned.read(spark, root).orderBy("k")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(got == Seq((1L, "a", 10.0), (2L, "b2", 25.0), (3L, "c", 30.0), (9L, "new", 99.0)))
+    // the pre-merge version is still fully readable (reader isolation)
+    val v0 = spark.read.parquet(s"$root/v00000").orderBy("k")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(v0 == base.orderBy("k").as[(Long, String, Double)].collect().toSeq)
+  }
+
   // ---- hashedLinearScore ---------------------------------------------
 
   /** Reference replay of the deterministic weight table. */
