@@ -169,6 +169,35 @@ class StreamingDedupSpec extends SparkSpec {
     assert(got == Set((3L, 1L)), s"got $got")
   }
 
+  test("nearDupScreenStateful: runs on the RocksDB state store provider (the corpus-scale config)") {
+    import graft.streaming.CorpusStream
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val src = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val hits = CorpusStream.nearDupScreenStateful(
+        src.toDF().toDF("doc_id", "text"))
+      val q = hits.writeStream.format("memory").queryName("neardup_rocks_out")
+        .outputMode("append").start()
+      src.addData((1L, "the quick brown fox jumps over the lazy dog"))
+      q.processAllAvailable()
+      src.addData((3L, "the quick brown fox jumps over the lazy dog"))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("neardup_rocks_out")
+        .select("doc_id", "dup_of").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((3L, 1L)), s"got $got")
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("nearDupScreenStateful: batch-frame parity (state starts empty, min id anchors)") {
     import graft.streaming.CorpusStream
     val docs = Seq(
