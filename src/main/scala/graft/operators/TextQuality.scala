@@ -659,18 +659,38 @@ object TextQuality {
     * (the DuckDB oracle replays it); swapping in a trained table is a
     * broadcast-map substitution that changes no plan shape.
     *
-    * Scale design: the entire score is ONE scalar expression per row —
-    * tokens → features → md5-bucket → integer weight → `aggregate` fold
-    * — all codegen'd built-ins, zero explode, zero shuffle; scoring
-    * 100 TB is embarrassingly parallel map work on the corpus scan.
-    * Determinism: weights are INTEGERS summed as BIGINT (order-free);
-    * the only floating-point op is one final division, so Spark and the
-    * oracle agree to the last bit. `n_feats = 0` (and all-null feature
-    * arrays) yields a null score and `keep = false`.
+    * Scale design: the whole feature fold is ONE native codegen'd
+    * expression per row ([[graft.plans.HashedFeatScore]] — two running
+    * longs of state, no per-row arrays; the first cut composed it from
+    * `transform`/`aggregate` HOFs, which are CodegenFallback and
+    * allocate four arrays per document). Zero explode, zero shuffle:
+    * scoring 100 TB is embarrassingly parallel map work on the corpus
+    * scan. Determinism: weights are INTEGERS summed as BIGINT
+    * (order-free); the only floating-point op is one final division, so
+    * Spark and the oracle agree to the last bit. Null text yields a
+    * null score and `keep = false`.
     */
   def hashedLinearScore(df: DataFrame, textCol: String, idCol: String,
                         buckets: Int = 4096, cutoff: Double = 0.0): DataFrame = {
     require(buckets > 0, "buckets must be positive")
+    val sc = graft.plans.HashedFeatScore.featScore(col(textCol), buckets)
+    df.select(
+        col(idCol),
+        sc.getItem(0).as("n_feats"),
+        sc.getItem(1).as("w_sum"))
+      .withColumn("score",
+        when(col("n_feats") > 0, col("w_sum").cast("double") / (col("n_feats") * 1000.0)))
+      .withColumn("keep", coalesce(col("score") > cutoff, lit(false)))
+  }
+
+  /** The built-ins composition [[hashedLinearScore]] started as — kept
+    * ONLY as the equivalence witness for HashedFeatScoreSpec (the
+    * `transform`/`aggregate` HOFs are CodegenFallback and build four
+    * per-row arrays; never use this form in a pipeline).
+    */
+  private[graft] def hashedLinearScoreComposed(
+      df: DataFrame, textCol: String, idCol: String,
+      buckets: Int = 4096, cutoff: Double = 0.0): DataFrame = {
     val ws = TextFunctions.tokens(col(textCol))
     val feats = concat(ws, TextFunctions.ngrams(col(textCol), 2))
     // md5 leading 8 hex chars → unsigned 32-bit → bucket → centered weight
