@@ -81,14 +81,14 @@ object ScalingProbe {
       n -> best
     }
 
-    val base = perLevel.last // narrowest level = speedup baseline
+    val base = perLevel.minBy(_._1) // narrowest level = speedup baseline
     val rows = perLevel.map { case (n, qs) => (n, qs.map(_._2).sum, qs) }
     val levelsJson = rows.map { case (n, total, qs) =>
       val qj = qs.map { case (q, t) => "\"" + q + "\":" + f"$t%.2f" }.mkString(",")
       f""""$n":{"total_sec":$total%.2f,$qj}"""
     }.mkString(",")
     val narrowN = base._1
-    val narrowTotal = rows.last._2
+    val narrowTotal = base._2.map(_._2).sum
     val curve = rows.map { case (n, total, _) =>
       f""""${n}x":${narrowTotal / total}%.2f"""
     }.mkString(",")
