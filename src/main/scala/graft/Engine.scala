@@ -11,9 +11,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * hand rather than the 200 default.
   */
 object Engine {
+  /** `extraConfs` are applied LAST (they win over the defaults) — for
+    * probe-specific static confs that must be set before the session
+    * exists (e.g. codegen cache sizing), so probes can reuse this
+    * factory instead of hand-rolling a builder that drifts.
+    */
   def session(appName: String = "graft",
-              cpus: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
-    val spark = SparkSession.builder()
+              cpus: Int = Runtime.getRuntime.availableProcessors(),
+              extraConfs: Map[String, String] = Map.empty): SparkSession = {
+    val spark = extraConfs.foldLeft(SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cpus.toString)
@@ -36,6 +42,7 @@ object Engine {
       // whole table (measured: LayoutProbe, SCALE.md).
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
+    ) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

@@ -31,26 +31,20 @@ object ScalingProbe {
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/repo/testdata-sf10"
+    // always measured DESCENDING regardless of argument order: the
+    // conservative-floor warmth argument (wide levels warm the narrow
+    // ones, never the reverse) only holds in that direction
     val levels = (if (args.length > 1) args(1) else "32,16,8,4")
-      .split(",").map(_.trim.toInt).toSeq
+      .split(",").map(_.trim.toInt).toSeq.distinct.sorted(Ordering.Int.reverse)
     val queries = if (args.length > 2) args.drop(2).toSeq else DefaultQueries
 
-    def session(cpus: Int): SparkSession = {
-      val s = SparkSession.builder()
-        .master(s"local[$cpus]")
-        .appName(s"graft-scaling-$cpus")
-        .config("spark.sql.shuffle.partitions", cpus.toString)
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-        .config("spark.sql.codegen.cache.maxEntries", "4096")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-      s.sparkContext.setLogLevel("WARN")
-      s
-    }
+    // the PRODUCT session factory, so the curve measures the engine the
+    // queries actually run under (a hand-rolled builder here drifted
+    // once already); codegen cache sizing is the one probe-specific
+    // static conf, layered via extraConfs
+    def session(cpus: Int): SparkSession = Engine.session(
+      s"graft-scaling-$cpus", cpus,
+      extraConfs = Map("spark.sql.codegen.cache.maxEntries" -> "4096"))
 
     val perLevel = levels.map { n =>
       val spark = session(n)

@@ -93,12 +93,16 @@ object StreamProbe {
       f""""$n":{"events_per_sec":$r%.0f,"batches":$b}""" }.mkString(",")
     println(f"""{"probe":"stream_throughput","sf_dir":"$sfDir","n_events":$nEvents,"max_files_per_trigger":$maxFiles,"min_events_per_sec_gate":$minRate%.0f,$pipelines,"neardup_screen":{"n_docs":$nDocs,"docs_per_sec":${screenRow._1}%.0f,"batches":${screenRow._2},"min_docs_per_sec_gate":$minDocRate%.0f}}""")
 
-    val slow = rows.filter(_._2 < minRate) ++
-      (if (screenRow._1 < minDocRate) Seq(("neardup_screen", screenRow._1, screenRow._2)) else Nil)
+    // each failure names ITS OWN floor and units — the screen gates in
+    // docs/s against minDocRate, never against the events floor
+    val slow = rows.filter(_._2 < minRate).map(s =>
+        f"${s._1} ${s._2}%.0f ev/s < $minRate%.0f") ++
+      (if (screenRow._1 < minDocRate)
+        Seq(f"neardup_screen ${screenRow._1}%.0f docs/s < $minDocRate%.0f")
+      else Nil)
     spark.stop()
     if (slow.nonEmpty) {
-      System.err.println(s"[stream] GATE FAILED: ${slow.map(s =>
-        f"${s._1} ${s._2}%.0f ev/s < $minRate%.0f").mkString(", ")}")
+      System.err.println(s"[stream] GATE FAILED: ${slow.mkString(", ")}")
       sys.exit(1)
     }
   }

@@ -391,6 +391,15 @@ object Joins {
     require(updates.columns.toSet == cols.toSet,
       s"upsert: updates columns ${updates.columns.sorted.mkString(",")} " +
         s"must match base columns ${cols.sorted.mkString(",")}")
+    // names matching is not enough: a mistyped delta (string-typed CSV
+    // read) would silently WIDEN the snapshot schema through the union
+    // (double ∪ string → string) — refuse loudly instead
+    val typeDrift = cols.flatMap { c =>
+      val (bt, ut) = (base.schema(c).dataType, updates.schema(c).dataType)
+      if (bt == ut) None else Some(s"$c: base $bt vs updates $ut")
+    }
+    require(typeDrift.isEmpty,
+      s"upsert: update column types must match base — ${typeDrift.mkString("; ")}")
     val latest = versionOrder match {
       case Some(ord) =>
         val w = Window.partitionBy(keys.map(col): _*).orderBy(ord.desc)

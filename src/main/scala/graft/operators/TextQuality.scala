@@ -674,6 +674,10 @@ object TextQuality {
                         buckets: Int = 4096, cutoff: Double = 0.0): DataFrame = {
     require(buckets > 0, "buckets must be positive")
     val sc = graft.plans.HashedFeatScore.featScore(col(textCol), buckets)
+    // sc appears twice in the projection; whole-stage codegen's
+    // subexpression elimination evaluates it ONCE per row (the same
+    // convention every qualityStruct.getField caller relies on). Only
+    // interpreted fallback — spec-only territory — pays the fold twice.
     df.select(
         col(idCol),
         sc.getItem(0).as("n_feats"),

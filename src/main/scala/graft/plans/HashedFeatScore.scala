@@ -70,9 +70,20 @@ object HashedFeatScore {
   @inline private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
+  // one MessageDigest per thread, reset per feature — DigestUtils.md5
+  // would pay MessageDigest.getInstance (provider lookup + allocation)
+  // for EVERY token and bigram in the hot map loop (the same fix
+  // Md5MinHashSig applies via codegen mutable state; a ThreadLocal is
+  // the static-helper equivalent)
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   private def weight(f: String, buckets: Int): Long = {
-    val d = org.apache.commons.codec.digest.DigestUtils.md5(
-      f.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val md = digest.get()
+    md.reset()
+    val d = md.digest(f.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val v = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
       ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
     (v % buckets) % 2001 - 1000

@@ -45,6 +45,15 @@ class UpsertSpec extends SparkSpec {
     assert(e.getMessage.contains("must match base columns"))
   }
 
+  test("upsert: type drift refused — a string-typed delta must not widen the snapshot") {
+    val updates = Seq((2L, "x", "25.0")).toDF("k", "name", "bal") // bal: string
+    val e = intercept[IllegalArgumentException] {
+      Joins.upsert(base, updates, Seq("k"))
+    }
+    assert(e.getMessage.contains("column types must match") &&
+      e.getMessage.contains("bal"), e.getMessage)
+  }
+
   test("upsert: shuffled (non-broadcast) path returns the identical snapshot") {
     val updates = Seq((1L, "a2", 11.0), (4L, "d", 40.0)).toDF("k", "name", "bal")
     val b = Joins.upsert(base, updates, Seq("k"), broadcastUpdates = true)
