@@ -259,6 +259,54 @@ object Sinks {
     * needs a transactional table format; this operator keeps rewrite
     * and swap explicit and separate (write → verify → point readers).
     */
+  /** Partition-pruned MERGE: apply a delta to a partitioned parquet
+    * table rewriting ONLY the partitions the delta touches — the shape
+    * that makes [[graft.operators.Joins.upsert]] viable on a 100 TB
+    * table, where "merge then rewrite everything" is a non-starter.
+    * Cost ∝ affected-partition bytes + delta, never table size: the
+    * base read partition-prunes to the delta's partition values, the
+    * merge is the standard broadcast-anti upsert, and the write is a
+    * dynamic partition overwrite that replaces exactly those
+    * partitions (new partition values insert their directories).
+    *
+    * Contract: `partitionCol` must be IMMUTABLE per key, the standard
+    * constraint for MERGE on a partitioned table — a delta row that
+    * moves a key to a new partition value would insert there while the
+    * stale row survives unread in its old partition. Delta rows must
+    * carry `partitionCol`.
+    *
+    * The per-partition overwrite is parquet's non-transactional one
+    * (same residual as CorpusStream documents): a reader racing the
+    * swap of an AFFECTED partition can see it torn. Untouched
+    * partitions are never written. For hard read isolation put the
+    * table under [[Versioned]] and merge-then-publish instead.
+    *
+    * The distinct partition-value collect is delta-sized by contract
+    * (one value per touched partition) — the same driver-bound class
+    * as the broadcast delta itself. Returns the affected values for
+    * observability.
+    */
+  def upsertPartitioned(spark: org.apache.spark.sql.SparkSession,
+                        root: String, updates: DataFrame,
+                        keys: Seq[String], partitionCol: String,
+                        versionOrder: Option[org.apache.spark.sql.Column] = None)
+      : Seq[String] = {
+    require(updates.columns.contains(partitionCol),
+      s"upsertPartitioned: updates must carry the partition column $partitionCol")
+    import org.apache.spark.sql.functions.col
+    val affected = updates.select(col(partitionCol).cast("string"))
+      .distinct().collect().map(_.getString(0)).toSeq.sorted
+    val base = spark.read.parquet(root)
+      .filter(col(partitionCol).cast("string").isin(affected: _*))
+    val merged = graft.operators.Joins.upsert(
+      base.select(updates.columns.map(col): _*), updates, keys, versionOrder)
+    merged.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol)
+      .parquet(root)
+    affected
+  }
+
   def compact(df: DataFrame, inPath: String, outPath: String,
               targetBytes: Long = 128L << 20,
               sortCol: Option[String] = None): Int = {

@@ -79,6 +79,37 @@ class UpsertSpec extends SparkSpec {
     assert(v0 == base.orderBy("k").as[(Long, String, Double)].collect().toSeq)
   }
 
+  test("upsertPartitioned: only the delta's partitions rewrite; result ≡ full-table upsert") {
+    import graft.sources.Sinks
+    val root = java.nio.file.Files.createTempDirectory("upsert-part").toString + "/t"
+    val table = Seq(
+      (1L, "a", 10.0, "p1"), (2L, "b", 20.0, "p1"),
+      (3L, "c", 30.0, "p2"), (4L, "d", 40.0, "p3"))
+      .toDF("k", "name", "bal", "part")
+    table.write.partitionBy("part").parquet(root)
+    def files(p: String) = {
+      val d = new java.io.File(s"$root/part=$p")
+      if (!d.exists) Map.empty[String, Long]
+      else d.listFiles.filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified).toMap
+    }
+    val (p1Before, p3Before) = (files("p1"), files("p3"))
+    // delta: update k=3 (partition p2), insert k=9 into NEW partition p4
+    val delta = Seq((3L, "c2", 33.0, "p2"), (9L, "new", 99.0, "p4"))
+      .toDF("k", "name", "bal", "part")
+    val affected = Sinks.upsertPartitioned(spark, root, delta, Seq("k"), "part")
+    assert(affected == Seq("p2", "p4"))
+    // untouched partitions: identical files, untouched mtimes
+    assert(files("p1") == p1Before && files("p3") == p3Before)
+    // table now equals the full-table upsert of the same delta
+    val got = spark.read.parquet(root)
+      .select("k", "name", "bal", "part").orderBy("k")
+      .as[(Long, String, Double, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, "a", 10.0, "p1"), (2L, "b", 20.0, "p1"), (3L, "c2", 33.0, "p2"),
+      (4L, "d", 40.0, "p3"), (9L, "new", 99.0, "p4")))
+  }
+
   // ---- hashedLinearScore ---------------------------------------------
 
   /** Reference replay of the deterministic weight table. */
