@@ -502,4 +502,31 @@ object PropertySpec extends Properties("graft") {
       }
     }
 
+  // upsert algebra: re-applying a delta is a no-op, and disjoint-key
+  // deltas commute — the two laws a retried / out-of-order snapshot
+  // maintenance job leans on
+  private val keyedRows: Gen[List[(Int, String, Int)]] =
+    Gen.listOfN(12, rowGen).map(_.groupBy(_._1).map(_._2.head).toList)
+
+  property("upsert: idempotent — applying the same delta twice equals once") =
+    Prop.forAll(keyedRows, keyedRows) { (baseRows, deltaRows) =>
+      val base = baseRows.toDF("k", "s", "v")
+      val delta = deltaRows.toDF("k", "s", "v")
+      val once = operators.Joins.upsert(base, delta, Seq("k"))
+      val twice = operators.Joins.upsert(once, delta, Seq("k"))
+      once.orderBy("k").collect().toSeq == twice.orderBy("k").collect().toSeq
+    }
+
+  property("upsert: disjoint-key deltas commute") =
+    Prop.forAll(keyedRows, keyedRows, keyedRows) { (baseRows, d1Rows, d2Rows) =>
+      val d1Keys = d1Rows.map(_._1).toSet
+      val d2 = d2Rows.filterNot(r => d1Keys.contains(r._1))
+      val base = baseRows.toDF("k", "s", "v")
+      val (da, db) = (d1Rows.toDF("k", "s", "v"), d2.toDF("k", "s", "v"))
+      def apply2(x: org.apache.spark.sql.DataFrame, y: org.apache.spark.sql.DataFrame) =
+        operators.Joins.upsert(operators.Joins.upsert(base, x, Seq("k")), y, Seq("k"))
+          .orderBy("k").collect().toSeq
+      apply2(da, db) == apply2(db, da)
+    }
+
 }
