@@ -1601,6 +1601,14 @@ object SparkEntry {
       // shuffle), so 100 TB scoring is pure map work on the scan
       TextQuality.hashedLinearScore(Tables.documents(s, d), "text", "doc_id")
         .orderBy("doc_id")),
+    "q_classifier_weighted" -> ((s, d) =>
+      // the TRAINED-table form of q_quality_classifier: a 64-bucket
+      // fixed-point weight row rides into the native fold as one
+      // reference object — same plan, same zero-shuffle scan; the
+      // oracle embeds the identical table as a list literal
+      TextQuality.hashedLinearScoreWeighted(
+        Tables.documents(s, d), "text", "doc_id", trainedDemoWeights)
+        .orderBy("doc_id")),
     "q_pps_sample" -> ((s, d) =>
       // systematic PPS: exactly 10 docs per language, selected with
       // probability proportional to token count — integer-exact
@@ -1790,6 +1798,18 @@ object SparkEntry {
     */
   private def sampledDocsSrc(rate: Double): String =
     s"(SELECT doc_id, text FROM documents WHERE md5(CAST(doc_id AS VARCHAR)) < '${graft.functions.TextFunctions.md5SampleThreshold(rate)}')"
+
+  /** The q_classifier_weighted "trained" table: 64 fixed-point (1e-6)
+    * weights from a seeded generator — a stand-in with the exact
+    * runtime shape of a trained row. ONE definition feeds both the
+    * Spark query (as the native fold's reference object) and the
+    * DuckDB oracle (as a list literal), so the engines can only agree
+    * by computing the same dot product.
+    */
+  private[graft] lazy val trainedDemoWeights: Array[Long] = {
+    val rnd = new scala.util.Random(7L)
+    Array.fill(64)((rnd.nextInt(2000001) - 1000000).toLong)
+  }
 
   private def curateFullSqlOver(src: String): String =
     s"""WITH RECURSIVE w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM $src),
@@ -2239,6 +2259,20 @@ object SparkEntry {
         |SELECT doc_id, n_feats, w_sum,
         | CASE WHEN n_feats > 0 THEN CAST(w_sum AS DOUBLE)/(n_feats * 1000.0) END AS score,
         | coalesce(CASE WHEN n_feats > 0 THEN CAST(w_sum AS DOUBLE)/(n_feats * 1000.0) END > 0.0, FALSE) AS keep
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q_classifier_weighted" ->
+      // the SAME trained table the Spark side carries, embedded as a
+      // 64-entry list literal (1-based index); fixed-point BIGINT sum,
+      // one double division at 1e6 scale
+      s"""WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents),
+        |f AS (SELECT doc_id, ws || [ws[i]||'_'||ws[i+1] for i in range(1, len(ws))] AS fs FROM t),
+        |s AS (SELECT doc_id, CAST(len(fs) AS BIGINT) AS n_feats,
+        |  CAST(coalesce(list_aggregate(list_transform(fs,
+        |    x -> (${trainedDemoWeights.mkString("[", ", ", "]")})[(('0x' || substr(md5(x), 1, 8))::BIGINT % 64) + 1]), 'sum'), 0) AS BIGINT) AS w_sum
+        | FROM f)
+        |SELECT doc_id, n_feats, w_sum,
+        | CASE WHEN n_feats > 0 THEN CAST(w_sum AS DOUBLE)/(n_feats * 1000000.0) END AS score,
+        | coalesce(CASE WHEN n_feats > 0 THEN CAST(w_sum AS DOUBLE)/(n_feats * 1000000.0) END > 0.0, FALSE) AS keep
         |FROM s ORDER BY doc_id""".stripMargin,
     "q_outliers" ->
       // the engine's exact-moment formula replayed verbatim (decimal

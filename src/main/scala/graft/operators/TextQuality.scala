@@ -687,6 +687,32 @@ object TextQuality {
       .withColumn("keep", coalesce(col("score") > cutoff, lit(false)))
   }
 
+  /** [[hashedLinearScore]] with a TRAINED weight table — the promised
+    * "swap trained parameters in" is this one-argument substitution,
+    * same plan, same zero-shuffle scan. Weights are FIXED-POINT longs
+    * (`weightsFx(bucket)`, `buckets = weightsFx.length`; divide by
+    * `scale` to read them as reals) so the per-document sum stays
+    * integer — order-free and bit-reproducible across engines, exactly
+    * like the derived default; one final double division produces the
+    * score. Quantize a trained float row with
+    * `math.round(w * scale)` — at the default 1e6 scale that is
+    * fastText-grade precision.
+    */
+  def hashedLinearScoreWeighted(df: DataFrame, textCol: String, idCol: String,
+                                weightsFx: Array[Long], scale: Double = 1e6,
+                                cutoff: Double = 0.0): DataFrame = {
+    require(weightsFx.nonEmpty, "weight table must be non-empty")
+    val sc = graft.plans.HashedFeatScore.featScore(
+      col(textCol), weightsFx.length, Some(weightsFx))
+    df.select(
+        col(idCol),
+        sc.getItem(0).as("n_feats"),
+        sc.getItem(1).as("w_sum"))
+      .withColumn("score",
+        when(col("n_feats") > 0, col("w_sum").cast("double") / (col("n_feats") * scale)))
+      .withColumn("keep", coalesce(col("score") > cutoff, lit(false)))
+  }
+
   /** The built-ins composition [[hashedLinearScore]] started as — kept
     * ONLY as the equivalence witness for HashedFeatScoreSpec (the
     * `transform`/`aggregate` HOFs are CodegenFallback and build four

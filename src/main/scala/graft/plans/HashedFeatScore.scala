@@ -37,10 +37,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - weight = `(uint32(md5[0..3]) % buckets) % 2001 − 1000`, the
   *     first-8-hex-chars parse without the hex string.
   */
-case class HashedFeatScore(child: Expression, buckets: Int)
+case class HashedFeatScore(child: Expression, buckets: Int,
+                           table: Option[Array[Long]] = None)
     extends UnaryExpression {
 
   require(buckets > 0, "buckets must be positive")
+  require(table.forall(_.length == buckets),
+    "weight table must have exactly `buckets` entries")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -51,21 +54,36 @@ case class HashedFeatScore(child: Expression, buckets: Int)
   override def prettyName: String = "hashed_feat_score"
 
   override def nullSafeEval(input: Any): Any = new GenericArrayData(
-    HashedFeatScore.score(input.asInstanceOf[UTF8String], buckets))
+    HashedFeatScore.score(input.asInstanceOf[UTF8String], buckets, table.orNull))
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // a TRAINED table ships into the generated class as one reference
+    // field — per-row work is an array index either way
+    val tableRef = table match {
+      case Some(t) => ctx.addReferenceObj("featTable", t, "long[]")
+      case None => "null"
+    }
     nullSafeCodeGen(ctx, ev, s =>
       s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
-         |  graft.plans.HashedFeatScore.score($s, $buckets));""".stripMargin)
+         |  graft.plans.HashedFeatScore.score($s, $buckets, $tableRef));""".stripMargin)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): HashedFeatScore =
     copy(child = newChild)
 }
 
 object HashedFeatScore {
-  /** Column-level entry: wraps the expression directly (no registry). */
-  def featScore(c: Column, buckets: Int): Column =
-    GraftColumnShim.column(HashedFeatScore(GraftColumnShim.expression(c), buckets))
+  /** Column-level entry: wraps the expression directly (no registry).
+    * `table`: an optional TRAINED weight row per bucket (fixed-point
+    * longs — the caller picks the scale; integer summation keeps the
+    * score order-free and bit-reproducible, exactly like the derived
+    * default). None = the deterministic `(bucket % 2001) − 1000`
+    * stand-in.
+    */
+  def featScore(c: Column, buckets: Int,
+                table: Option[Array[Long]] = None): Column =
+    GraftColumnShim.column(
+      HashedFeatScore(GraftColumnShim.expression(c), buckets, table))
 
   @inline private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
@@ -80,17 +98,18 @@ object HashedFeatScore {
       java.security.MessageDigest.getInstance("MD5")
   }
 
-  private def weight(f: String, buckets: Int): Long = {
+  private def weight(f: String, buckets: Int, table: Array[Long]): Long = {
     val md = digest.get()
     md.reset()
     val d = md.digest(f.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val v = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
       ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
-    (v % buckets) % 2001 - 1000
+    val bucket = (v % buckets).toInt
+    if (table == null) bucket % 2001 - 1000 else table(bucket)
   }
 
   /** `[n_feats, w_sum]` — one shared implementation for eval + codegen. */
-  def score(s: UTF8String, buckets: Int): Array[Long] = {
+  def score(s: UTF8String, buckets: Int, table: Array[Long] = null): Array[Long] = {
     val str = s.trim().toLowerCase().toString
     // Spark split(str, "\\s+") = java split with limit -1: [""] for
     // empty input, a leading "" element when the string starts with a
@@ -118,10 +137,10 @@ object HashedFeatScore {
     val n = toks.length
     while (i < n) {
       nFeats += 1
-      wSum += weight(toks(i), buckets)
+      wSum += weight(toks(i), buckets, table)
       if (i + 1 < n) {
         nFeats += 1
-        wSum += weight(toks(i) + "_" + toks(i + 1), buckets)
+        wSum += weight(toks(i) + "_" + toks(i + 1), buckets, table)
       }
       i += 1
     }

@@ -40,6 +40,33 @@ class HashedFeatScoreSpec extends SparkSpec {
     compare(texts.take(50), buckets = 257)
   }
 
+  test("weighted table: native lookup matches a hand replay; size mismatch refused") {
+    val w = Array.tabulate(8)(i => (i * 37 - 100).toLong)
+    val docs = Seq((1L, "alpha beta"), (2L, "x")).toDF("doc_id", "text")
+    val got = TextQuality.hashedLinearScoreWeighted(
+        docs, "text", "doc_id", w, scale = 1e6)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    def bucket(f: String): Int = {
+      val hex = org.apache.commons.codec.digest.DigestUtils.md5Hex(
+        f.getBytes("UTF-8")).substring(0, 8)
+      (java.lang.Long.parseLong(hex, 16) % 8).toInt
+    }
+    def replay(text: String): (Long, Long) = {
+      val ts = text.split("\\s+").toSeq
+      val fs = ts ++ ts.sliding(2).filter(_.size == 2).map(_.mkString("_"))
+      (fs.size.toLong, fs.map(f => w(bucket(f))).sum)
+    }
+    val r1 = replay("alpha beta")
+    val r2 = replay("x")
+    assert(got(0) == ((1L, r1._1, r1._2)), s"${got(0)} vs $r1")
+    assert(got(1) == ((2L, r2._1, r2._2)), s"${got(1)} vs $r2")
+    val e = intercept[IllegalArgumentException] {
+      graft.plans.HashedFeatScore.featScore(col("text"), 4, Some(w))
+    }
+    assert(e.getMessage.contains("exactly `buckets` entries"))
+  }
+
   test("null text: null score, keep = false (native path)") {
     val df = Seq((1L, Some("ok text")), (2L, Option.empty[String]))
       .toDF("doc_id", "text")
