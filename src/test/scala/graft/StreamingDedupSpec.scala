@@ -169,6 +169,40 @@ class StreamingDedupSpec extends SparkSpec {
     assert(got == Set((3L, 1L)), s"got $got")
   }
 
+  test("nearDupScreenStateful: bucket anchors survive a query RESTART from the checkpoint") {
+    // memory source/sink refuse checkpoint recovery, so this runs the
+    // recoverable pair a production deployment uses: file source →
+    // parquet sink, two separate queries over one checkpoint
+    import graft.streaming.CorpusStream
+    val base = java.nio.file.Files.createTempDirectory("screen-restart")
+    val (docsDir, outDir, ckpt) =
+      (s"$base/docs", s"$base/out", s"$base/ckpt")
+    val dup = "the quick brown fox jumps over the lazy dog"
+    def drop(rows: (Long, String)*): Unit =
+      rows.toSeq.toDF("doc_id", "text").repartition(1)
+        .write.mode("append").parquet(docsDir)
+    drop((1L, dup), (2L, "a completely different second document with other words"))
+    val schema = spark.read.parquet(docsDir).schema
+    def drain(): Unit = {
+      val q = CorpusStream.nearDupScreenStateful(
+          spark.readStream.schema(schema).parquet(docsDir))
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()   // run 1 installs the anchors and terminates
+    drop((3L, dup))
+    drain()   // run 2: NEW query, same checkpoint — state must reload
+    val got = spark.read.parquet(outDir)
+      .select("doc_id", "dup_of").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((3L, 1L)), s"got $got")
+  }
+
   test("nearDupScreenStateful: runs on the RocksDB state store provider (the corpus-scale config)") {
     import graft.streaming.CorpusStream
     implicit val sqlCtx = spark.sqlContext
