@@ -146,12 +146,20 @@ object Bench {
     val nCompiles =
       org.apache.spark.metrics.source.CodegenMetrics.METRIC_COMPILATION_TIME.getCount
     val line = f"""{"queries":$qs,"failed":${jsonArr(failed)},"cold_failed":${jsonArr(coldFailed)},"sf":"$sfDir","n_queries":${ok.size},"codegen_compiles":$nCompiles,"mem_spilled_bytes":${memSpilled.get},"disk_spilled_bytes":${diskSpilled.get},"cold_total_sec":$coldTotal%.3f,"metric":"total","value":$total%.3f,"unit":"sec"}"""
-    println(line)
     // Full, untruncated copy for anyone reading the repo after a run.
     try {
       val p = java.nio.file.Paths.get("BENCH_LOCAL.json")
       java.nio.file.Files.write(p, line.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
+    // Driver-parse contract: the JSON must be the FINAL bare stdout
+    // line. spark.stop() runs first (it can emit shutdown log lines),
+    // the file write runs first (a crash there must not eat the line),
+    // and stdout is flushed explicitly — every previous round's
+    // BENCH_r*.json shows "parsed": null from the driver reading a
+    // truncated tail, so the line is printed last AND lives whole in
+    // BENCH_LOCAL.json.
     spark.stop()
+    println(line)
+    System.out.flush()
   }
 }

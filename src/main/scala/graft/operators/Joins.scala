@@ -96,13 +96,30 @@ object Joins {
     * this diverges from raw numeric equality at exactly the edges where
     * numeric equality is itself a bad join-key signal ("-0.0" ≠ "0.0",
     * "NaN" = "NaN"); discovering a JOIN KEY on a float column is the
-    * real smell that report would be surfacing.
+    * real smell that report would be surfacing. DECIMAL candidates are
+    * normalized before the string cast (trailing fractional zeros
+    * stripped), so scales that differ only in rendering — 1.5 as
+    * decimal(10,1) vs 1.50 as decimal(10,2) — still match, as they
+    * would under numeric equality.
     */
   def keyOverlapReport(left: DataFrame, right: DataFrame,
                        candidates: Seq[(String, String)]): DataFrame = {
+    // "1.50" -> "1.5", "1.00" -> "1", "100" untouched (no '.'), applied
+    // only to DecimalType: a lossless textual normalization, unlike a
+    // cast to double (breaks >2^53 ids) or a common scale (overflows
+    // high-precision decimals)
+    def canon(df: DataFrame, c: String): Column = {
+      val s = col(c).cast("string")
+      df.schema(c).dataType match {
+        case _: org.apache.spark.sql.types.DecimalType =>
+          regexp_replace(
+            regexp_replace(s, "(\\.[0-9]*?)0+$", "$1"), "\\.$", "")
+        case _ => s
+      }
+    }
     def unpivot(df: DataFrame, cols: Seq[String], tag: String) =
       df.select(explode(array(cols.map(c =>
-          struct(lit(c).as("c"), col(c).cast("string").as("v"))): _*)).as("x"))
+          struct(lit(c).as("c"), canon(df, c).as("v"))): _*)).as("x"))
         .select(col("x.c").as(tag), col("x.v").as("v"))
         .na.drop(Seq("v"))
         .distinct()
@@ -185,6 +202,20 @@ object Joins {
     * partition offset + local running sum. Every partition stays
     * parallel; `sum() over (order by ...)` would funnel the whole table
     * through one task. Null values count as 0.
+    *
+    * Cache lifecycle: the sorted copy both passes read is pinned at the
+    * RDD level, NOT via `DataFrame.persist`. The pin is load-bearing —
+    * the range partitioner samples its input, so a recompute between
+    * pass 1 (offset collect) and pass 2 (emit) could shift partition
+    * boundaries and desynchronize offsets from rows. But a DataFrame
+    * persist registers in the CacheManager, which holds the entry until
+    * an explicit unpersist; a lazy operator that cannot unpersist before
+    * the caller's action would accrete cached partitions across calls
+    * (the round-2 bench failure mode). An RDD persist is instead tracked
+    * by ContextCleaner through a weak reference: once the returned frame
+    * is dropped, the cached blocks are reclaimed on the next GC — no
+    * caller-side cleanup contract needed. Spec: OperatorsSpec
+    * "globalPrefixSum releases its cache once the result is dropped".
     */
   def globalPrefixSum(df: DataFrame, orderBy: Seq[Column], value: Column,
                       as: String = "running_total"): DataFrame = {
@@ -192,9 +223,13 @@ object Joins {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val sorted = df.withColumn("_psv", coalesce(value.cast("long"), lit(0L)))
       .orderBy(orderBy: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // serialized storage: these are row objects (post-.rdd), not columnar
+    // batches — MEMORY_AND_DISK_SER keeps the text-heavy corpus rows
+    // compact in memory instead of exploding into Java object graphs
+    val pinned = sorted.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val vIdx = sorted.schema.fieldIndex("_psv")
-    val partTotals = sorted.rdd
+    val partTotals = pinned
       .mapPartitionsWithIndex { (i, it) =>
         Iterator.single(i -> it.foldLeft(0L)(_ + _.getLong(vIdx)))
       }.collect().sortBy(_._1).map(_._2)
@@ -202,7 +237,7 @@ object Joins {
     val schema = StructType(
       sorted.schema.fields.filterNot(_.name == "_psv") :+
         StructField(as, LongType, nullable = false))
-    val out = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+    val out = pinned.mapPartitionsWithIndex { (i, it) =>
       var acc = offsets(i)
       it.map { row =>
         acc += row.getLong(vIdx)
@@ -400,21 +435,28 @@ object Joins {
     }
     require(typeDrift.isEmpty,
       s"upsert: update column types must match base — ${typeDrift.mkString("; ")}")
+    // helper columns must not shadow (and then destroy) a real data
+    // column named `_rn`/`_dup_chk` — pick the first suffix that is free
+    def fresh(base: String): String =
+      Iterator.from(0).map(i => if (i == 0) base else s"$base$i")
+        .find(n => !cols.contains(n)).get
     val latest = versionOrder match {
       case Some(ord) =>
+        val rn = fresh("_rn")
         val w = Window.partitionBy(keys.map(col): _*).orderBy(ord.desc)
-        updates.withColumn("_rn", row_number().over(w))
-          .filter(col("_rn") === 1).drop("_rn")
+        updates.withColumn(rn, row_number().over(w))
+          .filter(col(rn) === 1).drop(rn)
       case None =>
         // lazy in-plan guard — no eager driver action; the window count
         // shuffles only the delta, and assert_true fails the job loudly
         // on the first duplicate key at execution time
+        val chk = fresh("_dup_chk")
         val w = Window.partitionBy(keys.map(col): _*)
-        updates.withColumn("_dup_chk", assert_true(
+        updates.withColumn(chk, assert_true(
             count(lit(1)).over(w) === 1,
             lit("upsert: duplicate keys in updates and no versionOrder given — " +
               "pass versionOrder to pick a survivor")))
-          .filter(col("_dup_chk").isNull).drop("_dup_chk")
+          .filter(col(chk).isNull).drop(chk)
     }
     val updateKeys = latest.select(keys.map(col): _*).distinct()
     val keep = base.join(

@@ -277,9 +277,38 @@ object Sinks {
     *
     * The per-partition overwrite is parquet's non-transactional one
     * (same residual as CorpusStream documents): a reader racing the
-    * swap of an AFFECTED partition can see it torn. Untouched
-    * partitions are never written. For hard read isolation put the
-    * table under [[Versioned]] and merge-then-publish instead.
+    * swap of an AFFECTED partition can see it torn — and a failure
+    * DURING the write's commit phase is strictly worse: dynamic
+    * overwrite replaces affected partition directories one by one, so a
+    * crash mid-commit leaves some affected partitions replaced and
+    * others stale, with no rollback (the stale ones still hold their
+    * pre-merge rows; re-running the same upsert to completion repairs
+    * them, since the merge is idempotent for a given delta). Untouched
+    * partitions are never written. For read isolation AND atomic
+    * publish put the table under [[Versioned]] and merge-then-publish
+    * instead — this operator trades that atomicity for rewriting only
+    * the affected bytes.
+    *
+    * Partition values compare as DIRECTORY STRINGS end to end: the
+    * base is read with partition-column type inference OFF (the column
+    * surfaces as the literal directory string) and the delta's
+    * partition column is cast to string before the merge. Without
+    * this, inference can remap a string partition value — a directory
+    * `part=01` reads back as int 1, the delta's "01" matches no base
+    * row, and the write lands in a NEW `part=1` directory while the
+    * original survives unread: silent duplication. With it, the
+    * directory this operator overwrites is exactly the directory it
+    * read. (Residual, documented not fixed: a reader that re-applies
+    * lossy inference can still conflate `part=01` with `part=1` if
+    * both exist — don't mix writers that disagree on the rendering of
+    * a partition value.) The output table's partition column is
+    * therefore string-typed on re-read under inference-off readers;
+    * inference-on readers see the same types they always did.
+    *
+    * Null delta partition values are refused loudly — parquet renders
+    * them as the `__HIVE_DEFAULT_PARTITION__` directory and no base
+    * filter can round-trip that; a MERGE key's partition should never
+    * be null.
     *
     * The distinct partition-value collect is delta-sized by contract
     * (one value per touched partition) — the same driver-bound class
@@ -294,12 +323,31 @@ object Sinks {
     require(updates.columns.contains(partitionCol),
       s"upsertPartitioned: updates must carry the partition column $partitionCol")
     import org.apache.spark.sql.functions.col
-    val affected = updates.select(col(partitionCol).cast("string"))
-      .distinct().collect().map(_.getString(0)).toSeq.sorted
-    val base = spark.read.parquet(root)
-      .filter(col(partitionCol).cast("string").isin(affected: _*))
+    val affectedRaw = updates.select(col(partitionCol).cast("string"))
+      .distinct().collect().map(r => Option(r.getString(0)))
+    require(!affectedRaw.contains(None),
+      s"upsertPartitioned: null $partitionCol in updates — a null partition " +
+        "value cannot be round-tripped through a partition directory; fix the " +
+        "delta upstream")
+    val affected = affectedRaw.flatten.toSeq.sorted
+    // inference off for THIS read only (the reader resolves its file
+    // index and partition schema eagerly, so restoring the conf after
+    // spark.read.parquet returns is safe): the partition column comes
+    // back as the literal directory string and the isin below matches
+    // directories, not inferred re-renderings
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val savedInfer = spark.conf.getOption(inferKey)
+    spark.conf.set(inferKey, "false")
+    val base =
+      try spark.read.parquet(root)
+      finally savedInfer match {
+        case Some(v) => spark.conf.set(inferKey, v)
+        case None    => spark.conf.unset(inferKey)
+      }
+    val pruned = base.filter(col(partitionCol).isin(affected: _*))
+    val updStr = updates.withColumn(partitionCol, col(partitionCol).cast("string"))
     val merged = graft.operators.Joins.upsert(
-      base.select(updates.columns.map(col): _*), updates, keys, versionOrder)
+      pruned.select(updStr.columns.map(col): _*), updStr, keys, versionOrder)
     merged.write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCol)
@@ -360,6 +408,20 @@ object Sinks {
     * So a read concurrent with compaction yields either the old or the
     * new COMPLETE layout — never a partially-written or half-deleted mix.
     * Spec: ShardsSpec "compactVersioned under a concurrent reader".
+    *
+    * SINGLE-WRITER contract: the isolation proof above covers
+    * concurrent READERS only. Two concurrent writers both resolve
+    * max-seq and target the same next `v{seq}`: each one's
+    * [[clearOrphan]] can delete the other's in-flight data dir (an
+    * unpublished dir is indistinguishable from a crash orphan), and
+    * the loser of the manifest rename race fails with an IOException
+    * after its data may already have been clobbered. Run write/compact/
+    * snapshot from ONE maintenance job at a time — the same external
+    * coordination contract as [[snapshot]]'s note, and the standard
+    * one for non-transactional table maintenance. (A filesystem-level
+    * claim marker cannot close this on stores without atomic
+    * create-exclusive semantics, so the contract is documented rather
+    * than half-enforced.)
     */
   object Versioned {
     private val ManifestPrefix = "_manifest-"

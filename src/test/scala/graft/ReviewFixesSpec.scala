@@ -317,4 +317,90 @@ class ReviewFixesSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getString(0)).toSet
     assert(accepted == Set("a", "b"), accepted.toString)
   }
+
+  // ---- round-12 advice fixes -----------------------------------------
+
+  test("upsertPartitioned: numeric-looking STRING partition values update in place, no duplicate dir") {
+    val root = Files.createTempDirectory("upsert-strpart").toString + "/t"
+    Seq((1L, "a", "01"), (2L, "b", "01"), (3L, "c", "02"))
+      .toDF("k", "name", "part").write.partitionBy("part").parquet(root)
+    val delta = Seq((1L, "a2", "01")).toDF("k", "name", "part")
+    val affected = Sinks.upsertPartitioned(spark, root, delta, Seq("k"), "part")
+    assert(affected == Seq("01"))
+    // pre-fix: inference read part=01 back as int 1, the filter matched
+    // nothing, and the write landed in a NEW part=1 dir while part=01
+    // survived stale — silent duplication
+    assert(!new java.io.File(s"$root/part=1").exists, "phantom part=1 dir")
+    assert(new java.io.File(s"$root/part=01").exists)
+    // verify under inference-off too: the documented reader contract for
+    // tables whose directory names don't round-trip through inference
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    spark.conf.set(inferKey, "false")
+    val got =
+      try spark.read.parquet(root)
+        .select(col("k"), col("name"), col("part").cast("string"))
+        .orderBy("k").as[(Long, String, String)].collect().toSeq
+      finally spark.conf.unset(inferKey)
+    assert(got == Seq((1L, "a2", "01"), (2L, "b", "01"), (3L, "c", "02")), got.toString)
+  }
+
+  test("upsertPartitioned: null delta partition value refused loudly") {
+    val root = Files.createTempDirectory("upsert-nullpart").toString + "/t"
+    Seq((1L, "a", "p1")).toDF("k", "name", "part")
+      .write.partitionBy("part").parquet(root)
+    val delta = Seq((1L, "a2", null: String)).toDF("k", "name", "part")
+    val e = intercept[IllegalArgumentException] {
+      Sinks.upsertPartitioned(spark, root, delta, Seq("k"), "part")
+    }
+    assert(e.getMessage.contains("null part"), e.getMessage)
+  }
+
+  test("upsert: a real data column named _rn / _dup_chk survives the merge") {
+    // pre-fix: withColumn("_rn", ...).drop("_rn") destroyed the data column
+    val base = Seq((1L, "keep-me", 1.0)).toDF("k", "_rn", "bal")
+    val up1 = Seq((1L, "v2", 2.0), (1L, "v1", 1.0)).toDF("k", "_rn", "bal")
+    val got1 = Joins.upsert(base, up1, Seq("k"), versionOrder = Some(col("bal")))
+      .as[(Long, String, Double)].collect().toSeq
+    assert(got1 == Seq((1L, "v2", 2.0)), got1.toString)
+    val base2 = Seq((1L, "keep", 1.0)).toDF("k", "_dup_chk", "bal")
+    val up2 = Seq((2L, "ins", 2.0)).toDF("k", "_dup_chk", "bal")
+    val got2 = Joins.upsert(base2, up2, Seq("k"))
+      .orderBy("k").as[(Long, String, Double)].collect().toSeq
+    assert(got2 == Seq((1L, "keep", 1.0), (2L, "ins", 2.0)), got2.toString)
+  }
+
+  test("keyOverlapReport: decimals match across scales (1.5 ≡ 1.50)") {
+    val l = Seq("1.5", "2.00", "3.25").toDF("s")
+      .select(col("s").cast("decimal(10,1)").as("d"))   // 1.5, 2.0, 3.2 (rounded)
+    val r = Seq("1.50", "2.0000", "9.9").toDF("s")
+      .select(col("s").cast("decimal(12,4)").as("d"))   // 1.5000, 2.0000, 9.9000
+    val got = Joins.keyOverlapReport(l, r, Seq(("d", "d")))
+      .collect().map(r0 => r0.getLong(2)).head
+    // 1.5 and 2.0 overlap despite different rendered scales
+    assert(got == 2L, s"overlap=$got")
+  }
+
+  test("globalPrefixSum releases its cache once the result is dropped") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    var res = Joins.globalPrefixSum(
+      (1 to 1000).map(i => (i.toLong, 1L)).toDF("k", "v"),
+      Seq(col("k")), col("v"))
+    val last = res.orderBy(desc("running_total")).select("running_total")
+      .head().getLong(0)
+    assert(last == 1000L)
+    // pinned while the frame is alive (the pin is load-bearing: range
+    // partitioner boundaries must not move between the two passes)
+    assert(spark.sparkContext.getPersistentRDDs.size > before.size)
+    res = null
+    // the RDD-level persist is weak-ref tracked by ContextCleaner: once
+    // unreachable, the cached blocks are reclaimed on GC — poll for it
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    var freed = false
+    while (!freed && System.nanoTime() < deadline) {
+      System.gc()
+      Thread.sleep(200)
+      freed = spark.sparkContext.getPersistentRDDs.keySet.subsetOf(before)
+    }
+    assert(freed, "cached prefix-sum RDD survived GC — CacheManager-style accretion")
+  }
 }
