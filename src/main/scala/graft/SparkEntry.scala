@@ -1720,6 +1720,41 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // ---- training-data: URL/domain curation ---------------------------
+    "q_url_canon" -> ((s, d) =>
+      // URL canonicalization + registrable domain over a deterministic
+      // synthetic URL (the corpus has no URL column) — every rule
+      // exercised: mixed-case schemes, default vs exotic ports,
+      // unsorted/duplicate/empty query params, fragments, trailing
+      // slashes, multi-part public suffixes. Map-only at any scale.
+      Tables.documents(s, d).select(col("doc_id"))
+        .withColumn("url", synthUrl(col("doc_id")))
+        .withColumn("url_canon", Domains.urlCanonicalize(col("url")))
+        .withColumn("domain", Domains.registeredDomain(Domains.hostOf(col("url"))))
+        .orderBy("doc_id")),
+    "q_domain_cap" -> ((s, d) =>
+      // the RefinedWeb/C4 per-domain cap: ≤ 3 docs per registrable
+      // domain by deterministic md5 order, through the SALTED two-phase
+      // top-k (exact — top-k commutes over row partitions), so the
+      // zipfian-hot-domain escape hatch is the path under test; the
+      // oracle replays the cap with one plain window
+      Domains.domainCap(
+          Tables.documents(s, d).select(col("doc_id"))
+            .withColumn("url", synthUrl(col("doc_id"))),
+          "url", "doc_id", k = 3, salt = 4)
+        .select("doc_id", "domain")
+        .orderBy("domain", "doc_id")),
+    "q_domain_quality" -> ((s, d) =>
+      // domain-level quality priors: docs/scored/kept per domain, mean
+      // classifier score (9dp-round → DECIMAL sum → one double divide).
+      // Domain derivation and the HashedFeatScore fold ride ONE corpus
+      // scan; the only shuffle is the partial-aggregated groupBy.
+      Domains.domainQualityRollup(
+          Tables.documents(s, d).select(col("doc_id"), col("text"))
+            .withColumn("url", synthUrl(col("doc_id"))),
+          "url", "text")
+        .orderBy("domain")),
+
     // ---- events / sessionization -------------------------------------
     "q_funnel" -> ((s, d) =>
       Funnel.anchored(Tables.events(s, d), "user_id", "ts", "event_type",
@@ -1809,6 +1844,80 @@ object SparkEntry {
   private[graft] lazy val trainedDemoWeights: Array[Long] = {
     val rnd = new scala.util.Random(7L)
     Array.fill(64)((rnd.nextInt(2000001) - 1000000).toLong)
+  }
+
+  /** Deterministic synthetic URL for a document id — the corpus tables
+    * carry no URL column, so the URL-curation queries derive one from
+    * md5(doc_id) nibbles. Choices are independent per component, so the
+    * canonicalizer meets every rule combination: mixed-case schemes,
+    * mismatched default ports (`:443` under http survives, under https
+    * drops), unsorted/duplicate/trailing-`&` query params, fragments,
+    * trailing path slashes, and multi-part public suffixes. 12 sites ×
+    * 5 TLDs → 60 registrable domains, so the per-domain cap is active
+    * at every SF. Replayed bit-identically by [[urlDomainCtes]].
+    */
+  private def synthUrl(id: Column): Column = {
+    val h = md5(id.cast("string"))
+    def nib(i: Int): Column = conv(substring(h, i, 1), 16, 10).cast("int")
+    def pick(i: Int, xs: String*): Column =
+      element_at(array(xs.map(lit(_)): _*), nib(i) % xs.size + 1)
+    concat(
+      pick(1, "http", "HTTPS", "Http", "https"), lit("://"),
+      pick(2, "", "www.", "News.", "api."),
+      lit("site"), pmod(conv(substring(h, 3, 2), 16, 10).cast("int"), lit(12)),
+      lit("."),
+      pick(5, "com", "org", "co.uk", "io", "ac.jp"),
+      pick(6, "", ":80", ":8080", ":443"),
+      pick(7, "", "/", "/a/b", "/a/b/", "/Index"),
+      pick(8, "", "?b=2&a=1", "?a=1", "?z=9&y=8&z=1&"),
+      pick(9, "", "#Frag"))
+  }
+
+  /** DuckDB replay of [[synthUrl]] + [[Domains.urlCanonicalize]] +
+    * [[Domains.registeredDomain]]: a WITH prefix ending in
+    * `dom(doc_id, url, url_canon, host, domain)`. The suffix list is
+    * the verbatim [[Domains.multiPartSuffixes]] snapshot.
+    */
+  private lazy val urlDomainCtes: String = {
+    val suffixes = Domains.multiPartSuffixes.map("'" + _ + "'").mkString("[", ",", "]")
+    s"""WITH hx AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+      |u AS (SELECT doc_id,
+      |  ['http','HTTPS','Http','https'][(('0x'||substr(h,1,1))::BIGINT % 4)+1] || '://' ||
+      |  ['','www.','News.','api.'][(('0x'||substr(h,2,1))::BIGINT % 4)+1] ||
+      |  'site' || CAST(('0x'||substr(h,3,2))::BIGINT % 12 AS VARCHAR) || '.' ||
+      |  ['com','org','co.uk','io','ac.jp'][(('0x'||substr(h,5,1))::BIGINT % 5)+1] ||
+      |  ['',':80',':8080',':443'][(('0x'||substr(h,6,1))::BIGINT % 4)+1] ||
+      |  ['','/','/a/b','/a/b/','/Index'][(('0x'||substr(h,7,1))::BIGINT % 5)+1] ||
+      |  ['','?b=2&a=1','?a=1','?z=9&y=8&z=1&'][(('0x'||substr(h,8,1))::BIGINT % 4)+1] ||
+      |  ['','#Frag'][(('0x'||substr(h,9,1))::BIGINT % 2)+1] AS url
+      | FROM hx),
+      |c1 AS (SELECT doc_id, url, regexp_replace(trim(url), '#.*$$', '') AS nf FROM u),
+      |c2 AS (SELECT *, lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+      |        regexp_replace(nf, '^[A-Za-z][A-Za-z0-9+.\\-]*://', '') AS rest FROM c1),
+      |c3 AS (SELECT *, lower(regexp_replace(regexp_extract(rest, '^([^/?]*)', 1), '^[^@/]*@', '')) AS auth FROM c2),
+      |c4 AS (SELECT *, regexp_extract(auth, ':([0-9]+)$$', 1) AS port,
+      |        regexp_replace(auth, ':[0-9]+$$', '') AS host FROM c3),
+      |c5 AS (SELECT *, CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+      |                        OR (scheme = 'https' AND port = '443') THEN ''
+      |                 ELSE ':' || port END AS portpart,
+      |        regexp_replace(rest, '^[^/?]*', '') AS pathq FROM c4),
+      |c6 AS (SELECT *, regexp_extract(pathq, '^([^?]*)', 1) AS rawpath,
+      |        CASE WHEN contains(pathq, '?') THEN regexp_replace(pathq, '^[^?]*\\?', '') ELSE '' END AS qry FROM c5),
+      |c7 AS (SELECT *, CASE WHEN regexp_replace(rawpath, '/+$$', '') = '' THEN '/'
+      |                 ELSE regexp_replace(rawpath, '/+$$', '') END AS pth,
+      |        coalesce(array_to_string(list_sort(list_filter(string_split(qry, '&'), x -> x <> '')), '&'), '') AS params FROM c6),
+      |canon AS (SELECT doc_id, url, host,
+      |   CASE WHEN scheme = '' THEN lower(nf)
+      |        ELSE scheme || '://' || host || portpart || pth ||
+      |             CASE WHEN params = '' THEN '' ELSE '?' || params END END AS url_canon
+      | FROM c7),
+      |d1 AS (SELECT *, string_split(host, '.') AS ls, len(string_split(host, '.')) AS n FROM canon),
+      |dom AS (SELECT doc_id, url, url_canon, host,
+      |   CASE WHEN n <= 2 THEN host
+      |        WHEN list_contains($suffixes, ls[n-1] || '.' || ls[n])
+      |          THEN ls[n-2] || '.' || ls[n-1] || '.' || ls[n]
+      |        ELSE ls[n-1] || '.' || ls[n] END AS domain
+      | FROM d1)""".stripMargin
   }
 
   private def curateFullSqlOver(src: String): String =
@@ -2274,6 +2383,44 @@ object SparkEntry {
         | CASE WHEN n_feats > 0 THEN CAST(w_sum AS DOUBLE)/(n_feats * 1000000.0) END AS score,
         | coalesce(CASE WHEN n_feats > 0 THEN CAST(w_sum AS DOUBLE)/(n_feats * 1000000.0) END > 0.0, FALSE) AS keep
         |FROM s ORDER BY doc_id""".stripMargin,
+    "q_url_canon" ->
+      s"""$urlDomainCtes
+        |SELECT doc_id, url, url_canon, domain FROM dom ORDER BY doc_id""".stripMargin,
+    "q_domain_cap" ->
+      // ONE plain window replays the salted two-phase cap — top-k by a
+      // total order is partition-invariant, so salt must not change
+      // the kept set
+      s"""$urlDomainCtes,
+        |r AS (SELECT doc_id, domain,
+        |  row_number() OVER (PARTITION BY domain
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        | FROM dom)
+        |SELECT doc_id, domain FROM r WHERE rn <= 3
+        |ORDER BY domain, doc_id""".stripMargin,
+    "q_domain_quality" ->
+      // classifier replay (q_quality_classifier's CTEs) joined to the
+      // domain derivation, aggregated per domain; mean = DECIMAL sum of
+      // 9dp-rounded scores cast to DOUBLE, one division
+      s"""$urlDomainCtes,
+        |t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents),
+        |f AS (SELECT doc_id, ws || [ws[i]||'_'||ws[i+1] for i in range(1, len(ws))] AS fs FROM t),
+        |sc AS (SELECT doc_id, CAST(len(fs) AS BIGINT) AS n_feats,
+        |  CAST(coalesce(list_aggregate(list_transform(fs,
+        |    x -> (('0x' || substr(md5(x), 1, 8))::BIGINT % 4096) % 2001 - 1000), 'sum'), 0) AS BIGINT) AS w_sum
+        | FROM f),
+        |scored AS (SELECT doc_id,
+        |  CASE WHEN n_feats > 0 THEN CAST(w_sum AS DOUBLE)/(n_feats * 1000.0) END AS score
+        | FROM sc),
+        |agg AS (SELECT d.domain,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(s.score) AS BIGINT) AS n_scored,
+        |  CAST(coalesce(sum(CASE WHEN s.score > 0.0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_keep,
+        |  CAST(sum(CAST(round(s.score, 9) AS DECIMAL(38,9))) AS DOUBLE) AS score_sum
+        | FROM dom d JOIN scored s ON d.doc_id = s.doc_id GROUP BY d.domain)
+        |SELECT domain, n_docs, n_scored, n_keep,
+        |  CAST(n_keep AS DOUBLE)/n_docs AS keep_rate,
+        |  CASE WHEN n_scored > 0 THEN score_sum/n_scored END AS mean_score
+        |FROM agg ORDER BY domain""".stripMargin,
     "q_outliers" ->
       // the engine's exact-moment formula replayed verbatim (decimal
       // sums → double ratios → IEEE sqrt — NOT avg/stddev_pop, whose

@@ -1,0 +1,201 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** URL/domain-aware curation — the standard pretraining-corpus moves
+  * (C4, RefinedWeb, Dolma) a web-scale pipeline runs before any
+  * per-document quality gate can be trusted: canonicalize URLs so the
+  * same page has ONE identity, reduce hosts to their registrable
+  * domain, cap documents per domain (one mirror-heavy domain must not
+  * dominate the corpus), and roll quality up per domain so domain-level
+  * priors can feed sampling weights.
+  *
+  * Everything here is pure `Column` composition over built-in string
+  * functions — codegen'd scalar work on the corpus scan, no UDF, no
+  * explode in the canonical path — and every rule is replayable in
+  * ANSI-ish SQL, so the DuckDB oracle verifies each operator bit-exactly
+  * (q_url_canon / q_domain_cap / q_domain_quality).
+  *
+  * Scale shape at 100 TB: canonicalize/registeredDomain are map-only.
+  * The cap is a per-domain top-k — shuffle ON DOMAIN, never a global
+  * sort; a hot domain (a crawl is usually ~zipfian over domains) goes
+  * through the salted two-phase form, which is EXACT for top-k (the
+  * global k smallest of a set are always among the per-bucket k
+  * smallest), so the skew escape costs no correctness.
+  */
+object Domains {
+
+  /** Two-label public-suffix snapshot for [[registeredDomain]]'s
+    * heuristic: if a host's last two labels are one of these, the
+    * registrable domain keeps three labels (bbc.co.uk), else two
+    * (example.com). A documented approximation of the public-suffix
+    * list covering the high-traffic ccTLD second levels; swap in a
+    * fuller snapshot by passing `extraSuffixes`.
+    */
+  val multiPartSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "net.uk", "me.uk",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "id.au",
+    "co.nz", "net.nz", "org.nz", "govt.nz",
+    "com.br", "net.br", "org.br", "gov.br",
+    "co.in", "net.in", "org.in", "gov.in",
+    "com.cn", "net.cn", "org.cn", "gov.cn",
+    "com.mx", "com.ar", "com.tr", "com.sg", "com.hk", "com.tw",
+    "com.my", "co.kr", "or.kr", "co.za", "org.za", "co.id", "co.th",
+    "com.vn")
+
+  private val schemeRe = "^([A-Za-z][A-Za-z0-9+.\\-]*)://"
+
+  /** Canonical URL form. Rules (each chosen to be expressible with the
+    * same built-ins in any SQL engine, so the oracle replays them):
+    *   1. trim; strip the fragment (`#` to end);
+    *   2. no `scheme://` → lowercase the remainder as-is (opaque id);
+    *   3. scheme and host lowercase; userinfo (`user@`) dropped;
+    *   4. default ports dropped (`:80` for http, `:443` for https),
+    *      others kept;
+    *   5. path: trailing slashes stripped, empty path → `/`;
+    *   6. query: params split on `&`, empties dropped, sorted
+    *      bytewise, rejoined; an empty query drops its `?`.
+    * All regexes are single-branch character classes — deliberately
+    * inside the proven-to-thread-scale java.util.regex subset (see
+    * SCALE.md "The regex that would not parallelize").
+    */
+  def urlCanonicalize(u: Column): Column = {
+    val noFrag = regexp_replace(trim(u), "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, schemeRe, 1))
+    val rest = regexp_replace(noFrag, schemeRe, "")
+    val auth = lower(regexp_replace(
+      regexp_extract(rest, "^([^/?]*)", 1), "^[^@/]*@", ""))
+    val port = regexp_extract(auth, ":([0-9]+)$", 1)
+    val host = regexp_replace(auth, ":[0-9]+$", "")
+    val defaultPort = (scheme === "http" && port === "80") ||
+      (scheme === "https" && port === "443")
+    val portPart = when(port === "" || defaultPort, lit(""))
+      .otherwise(concat(lit(":"), port))
+    val pathQ = regexp_replace(rest, "^[^/?]*", "")
+    val rawPath = regexp_extract(pathQ, "^([^?]*)", 1)
+    val strippedPath = regexp_replace(rawPath, "/+$", "")
+    val path = when(strippedPath === "", lit("/")).otherwise(strippedPath)
+    val query = when(pathQ.contains("?"),
+      regexp_replace(pathQ, "^[^?]*\\?", "")).otherwise(lit(""))
+    val params = array_join(
+      array_sort(filter(split(query, "&"), x => x =!= "")), "&")
+    val queryPart = when(params === "", lit(""))
+      .otherwise(concat(lit("?"), params))
+    when(scheme === "", lower(noFrag))
+      .otherwise(concat(scheme, lit("://"), host, portPart, path, queryPart))
+  }
+
+  /** Canonical host of a URL: lowercased, userinfo and port stripped.
+    * Accepts raw or canonicalized input (the rules are idempotent).
+    */
+  def hostOf(u: Column): Column = {
+    val noFrag = regexp_replace(trim(u), "#.*$", "")
+    val rest = regexp_replace(noFrag, schemeRe, "")
+    val auth = lower(regexp_replace(
+      regexp_extract(rest, "^([^/?]*)", 1), "^[^@/]*@", ""))
+    regexp_replace(auth, ":[0-9]+$", "")
+  }
+
+  /** Host → registrable domain, by the [[multiPartSuffixes]] snapshot
+    * heuristic: `news.bbc.co.uk` → `bbc.co.uk`, `a.b.example.com` →
+    * `example.com`, a bare label passes through. Pure array ops over
+    * the label split — map-only at any scale.
+    */
+  def registeredDomain(host: Column,
+                       extraSuffixes: Seq[String] = Nil): Column = {
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val last2 = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
+    val last3 = concat_ws(".",
+      element_at(labels, -3), element_at(labels, -2), element_at(labels, -1))
+    val suffixes = (multiPartSuffixes ++ extraSuffixes).map(lit(_))
+    when(n <= 2, host)
+      .otherwise(when(array_contains(array(suffixes: _*), last2), last3)
+        .otherwise(last2))
+  }
+
+  /** Per-domain document cap — keep at most `k` documents per
+    * registrable domain, chosen by DETERMINISTIC md5 order over the id
+    * (so the kept set is a function of the data alone: any engine, any
+    * partitioning, any run picks the same survivors — the same
+    * portability convention as every md5 twin in this repo, and what
+    * makes the cap DuckDB-oracle-replayable).
+    *
+    * `salt > 1` engages the exact two-phase form for zipfian domain
+    * skew: phase 1 windows over (domain, md5-derived bucket) and keeps
+    * k per bucket — the hot domain's rows spread over `salt` reducers —
+    * phase 2 windows over domain on the ≤ salt·k survivors. Top-k by a
+    * total order commutes over any partition of the rows, so the
+    * result is IDENTICAL to the unsalted window (PropertySpec law);
+    * both phases shuffle, so leave salt = 1 unless a domain is hot
+    * enough to stall a reducer (the SKEW_CROSSOVER.json break-even
+    * applies).
+    *
+    * Output: the input rows that survive, plus the derived `domain`
+    * column. Never a SinglePartition window (PlanAuditSpec pin).
+    */
+  def domainCap(df: DataFrame, urlCol: String, idCol: String, k: Int,
+                salt: Int = 1, domainOut: String = "domain"): DataFrame = {
+    require(k > 0, "domainCap: k must be positive")
+    require(salt > 0, "domainCap: salt must be positive")
+    val ordName = s"_dc_ord_$domainOut"
+    val withDom = df
+      .withColumn(domainOut, registeredDomain(hostOf(col(urlCol))))
+      .withColumn(ordName, md5(col(idCol).cast("string")))
+    val phase1 =
+      if (salt <= 1) withDom
+      else {
+        // bucket from the SAME md5 the order uses: deterministic, and
+        // uniform over the hot domain's rows by construction
+        val bucket = pmod(
+          conv(substring(col(ordName), 1, 4), 16, 10).cast("long"), lit(salt))
+        val w1 = Window.partitionBy(col(domainOut), bucket)
+          .orderBy(col(ordName), col(idCol))
+        withDom.withColumn("_dc_rn1", row_number().over(w1))
+          .filter(col("_dc_rn1") <= k).drop("_dc_rn1")
+      }
+    val w = Window.partitionBy(col(domainOut))
+      .orderBy(col(ordName), col(idCol))
+    phase1.withColumn("_dc_rn", row_number().over(w))
+      .filter(col("_dc_rn") <= k)
+      .drop("_dc_rn", ordName)
+  }
+
+  /** Per-domain quality rollup — the aggregate that turns the
+    * document-level [[TextQuality.hashedLinearScore]] gate into
+    * domain-level PRIORS (docs per domain, keep rate, mean score):
+    * the input a per-domain sampling-weight or blocklist policy needs.
+    * Domain derivation and scoring ride the SAME corpus scan (the
+    * score is one codegen'd fold, [[graft.plans.HashedFeatScore]]);
+    * the only shuffle is the partial-aggregated groupBy on domain.
+    * Mean score is summed as DECIMAL from 9-dp-rounded per-doc scores
+    * (the repo's cross-engine float determinism convention).
+    */
+  def domainQualityRollup(df: DataFrame, urlCol: String, textCol: String,
+                          buckets: Int = 4096, cutoff: Double = 0.0)
+      : DataFrame = {
+    val sc = graft.plans.HashedFeatScore.featScore(col(textCol), buckets)
+    val score = when(sc.getItem(0) > 0,
+      sc.getItem(1).cast("double") / (sc.getItem(0) * 1000.0))
+    df.select(
+        registeredDomain(hostOf(col(urlCol))).as("domain"),
+        score.as("_score"))
+      .groupBy("domain")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(col("_score")).as("n_scored"),
+        sum(when(col("_score") > cutoff, 1L).otherwise(0L)).as("n_keep"),
+        sum(round(col("_score"), 9).cast("decimal(38,9)")).as("score_sum"))
+      .withColumn("keep_rate",
+        col("n_keep").cast("double") / col("n_docs"))
+      .withColumn("mean_score",
+        // DECIMAL sum cast to double, THEN the double division — never
+        // decimal/decimal division, whose result scale is engine-defined
+        when(col("n_scored") > 0,
+          col("score_sum").cast("double") / col("n_scored")))
+      .drop("score_sum")
+  }
+}

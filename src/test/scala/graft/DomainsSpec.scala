@@ -1,0 +1,109 @@
+package graft
+
+import graft.operators.Domains
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization, registrable-domain reduction, per-domain caps,
+  * and the domain quality rollup (round-12 curation family).
+  */
+class DomainsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canon(urls: String*): Seq[String] =
+    urls.toDF("u").select(Domains.urlCanonicalize(col("u")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+
+  test("urlCanonicalize: scheme/host case, userinfo, default ports, param sort, fragment") {
+    val got = canon(
+      "HTTP://User@WWW.Example.COM:80/a/b/?b=2&a=1#frag",
+      "https://Example.com:443",
+      "http://example.com:8080//",
+      "https://example.com:80/x",
+      "http://a.com/x?&&",
+      "  http://pad.com/p  ")
+    assert(got == Seq(
+      "http://www.example.com/a/b?a=1&b=2",
+      "https://example.com/",
+      "http://example.com:8080/",
+      "https://example.com:80/x",   // :80 is only default for http
+      "http://a.com/x",
+      "http://pad.com/p"), got.toString)
+  }
+
+  test("urlCanonicalize: no scheme → lowercased opaque id; duplicate params keep both, sorted") {
+    val got = canon(
+      "Example.com/Path#f",
+      "http://h.org?z=9&y=8&z=1&")
+    assert(got == Seq(
+      "example.com/path",
+      "http://h.org/?y=8&z=1&z=9"), got.toString)
+  }
+
+  test("urlCanonicalize is idempotent") {
+    val raw = Seq(
+      "HTTP://User@WWW.Example.COM:80/a/b/?b=2&a=1#frag",
+      "https://Example.com:443", "http://example.com:8080//",
+      "Example.com/Path#f", "http://h.org?z=9&y=8&z=1&")
+    val once = canon(raw: _*)
+    val twice = once.toDF("u")
+      .select(Domains.urlCanonicalize(col("u")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(once == twice, s"not idempotent:\n$once\n$twice")
+  }
+
+  test("registeredDomain: two-label default, multi-part suffix snapshot, degenerate hosts") {
+    val got = Seq("news.bbc.co.uk", "a.b.example.com", "example.com",
+        "localhost", "x.co.uk", "co.uk", "deep.ac.jp.example.org")
+      .toDF("h").select(Domains.registeredDomain(col("h")).as("d"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("bbc.co.uk", "example.com", "example.com",
+      "localhost", "x.co.uk", "co.uk", "example.org"), got.toString)
+  }
+
+  test("domainCap: keeps the k md5-smallest per domain; salted ≡ unsalted exactly") {
+    val docs = (1L to 200L).map(i =>
+        (i, s"http://site${i % 5}.example${i % 3}.com/p"))
+      .toDF("id", "url")
+    def kept(salt: Int): Set[Long] =
+      Domains.domainCap(docs, "url", "id", k = 4, salt = salt)
+        .select("id").as[Long].collect().toSet
+    val unsalted = kept(1)
+    assert(kept(4) == unsalted && kept(7) == unsalted,
+      "salt changed the kept set — two-phase top-k must be exact")
+    // replay: per domain (example{0,1,2}.com) the 4 smallest md5(id)
+    val byDom = (1L to 200L).groupBy(i => s"example${i % 3}.com")
+    val expect = byDom.values.flatMap { ids =>
+      ids.sortBy(i => org.apache.commons.codec.digest.DigestUtils
+        .md5Hex(i.toString)).take(4)
+    }.toSet
+    assert(unsalted == expect, s"got $unsalted want $expect")
+    // cap honored per domain
+    val perDom = Domains.domainCap(docs, "url", "id", k = 4)
+      .groupBy("domain").count().as[(String, Long)].collect().toMap
+    assert(perDom.values.forall(_ <= 4) && perDom.size == 3)
+  }
+
+  test("domainQualityRollup: counts and mean agree with the per-doc scorer") {
+    val docs = Seq(
+      (1L, "http://a.com/1", "the quick brown fox"),
+      (2L, "http://sub.a.com/2", "word"),
+      (3L, "http://b.org/3", "another document with words"),
+      (4L, "http://b.org/4", null.asInstanceOf[String]))
+      .toDF("id", "url", "text")
+    val got = Domains.domainQualityRollup(docs, "url", "text")
+      .orderBy("domain")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(t => (t._1, t._2)).toSeq == Seq(("a.com", 2L), ("b.org", 2L)))
+    // null text: counted in n_docs, absent from n_scored
+    assert(got.find(_._1 == "b.org").get._3 == 1L)
+    // cross-check mean against the per-doc operator
+    val perDoc = graft.operators.TextQuality
+      .hashedLinearScore(docs.filter(col("id") === 1L || col("id") === 2L), "text", "id")
+      .select("score").as[Option[Double]].collect().flatten
+    val mean = Domains.domainQualityRollup(docs, "url", "text")
+      .filter(col("domain") === "a.com")
+      .select("mean_score").as[Double].head()
+    val expect = perDoc.map(s => BigDecimal(s).setScale(9, BigDecimal.RoundingMode.HALF_UP)).sum / 2
+    assert(math.abs(mean - expect.toDouble) < 1e-12, s"$mean vs $expect")
+  }
+}

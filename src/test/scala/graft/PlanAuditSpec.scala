@@ -626,4 +626,35 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
       s"unexpected base-side shuffles:\n$p")
   }
+
+  test("q_domain_cap: windows partitioned by domain, never SinglePartition; scan pruned to doc_id") {
+    val df = q("q_domain_cap")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+      s"domain cap funnels through one partition:\n$p")
+    val schemas = "ReadSchema: struct<[^>]*>".r.findAllIn(p).toList
+    assert(schemas == List("ReadSchema: struct<doc_id:bigint>"),
+      s"cap scan must read only doc_id (url is derived): $schemas")
+    // two-phase salted cap = exactly two window exchanges
+    // ((domain, bucket) then domain) + the oracle orderBy range
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
+      s"salted cap should hash-shuffle exactly twice:\n$p")
+  }
+
+  test("q_domain_quality: one pruned scan, partial-agg groupBy, no UDF") {
+    val df = q("q_domain_quality")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val schemas = "ReadSchema: struct<[^>]*>".r.findAllIn(p).toList
+    assert(schemas == List("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"rollup must scan documents once, pruned to (doc_id, text): $schemas")
+    // map-side combine before the domain shuffle: one partial + one
+    // final HashAggregate pair, a single hash exchange between them
+    assert(p.contains("partial_count"), s"partial aggregation missing:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"rollup should shuffle once, on domain:\n$p")
+    assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("ScalaUDF"),
+      "rollup must stay inside codegen'd built-ins")
+  }
 }
