@@ -1207,6 +1207,42 @@ object SparkEntry {
         "vec_id", "embedding", k = 5, nprobe = 4, maxCellSize = maxCell)
         .orderBy("query_id", "rank")
     }),
+    "q_ann_pq" -> ((s, d) => {
+      // product quantization end-to-end: md5-seeded per-subspace
+      // codebooks (PQ8×16 on the 64-d corpus → 8 codes/vec, 64× below
+      // raw doubles), exact sub-L2 encoding, ADC lookup-table search.
+      // Every stage is deterministic arithmetic the oracle replays:
+      // codes by (d2, code) argmin, scores by 9dp-round→DECIMAL sums.
+      val e = Tables.embeddings(s, d)
+      val cb = Similarity.pqCodebooks(e, "vec_id", "embedding",
+        m = 8, ksub = 16, dim = 64, seed = 7)
+      val codes = Similarity.pqEncode(e, cb, "vec_id", "embedding", m = 8, dim = 64)
+      Similarity.pqTopK(codes, e.filter(col("vec_id") < 10), cb,
+        "vec_id", "embedding", m = 8, dim = 64, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+    "q_ann_pq_recall" -> ((s, d) => {
+      // the PQ recall report vs exact brute-force truth — the same
+      // measure-don't-assume discipline as q_embed_recall: ADC scores
+      // are approximations, so the overlap of the two top-5 sets is
+      // REPORTED (and oracle-verified), never presumed
+      val e = Tables.embeddings(s, d)
+      val q10 = e.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(e, q10, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("_e"))
+      val cb = Similarity.pqCodebooks(e, "vec_id", "embedding",
+        m = 8, ksub = 16, dim = 64, seed = 7)
+      val codes = Similarity.pqEncode(e, cb, "vec_id", "embedding", m = 8, dim = 64)
+      val pq = Similarity.pqTopK(codes, q10, cb,
+          "vec_id", "embedding", m = 8, dim = 64, k = 5)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("_p"))
+      exact.join(pq, Seq("query_id", "neighbor_id"), "full_outer")
+        .agg(count(col("_e")).as("n_exact"), count(col("_p")).as("n_pq"),
+          count(when(col("_e").isNotNull && col("_p").isNotNull, 1)).as("n_hit"))
+        .select(col("n_exact"), col("n_pq"), col("n_hit"),
+          when(col("n_exact") > 0,
+            col("n_hit").cast("double") / col("n_exact")).as("recall"))
+    }),
     "q_ivf_cells" -> ((s, d) =>
       // the occupancy report itself, oracled: top-20 IVF cells by
       // vector count — the skew observability a 100 TB probe needs
@@ -2090,7 +2126,72 @@ object SparkEntry {
       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, sim
       |FROM r WHERE rank<=5 ORDER BY query_id, rank""".stripMargin
 
+  /** PQ replay CTE prefix (PQ8×16, seed 7, 64-d, queries vec_id < 10,
+    * k = 5): normalization, md5-ordered codebook with code indices,
+    * exact sub-L2 encoding (argmin by (d2, code) — the struct-min
+    * tie-break), per-query ADC lookup table, and the ranked top-k
+    * `pqr(query_id, rank, neighbor_id, sim_pq)`. Scores are
+    * 9dp-round → DECIMAL sums, so both engines rank identically.
+    */
+  private val pqCtes: String =
+    """WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings),
+      |n0 AS (SELECT vec_id, e,
+      |  sqrt(list_reduce(list_transform(e, y->y*y),(p,q)->p+q)) AS nrm FROM e0),
+      |n AS (SELECT vec_id, list_transform(e,
+      |  x -> CASE WHEN nrm = 0 THEN 0.0 ELSE x / nrm END) AS v FROM n0),
+      |cents0 AS (SELECT v, row_number() OVER (
+      |    ORDER BY md5(CAST(vec_id AS VARCHAR) || ':7'), vec_id) - 1 AS code FROM n),
+      |cents AS (SELECT code, v FROM cents0 WHERE code < 16),
+      |subs AS (SELECT CAST(range AS INTEGER) AS sub FROM range(8)),
+      |cb AS (SELECT sub, code, list_slice(v, sub*8+1, sub*8+8) AS cv
+      |  FROM cents CROSS JOIN subs),
+      |xsub AS (SELECT vec_id, sub, list_slice(v, sub*8+1, sub*8+8) AS xs
+      |  FROM n CROSS JOIN subs),
+      |dists AS (SELECT vec_id, sub, code,
+      |  list_reduce(list_transform(list_zip(xs, cv),
+      |    z -> (z[1]-z[2])*(z[1]-z[2])), (p,q)->p+q) AS d2
+      | FROM xsub JOIN cb USING (sub)),
+      |codes AS (SELECT vec_id, sub, code FROM (
+      |  SELECT vec_id, sub, code, row_number() OVER (
+      |    PARTITION BY vec_id, sub ORDER BY d2, code) AS rn FROM dists)
+      | WHERE rn = 1),
+      |qsub AS (SELECT vec_id AS query_id, sub, list_slice(v, sub*8+1, sub*8+8) AS qs
+      |  FROM n CROSS JOIN subs WHERE vec_id < 10),
+      |lut AS (SELECT query_id, sub, code,
+      |  list_reduce(list_transform(list_zip(qs, cv), z -> z[1]*z[2]),(p,q)->p+q) AS pdot
+      | FROM qsub JOIN cb USING (sub)),
+      |pqs AS (SELECT l.query_id, c.vec_id AS neighbor_id,
+      |  CAST(sum(CAST(round(l.pdot, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sim_pq
+      | FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.code
+      | WHERE l.query_id <> c.vec_id GROUP BY 1, 2),
+      |pqr AS (SELECT query_id, neighbor_id, sim_pq, row_number() OVER (
+      |  PARTITION BY query_id ORDER BY sim_pq DESC, neighbor_id) AS rank FROM pqs)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q_ann_pq" ->
+      s"""$pqCtes
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, sim_pq
+        |FROM pqr WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_ann_pq_recall" ->
+      s"""$pqCtes,
+        |es AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  list_reduce(list_transform(list_zip(q.v, c.v), z -> z[1]*z[2]),(p,q)->p+q) AS sim
+        | FROM n q CROSS JOIN n c WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        |er AS (SELECT query_id, neighbor_id, row_number() OVER (
+        |  PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM es),
+        |etop AS (SELECT query_id, neighbor_id FROM er WHERE rank <= 5),
+        |ptop AS (SELECT query_id, neighbor_id FROM pqr WHERE rank <= 5),
+        |j AS (SELECT coalesce(e.query_id, p.query_id) AS query_id,
+        |  e.query_id IS NOT NULL AS in_e, p.query_id IS NOT NULL AS in_p
+        | FROM etop e FULL OUTER JOIN ptop p
+        |   ON e.query_id = p.query_id AND e.neighbor_id = p.neighbor_id)
+        |SELECT CAST(sum(CASE WHEN in_e THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+        |  CAST(sum(CASE WHEN in_p THEN 1 ELSE 0 END) AS BIGINT) AS n_pq,
+        |  CAST(sum(CASE WHEN in_e AND in_p THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+        |  CASE WHEN sum(CASE WHEN in_e THEN 1 ELSE 0 END) > 0 THEN
+        |    CAST(sum(CASE WHEN in_e AND in_p THEN 1 ELSE 0 END) AS DOUBLE) /
+        |    sum(CASE WHEN in_e THEN 1 ELSE 0 END) END AS recall
+        |FROM j""".stripMargin,
     "q_embed_neardup" -> lshNearDupOracle(nbits = 14, tables = 4, dim = 64,
       seed = 42L, threshold = 0.9),
     "q_embed_recall" -> embedRecallOracle(nbits = 14, tables = 4, dim = 64,

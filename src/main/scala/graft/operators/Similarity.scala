@@ -564,4 +564,109 @@ object Similarity {
       .select(col(idCol), col("cent_id"),
         col("cluster_id").as("group_id"), col("is_canonical"))
   }
+
+  // ---- product quantization (PQ) -------------------------------------
+
+  /** PQ codebooks: the vector space is cut into `m` subspaces of
+    * `dim/m` components; each subspace gets `ksub` centroids. Returns
+    * the exploded codebook `(sub, code, cv)` — m·ksub tiny rows, the
+    * broadcast side of every later stage.
+    *
+    * Centroids here are the md5-hash-seeded corpus pick (a uniform
+    * sample — the engine-portable convention [[hashSeedCentroids]]
+    * uses for every oracle path); production would Lloyd-refine each
+    * subspace's codebook with [[fitCentroidsSeeded]] on a corpus
+    * sample, which changes no downstream plan. Codes are assigned by
+    * the same md5 order, so the codebook is a pure function of
+    * (corpus, seed) that any engine reproduces. The ksub-row
+    * row_number window is index-build-time work on a centroid-sized
+    * frame — never on the corpus.
+    */
+  def pqCodebooks(df: DataFrame, idCol: String, vecCol: String,
+                  m: Int, ksub: Int, dim: Int, seed: Long = 42L): DataFrame = {
+    require(m > 0 && dim % m == 0, s"pq: dim $dim must split into m=$m equal subvectors")
+    val sd = dim / m
+    val cents = normalized(hashSeedCentroids(df, idCol, vecCol, ksub, seed),
+      idCol, vecCol, "_pq_cid", "cv0")
+      .withColumn("code", row_number().over(
+        Window.orderBy(
+          md5(concat(col("_pq_cid").cast("string"), lit(":" + seed))),
+          col("_pq_cid"))) - 1)
+    cents.select(col("code"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"), col("cv0"))
+      .select(col("sub"), col("code"),
+        slice(col("cv0"), col("sub") * lit(sd) + lit(1), lit(sd)).as("cv"))
+  }
+
+  /** PQ-encode the corpus: each (normalized) vector becomes `m` small
+    * codes — the nearest codebook centroid per subspace by exact
+    * sub-L2. THIS is the 100 TB memory move for an embedding store:
+    * at m=96, ksub=256 a 768-d float corpus drops from 3 KB to 96
+    * BYTES per vector (~32×; armed with int4 packing, 64×) — the
+    * difference between an index that fits a cluster's memory and one
+    * that pages. Cost: one corpus scan × m·ksub broadcast codebook
+    * rows, map-side struct-min per (vector, subspace), zero shuffles
+    * of vector payloads (the only exchange carries (id, sub, code)
+    * triples). Returns `(idCol, codes array<tinyint>)`.
+    */
+  def pqEncode(corpus: DataFrame, codebooks: DataFrame,
+               idCol: String, vecCol: String, m: Int, dim: Int): DataFrame = {
+    val sd = dim / m
+    val sub = normalized(corpus, idCol, vecCol, "_pq_id", "_pq_v")
+      .select(col("_pq_id"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"), col("_pq_v"))
+      .select(col("_pq_id"), col("sub"),
+        slice(col("_pq_v"), col("sub") * lit(sd) + lit(1), lit(sd)).as("xs"))
+    // sequential fold in element order — the same IEEE accumulation
+    // DuckDB's list_reduce performs, so distances replay bit-exactly
+    val d2 = aggregate(
+      zip_with(col("xs"), col("cv"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, v) => acc + v)
+    sub.join(broadcast(codebooks), Seq("sub"))
+      .select(col("_pq_id"), col("sub"), d2.as("_d2"), col("code"))
+      // struct-min argmin: map-side combinable, ties to the lowest code
+      .groupBy("_pq_id", "sub")
+      .agg(min(struct(col("_d2").as("d2"), col("code").as("code"))).as("mn"))
+      .groupBy("_pq_id")
+      .agg(collect_list(struct(col("sub").as("sub"), col("mn.code").as("code"))).as("sc"))
+      .select(col("_pq_id").as(idCol),
+        transform(array_sort(col("sc")), x => x.getField("code").cast("tinyint"))
+          .as("codes"))
+  }
+
+  /** ADC top-k over a PQ-encoded corpus: per query, a lookup table of
+    * subspace partial dots against every codebook centroid (m·ksub
+    * doubles — broadcast), then each corpus vector's score is the sum
+    * of its m table hits. The corpus side carries ONLY (id, sub, code):
+    * no vector bytes move at query time. Partial dots are 9dp-rounded
+    * and DECIMAL-summed (order-free → cross-engine bit-exact, the
+    * repo's standing float convention), so ranks are deterministic.
+    * Output shape matches [[bruteForceTopK]]: (query_id, rank,
+    * neighbor_id, sim_pq).
+    */
+  def pqTopK(corpusCodes: DataFrame, queries: DataFrame, codebooks: DataFrame,
+             idCol: String, vecCol: String, m: Int, dim: Int,
+             k: Int = 10): DataFrame = {
+    val sd = dim / m
+    val qsub = normalized(queries, idCol, vecCol, "query_id", "qv")
+      .select(col("query_id"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"), col("qv"))
+      .select(col("query_id"), col("sub"),
+        slice(col("qv"), col("sub") * lit(sd) + lit(1), lit(sd)).as("qs"))
+    val lut = qsub.join(codebooks, Seq("sub"))
+      .select(col("query_id"), col("sub"), col("code"),
+        dot(col("qs"), col("cv")).as("pdot"))
+    val scored = corpusCodes
+      .select(col(idCol).as("neighbor_id"), posexplode(col("codes")).as(Seq("sub", "code")))
+      .select(col("neighbor_id"), col("sub"), col("code").cast("int").as("code"))
+      .join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(round(col("pdot"), 9).cast(org.apache.spark.sql.types.DecimalType(28, 9)))
+        .cast("double").as("sim_pq"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim_pq").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim_pq")
+  }
 }
