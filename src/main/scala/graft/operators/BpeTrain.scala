@@ -99,6 +99,114 @@ object BpeTrain {
       .orderBy("step")
   }
 
+  /** One left-to-right fold applying a BATCH of pairwise-disjoint merge
+    * rules in a single pass: at each element a when-chain checks every
+    * batch rule against (last(acc), x). Because the batch is token-
+    * disjoint (including merged strings — see [[learnMergesBatched]]),
+    * at most one rule can fire at a position and no firing can enable
+    * another batch rule, so one pass ≡ applying the rules sequentially.
+    */
+  private def applyMergeBatch(seq: Column, batch: Seq[(String, String)]): Column =
+    aggregate(seq, array().cast("array<string>"), (acc, x) => {
+      val fallthrough = concat(acc, array(x))
+      batch.foldRight(fallthrough) { case ((l, r), els) =>
+        when(size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+          .otherwise(els)
+      }
+    })
+
+  /** [[learnMerges]] with BATCHED rule acceptance — the shape that makes
+    * distributed training viable at large rule counts: the sequential
+    * trainer pays one pair-count shuffle + driver argmax PER RULE (fine
+    * at 80 merges, hopeless at 32k); this accepts up to `batchSize`
+    * rules per round, cutting rounds (and shuffles) by the average
+    * batch width while producing the IDENTICAL merge table.
+    *
+    * Why identical, not approximately so: per round the ranking is the
+    * total order (count DESC, lhs, rhs) and the batch is the longest
+    * PREFIX of it that is pairwise token-disjoint — stopping at the
+    * first candidate that shares a token with an accepted pair, not
+    * skipping it — additionally
+    *   - treating each accepted pair's MERGED string as a used token
+    *     (a rule like (ab, c) must not ride in the same batch as
+    *     (a, b): its count snapshot predates the new `ab` tokens), and
+    *   - truncating trailing accepted rules whose count equals the
+    *     stop candidate's (strict count drop at the batch boundary).
+    * Under those three conditions every non-accepted pair — including
+    * any pair a batch merge can create or rescore, whose count is
+    * bounded by an overlapping parent's snapshot count — ranks strictly
+    * below every accepted rule, and disjoint rules cannot change each
+    * other's counts; so sequential greedy would pick exactly this batch
+    * in exactly this order, with exactly these counts (BpeSpec proves
+    * table-equality on real and adversarial corpora; a chained-merge
+    * corpus forces singleton batches and still matches).
+    *
+    * Worst case (flat count plateaus of interacting pairs) degrades to
+    * one rule per round = sequential; typical text accepts a widening
+    * batch as the symbol pool grows. Driver round-trip per round is a
+    * `head(batchSize+1)` TakeOrdered — rows, not the count table.
+    */
+  def learnMergesBatched(docs: DataFrame, textCol: String, numMerges: Int,
+                         batchSize: Int = 32,
+                         checkpointEvery: Int = 5): DataFrame = {
+    require(batchSize > 0, "batchSize must be positive")
+    val spark = docs.sparkSession
+    var seqs = wordFreqs(docs, textCol)
+      .select(col("word"), col("freq"),
+        filter(split(col("word"), ""), _ =!= "").as("seq"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var step = 1
+    var round = 0
+    var exhausted = false
+    while (step <= numMerges && !exhausted) {
+      val budget = math.min(batchSize, numMerges - step + 1)
+      val top = pairCounts(seqs)
+        .orderBy(col("pair_count").desc, col("lhs"), col("rhs"))
+        .head(budget + 1)
+      if (top.isEmpty) exhausted = true
+      else {
+        val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        val used = scala.collection.mutable.HashSet.empty[String]
+        var stopCount = -1L
+        var i = 0
+        var stopped = false
+        while (i < top.length && !stopped) {
+          val (l, r, c) = (top(i).getString(0), top(i).getString(1), top(i).getLong(2))
+          val toks = Seq(l, r, l + r)
+          if (accepted.size >= budget || toks.exists(used.contains)) {
+            stopCount = c; stopped = true
+          } else {
+            accepted += ((l, r, c)); used ++= toks
+          }
+          i += 1
+        }
+        // strict-drop guard: a trailing accepted rule tying the stop
+        // candidate's count is not provably next in sequential order —
+        // push it to the next round. The head rule alone is always
+        // exact (it IS the global argmax under the total order).
+        while (accepted.size > 1 && stopCount >= 0 && accepted.last._3 == stopCount)
+          accepted.dropRightInPlace(1)
+        accepted.foreach { case (l, r, c) =>
+          merges += ((step, l, r, l + r, c)); step += 1
+        }
+        val next = seqs.withColumn("seq",
+          applyMergeBatch(col("seq"), accepted.map(a => (a._1, a._2)).toSeq))
+        round += 1
+        val cut = if (round % checkpointEvery == 0) next.localCheckpoint(false) else next
+        val persisted = cut.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted.count()
+        seqs.unpersist()
+        seqs = persisted
+      }
+    }
+    seqs.unpersist()
+    import spark.implicits._
+    merges.toSeq.toDF("step", "lhs", "rhs", "merged", "pair_count")
+      .orderBy("step")
+  }
+
   /** Driver-side trainer over the COLLECTED word-frequency table — the
     * regime industrial tokenizer trainers run in (the corpus is reduced
     * to (word, freq) once, distributed; the merge loop then iterates in

@@ -20,12 +20,23 @@ import graft.operators.TextDedup
   *   3. writes accepted docs to the corpus sink, their band
   *      signatures to the index, and all rejected pairs to a report.
   *
-  * Cost per drop is |batch| hashing + band-bucket joins against the
-  * index — the corpus is never re-read or re-paired, so a year of
-  * daily drops costs Σ|drop|, not Σ|corpus so far|. That is the
-  * property that makes continuous ingestion viable at 100 TB; the
-  * incremental ≡ full-recompute equivalence of the underlying screen
-  * is proven by `q_cross_dedup`'s oracle and `q_inc_clusters`.
+  * Cost per drop, stated honestly: |batch| hashing + ONE FULL SCAN of
+  * the signature index for the band-bucket join (the
+  * `ingest_batch =!= batchId` filter prunes only the replay guard's
+  * partition — the rest of the index is read every drop). The corpus
+  * TEXT is never re-read or re-paired — a year of daily drops costs
+  * Σ|drop| hashing, not Σ|corpus| — but the index side grows with the
+  * corpus: at 1 B accepted docs × 8 bands that join scans an 8 B-row
+  * (id, band, bucket) parquet table per drop. Viable (it is a narrow
+  * 3-column scan feeding a shuffle join keyed on (band, bucket)), but
+  * at corpus scale prefer [[nearDupScreenStateful]], whose state-store
+  * index is keyed by (band, bucket) and touches only the buckets the
+  * drop occupies — the per-drop cost there is ∝ |drop|, full stop
+  * (StreamingDedupSpec pins the two twins' accept-rule relationship:
+  * identical accepted sets when every collision is a true dup,
+  * stateful ⊆ ingest in general). The incremental ≡ full-recompute
+  * equivalence of the underlying screen is proven by `q_cross_dedup`'s
+  * oracle and `q_inc_clusters`.
   *
   * == Exactly-once under foreachBatch replay ==
   *

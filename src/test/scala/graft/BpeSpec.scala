@@ -91,6 +91,43 @@ class BpeSpec extends SparkSpec {
     assert(learned(Seq("a b c a b"), 4).isEmpty)
   }
 
+  private def learnedBatched(texts: Seq[String], k: Int, batch: Int) = {
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    BpeTrain.learnMergesBatched(docs, "text", k, batchSize = batch, checkpointEvery = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .toSeq
+  }
+
+  test("learnMergesBatched ≡ sequential: fixture + chained-merge adversary, several widths") {
+    val texts = Seq(
+      "low low low lower lower lowest",
+      "aaa aaa aaab abab abab",
+      "newest newest widest b a")
+    for (b <- Seq(1, 4, 16))
+      assert(learnedBatched(texts, 10, b) == refOn(texts, 10),
+        s"batchSize=$b diverged from sequential")
+    // chained-merge adversary: (a,b) then (ab,c) then (abc,d) — each
+    // rule's tokens include the previous rule's merged string, so every
+    // batch must degrade to a singleton; any wider acceptance would
+    // score (ab,c) on a pre-merge snapshot
+    val chained = Seq("abcd abcd abcd abcd abcd")
+    for (b <- Seq(2, 8))
+      assert(learnedBatched(chained, 4, b) == refOn(chained, 4),
+        s"chained-merge corpus diverged at batchSize=$b")
+  }
+
+  test("learnMergesBatched ≡ sequential on random corpora (property)") {
+    val word = Gen.chooseNum(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val corpus = Gen.chooseNum(1, 25).flatMap(n => Gen.listOfN(n, word))
+    val prop = Prop.forAll(corpus, Gen.oneOf(2, 3, 5)) { (ws, b) =>
+      val text = Seq(ws.mkString(" "))
+      learnedBatched(text, 6, b) == refOn(text, 6)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("encodeWords: fold path ≡ mapPartitions path ≡ reference on random words") {
     val merges = Seq("a" -> "b", "ab" -> "c", "b" -> "b", "c" -> "abc")
     def refEncode(w: String): Vector[String] =

@@ -203,6 +203,109 @@ class StreamingDedupSpec extends SparkSpec {
     assert(got == Set((3L, 1L)), s"got $got")
   }
 
+  test("stateful screen ≡ parquet-index ingest: identical accepted sets when every collision is a true dup") {
+    // The two ingestion twins implement the same accept rule against
+    // different index media. On a corpus where every bucket collision
+    // is an exact copy (est_jaccard = 1.0 ≥ any threshold, identical
+    // signatures → no ghost anchors), their accepted-doc sets must be
+    // IDENTICAL across the same drop sequence — including a
+    // within-batch dup, where ingest's keep-first(doc_b) and the
+    // stateful min-id anchor must pick the same survivor.
+    import graft.streaming.CorpusStream
+    val base = java.nio.file.Files.createTempDirectory("twin-eq")
+    val (docsDir, stateDir, outDir, ckpt) =
+      (s"$base/docs", s"$base/state", s"$base/out", s"$base/ckpt")
+    val dupA = "the quick brown fox jumps over the lazy dog by the river bank"
+    val dupB = "completely separate legal boilerplate concerning contracts and parties"
+    def drop(rows: (Long, String)*): Unit =
+      rows.toSeq.toDF("doc_id", "text").repartition(1)
+        .write.mode("append").parquet(docsDir)
+    drop((1L, dupA), (2L, dupB))
+    val schema = spark.read.parquet(docsDir).schema
+    def drainBoth(): Unit = {
+      CorpusStream.ingest(spark, docsDir, schema, stateDir,
+        threshold = 0.8, maxFilesPerTrigger = 1).awaitTermination()
+      val q = CorpusStream.nearDupScreenStateful(
+          spark.readStream.schema(schema).parquet(docsDir))
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drainBoth()
+    // drop 2: cross-drop dup of 1, a fresh doc, and a within-batch dup
+    // pair (5 copies 4 inside the same drop)
+    drop((3L, dupA),
+      (4L, "a genuinely novel third text sharing nothing with the others"),
+      (5L, "a genuinely novel third text sharing nothing with the others"))
+    drainBoth()
+    drop((6L, dupB), (7L, "yet another entirely fresh document about gardens"))
+    drainBoth()
+    val all = spark.read.parquet(docsDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val ingestAccepted = spark.read.parquet(s"$stateDir/accepted")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val flagged = spark.read.parquet(outDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val statefulAccepted = all -- flagged
+    assert(ingestAccepted == Set(1L, 2L, 4L, 7L), ingestAccepted.toString)
+    assert(statefulAccepted == ingestAccepted,
+      s"twins diverged: stateful=$statefulAccepted ingest=$ingestAccepted")
+  }
+
+  test("stateful screen ⊆ ingest: the no-verify delta, stated precisely") {
+    // Where the twins differ BY DESIGN: the stateful screen is pure
+    // LSH-accept (any band collision flags, no est-Jaccard verify), so
+    // a pair similar enough to collide in some band but below the
+    // ingest threshold is flagged by the stateful screen and accepted
+    // by ingest — accepted_stateful ⊆ accepted_ingest, never the
+    // reverse. (The other delta source, ghost anchors — a rejected doc
+    // still anchoring buckets the accepted survivor does not occupy —
+    // shrinks the stateful set the same direction.)
+    import graft.streaming.CorpusStream
+    val base = java.nio.file.Files.createTempDirectory("twin-delta")
+    val (docsDir, stateDir, outDir, ckpt) =
+      (s"$base/docs", s"$base/state", s"$base/out", s"$base/ckpt")
+    // one word changed out of twelve: shingle Jaccard ≈ 0.8 — collides
+    // in ≥1 of 8 bands with overwhelming probability (deterministic
+    // here: fixed hash seeds) yet sits far below threshold = 0.95
+    val a = "the quick brown fox jumps over the lazy dog by the river"
+    val b = "the quick brown fox leaps over the lazy dog by the river"
+    def drop(rows: (Long, String)*): Unit =
+      rows.toSeq.toDF("doc_id", "text").repartition(1)
+        .write.mode("append").parquet(docsDir)
+    drop((1L, a))
+    val schema = spark.read.parquet(docsDir).schema
+    def drainBoth(): Unit = {
+      CorpusStream.ingest(spark, docsDir, schema, stateDir,
+        threshold = 0.95, maxFilesPerTrigger = 1).awaitTermination()
+      val q = CorpusStream.nearDupScreenStateful(
+          spark.readStream.schema(schema).parquet(docsDir))
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drainBoth()
+    drop((2L, b))
+    drainBoth()
+    val ingestAccepted = spark.read.parquet(s"$stateDir/accepted")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val flagged =
+      if (new java.io.File(outDir).exists)
+        spark.read.parquet(outDir).select("doc_id")
+          .collect().map(_.getLong(0)).toSet
+      else Set.empty[Long]
+    val statefulAccepted = Set(1L, 2L) -- flagged
+    // ingest verifies est_jaccard ≈ 0.8 < 0.95 → keeps both
+    assert(ingestAccepted == Set(1L, 2L), ingestAccepted.toString)
+    // the stateful screen flags the band collision → drops doc 2
+    assert(statefulAccepted == Set(1L), s"stateful=$statefulAccepted")
+    assert(statefulAccepted.subsetOf(ingestAccepted))
+  }
+
   test("nearDupScreenStateful: runs on the RocksDB state store provider (the corpus-scale config)") {
     import graft.streaming.CorpusStream
     implicit val sqlCtx = spark.sqlContext
