@@ -70,6 +70,25 @@ case class HashedFeatScore(child: Expression, buckets: Int,
 
   override protected def withNewChildInternal(newChild: Expression): HashedFeatScore =
     copy(child = newChild)
+
+  // the synthesized case-class equals compares Array[Long] by
+  // REFERENCE, so two semantically identical trained expressions never
+  // compared equal under plan canonicalization (missed subexpression
+  // elimination — two hashedLinearScoreWeighted columns over the same
+  // table would fold twice); deep-compare the table instead
+  override def equals(o: Any): Boolean = o match {
+    case h: HashedFeatScore =>
+      h.child == child && h.buckets == buckets &&
+        ((h.table, table) match {
+          case (Some(a), Some(b)) => java.util.Arrays.equals(a, b)
+          case (None, None)       => true
+          case _                  => false
+        })
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(
+    child, Int.box(buckets),
+    Int.box(table.map(java.util.Arrays.hashCode).getOrElse(0)))
 }
 
 object HashedFeatScore {

@@ -93,4 +93,23 @@ class HashedFeatScoreSpec extends SparkSpec {
       case None => spark.conf.unset("spark.sql.codegen.factoryMode")
     }
   }
+
+  test("trained expressions with equal tables compare equal (plan canonicalization)") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    // two SEPARATELY constructed but identical tables: the synthesized
+    // case-class equals compared the arrays by reference, defeating
+    // subexpression elimination for trained scoring
+    val t1 = Array.tabulate(8)(i => (i * 3 - 7).toLong)
+    val t2 = Array.tabulate(8)(i => (i * 3 - 7).toLong)
+    val c = Literal("x")
+    val (a, b) = (plans.HashedFeatScore(c, 8, Some(t1)),
+      plans.HashedFeatScore(c, 8, Some(t2)))
+    assert(a == b && a.hashCode == b.hashCode)
+    assert(a.semanticEquals(b))
+    val diff = plans.HashedFeatScore(c, 8, Some(t1.updated(0, 99L)))
+    assert(a != diff)
+    assert(a != plans.HashedFeatScore(c, 8, None))
+    assert(plans.HashedFeatScore(c, 8, None) ==
+      plans.HashedFeatScore(c, 8, None))
+  }
 }
