@@ -78,29 +78,34 @@ object Joins {
     * The reference brute-forces this with a cartesian pandas loop
     * (Accruals Report.ipynb:234-292).
     *
-    * Scale shape: ONE scan per side, independent of the candidate count.
-    * Each side is unpivoted (explode over a struct array of its candidate
-    * columns, values cast to string so they share a column), deduped per
-    * (column, value), and the two sides meet in a single equi-join on
-    * the value; counts group onto ≤ |candidates| cells. The previous
-    * form built one distinct + semi-join branch per candidate inside
-    * one unioned plan — C candidates cost 2C scans of inputs that at
-    * corpus scale are the widest tables in the lake. Zero-overlap
-    * candidates still get a row (overlap = 0) via the left join from
-    * the literal candidate frame.
+    * Scale shape: ONE scan per side PER COMPARISON DOMAIN, independent
+    * of the candidate count. Candidates whose two columns share an
+    * exact type form a native-typed domain (one per distinct type);
+    * mixed-type pairs share one string domain. Within a domain each
+    * side is unpivoted (explode over a struct array of its candidate
+    * columns), deduped per (column, value), and the two sides meet in
+    * a single equi-join on the value; counts group onto ≤ |candidates|
+    * cells. The previous form built one distinct + semi-join branch
+    * per candidate inside one unioned plan — C candidates cost 2C
+    * scans of inputs that at corpus scale are the widest tables in the
+    * lake; the all-string round-11 form then paid per-row casts and
+    * string-width distinct shuffles even for the all-BIGINT-id case
+    * that key discovery actually runs on (measured 2× on q_j7 — see
+    * BASELINE.md round 12). Zero-overlap candidates still get a row
+    * (overlap = 0) via the left join from the literal candidate frame.
     *
-    * Equality semantics: values compare by their CANONICAL STRING FORM
-    * for every candidate — exactly what the DuckDB oracle's VARCHAR
-    * comparison always did, and injective for the id/code/date types
-    * key discovery actually runs on. For floating-point candidates
-    * this diverges from raw numeric equality at exactly the edges where
-    * numeric equality is itself a bad join-key signal ("-0.0" ≠ "0.0",
-    * "NaN" = "NaN"); discovering a JOIN KEY on a float column is the
-    * real smell that report would be surfacing. DECIMAL candidates are
-    * normalized before the string cast (trailing fractional zeros
-    * stripped), so scales that differ only in rendering — 1.5 as
-    * decimal(10,1) vs 1.50 as decimal(10,2) — still match, as they
-    * would under numeric equality.
+    * Equality semantics: same-type candidates compare NATIVELY (what
+    * both the old per-candidate form and a same-type SQL join do;
+    * Spark's join equality normalizes -0.0 = 0.0 and groups NaN with
+    * NaN — float edges where numeric equality is itself a bad join-key
+    * signal, and discovering a JOIN KEY on a float column is the real
+    * smell this report would be surfacing). Mixed-type candidates
+    * compare by CANONICAL STRING FORM — the DuckDB oracle's VARCHAR
+    * comparison, injective for the id/code/date types that cross-type
+    * discovery runs on — with DECIMAL values normalized before the
+    * cast (trailing fractional zeros stripped), so scales that differ
+    * only in rendering — 1.5 as decimal(10,1) vs 1.50 as
+    * decimal(12,4) — still match, as they would under numeric equality.
     */
   def keyOverlapReport(left: DataFrame, right: DataFrame,
                        candidates: Seq[(String, String)]): DataFrame = {
@@ -117,21 +122,32 @@ object Joins {
         case _ => s
       }
     }
-    def unpivot(df: DataFrame, cols: Seq[String], tag: String) =
-      df.select(explode(array(cols.map(c =>
-          struct(lit(c).as("c"), canon(df, c).as("v"))): _*)).as("x"))
-        .select(col("x.c").as(tag), col("x.v").as("v"))
-        .na.drop(Seq("v"))
-        .distinct()
-    val lv = unpivot(left, candidates.map(_._1).distinct, "left_col")
-    val rv = unpivot(right, candidates.map(_._2).distinct, "right_col")
-    // values shared by a (left column, right column) cell; non-candidate
-    // cells are joined away below
-    val counts = lv.join(rv, Seq("v"))
-      .groupBy(col("left_col"), col("right_col"))
-      .agg(count(lit(1)).as("n"))
+    // comparison domain: Some(type) when both columns share it (native
+    // values, native shuffle width), None = the string domain
+    val domains = candidates.distinct.groupBy { case (lc, rc) =>
+      val lt = left.schema(lc).dataType
+      if (lt == right.schema(rc).dataType) Some(lt) else None
+    }
     val spark = left.sparkSession
     import spark.implicits._
+    val counts = domains.values.map { pairs =>
+      val native = pairs.forall { case (lc, rc) =>
+        left.schema(lc).dataType == right.schema(rc).dataType }
+      def unpivot(df: DataFrame, cols: Seq[String], tag: String) =
+        df.select(explode(array(cols.map(c =>
+            struct(lit(c).as("c"),
+              (if (native) col(c) else canon(df, c)).as("v"))): _*)).as("x"))
+          .select(col("x.c").as(tag), col("x.v").as("v"))
+          .na.drop(Seq("v"))
+          .distinct()
+      val lv = unpivot(left, pairs.map(_._1).distinct, "left_col")
+      val rv = unpivot(right, pairs.map(_._2).distinct, "right_col")
+      // values shared by a (left column, right column) cell;
+      // non-candidate cells are joined away below
+      lv.join(rv, Seq("v"))
+        .groupBy(col("left_col"), col("right_col"))
+        .agg(count(lit(1)).as("n"))
+    }.reduce(_ unionByName _)
     val cand = candidates.toDF("left_col", "right_col")
     cand.join(counts, Seq("left_col", "right_col"), "left")
       .select(col("left_col"), col("right_col"),
