@@ -1790,6 +1790,44 @@ object SparkEntry {
             .withColumn("url", synthUrl(col("doc_id"))),
           "url", "text")
         .orderBy("domain")),
+    "q_domain_refresh" -> ((s, d) => {
+      // incremental rollup maintenance: the corpus split
+      // deterministically into base/delta halves, each reduced to its
+      // ADDITIVE per-domain state, merged by re-aggregation, finished —
+      // while the oracle computes the rollup DIRECTLY over the whole
+      // corpus. Hash equality IS the mergeability proof, cross-engine:
+      // a daily refresh costs |delta| + a domain-sized state, never a
+      // base rescan.
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .withColumn("url", synthUrl(col("doc_id")))
+      val half = conv(substring(
+        md5(col("doc_id").cast("string")), 32, 1), 16, 10).cast("int") % 2
+      Domains.finishDomainQuality(Domains.mergeDomainQuality(
+          Domains.domainQualityState(docs.filter(half === 0), "url", "text"),
+          Domains.domainQualityState(docs.filter(half === 1), "url", "text")))
+        .orderBy("domain")
+    }),
+    "q_domain_sample" -> ((s, d) =>
+      // the policy loop the rollup feeds: per-domain keep rates become
+      // sqrt-flattened sampling weights (IEEE-exact), each doc keeps
+      // iff its 60-bit md5 prefix clears floor(weight·2^60) — an
+      // INTEGER comparison, so the kept set replays bit-for-bit
+      Domains.domainPriorSample(
+          Tables.documents(s, d).select(col("doc_id"), col("text"))
+            .withColumn("url", synthUrl(col("doc_id"))),
+          "url", "doc_id", "text")
+        .select("doc_id", "domain", "weight")
+        .orderBy("doc_id")),
+    "q_dup_spans" -> ((s, d) =>
+      // ExactSubstr-regime duplicated spans: winnowed k-gram
+      // fingerprints (any shared verbatim span ≥ k+w−1 chars selects a
+      // common fingerprint in both docs regardless of alignment),
+      // candidates equi-joined on fingerprint, every candidate span
+      // verified CHARACTER-EXACTLY at its recorded positions
+      TextDedup.dupSpanPairs(
+          Tables.documents(s, d).select(col("doc_id"), col("text")),
+          "text", "doc_id", k = 30, w = 10, maxDocFreq = 64)
+        .orderBy("id_a", "id_b")),
 
     // ---- events / sessionization -------------------------------------
     "q_funnel" -> ((s, d) =>
@@ -1955,6 +1993,36 @@ object SparkEntry {
       |        ELSE ls[n-1] || '.' || ls[n] END AS domain
       | FROM d1)""".stripMargin
   }
+
+  /** [[urlDomainCtes]] extended with the classifier replay and the
+    * per-domain ADDITIVE aggregate `agg(domain, n_docs, n_scored,
+    * n_keep, score_sum)` — shared by the q_domain_quality /
+    * q_domain_refresh / q_domain_sample oracles.
+    */
+  private lazy val domainAggCtes: String =
+    s"""$urlDomainCtes,
+      |t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents),
+      |f AS (SELECT doc_id, ws || [ws[i]||'_'||ws[i+1] for i in range(1, len(ws))] AS fs FROM t),
+      |sc AS (SELECT doc_id, CAST(len(fs) AS BIGINT) AS n_feats,
+      |  CAST(coalesce(list_aggregate(list_transform(fs,
+      |    x -> (('0x' || substr(md5(x), 1, 8))::BIGINT % 4096) % 2001 - 1000), 'sum'), 0) AS BIGINT) AS w_sum
+      | FROM f),
+      |scored AS (SELECT doc_id,
+      |  CASE WHEN n_feats > 0 THEN CAST(w_sum AS DOUBLE)/(n_feats * 1000.0) END AS score
+      | FROM sc),
+      |agg AS (SELECT d.domain,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(count(s.score) AS BIGINT) AS n_scored,
+      |  CAST(coalesce(sum(CASE WHEN s.score > 0.0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_keep,
+      |  CAST(sum(CAST(round(s.score, 9) AS DECIMAL(38,9))) AS DOUBLE) AS score_sum
+      | FROM dom d JOIN scored s ON d.doc_id = s.doc_id GROUP BY d.domain)""".stripMargin
+
+  private lazy val domainQualitySql: String =
+    s"""$domainAggCtes
+      |SELECT domain, n_docs, n_scored, n_keep,
+      |  CAST(n_keep AS DOUBLE)/n_docs AS keep_rate,
+      |  CASE WHEN n_scored > 0 THEN score_sum/n_scored END AS mean_score
+      |FROM agg ORDER BY domain""".stripMargin
 
   private def curateFullSqlOver(src: String): String =
     s"""WITH RECURSIVE w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM $src),
@@ -2502,26 +2570,62 @@ object SparkEntry {
       // classifier replay (q_quality_classifier's CTEs) joined to the
       // domain derivation, aggregated per domain; mean = DECIMAL sum of
       // 9dp-rounded scores cast to DOUBLE, one division
-      s"""$urlDomainCtes,
-        |t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents),
-        |f AS (SELECT doc_id, ws || [ws[i]||'_'||ws[i+1] for i in range(1, len(ws))] AS fs FROM t),
-        |sc AS (SELECT doc_id, CAST(len(fs) AS BIGINT) AS n_feats,
-        |  CAST(coalesce(list_aggregate(list_transform(fs,
-        |    x -> (('0x' || substr(md5(x), 1, 8))::BIGINT % 4096) % 2001 - 1000), 'sum'), 0) AS BIGINT) AS w_sum
-        | FROM f),
-        |scored AS (SELECT doc_id,
-        |  CASE WHEN n_feats > 0 THEN CAST(w_sum AS DOUBLE)/(n_feats * 1000.0) END AS score
-        | FROM sc),
-        |agg AS (SELECT d.domain,
-        |  CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(count(s.score) AS BIGINT) AS n_scored,
-        |  CAST(coalesce(sum(CASE WHEN s.score > 0.0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_keep,
-        |  CAST(sum(CAST(round(s.score, 9) AS DECIMAL(38,9))) AS DOUBLE) AS score_sum
-        | FROM dom d JOIN scored s ON d.doc_id = s.doc_id GROUP BY d.domain)
-        |SELECT domain, n_docs, n_scored, n_keep,
-        |  CAST(n_keep AS DOUBLE)/n_docs AS keep_rate,
-        |  CASE WHEN n_scored > 0 THEN score_sum/n_scored END AS mean_score
-        |FROM agg ORDER BY domain""".stripMargin,
+      domainQualitySql,
+    "q_domain_refresh" ->
+      // THE SAME direct rollup as q_domain_quality, verbatim: the Spark
+      // side computes merge(state(base), state(delta)) over a
+      // deterministic corpus split — hash equality against the direct
+      // single-pass oracle IS the mergeability proof
+      domainQualitySql,
+    "q_domain_sample" ->
+      // domain keep rates → sqrt-flattened weights (IEEE-exact), kept
+      // docs by INTEGER comparison: 60-bit md5 prefix <
+      // floor(weight·2^60) — floor(), not a cast (DuckDB casts round,
+      // Spark casts truncate)
+      s"""$domainAggCtes,
+        |wts AS (SELECT domain,
+        |  least(1.0, greatest(sqrt(CAST(n_keep AS DOUBLE)/n_docs), 0.05)) AS weight
+        | FROM agg)
+        |SELECT d.doc_id, d.domain, w.weight
+        |FROM dom d JOIN wts w USING (domain)
+        |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || 's1'), 1, 15))::BIGINT
+        |  < CAST(floor(w.weight * 1152921504606846976) AS BIGINT)
+        |ORDER BY d.doc_id""".stripMargin,
+    "q_dup_spans" ->
+      // winnowing replayed list-for-list: per-position 60-bit md5 gram
+      // hashes, per-window list_min with FIRST-occurrence position
+      // (list_position = Spark array_position), distinct (fp, pos) per
+      // doc, min pos per (doc, fp), doc-frequency cap, fp equi-join,
+      // then the span text compared character-exactly before counting
+      """WITH docs AS (SELECT doc_id, text FROM documents WHERE length(text) >= 30),
+        |hs AS (SELECT doc_id,
+        |  list_transform(generate_series(1, length(text)-30+1),
+        |    i -> ('0x' || substr(md5(substr(text, i, 30)), 1, 15))::BIGINT) AS h
+        | FROM docs),
+        |wn AS (SELECT doc_id,
+        |  -- no list_distinct (DuckDB lacks it for struct lists); the
+        |  -- min-pos GROUP BY in fp1 collapses duplicates identically
+        |  list_transform(generate_series(1, greatest(len(h)-10+1, 1)),
+        |    j -> struct_pack(fp := list_min(h[j:j+9]),
+        |                     pos := j + list_position(h[j:j+9], list_min(h[j:j+9])) - 1)) AS fps
+        | FROM hs),
+        |fpu AS (SELECT doc_id, u.fp AS fp, u.pos AS pos
+        | FROM (SELECT doc_id, unnest(fps) AS u FROM wn)),
+        |fp1 AS (SELECT doc_id, fp, min(pos) AS pos FROM fpu GROUP BY doc_id, fp),
+        |safe AS (SELECT * FROM fp1 WHERE fp NOT IN
+        |  (SELECT fp FROM fp1 GROUP BY fp HAVING count(*) > 64)),
+        |ver AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pos_a, b.pos AS pos_b
+        | FROM safe a JOIN safe b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        | JOIN docs ta ON a.doc_id = ta.doc_id
+        | JOIN docs tb ON b.doc_id = tb.doc_id
+        | WHERE substr(ta.text, CAST(a.pos AS INTEGER), 30) = substr(tb.text, CAST(b.pos AS INTEGER), 30)),
+        |sel AS (SELECT id_a, id_b, pos_a, pos_b,
+        |  row_number() OVER (PARTITION BY id_a, id_b ORDER BY pos_a, pos_b) AS rn,
+        |  count(*) OVER (PARTITION BY id_a, id_b) AS n
+        | FROM ver)
+        |SELECT id_a, id_b, CAST(n AS BIGINT) AS n_spans,
+        |  CAST(pos_a AS INTEGER) AS pos_a, CAST(pos_b AS INTEGER) AS pos_b
+        |FROM sel WHERE rn = 1 ORDER BY id_a, id_b""".stripMargin,
     "q_outliers" ->
       // the engine's exact-moment formula replayed verbatim (decimal
       // sums → double ratios → IEEE sqrt — NOT avg/stddev_pop, whose

@@ -176,6 +176,21 @@ object Domains {
     */
   def domainQualityRollup(df: DataFrame, urlCol: String, textCol: String,
                           buckets: Int = 4096, cutoff: Double = 0.0)
+      : DataFrame =
+    finishDomainQuality(domainQualityState(df, urlCol, textCol, buckets, cutoff))
+
+  /** The ADDITIVE half of [[domainQualityRollup]]: per-domain counts and
+    * the DECIMAL score sum, no derived ratios. Every column is a sum or
+    * count, so states MERGE by plain re-aggregation — the incremental
+    * maintenance primitive: persist the state, and a daily refresh is
+    * `finishDomainQuality(mergeDomainQuality(persisted, state(delta)))`
+    * at cost ∝ |delta| (+ the domain-sized state), never a corpus
+    * rescan. The q_domain_refresh oracle proves the algebra
+    * cross-engine: merge(state(base), state(delta)) hash-matches DuckDB
+    * computing the rollup DIRECTLY over base ∪ delta.
+    */
+  def domainQualityState(df: DataFrame, urlCol: String, textCol: String,
+                         buckets: Int = 4096, cutoff: Double = 0.0)
       : DataFrame = {
     val sc = graft.plans.HashedFeatScore.featScore(col(textCol), buckets)
     val score = when(sc.getItem(0) > 0,
@@ -189,6 +204,28 @@ object Domains {
         count(col("_score")).as("n_scored"),
         sum(when(col("_score") > cutoff, 1L).otherwise(0L)).as("n_keep"),
         sum(round(col("_score"), 9).cast("decimal(38,9)")).as("score_sum"))
+  }
+
+  /** Merge [[domainQualityState]] frames by re-aggregation. Associative
+    * and commutative (sums of sums), so any merge tree — daily deltas,
+    * per-partition states, a year of increments — lands on the same
+    * state as one direct pass.
+    */
+  def mergeDomainQuality(states: DataFrame*): DataFrame = {
+    require(states.nonEmpty, "mergeDomainQuality: no states")
+    states.reduce(_ unionByName _)
+      .groupBy("domain")
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_scored")).as("n_scored"),
+        sum(col("n_keep")).as("n_keep"),
+        sum(col("score_sum")).as("score_sum"))
+  }
+
+  /** Derive the ratio columns from a (possibly merged) state — the
+    * non-additive finishing step of [[domainQualityRollup]].
+    */
+  def finishDomainQuality(state: DataFrame): DataFrame =
+    state
       .withColumn("keep_rate",
         col("n_keep").cast("double") / col("n_docs"))
       .withColumn("mean_score",
@@ -197,5 +234,44 @@ object Domains {
         when(col("n_scored") > 0,
           col("score_sum").cast("double") / col("n_scored")))
       .drop("score_sum")
+
+  /** Deterministic domain-prior sampling — the policy loop
+    * [[domainQualityRollup]] exists to feed: each domain's keep rate
+    * becomes a sampling probability (temperature-flattened via sqrt,
+    * IEEE-exact in every engine, so low-quality domains are thinned
+    * rather than zeroed and the weights replay bit-for-bit), each doc
+    * keeps iff its md5 fraction clears the domain's threshold. The
+    * comparison is INTEGER-exact cross-engine: both sides floor
+    * weight·2⁶⁰ with one IEEE multiply, and the doc's 60-bit md5 prefix
+    * compares as a plain BIGINT — no float boundary ambiguity.
+    *
+    * Scale shape: the rollup is domain-sized — the weight join
+    * broadcasts; the verdict is then map-only on the corpus scan
+    * (deterministic in doc_id + domain alone, any partitioning).
+    * `floor` bounds every domain's weight away from 0 so rare-domain
+    * coverage survives (the C4-family "don't let priors starve the
+    * tail" move).
+    */
+  def domainPriorSample(df: DataFrame, urlCol: String, idCol: String,
+                        textCol: String, buckets: Int = 4096,
+                        cutoff: Double = 0.0, floor: Double = 0.05,
+                        seed: String = "s1"): DataFrame = {
+    val weights = finishDomainQuality(
+        domainQualityState(df, urlCol, textCol, buckets, cutoff))
+      .select(col("domain"),
+        least(lit(1.0), greatest(sqrt(col("keep_rate")), lit(floor)))
+          .as("weight"))
+    val dom = df.withColumn("domain", registeredDomain(hostOf(col(urlCol))))
+    dom.join(broadcast(weights), Seq("domain"))
+      .withColumn("_h", conv(substring(
+          md5(concat(col(idCol).cast("string"), lit(seed))), 1, 15), 16, 10)
+        .cast("long"))
+      // 2^60 = 1152921504606846976; weight·2^60 floors identically in
+      // any IEEE engine, so the keep set is a function of the data
+      // alone. floor(), not a cast: double→long CASTS round in some
+      // engines (DuckDB) and truncate in others (Spark)
+      .filter(col("_h") < org.apache.spark.sql.functions
+        .floor(col("weight") * lit(1152921504606846976L)).cast("long"))
+      .drop("_h")
   }
 }

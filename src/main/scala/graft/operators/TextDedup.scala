@@ -940,4 +940,85 @@ object TextDedup {
     identPairs.unpersist(); banded.unpersist(); sigs.unpersist()
     out
   }
+
+  /** Winnowed character-k-gram fingerprints — the alignment-robust
+    * selection behind substring-level dedup (the "ExactSubstr" regime:
+    * long VERBATIM spans shared across documents, which shingle-Jaccard
+    * near-dup misses when the rest of the two documents differ, and
+    * block dedup misses when the span straddles block boundaries at
+    * different offsets). Per document: hash every k-char gram (60-bit
+    * md5 prefix — the repo's portable-hash convention), slide a window
+    * of `w` consecutive gram hashes, keep each window's MINIMUM (first
+    * position on ties), dedupe. The winnowing guarantee (public:
+    * Schleimer/Wilkerson/Aiken, SIGMOD'03): any substring of length
+    * ≥ k + w − 1 shared verbatim by two documents selects at least one
+    * common fingerprint VALUE in both — window placement may differ
+    * with alignment, but both sides' windows inside the shared run
+    * cover the run's minimal hash. Fingerprint density ≈ 2/(w+1) per
+    * character, so the emitted index is a bounded fraction of corpus
+    * bytes.
+    *
+    * Output: one row per distinct (id, fp, pos) — `pos` the 1-based
+    * char start of the selected gram. Documents shorter than k emit
+    * nothing. Map-only (explode over per-row arrays); the O(n·k)
+    * hashing and O(n·w) window mins are per-row scan work that scales
+    * with executors — at 100 TB the budget knob is `w` (density) and a
+    * pre-filter on the docs worth indexing.
+    */
+  def winnowedFingerprints(df: DataFrame, textCol: String, idCol: String,
+                           k: Int = 30, w: Int = 10): DataFrame = {
+    require(k >= 2 && w >= 1, s"winnowedFingerprints: bad k=$k / w=$w")
+    // the native one-pass expression (plans/WinnowFp) — value-identical
+    // to the Column composition (per-gram md5 prefix + per-window
+    // array_min/array_position + array_distinct) that WinnowFpSpec
+    // retains as the property witness, without its O(n·w) slice scans
+    // or per-gram hex round-trips
+    df.select(col(idCol),
+        explode(graft.plans.WinnowFp.fingerprints(col(textCol), k, w)).as("_x"))
+      .select(col(idCol), col("_x.fp").as("fp"), col("_x.pos").as("pos"))
+  }
+
+  /** Document pairs sharing VERIFIED duplicated spans — candidates from
+    * a [[winnowedFingerprints]] equi-join, then each candidate's span
+    * text compared CHARACTER-EXACTLY at the recorded positions, so a
+    * reported pair is ground truth (hash collisions verified away; the
+    * guarantee inherited from winnowing: every pair sharing a verbatim
+    * span of ≥ k + w − 1 chars is found). Output per pair: the number
+    * of shared verified fingerprints and the first shared span's
+    * positions.
+    *
+    * Scale shape: the join moves (fp, id, pos) triples, never text;
+    * span verification joins text back BY ID (hash joins on the doc
+    * key). Fingerprints shared by more than `maxDocFreq` documents are
+    * dropped first — an f-doc fingerprint makes f(f−1)/2 pairs, and a
+    * span that common is boilerplate, [[stripBoilerplate]]'s regime,
+    * not pairwise dedup's (same observable-cap convention as the LSH
+    * hot-bucket cap).
+    */
+  def dupSpanPairs(df: DataFrame, textCol: String, idCol: String,
+                   k: Int = 30, w: Int = 10, maxDocFreq: Int = 64)
+      : DataFrame = {
+    val fps = winnowedFingerprints(df, textCol, idCol, k, w)
+      .groupBy(col("fp"), col(idCol))
+      .agg(min(col("pos")).as("pos"))
+    val hot = fps.groupBy("fp")
+      .agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > maxDocFreq)
+      .select("fp")
+    val safe = fps.join(broadcast(hot), Seq("fp"), "left_anti")
+    val cand = safe.select(col("fp"), col(idCol).as("id_a"), col("pos").as("pos_a"))
+      .join(safe.select(col("fp"), col(idCol).as("id_b"), col("pos").as("pos_b")),
+        Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+    cand
+      .join(df.select(col(idCol).as("id_a"), col(textCol).as("_ta")), Seq("id_a"))
+      .join(df.select(col(idCol).as("id_b"), col(textCol).as("_tb")), Seq("id_b"))
+      .filter(col("_ta").substr(col("pos_a"), lit(k)) ===
+        col("_tb").substr(col("pos_b"), lit(k)))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_spans"),
+        min(struct(col("pos_a"), col("pos_b"))).as("_first"))
+      .select(col("id_a"), col("id_b"), col("n_spans"),
+        col("_first.pos_a").as("pos_a"), col("_first.pos_b").as("pos_b"))
+  }
 }

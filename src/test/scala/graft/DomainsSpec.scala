@@ -106,4 +106,56 @@ class DomainsSpec extends SparkSpec {
     val expect = perDoc.map(s => BigDecimal(s).setScale(9, BigDecimal.RoundingMode.HALF_UP)).sum / 2
     assert(math.abs(mean - expect.toDouble) < 1e-12, s"$mean vs $expect")
   }
+
+  private def sampleDocs(n: Int) = {
+    val texts = Seq("the quick brown fox", "word", "longer document with many words here",
+      "x", "some mediocre middle text", "")
+    (1 to n).map(i => (i.toLong,
+        s"http://site${i % 7}.${if (i % 3 == 0) "co.uk" else "com"}/p$i",
+        texts(i % texts.size)))
+      .toDF("id", "url", "text")
+  }
+
+  test("domain state algebra: merge(state(parts)) ≡ state(whole), any split, any tree") {
+    val docs = sampleDocs(90)
+    val whole = Domains.domainQualityState(docs, "url", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      Domains.finishDomainQuality(df).orderBy("domain").collect().toSeq
+    // two-way split on one column, three-way on another: both merge
+    // trees (pairwise-then-merge and flat 3-way) land on the whole
+    val p2 = Seq(docs.filter(col("id") % 2 === 0), docs.filter(col("id") % 2 === 1))
+    val p3 = (0 to 2).map(r => docs.filter(col("id") % 3 === r))
+    assert(canon(Domains.mergeDomainQuality(p2.map(
+      Domains.domainQualityState(_, "url", "text")): _*)) == canon(whole))
+    assert(canon(Domains.mergeDomainQuality(p3.map(
+      Domains.domainQualityState(_, "url", "text")): _*)) == canon(whole))
+    // nested tree: merge(merge(a, b), c)
+    val st = p3.map(Domains.domainQualityState(_, "url", "text"))
+    assert(canon(Domains.mergeDomainQuality(
+      Domains.mergeDomainQuality(st(0), st(1)), st(2))) == canon(whole))
+    // and the public rollup is exactly finish∘state
+    assert(canon(whole) ==
+      Domains.domainQualityRollup(docs, "url", "text").orderBy("domain").collect().toSeq)
+  }
+
+  test("domainPriorSample: deterministic, weight-bounded, monotone in the floor") {
+    val docs = sampleDocs(120)
+    val s1 = Domains.domainPriorSample(docs, "url", "id", "text")
+      .select("id").as[Long].collect().toSet
+    val s2 = Domains.domainPriorSample(docs, "url", "id", "text")
+      .select("id").as[Long].collect().toSet
+    assert(s1 == s2, "same inputs must keep the same docs")
+    assert(s1.nonEmpty && s1.subsetOf((1L to 120L).toSet))
+    // weights live in [floor, 1]
+    val w = Domains.domainPriorSample(docs, "url", "id", "text", floor = 0.2)
+      .select("weight").as[Double].collect()
+    assert(w.forall(x => x >= 0.2 && x <= 1.0), w.mkString(","))
+    // floor = 1 keeps EVERY doc of every domain (threshold 2^60 > any h)
+    val all = Domains.domainPriorSample(docs, "url", "id", "text", floor = 1.0)
+    assert(all.count() == 120)
+    // a different seed keeps a different set (not a constant function)
+    val s3 = Domains.domainPriorSample(docs, "url", "id", "text", seed = "s2")
+      .select("id").as[Long].collect().toSet
+    assert(s3 != s1, "seed must move the kept set")
+  }
 }

@@ -657,4 +657,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("ScalaUDF"),
       "rollup must stay inside codegen'd built-ins")
   }
+
+  test("q_domain_sample: domain-sized weight side broadcasts; corpus verdict is map work") {
+    val df = q("q_domain_sample")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastHashJoin"),
+      s"weights must broadcast to the corpus scan:\n$p")
+    assert(!p.contains("SinglePartition"), s"driver-sized bottleneck:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_dup_spans: fingerprint join never cartesian, hot cap broadcast, text joined by id") {
+    val df = q("q_dup_spans")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"span discovery went all-pairs:\n$p")
+    // the hot-fingerprint exclusion is a broadcast anti join (the list
+    // is bounded), never a shuffle of the fingerprint set against it.
+    // Pinned on the PRE-AQE physical plan: at this fixture scale the
+    // hot list is empty and AQE's empty-relation propagation correctly
+    // deletes the join from the final plan
+    val pre = df.queryExecution.sparkPlan.toString
+    assert(pre.contains("LeftAnti") && pre.contains("BroadcastHashJoin"),
+      s"hot cap should be a broadcast anti join:\n$pre")
+    val schemas = "ReadSchema: struct<[^>]*>".r.findAllIn(p).toList
+    assert(schemas.nonEmpty && schemas.forall(
+      _ == "ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"span scans must read only (doc_id, text): $schemas")
+  }
 }

@@ -1,0 +1,118 @@
+package graft
+
+import graft.operators.TextDedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** WinnowFp native ≡ the Column-composition witness (per-gram md5
+  * prefixes, per-window array_min + array_position, array_distinct),
+  * the winnowing guarantee through dupSpanPairs, and the hot-
+  * fingerprint cap.
+  */
+class WinnowFpSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** The composed form the native expression replaced — retained here
+    * as the property witness (and the shape the DuckDB oracle replays).
+    */
+  private def witness(df: DataFrame, k: Int, w: Int): DataFrame = {
+    val txt = col("_t")
+    val hs = transform(sequence(lit(1), length(txt) - k + 1),
+      i => conv(substring(md5(txt.substr(i, lit(k))), 1, 15), 16, 10)
+        .cast("long"))
+    df.select(col("id"), col("text").as("_t"))
+      .filter(length(txt) >= k)
+      .withColumn("_hs", hs)
+      .select(col("id"), explode(array_distinct(
+        transform(sequence(lit(1), greatest(size(col("_hs")) - w + 1, lit(1))),
+          j => {
+            val win = slice(col("_hs"), j, lit(w))
+            val m = array_min(win)
+            struct(m.as("fp"),
+              (j + array_position(win, m) - 1).cast("int").as("pos"))
+          }))).as("_x"))
+      .select(col("id"), col("_x.fp").as("fp"), col("_x.pos").as("pos"))
+  }
+
+  private def compare(texts: Seq[String], k: Int, w: Int): Unit = {
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val native = TextDedup.winnowedFingerprints(df, "text", "id", k, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val comp = witness(df, k, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(native == comp,
+      s"k=$k w=$w: native-only=${(native -- comp).take(5)} " +
+        s"witness-only=${(comp -- native).take(5)}")
+  }
+
+  test("hand-picked edges ≡ witness: repeats, ties, unicode, short docs") {
+    val texts = Seq(
+      "abcdefghijklmnopqrstuvwxyz0123456789",
+      "aaaaaaaaaaaaaaaaaaaaaa",            // all grams identical (ties)
+      "abababababababababababab",          // period-2 repeats
+      "short",                             // < k → no fingerprints
+      "exactly-k-chars!",                  // == k → one gram
+      "naïve café — résumé 日本語テキスト padded to length",
+      "emoji 😀 pair 😀 emoji 😀 pair padding padding")
+    compare(texts, k = 8, w = 4)
+    compare(texts, k = 16, w = 1)          // w=1: every gram selected
+    compare(texts, k = 5, w = 20)          // w > grams: single window
+  }
+
+  test("property: native ≡ witness on 120 random mixed strings") {
+    val rnd = new scala.util.Random(20260814L)
+    val pieces = Vector("the", "cat", "sat", "on", "mat", " ", "  ",
+      "x", "42", ".", ",", "é", "中", "😀", " ")
+    val texts = (1 to 120).map { _ =>
+      (0 until rnd.nextInt(60)).map(_ => pieces(rnd.nextInt(pieces.size))).mkString
+    }
+    compare(texts, k = 10, w = 5)
+  }
+
+  test("winnowing guarantee: a shared span >= k+w-1 chars is found at ANY alignment") {
+    val k = 10; val w = 5
+    val span = "SHARED-VERBATIM-SPAN-" + ("s" * (k + w - 1))  // > k+w-1 chars
+    val docs = Seq(
+      (1L, "left padding text " + span + " tail one"),
+      (2L, "a completely different and much longer prefix here " + span),
+      (3L, span + " suffix only on this one"),
+      (4L, "no shared content in this document at all, nothing"))
+      .toDF("id", "text")
+    val pairs = TextDedup.dupSpanPairs(docs, "text", "id", k, w)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(Set((1L, 2L), (1L, 3L), (2L, 3L)).subsetOf(pairs), pairs.toString)
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      s"doc 4 shares no span: $pairs")
+  }
+
+  test("verification is character-exact: positions index a real shared span") {
+    val k = 10; val w = 5
+    val span = "0123456789ABCDEFGHIJKLMNOP"
+    val a = "xx" + span + " then unrelated"
+    val b = "yyyyyyy" + span + " other tail"
+    val docs = Seq((1L, a), (2L, b)).toDF("id", "text")
+    val r = TextDedup.dupSpanPairs(docs, "text", "id", k, w).collect()
+    assert(r.length == 1)
+    val (posA, posB) = (r(0).getAs[Int]("pos_a"), r(0).getAs[Int]("pos_b"))
+    assert(a.substring(posA - 1, posA - 1 + k) ==
+      b.substring(posB - 1, posB - 1 + k))
+  }
+
+  test("hot fingerprints are dropped (boilerplate regime, observable cap)") {
+    val k = 10; val w = 5
+    val boiler = "BOILERPLATE-FOOTER-" + ("b" * (k + w))
+    val docs = (1L to 6L).map(i => (i, s"doc $i unique-part-$i$i$i " + boiler))
+      .toDF("id", "text")
+    val capped = TextDedup.dupSpanPairs(docs, "text", "id", k, w, maxDocFreq = 2)
+    assert(capped.count() == 0, "6-doc boilerplate span must be capped away")
+    val uncapped = TextDedup.dupSpanPairs(docs, "text", "id", k, w, maxDocFreq = 64)
+    assert(uncapped.count() == 15, "all 15 pairs without the cap")
+  }
+
+  test("null and sub-k documents emit nothing") {
+    val docs = Seq((1L, Some("tiny")), (2L, None), (3L, Some("")))
+      .toDF("id", "text")
+    assert(TextDedup.winnowedFingerprints(docs, "text", "id", 8, 4).count() == 0)
+  }
+}
