@@ -107,6 +107,31 @@ class DomainsSpec extends SparkSpec {
     assert(math.abs(mean - expect.toDouble) < 1e-12, s"$mean vs $expect")
   }
 
+  test("registeredDomain: regex-free form ≡ the split-based witness, adversarial hosts") {
+    // the split(limit = -1) semantics the rewrite must preserve:
+    // trailing dots keep empty labels, consecutive dots keep empties
+    val hosts = Seq("news.bbc.co.uk", "a.b.example.com", "example.com",
+      "localhost", "", "a.b.", "a..b", ".a", "x.co.uk", "co.uk",
+      "deep.sub.domain.gov.au", "trailing.dot.com.", "..", ".",
+      "single.", "a.b.c.d.e.f.co.jp")
+    val df = hosts.toDF("h")
+    val witness = {
+      val labels = split(col("h"), "\\.")
+      val last2 = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
+      val last3 = concat_ws(".",
+        element_at(labels, -3), element_at(labels, -2), element_at(labels, -1))
+      val suffixes = Domains.multiPartSuffixes.map(lit(_))
+      when(size(labels) <= 2, col("h"))
+        .otherwise(when(array_contains(array(suffixes: _*), last2), last3)
+          .otherwise(last2))
+    }
+    val rows = df.select(col("h"), Domains.registeredDomain(col("h")).as("fast"),
+        witness.as("slow")).collect()
+    for (r <- rows)
+      assert(r.getString(1) == r.getString(2),
+        s"host '${r.getString(0)}': fast '${r.getString(1)}' vs split '${r.getString(2)}'")
+  }
+
   private def sampleDocs(n: Int) = {
     val texts = Seq("the quick brown fox", "word", "longer document with many words here",
       "x", "some mediocre middle text", "")
