@@ -1828,6 +1828,16 @@ object SparkEntry {
           Tables.documents(s, d).select(col("doc_id"), col("text")),
           "text", "doc_id", k = 30, w = 10, maxDocFreq = 64)
         .orderBy("id_a", "id_b")),
+    "q_dup_span_strip" -> ((s, d) =>
+      // the ExactSubstr ACTION, keep-first: every verified anchor range
+      // shared with a lower-id doc is removed from the higher-id copy —
+      // each removed char is verbatim present in a surviving doc. The
+      // strip is a per-char mask over the sorted span starts, identical
+      // list algebra in both engines
+      TextDedup.stripDupSpans(
+          Tables.documents(s, d).select(col("doc_id"), col("text")),
+          "text", "doc_id", k = 30, w = 10, maxDocFreq = 64)
+        .orderBy("doc_id")),
 
     // ---- events / sessionization -------------------------------------
     "q_funnel" -> ((s, d) =>
@@ -2626,6 +2636,44 @@ object SparkEntry {
         |SELECT id_a, id_b, CAST(n AS BIGINT) AS n_spans,
         |  CAST(pos_a AS INTEGER) AS pos_a, CAST(pos_b AS INTEGER) AS pos_b
         |FROM sel WHERE rn = 1 ORDER BY id_a, id_b""".stripMargin,
+    "q_dup_span_strip" ->
+      // same winnow/verify CTEs; then per loser doc the sorted distinct
+      // anchor starts, and a per-char mask (kept iff no span start in
+      // (i-k, i]) rebuilt with an ordered string_agg — the identical
+      // list algebra the Spark side runs with zip_with/exists
+      """WITH docs AS (SELECT doc_id, text FROM documents WHERE length(text) >= 30),
+        |hs AS (SELECT doc_id,
+        |  list_transform(generate_series(1, length(text)-30+1),
+        |    i -> ('0x' || substr(md5(substr(text, i, 30)), 1, 15))::BIGINT) AS h
+        | FROM docs),
+        |wn AS (SELECT doc_id,
+        |  list_transform(generate_series(1, greatest(len(h)-10+1, 1)),
+        |    j -> struct_pack(fp := list_min(h[j:j+9]),
+        |                     pos := j + list_position(h[j:j+9], list_min(h[j:j+9])) - 1)) AS fps
+        | FROM hs),
+        |fpu AS (SELECT doc_id, u.fp AS fp, u.pos AS pos
+        | FROM (SELECT doc_id, unnest(fps) AS u FROM wn)),
+        |fp1 AS (SELECT doc_id, fp, min(pos) AS pos FROM fpu GROUP BY doc_id, fp),
+        |safe AS (SELECT * FROM fp1 WHERE fp NOT IN
+        |  (SELECT fp FROM fp1 GROUP BY fp HAVING count(*) > 64)),
+        |ver AS (SELECT b.doc_id AS doc_id, b.pos AS pos
+        | FROM safe a JOIN safe b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        | JOIN docs ta ON a.doc_id = ta.doc_id
+        | JOIN docs tb ON b.doc_id = tb.doc_id
+        | WHERE substr(ta.text, CAST(a.pos AS INTEGER), 30) = substr(tb.text, CAST(b.pos AS INTEGER), 30)),
+        |spans AS (SELECT doc_id, list_sort(list(DISTINCT pos)) AS ps FROM ver GROUP BY doc_id),
+        |strip AS (SELECT d.doc_id,
+        |  CAST(len(s.ps) AS BIGINT) AS n_anchor_sites,
+        |  coalesce(list_aggregate(list_transform(
+        |    list_filter(generate_series(1, length(d.text)),
+        |      i -> len(list_filter(s.ps, p -> p <= i AND i < p + 30)) = 0),
+        |    i -> substr(d.text, CAST(i AS INTEGER), 1)), 'string_agg', ''), '') AS text_stripped,
+        |  length(d.text) AS orig_len
+        | FROM docs d JOIN spans s ON d.doc_id = s.doc_id)
+        |SELECT doc_id, n_anchor_sites,
+        |  CAST(orig_len - length(text_stripped) AS BIGINT) AS n_chars_removed,
+        |  text_stripped
+        |FROM strip ORDER BY doc_id""".stripMargin,
     "q_outliers" ->
       // the engine's exact-moment formula replayed verbatim (decimal
       // sums → double ratios → IEEE sqrt — NOT avg/stddev_pop, whose

@@ -997,7 +997,22 @@ object TextDedup {
     */
   def dupSpanPairs(df: DataFrame, textCol: String, idCol: String,
                    k: Int = 30, w: Int = 10, maxDocFreq: Int = 64)
-      : DataFrame = {
+      : DataFrame =
+    verifiedSpanSites(df, textCol, idCol, k, w, maxDocFreq)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_spans"),
+        min(struct(col("pos_a"), col("pos_b"))).as("_first"))
+      .select(col("id_a"), col("id_b"), col("n_spans"),
+        col("_first.pos_a").as("pos_a"), col("_first.pos_b").as("pos_b"))
+
+  /** Every VERIFIED shared anchor: (id_a < id_b, pos_a, pos_b) where
+    * the k chars at pos_a in a equal the k chars at pos_b in b —
+    * the shared site table [[dupSpanPairs]] aggregates and
+    * [[stripDupSpans]] consumes.
+    */
+  private[operators] def verifiedSpanSites(
+      df: DataFrame, textCol: String, idCol: String,
+      k: Int, w: Int, maxDocFreq: Int): DataFrame = {
     val fps = winnowedFingerprints(df, textCol, idCol, k, w)
       .groupBy(col("fp"), col(idCol))
       .agg(min(col("pos")).as("pos"))
@@ -1015,10 +1030,47 @@ object TextDedup {
       .join(df.select(col(idCol).as("id_b"), col(textCol).as("_tb")), Seq("id_b"))
       .filter(col("_ta").substr(col("pos_a"), lit(k)) ===
         col("_tb").substr(col("pos_b"), lit(k)))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("n_spans"),
-        min(struct(col("pos_a"), col("pos_b"))).as("_first"))
-      .select(col("id_a"), col("id_b"), col("n_spans"),
-        col("_first.pos_a").as("pos_a"), col("_first.pos_b").as("pos_b"))
+      .select(col("id_a"), col("id_b"), col("pos_a"), col("pos_b"))
+  }
+
+  /** The ExactSubstr ACTION, keep-first: for every document that
+    * shares verified anchors with a LOWER-id document, remove those
+    * anchor ranges from its text — each removed character is verbatim
+    * present in a surviving lower-id copy, by the same character-exact
+    * verification as [[dupSpanPairs]]. Coverage of a maximal shared
+    * run of length ≥ k + w − 1: winnowing selects an anchor at least
+    * every w grams inside the run and k > w makes consecutive anchor
+    * ranges overlap, so the run's interior is removed contiguously,
+    * with ≤ w − 1 leading and k − 1 trailing chars of slack at the
+    * edges (never MORE than the run — anchors are verified equal
+    * content). Output per affected doc: anchor-site count, removed
+    * char count, and the stripped text.
+    *
+    * Scale shape: the site table is pair-stage work (see
+    * [[dupSpanPairs]]); the strip itself is map work per affected doc —
+    * a per-char mask over the sorted span-start array (len × |sites|
+    * lambda steps, both small). Losers join their span lists by id:
+    * a hash join on the doc key, text moves once.
+    */
+  def stripDupSpans(df: DataFrame, textCol: String, idCol: String,
+                    k: Int = 30, w: Int = 10, maxDocFreq: Int = 64)
+      : DataFrame = {
+    val spans = verifiedSpanSites(df, textCol, idCol, k, w, maxDocFreq)
+      .select(col("id_b").as(idCol), col("pos_b").as("pos"))
+      .distinct()
+      .groupBy(idCol)
+      .agg(sort_array(collect_set(col("pos"))).as("_ps"))
+    val ch = split(col(textCol), "")
+    val kept = zip_with(ch, sequence(lit(1), size(ch)), (c, i) =>
+      when(!exists(col("_ps"), p => p <= i && i < p + k), c))
+    df.join(spans, Seq(idCol))
+      .select(col(idCol),
+        size(col("_ps")).cast("long").as("n_anchor_sites"),
+        col(textCol).as("_orig"),
+        array_join(kept, "").as("text_stripped"))
+      .select(col(idCol), col("n_anchor_sites"),
+        (length(col("_orig")) - length(col("text_stripped")))
+          .cast("long").as("n_chars_removed"),
+        col("text_stripped"))
   }
 }

@@ -110,6 +110,30 @@ class WinnowFpSpec extends SparkSpec {
     assert(uncapped.count() == 15, "all 15 pairs without the cap")
   }
 
+  test("stripDupSpans: keep-first — the loser's shared run is removed, unique residue survives") {
+    val k = 10; val w = 5
+    val span = "DUPLICATED-RUN-" + ("d" * 30)   // long shared run
+    val a = "winner document unique head " + span + " winner tail"
+    val b = "loser-unique-prefix " + span + " loser-unique-suffix"
+    val docs = Seq((1L, a), (2L, b), (3L, "unrelated third document text entirely"))
+      .toDF("id", "text")
+    val out = TextDedup.stripDupSpans(docs, "text", "id", k, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // only the higher-id copy is touched
+    assert(out.map(_._1).toSeq == Seq(2L), out.mkString(";"))
+    val (_, sites, removed, stripped) = out.head
+    assert(sites > 0 && removed > 0)
+    // every removed char existed verbatim in the winner: what was
+    // removed is a substring-union of the shared run
+    assert(!stripped.contains("DUPLICATED-RUN-"), s"run survived: '$stripped'")
+    // the loser's unique material survives the strip
+    assert(stripped.contains("loser-unique-prefix"), s"lost unique text: '$stripped'")
+    assert(stripped.contains("loser-unique-suffix".drop(w - 1).dropRight(0)) ||
+      stripped.contains("unique-suffix"), s"edge slack ate the suffix: '$stripped'")
+    // winner untouched by construction (absent from output = untouched)
+    assert(removed <= a.length)
+  }
+
   test("null and sub-k documents emit nothing") {
     val docs = Seq((1L, Some("tiny")), (2L, None), (3L, Some("")))
       .toDF("id", "text")
