@@ -213,4 +213,61 @@ object CorpusStream {
           ids.iterator.filter(_ != anchor).map(ScreenHit(_, anchor, key._1))
         })
   }
+
+  /** One cap verdict: `doc_id` of `domain` arrived as the `rank`-th
+    * document of its domain (1-based, across the stream's lifetime)
+    * and is `accepted` iff rank ≤ k.
+    */
+  case class CapVerdict(doc_id: Long, domain: String, rank: Long,
+                        accepted: Boolean)
+
+  /** Streaming per-domain document cap — [[graft.operators.Domains.domainCap]]'s
+    * admission rule enforced CONTINUOUSLY: the per-domain accepted
+    * count lives in the checkpointed state store (one long per domain
+    * ever seen — trivially cluster-sized even at web scale), each
+    * arriving document takes the next rank of its domain and is
+    * admitted while rank ≤ k. Admission is arrival-ordered across
+    * micro-batches (an online cap cannot replay the batch form's
+    * global md5 order without reprocessing — the standard trade of a
+    * streaming cap) and md5(id)-deterministic WITHIN a batch, so any
+    * single batch admits exactly the batch operator's survivors: the
+    * spec pins one-batch stream ≡ `domainCap`, and cap persistence
+    * across batches and restarts.
+    *
+    * Scale shape: domain derivation is map work on the stream; the
+    * only shuffle keys on domain. A zipfian-hot domain concentrates
+    * its COUNTER on one task, but the per-row state work is an
+    * increment — the skew cost is the shuffle's, same as every
+    * domain-keyed aggregation, and far below the batch cap's
+    * two-phase rewrite threshold at micro-batch sizes.
+    */
+  def domainCapStateful(docs: DataFrame, urlCol: String = "url",
+                        idCol: String = "doc_id", k: Int = 3)
+      : org.apache.spark.sql.Dataset[CapVerdict] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    require(k > 0, "domainCapStateful: k must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val dom = docs.select(col(idCol).cast("long").as("doc_id"),
+        graft.operators.Domains
+          .registeredDomain(graft.operators.Domains.hostOf(col(urlCol)))
+          .as("domain"),
+        md5(col(idCol).cast("long").cast("string")).as("_ord"))
+      .as[(Long, String, String)]
+    dom.groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (domain: String, rows: Iterator[(Long, String, String)],
+         state: org.apache.spark.sql.streaming.GroupState[Long]) => {
+          // md5 order within the batch = the batch operator's
+          // deterministic survivor rule, replayed per micro-batch
+          val sorted = rows.toArray.sortBy(r => (r._3, r._1))
+          var seen = if (state.exists) state.get else 0L
+          val out = sorted.map { case (id, _, _) =>
+            seen += 1
+            CapVerdict(id, domain, seen, seen <= k)
+          }
+          state.update(seen)
+          out.iterator
+        })
+  }
 }

@@ -203,6 +203,83 @@ class StreamingDedupSpec extends SparkSpec {
     assert(got == Set((3L, 1L)), s"got $got")
   }
 
+  test("domainCapStateful: cap persists across micro-batches, arrival-ordered") {
+    import graft.streaming.CorpusStream
+    implicit val sqlCtx = spark.sqlContext
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val verdicts = CorpusStream.domainCapStateful(
+      src.toDF().toDF("doc_id", "url"), k = 2)
+    val q = verdicts.writeStream.format("memory").queryName("domcap_out")
+      .outputMode("append").start()
+    // batch 1: two a.com docs fill the cap; one b.org doc
+    src.addData((1L, "http://a.com/x"), (2L, "http://sub.a.com/y"),
+      (3L, "http://b.org/z"))
+    q.processAllAvailable()
+    // batch 2: a.com is FULL (state); b.org has one slot left and the
+    // WITHIN-batch rule is md5(id) order, not arrival order — md5("6")
+    // sorts before md5("5"), so doc 6 takes the slot
+    src.addData((4L, "http://a.com/late"), (5L, "http://b.org/md5-larger"),
+      (6L, "http://www.b.org/md5-smaller"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("domcap_out")
+      .select("doc_id", "accepted").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert(got == Map(1L -> true, 2L -> true, 3L -> true,
+      4L -> false, 5L -> false, 6L -> true), got.toString)
+  }
+
+  test("domainCapStateful: a single batch admits exactly the batch operator's survivors") {
+    import graft.streaming.CorpusStream
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (1L to 40L).map(i => (i, s"http://dom${i % 3}.com/p$i"))
+    val batchKept = graft.operators.Domains
+      .domainCap(rows.toDF("doc_id", "url"), "url", "doc_id", k = 4)
+      .select("doc_id").as[Long].collect().toSet
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = CorpusStream.domainCapStateful(
+        src.toDF().toDF("doc_id", "url"), k = 4)
+      .writeStream.format("memory").queryName("domcap_eq_out")
+      .outputMode("append").start()
+    src.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamKept = spark.table("domcap_eq_out")
+      .filter(col("accepted")).select("doc_id").as[Long].collect().toSet
+    assert(streamKept == batchKept,
+      s"stream-only=${streamKept -- batchKept} batch-only=${batchKept -- streamKept}")
+  }
+
+  test("domainCapStateful: domain counters survive a query RESTART from the checkpoint") {
+    import graft.streaming.CorpusStream
+    val base = java.nio.file.Files.createTempDirectory("domcap-restart")
+    val (docsDir, outDir, ckpt) = (s"$base/docs", s"$base/out", s"$base/ckpt")
+    def drop(rows: (Long, String)*): Unit =
+      rows.toSeq.toDF("doc_id", "url").repartition(1)
+        .write.mode("append").parquet(docsDir)
+    drop((1L, "http://a.com/1"), (2L, "http://a.com/2"))
+    val schema = spark.read.parquet(docsDir).schema
+    def drain(): Unit = {
+      val q = CorpusStream.domainCapStateful(
+          spark.readStream.schema(schema).parquet(docsDir), k = 2)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()               // run 1: a.com count reaches 2
+    drop((3L, "http://a.com/3"))
+    drain()               // run 2: NEW query, same checkpoint — full cap must hold
+    val got = spark.read.parquet(outDir)
+      .select("doc_id", "accepted").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert(got == Map(1L -> true, 2L -> true, 3L -> false), got.toString)
+  }
+
   test("stateful screen ≡ parquet-index ingest: identical accepted sets when every collision is a true dup") {
     // The two ingestion twins implement the same accept rule against
     // different index media. On a corpus where every bucket collision
