@@ -49,7 +49,11 @@ object PlanDump {
       "q_calibrated_gate" -> "calibrate-then-gate: grid-binned sweep scan + gate scan, 1-row cutoff broadcast between them",
       "q_minhash_pairs_sampled" -> "sampled truth twin (the sf10 gate form): md5 quarter-sample exact pairs vs full-corpus LSH restricted to sampled endpoints",
       "q_upsert" -> "keyed MERGE/upsert: broadcast anti-join of delta keys below the pass-through union — the base never shuffles",
-      "q_quality_classifier" -> "hashed linear quality gate: one native feature-fold expression per row, zero Exchanges before the oracle sort")
+      "q_quality_classifier" -> "hashed linear quality gate: one native feature-fold expression per row, zero Exchanges before the oracle sort",
+      "q_dup_spans" -> "winnowed duplicated spans: native one-pass fingerprints, fp equi-join (never all-pairs), broadcast-anti hot cap, exact substr verify by id joins",
+      "q_domain_cap" -> "per-domain doc cap: salted two-phase top-k windows, scan pruned to doc_id, never SinglePartition",
+      "q_domain_sample" -> "domain-prior sampling: domain-sized weights broadcast, null-safe derived join key (the chain evaluates once), map-only verdict",
+      "q_ann_pq" -> "product-quantized ANN: per-subspace codebook broadcast, byte-code corpus side, ADC lookup-table scoring")
     val sb = new StringBuilder
     sb ++= "# PLANS — formatted physical plans of flagship queries\n\n"
     sb ++= "Generated by `graft.PlanDump` at sf0.001 (plan shapes are\n"
