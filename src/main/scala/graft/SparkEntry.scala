@@ -1838,6 +1838,21 @@ object SparkEntry {
           Tables.documents(s, d).select(col("doc_id"), col("text")),
           "text", "doc_id", k = 30, w = 10, maxDocFreq = 64)
         .orderBy("doc_id")),
+    "q_cross_spans" -> ((s, d) => {
+      // incremental span screen: every 7th doc re-arrives under a new
+      // id (the q_cross_dedup drop convention) and must be caught
+      // verbatim against the existing corpus — drop×corpus only, the
+      // corpus fingerprint frame passed as the persistable index
+      // argument. Fully md5-portable, so unlike the xxhash minhash
+      // screen the RAW screen is oracle-checkable end to end.
+      val corpus = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val drop = corpus.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + lit(500000L)).as("doc_id"), col("text"))
+      val cfps = TextDedup.winnowedFingerprints(corpus, "text", "doc_id")
+      TextDedup.crossCorpusDupSpans(drop, corpus, cfps, "text", "doc_id",
+          k = 30, w = 10, maxDocFreq = 64)
+        .orderBy("new_id", "corpus_id")
+    }),
 
     // ---- events / sessionization -------------------------------------
     "q_funnel" -> ((s, d) =>
@@ -2674,6 +2689,50 @@ object SparkEntry {
         |  CAST(orig_len - length(text_stripped) AS BIGINT) AS n_chars_removed,
         |  text_stripped
         |FROM strip ORDER BY doc_id""".stripMargin,
+    "q_cross_spans" ->
+      // the winnow CTEs instantiated over BOTH sides (corpus, and the
+      // +500000 re-arrival drop), corpus-side doc-frequency cap,
+      // asymmetric fp join, exact substr verify, first-position window
+      """WITH docs AS (SELECT doc_id, text FROM documents WHERE length(text) >= 30),
+        |drp AS (SELECT doc_id + 500000 AS doc_id, text FROM documents
+        |        WHERE doc_id % 7 = 0 AND length(text) >= 30),
+        |chs AS (SELECT doc_id,
+        |  list_transform(generate_series(1, length(text)-30+1),
+        |    i -> ('0x' || substr(md5(substr(text, i, 30)), 1, 15))::BIGINT) AS h
+        | FROM docs),
+        |cwn AS (SELECT doc_id,
+        |  list_transform(generate_series(1, greatest(len(h)-10+1, 1)),
+        |    j -> struct_pack(fp := list_min(h[j:j+9]),
+        |                     pos := j + list_position(h[j:j+9], list_min(h[j:j+9])) - 1)) AS fps
+        | FROM chs),
+        |cfp1 AS (SELECT doc_id, u.fp AS fp, min(u.pos) AS pos
+        | FROM (SELECT doc_id, unnest(fps) AS u FROM cwn) GROUP BY doc_id, u.fp),
+        |dhs AS (SELECT doc_id,
+        |  list_transform(generate_series(1, length(text)-30+1),
+        |    i -> ('0x' || substr(md5(substr(text, i, 30)), 1, 15))::BIGINT) AS h
+        | FROM drp),
+        |dwn AS (SELECT doc_id,
+        |  list_transform(generate_series(1, greatest(len(h)-10+1, 1)),
+        |    j -> struct_pack(fp := list_min(h[j:j+9]),
+        |                     pos := j + list_position(h[j:j+9], list_min(h[j:j+9])) - 1)) AS fps
+        | FROM dhs),
+        |dfp1 AS (SELECT doc_id, u.fp AS fp, min(u.pos) AS pos
+        | FROM (SELECT doc_id, unnest(fps) AS u FROM dwn) GROUP BY doc_id, u.fp),
+        |safe_new AS (SELECT * FROM dfp1 WHERE fp NOT IN
+        |  (SELECT fp FROM cfp1 GROUP BY fp HAVING count(*) > 64)),
+        |ver AS (SELECT n.doc_id AS new_id, c.doc_id AS corpus_id,
+        |        n.pos AS pos_new, c.pos AS pos_corpus
+        | FROM safe_new n JOIN cfp1 c ON n.fp = c.fp
+        | JOIN drp tn ON n.doc_id = tn.doc_id
+        | JOIN docs tc ON c.doc_id = tc.doc_id
+        | WHERE substr(tn.text, CAST(n.pos AS INTEGER), 30) = substr(tc.text, CAST(c.pos AS INTEGER), 30)),
+        |sel AS (SELECT new_id, corpus_id, pos_new, pos_corpus,
+        |  row_number() OVER (PARTITION BY new_id, corpus_id ORDER BY pos_new, pos_corpus) AS rn,
+        |  count(*) OVER (PARTITION BY new_id, corpus_id) AS n
+        | FROM ver)
+        |SELECT new_id, corpus_id, CAST(n AS BIGINT) AS n_spans,
+        |  CAST(pos_new AS INTEGER) AS pos_new, CAST(pos_corpus AS INTEGER) AS pos_corpus
+        |FROM sel WHERE rn = 1 ORDER BY new_id, corpus_id""".stripMargin,
     "q_outliers" ->
       // the engine's exact-moment formula replayed verbatim (decimal
       // sums → double ratios → IEEE sqrt — NOT avg/stddev_pop, whose

@@ -1073,4 +1073,52 @@ object TextDedup {
           .cast("long").as("n_chars_removed"),
         col("text_stripped"))
   }
+
+  /** Incremental span screen: duplicated spans between a DROP of new
+    * documents and the EXISTING corpus — the [[crossCorpusNearDups]]
+    * shape at span granularity (corpus×corpus pairs were resolved when
+    * those docs arrived; only new×corpus and the winnowing guarantee
+    * for spans ≥ k + w − 1 matter per drop). Candidates come from an
+    * asymmetric fingerprint equi-join; every candidate is verified
+    * character-exactly at its recorded positions, like
+    * [[dupSpanPairs]]. Corpus fingerprints shared by more than
+    * `maxDocFreq` corpus docs are dropped (boilerplate regime).
+    *
+    * Scale shape per drop: hashing is Σ|drop| (the corpus fingerprint
+    * frame is an ARGUMENT — persist `winnowedFingerprints(corpus)`
+    * once, ~2n/(w+1) narrow rows per corpus doc, and reuse it every
+    * drop; the verify stage joins corpus TEXT by id only for the
+    * candidate ids). Output per (new_id, corpus_id): verified shared
+    * span count + first positions.
+    */
+  def crossCorpusDupSpans(newDocs: DataFrame, corpus: DataFrame,
+                          corpusFps: DataFrame, textCol: String,
+                          idCol: String, k: Int = 30, w: Int = 10,
+                          maxDocFreq: Int = 64): DataFrame = {
+    val nf = winnowedFingerprints(newDocs, textCol, idCol, k, w)
+      .groupBy(col("fp"), col(idCol)).agg(min(col("pos")).as("pos"))
+    val cf = corpusFps
+      .groupBy(col("fp"), col(idCol)).agg(min(col("pos")).as("pos"))
+    val hot = cf.groupBy("fp")
+      .agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > maxDocFreq)
+      .select("fp")
+    val cand = nf.join(broadcast(hot), Seq("fp"), "left_anti")
+      .select(col("fp"), col(idCol).as("new_id"), col("pos").as("pos_new"))
+      .join(cf.select(col("fp"), col(idCol).as("corpus_id"),
+        col("pos").as("pos_corpus")), Seq("fp"))
+    cand
+      .join(newDocs.select(col(idCol).as("new_id"), col(textCol).as("_tn")),
+        Seq("new_id"))
+      .join(corpus.select(col(idCol).as("corpus_id"), col(textCol).as("_tc")),
+        Seq("corpus_id"))
+      .filter(col("_tn").substr(col("pos_new"), lit(k)) ===
+        col("_tc").substr(col("pos_corpus"), lit(k)))
+      .groupBy(col("new_id"), col("corpus_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        min(struct(col("pos_new"), col("pos_corpus"))).as("_first"))
+      .select(col("new_id"), col("corpus_id"), col("n_spans"),
+        col("_first.pos_new").as("pos_new"),
+        col("_first.pos_corpus").as("pos_corpus"))
+  }
 }

@@ -687,4 +687,15 @@ class PlanAuditSpec extends SparkSpec {
       _ == "ReadSchema: struct<doc_id:bigint,text:string>"),
       s"span scans must read only (doc_id, text): $schemas")
   }
+
+  test("q_cross_spans: asymmetric fp join, no cartesian, corpus-side hot cap anti join") {
+    val df = q("q_cross_spans")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"cross screen went all-pairs:\n$p")
+    val pre = df.queryExecution.sparkPlan.toString
+    assert(pre.contains("LeftAnti") && pre.contains("BroadcastHashJoin"),
+      s"hot cap should be a broadcast anti join:\n$pre")
+  }
 }

@@ -134,6 +134,26 @@ class WinnowFpSpec extends SparkSpec {
     assert(removed <= a.length)
   }
 
+  test("crossCorpusDupSpans: drop×corpus only, planted re-arrival caught, index frame reused") {
+    val k = 10; val w = 5
+    val span = "CORPUS-SHARED-SPAN-" + ("c" * (k + w))
+    val corpus = Seq(
+      (1L, "corpus doc one holds " + span + " inside"),
+      (2L, "corpus doc two " + span + " also holds it"),      // corpus×corpus pair NOT reported
+      (3L, "corpus doc three shares nothing with anyone here"))
+      .toDF("id", "text")
+    val drop = Seq(
+      (101L, "a re-arrival prefix " + span + " re-arrival tail"),
+      (102L, "a completely fresh drop document with novel words only"))
+      .toDF("id", "text")
+    // the corpus fingerprint frame is an ARGUMENT — computed once,
+    // persistable, reused per drop
+    val cfps = TextDedup.winnowedFingerprints(corpus, "text", "id", k, w)
+    val got = TextDedup.crossCorpusDupSpans(drop, corpus, cfps, "text", "id", k, w)
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((101L, 1L), (101L, 2L)), got.toString)
+  }
+
   test("null and sub-k documents emit nothing") {
     val docs = Seq((1L, Some("tiny")), (2L, None), (3L, Some("")))
       .toDF("id", "text")
