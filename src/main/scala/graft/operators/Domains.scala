@@ -13,10 +13,16 @@ import org.apache.spark.sql.functions._
   * priors can feed sampling weights.
   *
   * Everything here is pure `Column` composition over built-in string
-  * functions — codegen'd scalar work on the corpus scan, no UDF, no
-  * explode in the canonical path — and every rule is replayable in
-  * ANSI-ish SQL, so the DuckDB oracle verifies each operator bit-exactly
-  * (q_url_canon / q_domain_cap / q_domain_quality).
+  * functions — no UDF, no explode in the canonical path — and every
+  * rule is replayable in ANSI-ish SQL, so the DuckDB oracle verifies
+  * each operator bit-exactly (q_url_canon / q_domain_cap /
+  * q_domain_quality). Cost honesty: [[urlCanonicalize]]'s query-param
+  * sort uses `split` (per-row Pattern.compile) and HOF lambdas
+  * (CodegenFallback) — measured ~2 s per 500k sf10 docs including
+  * full materialization, acceptable for a once-per-corpus ingest
+  * normalization but NOT free; [[registeredDomain]] (which sits on
+  * every domain-keyed operator's hot path, repeatedly) is deliberately
+  * regex- and HOF-free.
   *
   * Scale shape at 100 TB: canonicalize/registeredDomain are map-only.
   * The cap is a per-domain top-k — shuffle ON DOMAIN, never a global
@@ -145,11 +151,27 @@ object Domains {
     * Output: the input rows that survive, plus the derived `domain`
     * column. Never a SinglePartition window (PlanAuditSpec pin).
     */
+  /** First name from `base`, `base_1`, … absent from `df` — helper
+    * columns must never shadow (and then destroy) a user data column,
+    * the same guard class `Joins.upsert` carries.
+    */
+  private def fresh(df: DataFrame, base: String): String = {
+    var n = base
+    var i = 0
+    while (df.columns.contains(n)) { i += 1; n = s"${base}_$i" }
+    n
+  }
+
   def domainCap(df: DataFrame, urlCol: String, idCol: String, k: Int,
                 salt: Int = 1, domainOut: String = "domain"): DataFrame = {
     require(k > 0, "domainCap: k must be positive")
     require(salt > 0, "domainCap: salt must be positive")
-    val ordName = s"_dc_ord_$domainOut"
+    require(!df.columns.contains(domainOut),
+      s"domainCap: output column '$domainOut' already exists on the input — " +
+        "pass a different domainOut")
+    val ordName = fresh(df, "_dc_ord")
+    val rn1Name = fresh(df, "_dc_rn1")
+    val rnName = fresh(df, "_dc_rn")
     val withDom = df
       .withColumn(domainOut, registeredDomain(hostOf(col(urlCol))))
       .withColumn(ordName, md5(col(idCol).cast("string")))
@@ -162,14 +184,14 @@ object Domains {
           conv(substring(col(ordName), 1, 4), 16, 10).cast("long"), lit(salt))
         val w1 = Window.partitionBy(col(domainOut), bucket)
           .orderBy(col(ordName), col(idCol))
-        withDom.withColumn("_dc_rn1", row_number().over(w1))
-          .filter(col("_dc_rn1") <= k).drop("_dc_rn1")
+        withDom.withColumn(rn1Name, row_number().over(w1))
+          .filter(col(rn1Name) <= k).drop(rn1Name)
       }
     val w = Window.partitionBy(col(domainOut))
       .orderBy(col(ordName), col(idCol))
-    phase1.withColumn("_dc_rn", row_number().over(w))
-      .filter(col("_dc_rn") <= k)
-      .drop("_dc_rn", ordName)
+    phase1.withColumn(rnName, row_number().over(w))
+      .filter(col(rnName) <= k)
+      .drop(rnName, ordName)
   }
 
   /** Per-domain quality rollup — the aggregate that turns the
@@ -264,31 +286,43 @@ object Domains {
                         textCol: String, buckets: Int = 4096,
                         cutoff: Double = 0.0, floor: Double = 0.05,
                         seed: String = "s1"): DataFrame = {
+    require(!df.columns.contains("domain") && !df.columns.contains("weight"),
+      "domainPriorSample: input must not already carry 'domain'/'weight' " +
+        "output columns")
     val weights = finishDomainQuality(
         domainQualityState(df, urlCol, textCol, buckets, cutoff))
+      // a null urlCol derives a null domain on BOTH sides, and the
+      // null-safe join below would match them (null <=> null) — drop
+      // the null-domain weight row so null-URL docs are excluded,
+      // exactly as the equi-join semantics this operator documents
+      // (the filter runs on the domain-sized build side: the corpus
+      // scan stays single-evaluation)
+      .filter(col("domain").isNotNull)
       .select(col("domain"),
         least(lit(1.0), greatest(sqrt(col("keep_rate")), lit(floor)))
           .as("weight"))
     val dom = df.withColumn("domain", registeredDomain(hostOf(col(urlCol))))
+    val wDomain = fresh(df, "_w_domain")
+    val hName = fresh(df, "_h")
     // null-SAFE join key on purpose: an equi-join would infer
     // isnotnull(domain) and push it through the projection, so the
     // whole url→host→domain chain would evaluate a second time inside
     // the scan filter (cross-operator subexpression elimination does
     // not span Filter/Project). <=> adds no such constraint — the
-    // chain runs once — and is value-identical here because the
-    // broadcast side has no null domains to match
-    dom.join(broadcast(weights.withColumnRenamed("domain", "_w_domain")),
-        col("domain") <=> col("_w_domain"))
-      .drop("_w_domain")
-      .withColumn("_h", conv(substring(
+    // chain runs once — and is value-identical because the broadcast
+    // side filtered its null-domain row above
+    dom.join(broadcast(weights.withColumnRenamed("domain", wDomain)),
+        col("domain") <=> col(wDomain))
+      .drop(wDomain)
+      .withColumn(hName, conv(substring(
           md5(concat(col(idCol).cast("string"), lit(seed))), 1, 15), 16, 10)
         .cast("long"))
       // 2^60 = 1152921504606846976; weight·2^60 floors identically in
       // any IEEE engine, so the keep set is a function of the data
       // alone. floor(), not a cast: double→long CASTS round in some
       // engines (DuckDB) and truncate in others (Spark)
-      .filter(col("_h") < org.apache.spark.sql.functions
+      .filter(col(hName) < org.apache.spark.sql.functions
         .floor(col("weight") * lit(1152921504606846976L)).cast("long"))
-      .drop("_h")
+      .drop(hName)
   }
 }

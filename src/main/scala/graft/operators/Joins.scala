@@ -142,11 +142,17 @@ object Joins {
           .distinct()
       val lv = unpivot(left, pairs.map(_._1).distinct, "left_col")
       val rv = unpivot(right, pairs.map(_._2).distinct, "right_col")
-      // values shared by a (left column, right column) cell;
-      // non-candidate cells are joined away below
+      // restrict each domain's cells to ITS OWN candidate pairs before
+      // the union: a column reachable from two domains (same-type via
+      // one candidate, mixed via another) would otherwise produce the
+      // same cell under both equality semantics — two rows, and two
+      // different counts wherever canonical-string and native equality
+      // disagree
+      val own = pairs.toDF("left_col", "right_col")
       lv.join(rv, Seq("v"))
         .groupBy(col("left_col"), col("right_col"))
         .agg(count(lit(1)).as("n"))
+        .join(broadcast(own), Seq("left_col", "right_col"), "left_semi")
     }.reduce(_ unionByName _)
     val cand = candidates.toDF("left_col", "right_col")
     cand.join(counts, Seq("left_col", "right_col"), "left")

@@ -585,6 +585,8 @@ object Similarity {
   def pqCodebooks(df: DataFrame, idCol: String, vecCol: String,
                   m: Int, ksub: Int, dim: Int, seed: Long = 42L): DataFrame = {
     require(m > 0 && dim % m == 0, s"pq: dim $dim must split into m=$m equal subvectors")
+    require(ksub > 0 && ksub <= 256,
+      s"pq: ksub=$ksub exceeds the one-unsigned-byte code range (<= 256)")
     val sd = dim / m
     val cents = normalized(hashSeedCentroids(df, idCol, vecCol, ksub, seed),
       idCol, vecCol, "_pq_cid", "cv0")
@@ -630,8 +632,16 @@ object Similarity {
       .groupBy("_pq_id")
       .agg(collect_list(struct(col("sub").as("sub"), col("mn.code").as("code"))).as("sc"))
       .select(col("_pq_id").as(idCol),
-        transform(array_sort(col("sc")), x => x.getField("code").cast("tinyint"))
-          .as("codes"))
+        // codes are UNSIGNED bytes in two's-complement storage (the
+        // standard uint8-in-JVM idiom): 0..127 stored as-is, 128..255
+        // as code−256 — an explicit mapping, because a plain tinyint
+        // cast WRAPS silently with ANSI off and THROWS with ANSI on;
+        // [[pqTopK]] decodes with & 0xFF. One byte per code at any
+        // ksub ≤ 256.
+        transform(array_sort(col("sc")), x => {
+          val c = x.getField("code")
+          when(c < 128, c).otherwise(c - 256).cast("tinyint")
+        }).as("codes"))
   }
 
   /** ADC top-k over a PQ-encoded corpus: per query, a lookup table of
@@ -658,7 +668,9 @@ object Similarity {
         dot(col("qs"), col("cv")).as("pdot"))
     val scored = corpusCodes
       .select(col(idCol).as("neighbor_id"), posexplode(col("codes")).as(Seq("sub", "code")))
-      .select(col("neighbor_id"), col("sub"), col("code").cast("int").as("code"))
+      // unsigned-byte decode (see pqEncode): −56 stored means code 200
+      .select(col("neighbor_id"), col("sub"),
+        col("code").cast("int").bitwiseAND(lit(255)).as("code"))
       .join(broadcast(lut), Seq("sub", "code"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .groupBy("query_id", "neighbor_id")

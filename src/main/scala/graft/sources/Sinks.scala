@@ -330,20 +330,19 @@ object Sinks {
         "value cannot be round-tripped through a partition directory; fix the " +
         "delta upstream")
     val affected = affectedRaw.flatten.toSeq.sorted
-    // inference off for THIS read only (the reader resolves its file
-    // index and partition schema eagerly, so restoring the conf after
-    // spark.read.parquet returns is safe): the partition column comes
-    // back as the literal directory string and the isin below matches
-    // directories, not inferred re-renderings
-    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    val savedInfer = spark.conf.getOption(inferKey)
-    spark.conf.set(inferKey, "false")
-    val base =
-      try spark.read.parquet(root)
-      finally savedInfer match {
-        case Some(v) => spark.conf.set(inferKey, v)
-        case None    => spark.conf.unset(inferKey)
-      }
+    // the partition column must come back as the literal directory
+    // string (so the isin below matches directories, not inferred
+    // re-renderings like "01" → 1 → a phantom part=1 dir). Read with
+    // an EXPLICIT schema that pins partitionCol to string — a per-read
+    // override, unlike the earlier session-conf toggle which briefly
+    // changed partition inference for every concurrent reader in the
+    // SparkSession
+    val inferred = spark.read.parquet(root).schema
+    val pinned = org.apache.spark.sql.types.StructType(inferred.map(f =>
+      if (f.name == partitionCol)
+        f.copy(dataType = org.apache.spark.sql.types.StringType)
+      else f))
+    val base = spark.read.schema(pinned).parquet(root)
     val pruned = base.filter(col(partitionCol).isin(affected: _*))
     val updStr = updates.withColumn(partitionCol, col(partitionCol).cast("string"))
     val merged = graft.operators.Joins.upsert(

@@ -163,6 +163,31 @@ class DomainsSpec extends SparkSpec {
       Domains.domainQualityRollup(docs, "url", "text").orderBy("domain").collect().toSeq)
   }
 
+  test("domainPriorSample: null-URL docs are excluded (equi-join semantics), helper names collision-safe") {
+    val docs = (sampleDocs(30).collect().toSeq.map(r =>
+        (r.getLong(0), Option(r.getString(1)), r.getString(2))) ++
+      Seq((997L, None, "null url doc one"), (998L, None, "null url doc two")))
+      .toDF("id", "url", "text")
+    val kept = Domains.domainPriorSample(docs, "url", "id", "text", floor = 1.0)
+    // floor=1 keeps every NON-null-domain doc; the null-URL docs must
+    // NOT leak through the null-safe join
+    assert(kept.count() == 30, s"got ${kept.count()}")
+    assert(kept.filter(col("id") >= 997L).count() == 0)
+    // a pre-existing column named like a helper must survive untouched
+    val withH = sampleDocs(20).withColumnRenamed("id", "_h")
+    val out = Domains.domainPriorSample(withH, "url", "_h", "text", floor = 1.0)
+    assert(out.columns.contains("_h") && out.count() == 20)
+    // output-name collisions refuse loudly instead of destroying data
+    intercept[IllegalArgumentException] {
+      Domains.domainPriorSample(
+        sampleDocs(5).withColumn("domain", lit("x")), "url", "id", "text")
+    }
+    intercept[IllegalArgumentException] {
+      Domains.domainCap(
+        sampleDocs(5).withColumn("domain", lit("x")), "url", "id", k = 1)
+    }
+  }
+
   test("domainPriorSample: deterministic, weight-bounded, monotone in the floor") {
     val docs = sampleDocs(120)
     val s1 = Domains.domainPriorSample(docs, "url", "id", "text")

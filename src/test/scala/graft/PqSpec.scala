@@ -60,4 +60,31 @@ class PqSpec extends SparkSpec {
     assert(hit >= top1.length * 8 / 10,
       s"planted dup top-1 retrieval $hit/${top1.length} — ADC lost real structure")
   }
+
+  test("ksub > 128: unsigned-byte codes round-trip through encode → ADC (no wrap loss)") {
+    // the advertised production shape is ksub = 256; codes 128..255
+    // must survive the one-byte storage (a plain tinyint cast wrapped
+    // silently with ANSI off and threw with ANSI on)
+    val small = corpus.filter(col("vec_id") < 400)
+    val cb = Similarity.pqCodebooks(small, "vec_id", "embedding",
+      m = M, ksub = 200, dim = DIM, seed = 7)
+    assert(cb.count() == M * 200)
+    val codes = Similarity.pqEncode(small, cb, "vec_id", "embedding", m = M, dim = DIM)
+    val decoded = codes.select(explode(col("codes")).as("c"))
+      .select((col("c").cast("int").bitwiseAND(lit(255))).as("u"))
+    val mx = decoded.agg(max("u"), min("u")).head()
+    assert(mx.getInt(0) >= 128 && mx.getInt(0) < 200 && mx.getInt(1) >= 0,
+      s"decoded code range [${mx.getInt(1)}, ${mx.getInt(0)}] must use the high half")
+    // every (vector, subspace) must land a LUT hit: total scored rows
+    // per query = m per neighbor — a wrapped code would silently drop
+    // its subspace from the join
+    val n = small.count()
+    val top = Similarity.pqTopK(codes, small.filter(col("vec_id") < 3), cb,
+      "vec_id", "embedding", m = M, dim = DIM, k = (n - 1).toInt)
+    assert(top.groupBy("query_id").count().select(min("count")).head().getLong(0) == n - 1,
+      "ADC must score every corpus vector against every query")
+    intercept[IllegalArgumentException] {
+      Similarity.pqCodebooks(small, "vec_id", "embedding", m = M, ksub = 257, dim = DIM)
+    }
+  }
 }

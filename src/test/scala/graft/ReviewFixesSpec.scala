@@ -369,6 +369,21 @@ class ReviewFixesSpec extends SparkSpec {
     assert(got2 == Seq((1L, "keep", 1.0), (2L, "ins", 2.0)), got2.toString)
   }
 
+  test("keyOverlapReport: one row per candidate even when a column spans two comparison domains") {
+    // (a, x) is same-type LONG (native domain); (a, y) and (b, x) are
+    // mixed-type (string domain) — the string domain's cross-join also
+    // produces cell (a, x), which must NOT surface as a second row
+    val l = Seq((1L, "1"), (2L, "2"), (7L, "9")).toDF("a", "b")
+    val r = Seq((1L, "2"), (3L, "7")).toDF("x", "y")
+    val got = Joins.keyOverlapReport(l, r,
+      Seq(("a", "x"), ("a", "y"), ("b", "x")))
+      .orderBy("left_col", "right_col").collect()
+      .map(row => (row.getString(0), row.getString(1), row.getLong(2)))
+    assert(got.length == 3, s"duplicate candidate rows: ${got.mkString(";")}")
+    assert(got.toSeq == Seq(("a", "x", 1L), ("a", "y", 2L), ("b", "x", 1L)),
+      got.mkString(";"))
+  }
+
   test("keyOverlapReport: decimals match across scales (1.5 ≡ 1.50)") {
     val l = Seq("1.5", "2.00", "3.25").toDF("s")
       .select(col("s").cast("decimal(10,1)").as("d"))   // 1.5, 2.0, 3.2 (rounded)
