@@ -1645,6 +1645,27 @@ object SparkEntry {
       TextQuality.hashedLinearScoreWeighted(
         Tables.documents(s, d), "text", "doc_id", trainedDemoWeights)
         .orderBy("doc_id")),
+    "q_dsir_weights" -> ((s, d) => {
+      // DSIR (Xie et al. 2023): fit hashed-ngram multinomials on a
+      // target split vs the raw rest (one explode+agg pass, ≤4096-row
+      // shuffle), collect the 32 KB fixed-point log-ratio table as the
+      // MODEL, then score every doc with the zero-shuffle native fold —
+      // logw is an integer sum ÷ 1e6, so DuckDB refitting the same
+      // table replays it bit-exactly
+      val docs = Tables.documents(s, d)
+      val fx = TextQuality.dsirFitFx(docs, col("doc_id") % 13 === 0, "text")
+      TextQuality.dsirWeights(docs, "text", "doc_id", fx).orderBy("doc_id")
+    }),
+    "q_dsir_sample" -> ((s, d) => {
+      // the resampling half: deterministic Gumbel-top-k on logw —
+      // sampling k docs ∝ exp(logw) without replacement. The Gumbel
+      // uniform is a 60-bit md5 prefix over a power-of-two divide
+      // (exact in both engines); the key orders membership only, output
+      // values are the exact integers/division from q_dsir_weights
+      val docs = Tables.documents(s, d)
+      val fx = TextQuality.dsirFitFx(docs, col("doc_id") % 13 === 0, "text")
+      TextQuality.dsirResample(docs, "text", "doc_id", fx, k = 100, seed = "s1")
+    }),
     "q_pps_sample" -> ((s, d) =>
       // systematic PPS: exactly 10 docs per language, selected with
       // probability proportional to token count — integer-exact
@@ -1944,6 +1965,34 @@ object SparkEntry {
     val rnd = new scala.util.Random(7L)
     Array.fill(64)((rnd.nextInt(2000001) - 1000000).toLong)
   }
+
+  /** DuckDB replay of [[TextQuality.dsirFitFx]] + [[TextQuality.dsirWeights]]:
+    * refits the 4096-bucket add-0.5-smoothed log-ratio table from the
+    * same `doc_id % 13` target split (same md5-leading-8-hex buckets as
+    * the classifier oracles), quantizes with the same HALF_UP
+    * `round(lr·1e6)`, and scores by join+SUM where Spark runs the
+    * native zero-shuffle fold — the engines can only agree by landing
+    * on identical fixed-point tables AND identical integer sums. Ends
+    * in `sc(doc_id, n_feats, w_sum, logw)`.
+    */
+  private lazy val dsirCtes: String =
+    """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+      |f AS (SELECT doc_id, ws || [ws[i]||'_'||ws[i+1] for i in range(1, len(ws))] AS fs FROM t),
+      |e AS (SELECT doc_id, unnest(fs) AS feat FROM f),
+      |b AS (SELECT doc_id, ('0x' || substr(md5(feat), 1, 8))::BIGINT % 4096 AS bkt FROM e),
+      |cnt AS (SELECT bkt,
+      |   SUM(CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END) AS ct,
+      |   SUM(CASE WHEN doc_id % 13 <> 0 THEN 1 ELSE 0 END) AS cr
+      |  FROM b GROUP BY bkt),
+      |tot AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM cnt),
+      |tab AS (SELECT bkt,
+      |   CAST(round((ln((ct + 0.5)/(tt + 0.5*4096)) - ln((cr + 0.5)/(tr + 0.5*4096)))*1000000.0) AS BIGINT) AS fx
+      |  FROM cnt, tot),
+      |w AS (SELECT b.doc_id, SUM(tab.fx) AS w_sum FROM b JOIN tab USING (bkt) GROUP BY b.doc_id),
+      |sc AS (SELECT f.doc_id, CAST(len(fs) AS BIGINT) AS n_feats,
+      |   CAST(coalesce(w.w_sum, 0) AS BIGINT) AS w_sum,
+      |   CASE WHEN len(fs) > 0 THEN CAST(coalesce(w.w_sum, 0) AS DOUBLE)/1000000.0 END AS logw
+      |  FROM f LEFT JOIN w USING (doc_id))""".stripMargin
 
   /** Deterministic synthetic URL for a document id — the corpus tables
     * carry no URL column, so the URL-curation queries derive one from
@@ -2577,6 +2626,21 @@ object SparkEntry {
         | CASE WHEN n_feats > 0 THEN CAST(w_sum AS DOUBLE)/(n_feats * 1000000.0) END AS score,
         | coalesce(CASE WHEN n_feats > 0 THEN CAST(w_sum AS DOUBLE)/(n_feats * 1000000.0) END > 0.0, FALSE) AS keep
         |FROM s ORDER BY doc_id""".stripMargin,
+    "q_dsir_weights" ->
+      // full DSIR replay: refit the log-ratio table, rescore every doc
+      s"""$dsirCtes
+        |SELECT doc_id, n_feats, w_sum, logw FROM sc ORDER BY doc_id""".stripMargin,
+    "q_dsir_sample" ->
+      // Gumbel-top-k membership on logw + g(md5 60-bit uniform); the
+      // key decides the k winners only — output columns are the exact
+      // integers/division of q_dsir_weights
+      s"""$dsirCtes,
+        |g AS (SELECT doc_id, n_feats, w_sum, logw,
+        |   logw + (-ln(-ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 's1'), 1, 15))::BIGINT AS DOUBLE) + 0.5) / 1152921504606846976.0))) AS gk
+        |  FROM sc WHERE logw IS NOT NULL),
+        |topk AS (SELECT doc_id, n_feats, w_sum, logw FROM g
+        |  ORDER BY gk DESC, doc_id ASC LIMIT 100)
+        |SELECT doc_id, n_feats, w_sum, logw FROM topk ORDER BY doc_id""".stripMargin,
     "q_url_canon" ->
       s"""$urlDomainCtes
         |SELECT doc_id, url, url_canon, domain FROM dom ORDER BY doc_id""".stripMargin,

@@ -734,4 +734,129 @@ object TextQuality {
         when(col("n_feats") > 0, col("w_sum").cast("double") / (col("n_feats") * 1000.0)))
       .withColumn("keep", coalesce(col("score") > cutoff, lit(false)))
   }
+
+  // ------------------------------------------------------------------
+  // DSIR — Data Selection via Importance Resampling (Xie et al. 2023).
+  // Select raw-corpus documents that look like a small TARGET set by
+  // fitting hashed bag-of-ngrams multinomials on both, scoring each
+  // document with the summed per-feature log-likelihood ratio, and
+  // Gumbel-top-k resampling on those log weights. The standard
+  // published move for "give me 100 B tokens that look like Wikipedia"
+  // over a 100 TB crawl.
+  // ------------------------------------------------------------------
+
+  /** Fit the DSIR log-ratio table: one combined pass over `df` counts
+    * hashed unigram+bigram features (the [[hashedLinearScore]] hashing
+    * trick — identical md5-leading-8-hex buckets, so the fitted table
+    * feeds [[graft.plans.HashedFeatScore]] unchanged) per bucket for
+    * the target (`isTarget`) and raw (rest) populations, then the
+    * driver turns counts into fixed-point log ratios:
+    *
+    *   fx(b) = round(( ln((ct(b)+α)/(T+αB)) − ln((cr(b)+α)/(R+αB)) )·scale)
+    *
+    * (add-α smoothed multinomial likelihood ratio, α = 0.5 default).
+    * Rounding is HALF_UP away from zero — the same rule as Spark's
+    * `round()` and DuckDB's `round()`, so an oracle refitting the table
+    * in SQL lands on the identical longs (the only cross-engine wiggle
+    * is the ≤1-ulp `ln` difference, ~1e-9 per-bucket odds of crossing a
+    * rounding boundary — the q_lm_score convention).
+    *
+    * Scale design: the feature pass is explode → bucket → groupBy(b)
+    * with map-side partial counts — ONE shuffle of ≤ `buckets` rows per
+    * partition. The collect is the fitted MODEL (`buckets` longs, 32 KB
+    * at the 4096 default), not data — same driver-side contract as the
+    * BPE merge table, and fail-loud via `maxBuckets` long before it
+    * could hurt. Buckets no feature ever hashes to keep the smoothed
+    * prior ratio (never looked up; kept principled rather than zero).
+    */
+  def dsirFitFx(df: DataFrame, isTarget: Column, textCol: String,
+                buckets: Int = 4096, alpha: Double = 0.5,
+                scale: Double = 1e6, maxBuckets: Int = 1 << 20): Array[Long] = {
+    require(buckets > 0 && buckets <= maxBuckets,
+      s"buckets=$buckets outside (0, $maxBuckets] — the table is collected " +
+        "to the driver as the fitted model; raise maxBuckets only knowingly")
+    val feats = concat(TextFunctions.tokens(col(textCol)),
+      TextFunctions.ngrams(col(textCol), 2))
+    val counts = df
+      .select(isTarget.as("_t"), explode(feats).as("_f"))
+      .select(col("_t"),
+        (conv(substring(md5(col("_f")), 1, 8), 16, 10).cast("long")
+          % buckets).as("_b"))
+      .groupBy("_b")
+      .agg(sum(when(col("_t"), 1L).otherwise(0L)).as("ct"),
+        sum(when(!col("_t"), 1L).otherwise(0L)).as("cr"))
+      .collect()
+    val ct = new Array[Long](buckets)
+    val cr = new Array[Long](buckets)
+    counts.foreach { r =>
+      val b = r.getLong(0).toInt; ct(b) = r.getLong(1); cr(b) = r.getLong(2)
+    }
+    val tTot = ct.sum.toDouble + alpha * buckets
+    val rTot = cr.sum.toDouble + alpha * buckets
+    Array.tabulate(buckets) { b =>
+      val lr = (math.log((ct(b) + alpha) / tTot)
+        - math.log((cr(b) + alpha) / rTot)) * scale
+      // HALF_UP away from zero == Spark round() == DuckDB round();
+      // Math.round would differ on negative halves (floor(x+0.5))
+      java.math.BigDecimal.valueOf(lr)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    }
+  }
+
+  /** Per-document DSIR log importance weight: `logw = Σ_f fx(bucket(f))
+    * / scale` over the document's hashed unigram+bigram features —
+    * [[graft.plans.HashedFeatScore]] with the fitted table, so scoring
+    * is ONE codegen'd expression with two running longs: zero explode,
+    * zero shuffle, bit-reproducible (integer sum; the only
+    * floating-point op is the final division). 100 TB scoring is pure
+    * map work on the corpus scan. Unlike the classifier scores this is
+    * the raw SUM (DSIR does not length-normalize). Empty/null text →
+    * null `logw`.
+    */
+  def dsirWeights(df: DataFrame, textCol: String, idCol: String,
+                  fx: Array[Long], scale: Double = 1e6): DataFrame = {
+    require(fx.nonEmpty, "fitted table must be non-empty")
+    val sc = graft.plans.HashedFeatScore.featScore(col(textCol), fx.length, Some(fx))
+    df.select(
+        col(idCol),
+        sc.getItem(0).as("n_feats"),
+        sc.getItem(1).as("w_sum"))
+      .withColumn("logw",
+        when(col("n_feats") > 0, col("w_sum").cast("double") / scale))
+  }
+
+  /** Gumbel-top-k importance resampling over [[dsirWeights]]: each doc
+    * draws a deterministic Gumbel `g = −ln(−ln(u))` from its 60-bit md5
+    * fraction (`u = (md5_60(id‖seed)+0.5)/2^60` — exact in both engines:
+    * integer prefix, power-of-two divide) and the k largest `logw + g`
+    * win — equivalent to sampling k docs without replacement with
+    * probability ∝ exp(logw), the resampling step of the DSIR paper.
+    *
+    * Scale: orderBy+limit compiles to TakeOrderedAndProject —
+    * per-partition top-k, driver merges k·partitions rows; no global
+    * sort, no full shuffle. For corpus-scale k (billions), switch to a
+    * threshold on the key (rank-select the cutoff, one broadcast
+    * compare — the [[calibratedGate]]-shaped plan); this form is for
+    * k ≤ millions. Zero-feature docs carry no weight and are excluded.
+    * Output is the selected docs' exact (id, n_feats, logw) ordered by
+    * id — the Gumbel key only decides membership, so the ≤1-ulp `ln`
+    * wiggle can at worst swap rank k with rank k+1, never corrupt a
+    * value.
+    */
+  def dsirResample(df: DataFrame, textCol: String, idCol: String,
+                   fx: Array[Long], k: Int, seed: String,
+                   scale: Double = 1e6): DataFrame = {
+    require(k > 0, "k must be positive")
+    val u60 = conv(substring(md5(concat(col(idCol).cast("string"), lit(seed))),
+      1, 15), 16, 10).cast("long")
+    val u = (u60.cast("double") + 0.5) / 1.152921504606846976e18 // 2^60
+    val gumbel = -log(-log(u))
+    dsirWeights(df, textCol, idCol, fx, scale)
+      .filter(col("logw").isNotNull)
+      .withColumn("_gk", col("logw") + gumbel)
+      .orderBy(col("_gk").desc, col(idCol).asc)
+      .limit(k)
+      .drop("_gk")
+      .orderBy(idCol)
+  }
 }
