@@ -1645,6 +1645,20 @@ object SparkEntry {
       TextQuality.hashedLinearScoreWeighted(
         Tables.documents(s, d), "text", "doc_id", trainedDemoWeights)
         .orderBy("doc_id")),
+    "q_ccnet_buckets" -> ((s, d) => {
+      // CCNet corpus layout: per-language perplexity terciles of the
+      // bigram-LM score (ref = even-id half). Bucketed WITHOUT the
+      // naive corpus-wide per-lang sort — per-(lang,score) count
+      // compression + straddle-only ranking, proven ≡ the window form
+      // (which the oracle replays)
+      val docs = Tables.documents(s, d)
+      val scored = TextQuality.bigramLmScore(
+          docs, docs.filter(col("doc_id") % 2 === 0), "text", "doc_id")
+        .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      TextQuality.ccnetBuckets(scored, "lang", "doc_id", "avg_logprob")
+        .select("doc_id", "lang", "avg_logprob", "bucket")
+        .orderBy("doc_id")
+    }),
     "q_dsir_weights" -> ((s, d) => {
       // DSIR (Xie et al. 2023): fit hashed-ngram multinomials on a
       // target split vs the raw rest (one explode+agg pass, ≤4096-row
@@ -2626,6 +2640,33 @@ object SparkEntry {
         | CASE WHEN n_feats > 0 THEN CAST(w_sum AS DOUBLE)/(n_feats * 1000000.0) END AS score,
         | coalesce(CASE WHEN n_feats > 0 THEN CAST(w_sum AS DOUBLE)/(n_feats * 1000000.0) END > 0.0, FALSE) AS keep
         |FROM s ORDER BY doc_id""".stripMargin,
+    "q_ccnet_buckets" ->
+      // q_lm_score's LM replay over ALL docs, then the NAIVE window
+      // formulation the scalable decomposition must equal: row_number
+      // per language over (score DESC, doc_id), integer tercile splits
+      """WITH tw AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+        |rp AS (SELECT unnest([ws[i]||' '||ws[i+1] for i in range(1, len(ws))]) AS bg
+        |  FROM tw WHERE doc_id % 2 = 0),
+        |c12 AS (SELECT bg, count(*) AS c12 FROM rp GROUP BY bg),
+        |heads AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+        |vocab AS (SELECT count(DISTINCT w) AS v FROM (
+        |  SELECT split_part(bg,' ',1) AS w FROM c12 UNION SELECT split_part(bg,' ',2) AS w FROM c12)),
+        |tp AS (SELECT doc_id, unnest([ws[i]||' '||ws[i+1] for i in range(1, len(ws))]) AS bg
+        |  FROM tw),
+        |j AS (SELECT t.doc_id,
+        |   CAST(round(ln(CAST(coalesce(c.c12,0)+1 AS DOUBLE)/(coalesce(h.c1,0)+1*v.v)), 9) AS DECIMAL(28,9)) AS lp
+        |  FROM tp t LEFT JOIN c12 c USING (bg)
+        |  LEFT JOIN heads h ON split_part(t.bg,' ',1)=h.w1 CROSS JOIN vocab v),
+        |sagg AS (SELECT doc_id, count(*) AS n_bigrams, sum(lp) AS slp FROM j GROUP BY doc_id),
+        |sc AS (SELECT d.doc_id, d.lang, CAST(s.slp AS DOUBLE)/s.n_bigrams AS avg_logprob
+        |  FROM documents d JOIN sagg s USING (doc_id)),
+        |r AS (SELECT doc_id, lang, avg_logprob,
+        |   row_number() OVER (PARTITION BY lang ORDER BY avg_logprob DESC, doc_id) AS rn,
+        |   count(*) OVER (PARTITION BY lang) AS n
+        |  FROM sc)
+        |SELECT doc_id, lang, avg_logprob,
+        | CASE WHEN rn*3 <= n THEN 'head' WHEN rn*3 <= 2*n THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM r ORDER BY doc_id""".stripMargin,
     "q_dsir_weights" ->
       // full DSIR replay: refit the log-ratio table, rescore every doc
       s"""$dsirCtes

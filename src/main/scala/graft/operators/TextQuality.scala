@@ -735,6 +735,63 @@ object TextQuality {
       .withColumn("keep", coalesce(col("score") > cutoff, lit(false)))
   }
 
+  /** CCNet head/middle/tail bucketing: split each language's documents
+    * into perplexity terciles of the [[bigramLmScore]] score (head =
+    * most reference-like third) — the published CCNet corpus layout
+    * that downstream sampling draws from ("take head+middle, drop
+    * tail"). Buckets follow the exact per-language rank order
+    * (score DESC, id ASC): rank·3 ≤ n → head, rank·3 ≤ 2n → middle,
+    * else tail. Docs with a null score (unscorable, < 2 tokens) are
+    * excluded — CCNet cannot place what the LM cannot score.
+    *
+    * Scale design — the naive formulation is `row_number() OVER
+    * (PARTITION BY lang)`: a total sort of the corpus with one
+    * partition per language, unrunnable at 100 TB with ~30 languages.
+    * Instead the corpus compresses to a per-(lang, score) count frame
+    * (partial-agg'd, ≤ |distinct scores| rows); cumulative slots and
+    * language totals come from windows over THAT aggregated frame; a
+    * score value whose slot span [cum+1, cum+c] falls inside one
+    * bucket labels all its documents via an equi-join (AQE broadcasts
+    * the aggregated side when small). Only the ≤ 2 score values per
+    * language that STRADDLE a tercile boundary need intra-value
+    * ranking — a window over just those documents, partitioned by
+    * (lang, score). The corpus itself is never globally sorted.
+    * Bucketing is pure integer arithmetic on exact counts, so the
+    * result is bit-identical to the naive window (the oracle replays
+    * that form; CcnetSpec pins the equivalence).
+    */
+  def ccnetBuckets(scored: DataFrame, langCol: String, idCol: String,
+                   scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = scored.filter(col(scoreCol).isNotNull)
+    val g = s.groupBy(langCol, scoreCol).agg(count(lit(1)).as("_c"))
+    // scores are distinct within (lang) after the groupBy, so the
+    // RANGE-framed running sum equals a ROWS frame
+    val wCum = Window.partitionBy(langCol).orderBy(col(scoreCol).desc)
+    val gg = g
+      .withColumn("_cumb", sum("_c").over(wCum) - col("_c"))
+      .withColumn("_n", sum("_c").over(Window.partitionBy(langCol)))
+    def bucketOf(rn: Column, n: Column): Column =
+      when(rn * 3 <= n, "head").when(rn * 3 <= n * 2, "middle")
+        .otherwise("tail")
+    val gb = gg
+      .withColumn("_bfirst", bucketOf(col("_cumb") + 1, col("_n")))
+      .withColumn("_blast", bucketOf(col("_cumb") + col("_c"), col("_n")))
+    val uniform = s
+      .join(gb.filter(col("_bfirst") === col("_blast"))
+        .select(col(langCol), col(scoreCol), col("_bfirst").as("bucket")),
+        Seq(langCol, scoreCol))
+    val wIn = Window.partitionBy(langCol, scoreCol).orderBy(col(idCol).asc)
+    val straddle = s
+      .join(gb.filter(col("_bfirst") =!= col("_blast"))
+        .select(col(langCol), col(scoreCol), col("_cumb"), col("_n")),
+        Seq(langCol, scoreCol))
+      .withColumn("bucket",
+        bucketOf(row_number().over(wIn) + col("_cumb"), col("_n")))
+      .drop("_cumb", "_n")
+    uniform.unionByName(straddle)
+  }
+
   // ------------------------------------------------------------------
   // DSIR — Data Selection via Importance Resampling (Xie et al. 2023).
   // Select raw-corpus documents that look like a small TARGET set by
