@@ -1883,7 +1883,8 @@ object SparkEntry {
       val corpus = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val drop = corpus.filter(col("doc_id") % 7 === 0)
         .select((col("doc_id") + lit(500000L)).as("doc_id"), col("text"))
-      val cfps = TextDedup.winnowedFingerprints(corpus, "text", "doc_id")
+      val cfps = TextDedup.winnowedFingerprints(corpus, "text", "doc_id",
+        dedupeByFp = true)
       TextDedup.crossCorpusDupSpans(drop, corpus, cfps, "text", "doc_id",
           k = 30, w = 10, maxDocFreq = 64)
         .orderBy("new_id", "corpus_id")

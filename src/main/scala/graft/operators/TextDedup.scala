@@ -966,15 +966,21 @@ object TextDedup {
     * pre-filter on the docs worth indexing.
     */
   def winnowedFingerprints(df: DataFrame, textCol: String, idCol: String,
-                           k: Int = 30, w: Int = 10): DataFrame = {
+                           k: Int = 30, w: Int = 10,
+                           dedupeByFp: Boolean = false): DataFrame = {
     require(k >= 2 && w >= 1, s"winnowedFingerprints: bad k=$k / w=$w")
     // the native one-pass expression (plans/WinnowFp) — value-identical
     // to the Column composition (per-gram md5 prefix + per-window
     // array_min/array_position + array_distinct) that WinnowFpSpec
     // retains as the property witness, without its O(n·w) slice scans
-    // or per-gram hex round-trips
+    // or per-gram hex round-trips. With dedupeByFp the per-doc array
+    // keeps ONE entry per fp value at its minimum position — the
+    // map-side replacement for a groupBy(fp, id).agg(min(pos)) shuffle
+    // over the full fingerprint stream (the span pipeline's former
+    // largest exchange; WinnowFpSpec pins dedupe ≡ groupBy-min).
     df.select(col(idCol),
-        explode(graft.plans.WinnowFp.fingerprints(col(textCol), k, w)).as("_x"))
+        explode(graft.plans.WinnowFp.fingerprints(col(textCol), k, w,
+          dedupeByFp)).as("_x"))
       .select(col(idCol), col("_x.fp").as("fp"), col("_x.pos").as("pos"))
   }
 
@@ -1013,9 +1019,12 @@ object TextDedup {
   private[operators] def verifiedSpanSites(
       df: DataFrame, textCol: String, idCol: String,
       k: Int, w: Int, maxDocFreq: Int): DataFrame = {
-    val fps = winnowedFingerprints(df, textCol, idCol, k, w)
-      .groupBy(col("fp"), col(idCol))
-      .agg(min(col("pos")).as("pos"))
+    // fp-dedup happens INSIDE the native per-doc array (min pos kept),
+    // so the fingerprint stream reaches its first shuffle already
+    // unique per (fp, doc) — no groupBy(fp, id) exchange, and the two
+    // self-join sides canonicalize identically for exchange reuse
+    val fps = winnowedFingerprints(df, textCol, idCol, k, w,
+      dedupeByFp = true)
     val hot = fps.groupBy("fp")
       .agg(count(lit(1)).as("_df"))
       .filter(col("_df") > maxDocFreq)
@@ -1085,20 +1094,27 @@ object TextDedup {
     * `maxDocFreq` corpus docs are dropped (boilerplate regime).
     *
     * Scale shape per drop: hashing is Σ|drop| (the corpus fingerprint
-    * frame is an ARGUMENT — persist `winnowedFingerprints(corpus)`
-    * once, ~2n/(w+1) narrow rows per corpus doc, and reuse it every
-    * drop; the verify stage joins corpus TEXT by id only for the
-    * candidate ids). Output per (new_id, corpus_id): verified shared
+    * frame is an ARGUMENT — persist
+    * `winnowedFingerprints(corpus, dedupeByFp = true)` once,
+    * ~2n/(w+1) narrow rows per corpus doc unique per (fp, doc) at min
+    * pos — that uniqueness is the CONTRACT, a non-deduped index
+    * inflates n_spans — and reuse it every drop; the verify stage
+    * joins corpus TEXT by id only for the candidate ids). Output per (new_id, corpus_id): verified shared
     * span count + first positions.
     */
   def crossCorpusDupSpans(newDocs: DataFrame, corpus: DataFrame,
                           corpusFps: DataFrame, textCol: String,
                           idCol: String, k: Int = 30, w: Int = 10,
                           maxDocFreq: Int = 64): DataFrame = {
-    val nf = winnowedFingerprints(newDocs, textCol, idCol, k, w)
-      .groupBy(col("fp"), col(idCol)).agg(min(col("pos")).as("pos"))
+    val nf = winnowedFingerprints(newDocs, textCol, idCol, k, w,
+      dedupeByFp = true)
+    // the index contract: corpusFps rows are unique per (fp, doc) at
+    // min pos — build with winnowedFingerprints(..., dedupeByFp=true).
+    // Re-grouping here would re-shuffle the WHOLE index every drop
+    // (cost ∝ corpus, the exact failure mode the band-index screen
+    // documents), so the contract is on the builder, and the defensive
+    // groupBy is gone.
     val cf = corpusFps
-      .groupBy(col("fp"), col(idCol)).agg(min(col("pos")).as("pos"))
     val hot = cf.groupBy("fp")
       .agg(count(lit(1)).as("_df"))
       .filter(col("_df") > maxDocFreq)

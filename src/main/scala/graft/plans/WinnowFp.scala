@@ -39,7 +39,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * composed form filters them before the explode; explode of empty
   * emits nothing, so the operator-level contract is unchanged).
   */
-case class WinnowFp(child: Expression, k: Int, w: Int)
+case class WinnowFp(child: Expression, k: Int, w: Int,
+                    dedupe: Boolean = false)
     extends UnaryExpression {
 
   require(k >= 2 && w >= 1, s"winnow_fp: bad k=$k / w=$w")
@@ -57,11 +58,11 @@ case class WinnowFp(child: Expression, k: Int, w: Int)
   override def prettyName: String = "winnow_fp"
 
   override def nullSafeEval(input: Any): Any =
-    WinnowFp.compute(input.asInstanceOf[UTF8String], k, w)
+    WinnowFp.compute(input.asInstanceOf[UTF8String], k, w, dedupe)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.plans.WinnowFp.compute($c, $k, $w);")
+      s"${ev.value} = graft.plans.WinnowFp.compute($c, $k, $w, $dedupe);")
 
   override protected def withNewChildInternal(newChild: Expression): WinnowFp =
     copy(child = newChild)
@@ -75,9 +76,16 @@ object WinnowFp {
   }
 
   /** Shared implementation for eval and codegen (static call — the
-    * BpeIshCount/DeflateLen pattern).
+    * BpeIshCount/DeflateLen pattern). With `dedupe` set, the emitted
+    * sequence is reduced to one entry per distinct fp VALUE keeping the
+    * smallest pos — map-side equivalent of the
+    * `groupBy(fp, id).agg(min(pos))` shuffle the span pipeline used to
+    * pay (selected positions never decrease, so keep-first IS min-pos;
+    * WinnowFpSpec pins the equivalence). The probe set is a small
+    * open-addressed table over the ≈2·len/(w+1) emitted entries.
     */
-  def compute(s: UTF8String, k: Int, w: Int): ArrayData = {
+  def compute(s: UTF8String, k: Int, w: Int,
+              dedupe: Boolean = false): ArrayData = {
     val bytes = s.getBytes
     // byte offset of each code point, plus the terminal offset: gram i
     // (1-based) is bytes[off(i-1), off(i-1+k))
@@ -133,6 +141,30 @@ object WinnowFp {
       }
       j += 1
     }
+    if (dedupe && m > 1) {
+      var cap = 4
+      while (cap < m * 2) cap <<= 1
+      val mask = cap - 1
+      val slot = new Array[Long](cap)
+      val used = new Array[Boolean](cap)
+      var mm = 0
+      var t = 0
+      while (t < m) {
+        val fp = outFp(t)
+        // fp is a 60-bit md5 prefix — already uniform; fold high bits in
+        var h = (fp ^ (fp >>> 32)).toInt & mask
+        var decided = false
+        var dup = false
+        while (!decided) {
+          if (!used(h)) { used(h) = true; slot(h) = fp; decided = true }
+          else if (slot(h) == fp) { dup = true; decided = true }
+          else h = (h + 1) & mask
+        }
+        if (!dup) { outFp(mm) = fp; outPos(mm) = outPos(t); mm += 1 }
+        t += 1
+      }
+      m = mm
+    }
     val rows = new Array[Any](m)
     i = 0
     while (i < m) {
@@ -168,6 +200,8 @@ object WinnowFp {
   }
 
   /** Column-level entry: wraps the expression directly (no registry). */
-  def fingerprints(text: Column, k: Int, w: Int): Column =
-    GraftColumnShim.column(WinnowFp(GraftColumnShim.expression(text), k, w))
+  def fingerprints(text: Column, k: Int, w: Int,
+                   dedupe: Boolean = false): Column =
+    GraftColumnShim.column(
+      WinnowFp(GraftColumnShim.expression(text), k, w, dedupe))
 }

@@ -70,6 +70,33 @@ class WinnowFpSpec extends SparkSpec {
     compare(texts, k = 10, w = 5)
   }
 
+  test("dedupeByFp ≡ groupBy(fp, id).agg(min(pos)) on repeat-heavy strings") {
+    val rnd = new scala.util.Random(20260815L)
+    val motifs = Vector("lorem ipsum dolor sit amet ", "REPEATED-BLOCK-A ",
+      "the cat sat on the mat ", "中文重复段落内容 ", "😀😀 emoji run ")
+    // repeat-heavy: the same motif recurs inside one doc, so the same
+    // fp value appears at several positions — the case dedupe must
+    // collapse to min pos
+    val texts = (1 to 80).map { _ =>
+      (0 until 2 + rnd.nextInt(10))
+        .map(_ => motifs(rnd.nextInt(motifs.size))).mkString
+    }
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    for ((k, w) <- Seq((10, 5), (8, 4), (5, 12))) {
+      val deduped = TextDedup.winnowedFingerprints(df, "text", "id", k, w,
+          dedupeByFp = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val grouped = TextDedup.winnowedFingerprints(df, "text", "id", k, w)
+        .groupBy("fp", "id").agg(min(col("pos")).as("pos"))
+        .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("fp"),
+          r.getAs[Int]("pos"))).toSet
+      assert(deduped == grouped,
+        s"k=$k w=$w: native-only=${(deduped -- grouped).take(5)} " +
+          s"group-only=${(grouped -- deduped).take(5)}")
+    }
+  }
+
   test("winnowing guarantee: a shared span >= k+w-1 chars is found at ANY alignment") {
     val k = 10; val w = 5
     val span = "SHARED-VERBATIM-SPAN-" + ("s" * (k + w - 1))  // > k+w-1 chars
@@ -147,8 +174,10 @@ class WinnowFpSpec extends SparkSpec {
       (102L, "a completely fresh drop document with novel words only"))
       .toDF("id", "text")
     // the corpus fingerprint frame is an ARGUMENT — computed once,
-    // persistable, reused per drop
-    val cfps = TextDedup.winnowedFingerprints(corpus, "text", "id", k, w)
+    // persistable, reused per drop; the contract requires the
+    // fp-deduped (min-pos) form
+    val cfps = TextDedup.winnowedFingerprints(corpus, "text", "id", k, w,
+      dedupeByFp = true)
     val got = TextDedup.crossCorpusDupSpans(drop, corpus, cfps, "text", "id", k, w)
       .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
     assert(got == Set((101L, 1L), (101L, 2L)), got.toString)
