@@ -1853,6 +1853,15 @@ object SparkEntry {
           "url", "doc_id", "text")
         .select("doc_id", "domain", "weight")
         .orderBy("doc_id")),
+    "q_line_dedup" -> ((s, d) => {
+      // C4/RefinedWeb intra-doc line dedup: 2-word lines derived
+      // deterministically (the corpus has no newlines), then the native
+      // one-pass keep-first segment dedup — pure map work, zero shuffle
+      val lined = Tables.documents(s, d).select(col("doc_id"),
+        regexp_replace(col("text"), "(\\S+ \\S+) ", "$1\n").as("text"))
+      TextDedup.dedupIntraDoc(lined, "text", "doc_id")
+        .orderBy("doc_id")
+    }),
     "q_dup_spans" -> ((s, d) =>
       // ExactSubstr-regime duplicated spans: winnowed k-gram
       // fingerprints (any shared verbatim span ≥ k+w−1 chars selects a
@@ -2722,6 +2731,18 @@ object SparkEntry {
         |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || 's1'), 1, 15))::BIGINT
         |  < CAST(floor(w.weight * 1152921504606846976) AS BIGINT)
         |ORDER BY d.doc_id""".stripMargin,
+    "q_line_dedup" ->
+      // same derived 2-word lines, keep-first replayed by list_position
+      // (first-occurrence index) — O(L²) is fine for the oracle
+      """WITH l AS (SELECT doc_id,
+        |  regexp_replace(text, '(\S+ \S+) ', '\1' || chr(10), 'g') AS t FROM documents),
+        |s AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM l),
+        |k AS (SELECT doc_id, ls,
+        |  list_filter(ls, (x, i) -> list_position(ls, x) = i) AS kept FROM s)
+        |SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_segments,
+        | CAST(len(kept) AS BIGINT) AS n_kept,
+        | array_to_string(kept, chr(10)) AS text_deduped
+        |FROM k ORDER BY doc_id""".stripMargin,
     "q_dup_spans" ->
       // winnowing replayed list-for-list: per-position 60-bit md5 gram
       // hashes, per-window list_min with FIRST-occurrence position

@@ -941,6 +941,29 @@ object TextDedup {
     out
   }
 
+  /** Intra-document segment dedup — the C4 "discard duplicate lines" /
+    * RefinedWeb line-dedup stage: split each document on a literal
+    * separator, keep every distinct segment's FIRST occurrence (exact
+    * match), re-join. Whole-corpus map work via the native one-pass
+    * [[graft.plans.DedupSegments]] expression (the list-HOF
+    * formulation is O(lines²) per doc and CodegenFallback) — zero
+    * shuffle, zero state; at 100 TB this is pure scan parallelism and
+    * composes with the streaming gates (scalar expression, no
+    * aggregation). Output: segment counts before/after plus the
+    * deduped text. Cross-doc dedup is [[blockDedup]]'s regime; this
+    * operator never looks outside one document.
+    */
+  def dedupIntraDoc(df: DataFrame, textCol: String, idCol: String,
+                    sep: String = "\n"): DataFrame = {
+    val q = java.util.regex.Pattern.quote(sep)
+    df.select(col(idCol),
+        size(split(col(textCol), q, -1)).cast("long").as("n_segments"),
+        graft.plans.DedupSegments.dedup(col(textCol), sep).as("text_deduped"))
+      .select(col(idCol), col("n_segments"),
+        size(split(col("text_deduped"), q, -1)).cast("long").as("n_kept"),
+        col("text_deduped"))
+  }
+
   /** Winnowed character-k-gram fingerprints — the alignment-robust
     * selection behind substring-level dedup (the "ExactSubstr" regime:
     * long VERBATIM spans shared across documents, which shingle-Jaccard
