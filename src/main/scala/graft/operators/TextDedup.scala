@@ -955,12 +955,22 @@ object TextDedup {
     */
   def dedupIntraDoc(df: DataFrame, textCol: String, idCol: String,
                     sep: String = "\n"): DataFrame = {
-    val q = java.util.regex.Pattern.quote(sep)
+    // segment counts WITHOUT split(): Spark's StringSplit recompiles
+    // its regex Pattern PER ROW (the round-12 hot-scan finding) —
+    // occurrence counting via literal replace() is codegen'd string
+    // work: segments = non-overlapping separator count + 1, identical
+    // to split's boundary rule
+    // Spark length() counts code points; sep.length would count UTF-16
+    // units (wrong for non-BMP separators)
+    val sepCp = sep.codePointCount(0, sep.length)
+    def nSegs(c: Column): Column =
+      ((length(c) - length(replace(c, lit(sep), lit("")))) / sepCp + 1)
+        .cast("long")
     df.select(col(idCol),
-        size(split(col(textCol), q, -1)).cast("long").as("n_segments"),
+        nSegs(col(textCol)).as("n_segments"),
         graft.plans.DedupSegments.dedup(col(textCol), sep).as("text_deduped"))
       .select(col(idCol), col("n_segments"),
-        size(split(col("text_deduped"), q, -1)).cast("long").as("n_kept"),
+        nSegs(col("text_deduped")).as("n_kept"),
         col("text_deduped"))
   }
 
