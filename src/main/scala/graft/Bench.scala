@@ -31,6 +31,10 @@ object Bench {
       // conf: must be set before the session exists.)
       .config("spark.sql.codegen.cache.maxEntries",
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
+      // WSCG bailout aligned with HotSpot's 8000-bytecode JIT limit —
+      // un-JIT-able generated methods run interpreted, slower than the
+      // per-expression-codegen fallback (see Engine.session).
+      .config("spark.sql.codegen.hugeMethodLimit", "8000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

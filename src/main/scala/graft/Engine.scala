@@ -41,6 +41,18 @@ object Engine {
       // 100 TB, the difference between reading a month and reading the
       // whole table (measured: LayoutProbe, SCALE.md).
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // Align Spark's whole-stage-codegen bailout with HotSpot's JIT
+      // huge-method limit (-XX:DontCompileHugeMethods, 8000 bytecodes).
+      // The default (65535) happily keeps WSCG plans whose single
+      // generated processNext() exceeds 8000 bytecodes — HotSpot then
+      // refuses to JIT it and the hot loop runs in the BYTECODE
+      // INTERPRETER. Falling back to non-WSCG execution instead keeps
+      // per-expression codegen (each method small enough to JIT):
+      // measured on q_url_canon's projection tree (30+ regex/string ops
+      // + md5 nibbles + SortSegments over 4 M rows) 2.37 s → 0.99 s
+      // (UrlSortProbe, SCALE.md round-12 "the codegen that would not
+      // JIT"). Plans under 8000 bytecodes are untouched.
+      .config("spark.sql.codegen.hugeMethodLimit", "8000")
       .config("spark.ui.enabled", "false")
     ) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()

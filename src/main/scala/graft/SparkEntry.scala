@@ -2028,6 +2028,13 @@ object SparkEntry {
     * 5 TLDs → 60 registrable domains, so the per-domain cap is active
     * at every SF. Replayed bit-identically by [[urlDomainCtes]].
     */
+  /** Probe hook: q_url_canon's input frame (documents + synthetic URL)
+    * — UrlSortProbe A/Bs param-sort variants over the identical tree.
+    */
+  def docsWithSynthUrl(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"))
+      .withColumn("url", synthUrl(col("doc_id")))
+
   private def synthUrl(id: Column): Column = {
     val h = md5(id.cast("string"))
     def nib(i: Int): Column = conv(substring(h, i, 1), 16, 10).cast("int")

@@ -23,6 +23,11 @@ object Verify {
       // tz-AWARE dtypes and then refuses naive comparisons. INT96 reads
       // back tz-naive. Stats don't matter on one-shot correctness dumps.
       .config("spark.sql.adaptive.enabled", "true")
+      // WSCG bailout at the JIT huge-method limit (see Engine.session);
+      // set here too so Verify exercises the SAME execution paths the
+      // bench and production sessions use (the non-WSCG fallback must
+      // stay value-identical, and this is where that's proven).
+      .config("spark.sql.codegen.hugeMethodLimit", "8000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

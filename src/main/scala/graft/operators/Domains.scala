@@ -16,13 +16,12 @@ import org.apache.spark.sql.functions._
   * functions — no UDF, no explode in the canonical path — and every
   * rule is replayable in ANSI-ish SQL, so the DuckDB oracle verifies
   * each operator bit-exactly (q_url_canon / q_domain_cap /
-  * q_domain_quality). Cost honesty: [[urlCanonicalize]]'s query-param
-  * sort uses `split` (per-row Pattern.compile) and HOF lambdas
-  * (CodegenFallback) — measured ~2 s per 500k sf10 docs including
-  * full materialization, acceptable for a once-per-corpus ingest
-  * normalization but NOT free; [[registeredDomain]] (which sits on
-  * every domain-keyed operator's hot path, repeatedly) is deliberately
-  * regex- and HOF-free.
+  * q_domain_quality). [[urlCanonicalize]]'s query-param sort was the
+  * one split+HOF holdout (per-row Pattern.compile plus three
+  * CodegenFallback nodes, ~2 s per 500k sf10 docs — the documented
+  * round-12 ingest-time trade); it is now the native one-pass
+  * [[graft.plans.SortSegments]], so the whole canonical path, like
+  * [[registeredDomain]], is regex-cached/HOF-free codegen'd work.
   *
   * Scale shape at 100 TB: canonicalize/registeredDomain are map-only.
   * The cap is a per-domain top-k — shuffle ON DOMAIN, never a global
@@ -68,7 +67,29 @@ object Domains {
     * inside the proven-to-thread-scale java.util.regex subset (see
     * SCALE.md "The regex that would not parallelize").
     */
-  def urlCanonicalize(u: Column): Column = {
+  def urlCanonicalize(u: Column): Column =
+    urlCanonicalizeWith(u,
+      // native one-pass param sort — value-identical to the HOF chain
+      // when(s === "", "").otherwise(concat("?", s)) for
+      // s = array_join(array_sort(filter(split(q, "&"), x =!= "")), "&")
+      // (SortSegmentsSpec pins the equivalence incl. a random-soup law)
+      // without split's per-row Pattern.compile or the three
+      // CodegenFallback HOF nodes. prefix = "?" matters beyond style:
+      // it makes the "? only when params survive" conditional ONE
+      // occurrence of the expression — the when/otherwise form names
+      // `params` twice, and conditional branches get no cross-branch
+      // subexpression elimination, so the ENTIRE regex chain feeding
+      // `query` evaluated twice (the UrlSortProbe full-tree A/B).
+      q => graft.plans.SortSegments.sorted(q, "&", dropEmpty = true,
+        prefix = "?"))
+
+  /** [[urlCanonicalize]] with the query-part construction pluggable —
+    * the hook maps the raw query string to the FULL query part (empty
+    * string when no params survive, else `?` + sorted params).
+    * UrlSortProbe A/Bs the native expression against the HOF chain
+    * through this hook; production callers use [[urlCanonicalize]].
+    */
+  def urlCanonicalizeWith(u: Column, queryPartOf: Column => Column): Column = {
     val noFrag = regexp_replace(trim(u), "#.*$", "")
     val scheme = lower(regexp_extract(noFrag, schemeRe, 1))
     val rest = regexp_replace(noFrag, schemeRe, "")
@@ -86,10 +107,7 @@ object Domains {
     val path = when(strippedPath === "", lit("/")).otherwise(strippedPath)
     val query = when(pathQ.contains("?"),
       regexp_replace(pathQ, "^[^?]*\\?", "")).otherwise(lit(""))
-    val params = array_join(
-      array_sort(filter(split(query, "&"), x => x =!= "")), "&")
-    val queryPart = when(params === "", lit(""))
-      .otherwise(concat(lit("?"), params))
+    val queryPart = queryPartOf(query)
     when(scheme === "", lower(noFrag))
       .otherwise(concat(scheme, lit("://"), host, portPart, path, queryPart))
   }

@@ -22,6 +22,8 @@ object SparkSpec {
       // micros not INT96 on write: INT96 has no min/max stats (see Engine)
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
+      // WSCG bailout at the JIT huge-method limit (see Engine.session)
+      .config("spark.sql.codegen.hugeMethodLimit", "8000")
       // bucketed-table specs use saveAsTable; keep the warehouse out of
       // the repo tree
       .config("spark.sql.warehouse.dir",
