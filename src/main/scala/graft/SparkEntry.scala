@@ -1862,6 +1862,36 @@ object SparkEntry {
       TextDedup.dedupIntraDoc(lined, "text", "doc_id")
         .orderBy("doc_id")
     }),
+    "q_html_extract" -> ((s, d) => {
+      // HTML → text, the step before every quality gate: deterministic
+      // page synthesis around each document (title/style/script/
+      // comment/headline/paragraph-split/entities), then the NATIVE
+      // three-buffer extractor — the oracle replays the declared
+      // regex/replace chain, so this row end-to-end proves
+      // native ≡ chain on corpus data at both oracle SFs
+      val t = col("t")
+      Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .withColumn("html", synthHtml(col("doc_id"), col("text")))
+        .withColumn("t", Html.htmlToText(col("html")))
+        .select(col("doc_id"),
+          length(t).cast("long").as("n_chars"),
+          (length(t) - length(replace(t, lit("\n"), lit(""))) + 1)
+            .cast("long").as("n_lines"),
+          substring(t, 1, 60).as("head"),
+          md5(t).as("body_md5"))
+        .orderBy("doc_id")
+    }),
+    "q_link_graph" -> ((s, d) =>
+      // outlink edge extraction + domain-graph rollup (the URL-frontier
+      // / domain-PageRank feed): two synthetic anchors per page plus a
+      // relative href (dropped — no registrable domain), href targets
+      // pulled with ONE cached regex, shuffling domain PAIRS only
+      Html.domainLinkGraph(
+          Tables.documents(s, d).select(col("doc_id"))
+            .withColumn("url", synthUrl(col("doc_id")))
+            .withColumn("html", linkHtml(col("doc_id"))),
+          "url", "html")
+        .orderBy("src_domain", "dst_domain")),
     "q_dup_spans" -> ((s, d) =>
       // ExactSubstr-regime duplicated spans: winnowed k-gram
       // fingerprints (any shared verbatim span ≥ k+w−1 chars selects a
@@ -2035,6 +2065,13 @@ object SparkEntry {
     Tables.documents(s, d).select(col("doc_id"))
       .withColumn("url", synthUrl(col("doc_id")))
 
+  /** Probe hook: q_html_extract's input frame (documents + synthesized
+    * page) — HtmlProbe A/Bs the native extractor against the chain.
+    */
+  def docsWithSynthHtml(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .select(col("doc_id"), synthHtml(col("doc_id"), col("text")).as("html"))
+
   private def synthUrl(id: Column): Column = {
     val h = md5(id.cast("string"))
     def nib(i: Int): Column = conv(substring(h, i, 1), 16, 10).cast("int")
@@ -2052,13 +2089,54 @@ object SparkEntry {
       pick(9, "", "#Frag"))
   }
 
+  /** Deterministic HTML page around a document — title/style/script/
+    * comment/h1 chrome, the text split into `<p>` paragraphs every five
+    * words, and an entity-bearing trailer. Plain concatenation +
+    * one fixed regex, replayed verbatim by the q_html_extract oracle.
+    */
+  private def synthHtml(id: Column, text: Column): Column = concat(
+    lit("<!DOCTYPE html><html><head><title>Doc "), id,
+    lit("</title><style type=\"text/css\">body { margin: 0; }</style>"),
+    lit("<script>if (a < b && c > d) { x = \"y\"; }</script></head>"),
+    lit("<body><!-- id "), id, lit(" --><h1>Doc "), id,
+    lit("</h1><div class=\"main\"><p>"),
+    regexp_replace(text, "(\\S+ \\S+ \\S+ \\S+ \\S+) ", "$1</p><p>"),
+    lit("</p><p>&quot;x&quot; &lt;tag&gt; &amp;co&nbsp;end</p></div>"),
+    lit("<br><ul><li>a</li><li>b</li></ul></body></html>"))
+
+  /** Two deterministic outlinks per page (case-mixed host, mixed TLD
+    * sets including multi-part suffixes) plus a relative href that must
+    * drop out (no registrable domain). Pure integer arithmetic on
+    * doc_id — replayed verbatim by the q_link_graph oracle.
+    */
+  private def linkHtml(id: Column): Column = {
+    val t1 = element_at(
+      array(lit("com"), lit("org"), lit("co.uk"), lit("io"), lit("ac.jp")),
+      (pmod(id * 13 + 5, lit(5)) + 1).cast("int"))
+    val t2 = element_at(
+      array(lit("com"), lit("net"), lit("org.uk"), lit("io"), lit("ne.jp")),
+      (pmod(id * 3 + 2, lit(5)) + 1).cast("int"))
+    concat(
+      lit("<p><a href=\"https://WWW.Site"), pmod(id * 7 + 3, lit(12)),
+      lit("."), t1,
+      lit("/a\">x</a> <a href=\"http://media.site"), pmod(id * 11 + 1, lit(12)),
+      lit("."), t2,
+      lit("\">y</a> <a href=\"/local\">r</a></p>"))
+  }
+
   /** DuckDB replay of [[synthUrl]] + [[Domains.urlCanonicalize]] +
     * [[Domains.registeredDomain]]: a WITH prefix ending in
     * `dom(doc_id, url, url_canon, host, domain)`. The suffix list is
     * the verbatim [[Domains.multiPartSuffixes]] snapshot.
     */
+  /** [[Domains.multiPartSuffixes]] as a DuckDB list literal — shared by
+    * every oracle that replays [[Domains.registeredDomain]].
+    */
+  private lazy val suffixListSql: String =
+    Domains.multiPartSuffixes.map("'" + _ + "'").mkString("[", ",", "]")
+
   private lazy val urlDomainCtes: String = {
-    val suffixes = Domains.multiPartSuffixes.map("'" + _ + "'").mkString("[", ",", "]")
+    val suffixes = suffixListSql
     s"""WITH hx AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
       |u AS (SELECT doc_id,
       |  ['http','HTTPS','Http','https'][(('0x'||substr(h,1,1))::BIGINT % 4)+1] || '://' ||
@@ -2750,6 +2828,64 @@ object SparkEntry {
         | CAST(len(kept) AS BIGINT) AS n_kept,
         | array_to_string(kept, chr(10)) AS text_deduped
         |FROM k ORDER BY doc_id""".stripMargin,
+    "q_html_extract" ->
+      // the declared extraction chain, verbatim: 5 structural regex
+      // passes (comments, script, style, block→newline, tags), 6 entity
+      // replaces in order (&amp; last), 3 whitespace passes + trim —
+      // the native expression must match this bit-for-bit
+      """WITH h AS (SELECT doc_id,
+        |  '<!DOCTYPE html><html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+        |  '</title><style type="text/css">body { margin: 0; }</style>' ||
+        |  '<script>if (a < b && c > d) { x = "y"; }</script></head>' ||
+        |  '<body><!-- id ' || CAST(doc_id AS VARCHAR) || ' --><h1>Doc ' || CAST(doc_id AS VARCHAR) ||
+        |  '</h1><div class="main"><p>' ||
+        |  regexp_replace(text, '(\S+ \S+ \S+ \S+ \S+) ', '\1</p><p>', 'g') ||
+        |  '</p><p>&quot;x&quot; &lt;tag&gt; &amp;co&nbsp;end</p></div>' ||
+        |  '<br><ul><li>a</li><li>b</li></ul></body></html>' AS html FROM documents),
+        |ex AS (SELECT doc_id, trim(
+        |  regexp_replace(regexp_replace(regexp_replace(
+        |  replace(replace(replace(replace(replace(replace(
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    html,
+        |    '<!--.*?-->', '', 'gs'),
+        |    '<script\b[^>]*>.*?</script>', '', 'gis'),
+        |    '<style\b[^>]*>.*?</style>', '', 'gis'),
+        |    '</?(p|div|br|li|ul|ol|h[1-6]|tr|td|th|table|blockquote)\b[^>]*>', chr(10), 'gi'),
+        |    '<[^>]*>', '', 'gs'),
+        |  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+        |  '[ \t\r\f]+', ' ', 'g'), ' *\n *', chr(10), 'g'), '\n+', chr(10), 'g'),
+        |  ' ' || chr(10)) AS t FROM h)
+        |SELECT doc_id, CAST(length(t) AS BIGINT) AS n_chars,
+        |  CAST(length(t) - length(replace(t, chr(10), '')) + 1 AS BIGINT) AS n_lines,
+        |  substr(t, 1, 60) AS head, md5(t) AS body_md5
+        |FROM ex ORDER BY doc_id""".stripMargin,
+    "q_link_graph" ->
+      // src domains from the shared url CTEs; hrefs re-extracted with
+      // the same regex, then hostOf + registeredDomain replayed on each
+      // target; relative links yield domain '' and drop
+      s"""$urlDomainCtes,
+        |lh AS (SELECT doc_id,
+        |  '<p><a href="https://WWW.Site' || CAST((doc_id*7+3)%12 AS VARCHAR) || '.' ||
+        |   ['com','org','co.uk','io','ac.jp'][CAST((doc_id*13+5)%5 AS INT)+1] ||
+        |  '/a">x</a> <a href="http://media.site' || CAST((doc_id*11+1)%12 AS VARCHAR) || '.' ||
+        |   ['com','net','org.uk','io','ne.jp'][CAST((doc_id*3+2)%5 AS INT)+1] ||
+        |  '">y</a> <a href="/local">r</a></p>' AS html FROM documents),
+        |lk AS (SELECT doc_id, unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS href FROM lh),
+        |dh AS (SELECT doc_id, lower(regexp_replace(regexp_extract(regexp_replace(
+        |    regexp_replace(trim(href), '#.*$$', ''),
+        |    '^[A-Za-z][A-Za-z0-9+.\\-]*://', ''), '^([^/?]*)', 1), '^[^@/]*@', '')) AS auth FROM lk),
+        |dh2 AS (SELECT doc_id, regexp_replace(auth, ':[0-9]+$$', '') AS host FROM dh),
+        |dd AS (SELECT doc_id, host, string_split(host, '.') AS ls, len(string_split(host, '.')) AS n FROM dh2),
+        |dstd AS (SELECT doc_id,
+        |   CASE WHEN n <= 2 THEN host
+        |        WHEN list_contains($suffixListSql, ls[n-1] || '.' || ls[n]) THEN ls[n-2] || '.' || ls[n-1] || '.' || ls[n]
+        |        ELSE ls[n-1] || '.' || ls[n] END AS dst_domain FROM dd)
+        |SELECT d.domain AS src_domain, t.dst_domain,
+        |  CAST(count(*) AS BIGINT) AS n_links,
+        |  CAST(count(DISTINCT d.url) AS BIGINT) AS n_pages
+        |FROM dom d JOIN dstd t USING (doc_id)
+        |WHERE t.dst_domain <> ''
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_dup_spans" ->
       // winnowing replayed list-for-list: per-position 60-bit md5 gram
       // hashes, per-window list_min with FIRST-occurrence position
