@@ -1881,6 +1881,26 @@ object SparkEntry {
           md5(t).as("body_md5"))
         .orderBy("doc_id")
     }),
+    "q_fix_mojibake" -> ((s, d) => {
+      // encoding repair: accented/curly chars injected deterministically
+      // (translate), corrupted exactly the way a cp1252 misread of
+      // UTF-8 bytes does, then repaired by the native single-level
+      // decoder. The oracle recomputes the INJECTED truth
+      // independently — fixed_md5 green means repair ∘ corrupt = id
+      // on real corpus text
+      val injected = translate(col("text"), "etqx", "é’“”")
+      val corrupted = replace(replace(replace(replace(injected,
+          lit("é"), lit("Ã©")), lit("’"), lit("â€™")),
+          lit("“"), lit("â€œ")), lit("”"), lit("â€\u009d"))
+      Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .withColumn("bad", corrupted)
+        .withColumn("fixed", graft.plans.FixMojibake.of(col("bad")))
+        .select(col("doc_id"),
+          length(col("bad")).cast("long").as("n_chars_bad"),
+          length(col("fixed")).cast("long").as("n_chars_fixed"),
+          md5(col("fixed")).as("fixed_md5"))
+        .orderBy("doc_id")
+    }),
     "q_link_graph" -> ((s, d) =>
       // outlink edge extraction + domain-graph rollup (the URL-frontier
       // / domain-PageRank feed): two synthetic anchors per page plus a
@@ -2859,6 +2879,20 @@ object SparkEntry {
         |  CAST(length(t) - length(replace(t, chr(10), '')) + 1 AS BIGINT) AS n_lines,
         |  substr(t, 1, 60) AS head, md5(t) AS body_md5
         |FROM ex ORDER BY doc_id""".stripMargin,
+    "q_fix_mojibake" ->
+      // the corruption replayed forward; the REPAIRED truth is the
+      // injected string itself (repair must invert the corruption), so
+      // n_chars_fixed/fixed_md5 come from `injected`, never from a
+      // reimplementation of the decoder
+      """WITH inj AS (SELECT doc_id, translate(text, 'etqx', 'é’“”') AS injected FROM documents),
+        |bad AS (SELECT doc_id, injected,
+        |  replace(replace(replace(replace(injected,
+        |    'é', 'Ã©'), '’', 'â€™'), '“', 'â€œ'), '”', 'â€' || chr(157)) AS b
+        | FROM inj)
+        |SELECT doc_id, CAST(length(b) AS BIGINT) AS n_chars_bad,
+        |  CAST(length(injected) AS BIGINT) AS n_chars_fixed,
+        |  md5(injected) AS fixed_md5
+        |FROM bad ORDER BY doc_id""".stripMargin,
     "q_link_graph" ->
       // src domains from the shared url CTEs; hrefs re-extracted with
       // the same regex, then hostOf + registeredDomain replayed on each
