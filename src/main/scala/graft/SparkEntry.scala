@@ -1912,6 +1912,22 @@ object SparkEntry {
             .withColumn("html", linkHtml(col("doc_id"))),
           "url", "html")
         .orderBy("src_domain", "dst_domain")),
+    "q_pagerank" -> ((s, d) =>
+      // domain authority over the extracted link graph: fixed-point
+      // PageRank (scaled longs, floor division, dangling mass dropped)
+      // — 8 rounds, each shuffling only the rank table into the cached
+      // src-partitioned edge layout; bit-exact cross-engine because no
+      // float ever enters the recursion
+      Graph.pageRank(
+          Html.domainLinkGraph(
+              Tables.documents(s, d).select(col("doc_id"))
+                .withColumn("url", synthUrl(col("doc_id")))
+                .withColumn("html", linkHtml(col("doc_id"))),
+              "url", "html")
+            .select(col("src_domain"), col("dst_domain")),
+          "src_domain", "dst_domain", iters = 8)
+        .select(col("node").as("domain"), col("rank_fp"))
+        .orderBy(col("rank_fp").desc, col("domain"))),
     "q_dup_spans" -> ((s, d) =>
       // ExactSubstr-regime duplicated spans: winnowed k-gram
       // fingerprints (any shared verbatim span ≥ k+w−1 chars selects a
@@ -2196,6 +2212,45 @@ object SparkEntry {
       |        ELSE ls[n-1] || '.' || ls[n] END AS domain
       | FROM d1)""".stripMargin
   }
+
+  /** [[urlDomainCtes]] extended with the outlink replay: [[linkHtml]]
+    * rebuilt arithmetically, hrefs re-extracted with the same regex,
+    * hostOf + registeredDomain replayed per target. Ends in
+    * `dstd(doc_id, dst_domain)` (relative links → domain ''); `dom`
+    * from the prefix carries the src side. Shared by the q_link_graph
+    * and q_pagerank oracles.
+    */
+  private lazy val linkGraphCtes: String =
+    s"""$urlDomainCtes,
+      |lh AS (SELECT doc_id,
+      |  '<p><a href="https://WWW.Site' || CAST((doc_id*7+3)%12 AS VARCHAR) || '.' ||
+      |   ['com','org','co.uk','io','ac.jp'][CAST((doc_id*13+5)%5 AS INT)+1] ||
+      |  '/a">x</a> <a href="http://media.site' || CAST((doc_id*11+1)%12 AS VARCHAR) || '.' ||
+      |   ['com','net','org.uk','io','ne.jp'][CAST((doc_id*3+2)%5 AS INT)+1] ||
+      |  '">y</a> <a href="/local">r</a></p>' AS html FROM documents),
+      |lk AS (SELECT doc_id, unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS href FROM lh),
+      |dh AS (SELECT doc_id, lower(regexp_replace(regexp_extract(regexp_replace(
+      |    regexp_replace(trim(href), '#.*$$', ''),
+      |    '^[A-Za-z][A-Za-z0-9+.\\-]*://', ''), '^([^/?]*)', 1), '^[^@/]*@', '')) AS auth FROM lk),
+      |dh2 AS (SELECT doc_id, regexp_replace(auth, ':[0-9]+$$', '') AS host FROM dh),
+      |dd AS (SELECT doc_id, host, string_split(host, '.') AS ls, len(string_split(host, '.')) AS n FROM dh2),
+      |dstd AS (SELECT doc_id,
+      |   CASE WHEN n <= 2 THEN host
+      |        WHEN list_contains($suffixListSql, ls[n-1] || '.' || ls[n]) THEN ls[n-2] || '.' || ls[n-1] || '.' || ls[n]
+      |        ELSE ls[n-1] || '.' || ls[n] END AS dst_domain FROM dd)""".stripMargin
+
+  /** The q_pagerank oracle's 8 unrolled fixed-point iterations (CTEs
+    * prc1/prr1 … prc8/prr8 over `edges`/`nodes`/`outd`/`r0`) — the same
+    * recursion [[graft.operators.Graph.pageRank]] runs, scale 10⁹,
+    * teleport 150000000 = 0.15·scale.
+    */
+  private lazy val pageRankIterSql: String = (1 to 8).map { i =>
+    s"""prc$i AS (SELECT e.dst AS node, sum((r.r * 85) // (100 * o.od)) AS c
+       |  FROM edges e JOIN prr${i - 1} r ON r.node = e.src
+       |  JOIN outd o ON o.src = e.src GROUP BY e.dst),
+       |prr$i AS (SELECT n.node, CAST(150000000 + COALESCE(c.c, 0) AS BIGINT) AS r
+       |  FROM nodes n LEFT JOIN prc$i c USING (node))""".stripMargin
+  }.mkString(",\n")
 
   /** [[urlDomainCtes]] extended with the classifier replay and the
     * per-domain ADDITIVE aggregate `agg(domain, n_docs, n_scored,
@@ -2897,29 +2952,28 @@ object SparkEntry {
       // src domains from the shared url CTEs; hrefs re-extracted with
       // the same regex, then hostOf + registeredDomain replayed on each
       // target; relative links yield domain '' and drop
-      s"""$urlDomainCtes,
-        |lh AS (SELECT doc_id,
-        |  '<p><a href="https://WWW.Site' || CAST((doc_id*7+3)%12 AS VARCHAR) || '.' ||
-        |   ['com','org','co.uk','io','ac.jp'][CAST((doc_id*13+5)%5 AS INT)+1] ||
-        |  '/a">x</a> <a href="http://media.site' || CAST((doc_id*11+1)%12 AS VARCHAR) || '.' ||
-        |   ['com','net','org.uk','io','ne.jp'][CAST((doc_id*3+2)%5 AS INT)+1] ||
-        |  '">y</a> <a href="/local">r</a></p>' AS html FROM documents),
-        |lk AS (SELECT doc_id, unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS href FROM lh),
-        |dh AS (SELECT doc_id, lower(regexp_replace(regexp_extract(regexp_replace(
-        |    regexp_replace(trim(href), '#.*$$', ''),
-        |    '^[A-Za-z][A-Za-z0-9+.\\-]*://', ''), '^([^/?]*)', 1), '^[^@/]*@', '')) AS auth FROM lk),
-        |dh2 AS (SELECT doc_id, regexp_replace(auth, ':[0-9]+$$', '') AS host FROM dh),
-        |dd AS (SELECT doc_id, host, string_split(host, '.') AS ls, len(string_split(host, '.')) AS n FROM dh2),
-        |dstd AS (SELECT doc_id,
-        |   CASE WHEN n <= 2 THEN host
-        |        WHEN list_contains($suffixListSql, ls[n-1] || '.' || ls[n]) THEN ls[n-2] || '.' || ls[n-1] || '.' || ls[n]
-        |        ELSE ls[n-1] || '.' || ls[n] END AS dst_domain FROM dd)
+      s"""$linkGraphCtes
         |SELECT d.domain AS src_domain, t.dst_domain,
         |  CAST(count(*) AS BIGINT) AS n_links,
         |  CAST(count(DISTINCT d.url) AS BIGINT) AS n_pages
         |FROM dom d JOIN dstd t USING (doc_id)
         |WHERE t.dst_domain <> ''
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_pagerank" ->
+      // the link-graph CTEs feed the distinct domain edge set; then 8
+      // unrolled fixed-point iterations — floor division on longs
+      // (DuckDB `//` ≡ Spark DIV on non-negatives), teleport
+      // 0.15·scale, damping 85/100, dangling mass dropped. Bit-exact
+      // by construction: no float touches the recursion
+      s"""$linkGraphCtes,
+        |edges AS (SELECT DISTINCT d.domain AS src, t.dst_domain AS dst
+        |  FROM dom d JOIN dstd t USING (doc_id) WHERE t.dst_domain <> ''),
+        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |outd AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+        |prr0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nodes),
+        |$pageRankIterSql
+        |SELECT node AS domain, r AS rank_fp FROM prr8
+        |ORDER BY rank_fp DESC, domain""".stripMargin,
     "q_dup_spans" ->
       // winnowing replayed list-for-list: per-position 60-bit md5 gram
       // hashes, per-window list_min with FIRST-occurrence position

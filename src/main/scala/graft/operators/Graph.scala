@@ -325,6 +325,196 @@ object Graph {
       .join(rolled, Seq("cluster_id"))
   }
 
+  /** Fixed-point PageRank over the directed graph (`srcCol`, `dstCol`) —
+    * the domain-authority score every web-curation stack derives from
+    * its link graph (C4/RefinedWeb-style pipelines rank domains by link
+    * authority to set per-domain quality priors; the edge feed here is
+    * [[graft.operators.Html.domainLinkGraph]]).
+    *
+    * Semantics (deliberately engine-portable — every step replays
+    * bit-exactly in any engine with 64-bit integer floor division):
+    *   - Edges are the DISTINCT non-null (src, dst) pairs; self-loops
+    *     kept. Nodes = all endpoints.
+    *   - Ranks are scaled longs: r₀ = `scale` per node ("total mass =
+    *     N·scale"). Per iteration, with damping 85/100:
+    *     r'(i) = floor(scale·15/100) + Σ_{j→i} floor(r(j)·85 / (100·od(j)))
+    *     where od(j) is j's out-degree. All arithmetic is non-negative
+    *     long floor division, so Spark's `DIV` (truncating) and e.g.
+    *     DuckDB's `//` (flooring) agree exactly — no float drift across
+    *     engines, partitionings, or reduction orders (the per-target sum
+    *     is an integer sum).
+    *   - Dangling mass is DROPPED, not redistributed (a node with no
+    *     out-edges contributes nothing): total mass only shrinks, so
+    *     every rank is bounded by N·scale. The redistribute variant
+    *     needs a global scalar per iteration (an extra action or a
+    *     crossjoin broadcast each round); dropping is the documented
+    *     trade and ranks remain comparable as authority scores.
+    *   - Fixed `iters` iterations, no convergence probe: a probe is one
+    *     driver action per round, and production PageRank over a
+    *     100 M-domain graph runs a budgeted round count anyway.
+    *
+    * Overflow: ranks are bounded by N·scale, and the per-edge product
+    * r·85 must stay under 2⁶³ — so callers need N·scale·100 < 2⁶³
+    * (default scale 10⁹ is safe to ~9×10¹⁰ nodes; 10¹² to ~9×10⁷). The
+    * bound is enforced IN-PLAN per iteration (lazy `assert_true`, the
+    * [[Joins.upsert]] discipline): a too-big graph fails loudly at
+    * execution, never wraps silently.
+    *
+    * Scale shape: the edge list (joined once with its out-degrees) is
+    * hash-partitioned by src and persisted — each of the `iters` rounds
+    * shuffles only the RANK table (one row per node) into that fixed
+    * layout plus one aggregate exchange for the contribution sum; edge
+    * bytes never move again. Rounds are materialized eagerly via
+    * checkpoint (reliable when the session has a checkpoint dir, local
+    * otherwise — same policy as [[connectedComponents]]), so the plan
+    * never grows with `iters` and the caches are RELEASED before
+    * return; the result frame owns no persisted state.
+    *
+    * Adaptive small-graph path (the [[connectedComponents]] move): the
+    * distinct edge list is counted in the action that materializes its
+    * cache; at or under `smallGraphThreshold` edges the whole
+    * fixed-point loop runs in ONE task over the cached list — the
+    * per-round join/agg/checkpoint machinery is pure fixed overhead at
+    * that size, and the longs are identical by construction (per-node
+    * values don't depend on any reduction order). Domain graphs are
+    * small relative to their corpora (the web is ~10⁸ registrable
+    * domains vs 10¹⁰ pages), so real runs often take this path too.
+    *
+    * Node ids are compared as STRINGS (domains/hosts — the native key
+    * of a link graph); both columns are cast on entry, so either path
+    * returns the same (node: string, rank_fp: long) schema.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int = 8, scale: Long = 1000000000L,
+               smallGraphThreshold: Long = 1L << 20): DataFrame = {
+    require(iters >= 1, s"pageRank: iters must be >= 1, got $iters")
+    require(scale >= 100 && scale % 100 == 0,
+      s"pageRank: scale must be a positive multiple of 100, got $scale")
+    require(scale <= Long.MaxValue / 100,
+      s"pageRank: scale $scale exceeds 2^63/100 — the initial rank " +
+        "itself would overflow the per-edge product")
+    val mdLevel = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val teleport = scale / 100L * 15L
+    // the per-edge product is r·85 with r ≤ N·scale; guard r against
+    // the loose-but-sufficient bound 2⁶³/100
+    val maxSafe = Long.MaxValue / 100L
+    val reliable = edges.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def cpEager(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
+    // reliable checkpoints write files that survive the call
+    // (cleanCheckpoints is off by default) — delete each round's file
+    // once the next round is materialized, same as the CC star rounds
+    def cpFile(df: DataFrame): Option[String] =
+      if (!reliable) None
+      else df.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }.flatMap(_.getCheckpointFile)
+    def deleteCpFile(file: Option[String]): Unit = file.foreach { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      scala.util.Try(
+        p.getFileSystem(edges.sparkSession.sparkContext.hadoopConfiguration)
+          .delete(p, true))
+    }
+
+    val e = edges
+      .select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .persist(mdLevel)
+    // ONE action over the (possibly whole link-extraction) upstream
+    // pipeline: materialize the edge cache and pick the execution path
+    val nEdges = e.count()
+
+    // both paths return an eagerly-materialized (checkpointed) frame,
+    // so the edge cache can be released before return — the caller
+    // owns no persisted state
+    val ranked =
+      if (nEdges <= smallGraphThreshold) cpEager(singleTaskPageRank(e, iters, scale))
+      else distributedPageRank(e, iters, scale, teleport, maxSafe,
+        cpEager, cpFile, deleteCpFile, mdLevel)
+    e.unpersist(false)
+    ranked
+  }
+
+  /** One-task fixed-point loop over the cached edge list (the
+    * small-graph path) — same recursion, same longs.
+    */
+  private def singleTaskPageRank(e: DataFrame, iters: Int,
+                                 scale: Long): DataFrame = {
+    import e.sparkSession.implicits._
+    val teleport = scale / 100L * 15L
+    val maxSafe = Long.MaxValue / 100L
+    e.select(col("src"), col("dst")).as[(String, String)].coalesce(1)
+      .mapPartitions { it =>
+        val es = it.toArray
+        val od = scala.collection.mutable.HashMap.empty[String, Long]
+        es.foreach { case (s, _) => od(s) = od.getOrElse(s, 0L) + 1L }
+        val nodes = (es.map(_._1) ++ es.map(_._2)).distinct
+        var r = nodes.map(_ -> scale).toMap
+        for (_ <- 1 to iters) {
+          val contribs = scala.collection.mutable.HashMap.empty[String, Long]
+          es.foreach { case (s, t) =>
+            contribs(t) = contribs.getOrElse(t, 0L) + r(s) * 85L / (100L * od(s))
+          }
+          r = nodes.map { n =>
+            val v = teleport + contribs.getOrElse(n, 0L)
+            if (v > maxSafe) throw new IllegalStateException(
+              s"pageRank: rank exceeds 2^63/100 = $maxSafe — " +
+                "N*scale*100 must stay under 2^63; lower `scale`")
+            n -> v
+          }.toMap
+        }
+        nodes.iterator.map(n => (n, r(n)))
+      }
+      .toDF("node", "rank_fp")
+  }
+
+  /** Round-per-round join/agg path for graphs past the one-task size. */
+  private def distributedPageRank(e: DataFrame, iters: Int, scale: Long,
+                                  teleport: Long, maxSafe: Long,
+                                  cpEager: DataFrame => DataFrame,
+                                  cpFile: DataFrame => Option[String],
+                                  deleteCpFile: Option[String] => Unit,
+                                  mdLevel: org.apache.spark.storage.StorageLevel): DataFrame = {
+    // out-degree folded into the edge row once, then the iteration-
+    // invariant layout: hash by src, cached for all rounds (reads the
+    // already-materialized edge cache, so this is cheap)
+    val ew = e
+      .join(e.groupBy("src").agg(count(lit(1)).as("od")), "src")
+      .repartition(col("src"))
+      .persist(mdLevel)
+    val nodes = ew.select(col("src").as("node"))
+      .union(ew.select(col("dst").as("node")))
+      .distinct()
+      .persist(mdLevel)
+
+    var ranks = nodes.select(col("node"), lit(scale).as("r"))
+    var prevFile: Option[String] = None
+    for (_ <- 1 to iters) {
+      val contribs = ew.alias("e")
+        .join(ranks.alias("rk"), col("e.src") === col("rk.node"))
+        .select(col("e.dst").as("dst"),
+          expr("(r * 85) DIV (100 * od)").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("c"))
+      ranks = cpEager(
+        nodes.alias("n")
+          .join(contribs.alias("ct"), col("n.node") === col("ct.dst"), "left")
+          .select(col("n.node").as("node"),
+            (lit(teleport) + coalesce(col("c"), lit(0L))).as("r"))
+          .withColumn("_ovf", assert_true(col("r") <= maxSafe,
+            lit(s"pageRank: rank exceeds 2^63/100 = $maxSafe — " +
+              "N*scale*100 must stay under 2^63; lower `scale`")))
+          .filter(col("_ovf").isNull).drop("_ovf"))
+      deleteCpFile(prevFile)
+      prevFile = cpFile(ranks)
+    }
+    ew.unpersist(false)
+    nodes.unpersist(false)
+    ranks.select(col("node"), col("r").as("rank_fp"))
+  }
+
   /** INCREMENTAL connected components — the daily-drop shape: a
     * persisted (node, component) assignment absorbs a NEW batch of edges
     * (new×new and new×old pairs from e.g.

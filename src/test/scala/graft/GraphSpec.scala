@@ -151,4 +151,84 @@ class GraphSpec extends SparkSpec {
     // same node domain (old ∪ new), identical min-id labels
     assert(got == full)
   }
+
+  // ---- pageRank: fixed-point iteration, exact by construction ----
+
+  private def pr(edges: Seq[(String, String)], iters: Int,
+                 scale: Long = 1000000L,
+                 threshold: Long = 1L << 20): Map[String, Long] =
+    Graph.pageRank(edges.toDF("s", "t"), "s", "t", iters, scale,
+        smallGraphThreshold = threshold)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /** Driver-side replay of the documented recursion — the independent
+    * truth the distributed operator must match long-for-long.
+    */
+  private def prRef(edges: Seq[(String, String)], iters: Int,
+                    scale: Long): Map[String, Long] = {
+    val e = edges.distinct
+    val nodes = e.flatMap(p => Seq(p._1, p._2)).distinct
+    val od = e.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val teleport = scale / 100 * 15
+    var r = nodes.map(_ -> scale).toMap
+    for (_ <- 1 to iters) {
+      val contribs = e.groupBy(_._2).map { case (t, es) =>
+        t -> es.map(p => r(p._1) * 85 / (100 * od(p._1))).sum
+      }
+      r = nodes.map(n => n -> (teleport + contribs.getOrElse(n, 0L))).toMap
+    }
+    r
+  }
+
+  test("pageRank matches the hand-computed 3-cycle after 2 rounds") {
+    // A→B, A→C, B→C, C→A; scale 10^6, teleport 150000
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"))
+    assert(pr(edges, 1) ==
+      Map("a" -> 1000000L, "b" -> 575000L, "c" -> 1425000L))
+    assert(pr(edges, 2) ==
+      Map("a" -> 1361250L, "b" -> 575000L, "c" -> 1063750L))
+  }
+
+  test("pageRank: dangling mass drops, sink keeps teleport + inflow") {
+    val got = pr(Seq(("a", "d")), 2)
+    // iter1: d = 150000 + 850000; a = 150000
+    // iter2: d = 150000 + floor(150000*85/100) = 277500
+    assert(got == Map("a" -> 150000L, "d" -> 277500L))
+  }
+
+  test("pageRank equals the driver replay on a mixed graph (8 rounds)") {
+    // dense-ish deterministic graph with self-loop, dangling node,
+    // duplicate edge rows (must dedupe), and a hub
+    val raw = (0 until 40).map(i =>
+      (s"n${i % 7}", s"n${(i * 3 + 1) % 9}")) ++
+      Seq(("n1", "n1"), ("hub", "n0"), ("hub", "n1"), ("hub", "n2"),
+        ("n0", "sink"), ("n0", "sink")) // dup row
+    val got = pr(raw, 8)
+    val want = prRef(raw, 8, 1000000L)
+    assert(got == want)
+    // threshold 0 forces the distributed join/agg rounds — identical longs
+    assert(pr(raw, 8, threshold = 0L) == want)
+    // mass only shrinks: total ≤ N·scale
+    assert(got.values.sum <= got.size * 1000000L)
+  }
+
+  test("pageRank overflow guard fails loudly, bad scale refused eagerly") {
+    intercept[IllegalArgumentException] {
+      pr(Seq(("a", "b")), 1, scale = Long.MaxValue / 100 * 100)
+    }
+    // in-plan guard: rank exceeding 2^63/100 kills the job with the
+    // documented message, never wraps silently. Star onto one target:
+    // 3 sources × floor(0.85·scale) > maxSafe for scale = 4.6e16
+    val scale = 46000000000000000L
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    for (threshold <- Seq(1L << 20, 0L)) { // both execution paths guard
+      val ex = intercept[Exception] {
+        pr(Seq(("a", "t"), ("b", "t"), ("c", "t")), 1, scale, threshold)
+      }
+      assert(msgs(ex).exists(_.contains("pageRank: rank exceeds")),
+        s"unexpected failure: $ex")
+    }
+  }
 }
