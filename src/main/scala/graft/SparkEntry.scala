@@ -1912,6 +1912,32 @@ object SparkEntry {
             .withColumn("html", linkHtml(col("doc_id"))),
           "url", "html")
         .orderBy("src_domain", "dst_domain")),
+    "q_anchor_text" -> ((s, d) =>
+      // anchor-text rollup per TARGET domain (the off-page quality
+      // prior): simple anchors extracted with one cached two-group
+      // pattern; relative, markup-bodied, and empty anchors drop by
+      // contract; top anchor = map-combinable struct-min, no window
+      Html.domainAnchorText(
+          Tables.documents(s, d).select(col("doc_id"), col("text"))
+            .withColumn("url", synthUrl(col("doc_id")))
+            .withColumn("html", anchorHtml(col("doc_id"), col("text"))),
+          "url", "html")
+        .orderBy("dst_domain")),
+    "q_url_blocklist" -> ((s, d) => {
+      // UT1-style domain blocklist screen: label-boundary suffix match
+      // via bounded suffix explode + broadcast equi-join (the corpus
+      // never shuffles against the list); most-specific entry wins;
+      // rollup audits kept ('') vs blocked-by-entry counts
+      import s.implicits._
+      val blk = Seq("site3.com", "www.site3.com", "api.site7.io",
+        "news.site1.org", "site5.co.uk", "nohit.example").toDF("entry")
+      Domains.blocklistScreen(
+          Tables.documents(s, d).select(col("doc_id"))
+            .withColumn("host", Domains.hostOf(synthUrl(col("doc_id")))),
+          "doc_id", "host", blk, "entry")
+        .groupBy("blocked_by").agg(count(lit(1)).as("n_docs"))
+        .orderBy("blocked_by")
+    }),
     "q_pagerank" -> ((s, d) =>
       // domain authority over the extracted link graph: fixed-point
       // PageRank (scaled longs, floor division, dangling mass dropped)
@@ -2158,6 +2184,31 @@ object SparkEntry {
       lit("/a\">x</a> <a href=\"http://media.site"), pmod(id * 11 + 1, lit(12)),
       lit("."), t2,
       lit("\">y</a> <a href=\"/local\">r</a></p>"))
+  }
+
+  /** Deterministic anchor-bearing HTML per document: a text-derived
+    * anchor (markup chars stripped so the page stays well-formed), a
+    * rotating "Doc k" anchor, plus the three edge cases the extractor
+    * must drop — a relative href, a markup-bodied anchor, an empty
+    * anchor. Pure integer arithmetic + substr/translate, replayed
+    * verbatim by the q_anchor_text oracle.
+    */
+  private def anchorHtml(id: Column, text: Column): Column = {
+    val clean = substring(translate(text, "<>\"&", ""), 1, 24)
+    val t1 = element_at(
+      array(lit("com"), lit("org"), lit("co.uk"), lit("io"), lit("ac.jp")),
+      (pmod(id * 9 + 4, lit(5)) + 1).cast("int"))
+    val t2 = element_at(
+      array(lit("com"), lit("net"), lit("org.uk"), lit("io"), lit("ne.jp")),
+      (pmod(id * 5 + 3, lit(5)) + 1).cast("int"))
+    concat(
+      lit("<p><a href=\"https://www.site"), pmod(id * 5 + 2, lit(12)),
+      lit("."), t1, lit("/p\">"), clean, lit("</a> "),
+      lit("<a class=\"m\" href=\"http://blog.site"), pmod(id * 7 + 4, lit(12)),
+      lit("."), t2, lit("\">Doc "), pmod(id, lit(7)), lit("</a> "),
+      lit("<a href=\"/rel\">skip me</a>"),
+      lit("<a href=\"https://x.site0.com\"><b>bold</b></a>"),
+      lit("<a href=\"https://ads.site9.com/z\"></a></p>"))
   }
 
   /** DuckDB replay of [[synthUrl]] + [[Domains.urlCanonicalize]] +
@@ -2959,6 +3010,64 @@ object SparkEntry {
         |FROM dom d JOIN dstd t USING (doc_id)
         |WHERE t.dst_domain <> ''
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_anchor_text" ->
+      // anchorHtml replayed arithmetically; both capture groups of the
+      // SAME pattern extracted and unnested in lockstep (DuckDB zips
+      // parallel unnests positionally, exactly like the arrays_zip);
+      // dst domains via the hostOf+registeredDomain replay; top anchor
+      // by row_number ≡ the struct-min (max n, tie → min anchor)
+      s"""$urlDomainCtes,
+        |ah AS (SELECT d.doc_id, d.url,
+        |  '<p><a href="https://www.site' || CAST((d.doc_id*5+2)%12 AS VARCHAR) || '.' ||
+        |   ['com','org','co.uk','io','ac.jp'][CAST((d.doc_id*9+4)%5 AS INT)+1] ||
+        |  '/p">' || substr(translate(t.text, '<>"&', ''), 1, 24) || '</a> ' ||
+        |  '<a class="m" href="http://blog.site' || CAST((d.doc_id*7+4)%12 AS VARCHAR) || '.' ||
+        |   ['com','net','org.uk','io','ne.jp'][CAST((d.doc_id*5+3)%5 AS INT)+1] ||
+        |  '">Doc ' || CAST(d.doc_id%7 AS VARCHAR) || '</a> ' ||
+        |  '<a href="/rel">skip me</a><a href="https://x.site0.com"><b>bold</b></a>' ||
+        |  '<a href="https://ads.site9.com/z"></a></p>' AS html
+        | FROM dom d JOIN documents t USING (doc_id)),
+        |prs AS (SELECT doc_id, url,
+        |  unnest(regexp_extract_all(html, '<a [^>]*href="([^"]*)"[^>]*>([^<]*)</a>', 1)) AS href,
+        |  unnest(regexp_extract_all(html, '<a [^>]*href="([^"]*)"[^>]*>([^<]*)</a>', 2)) AS anchor
+        | FROM ah),
+        |pa AS (SELECT doc_id, url, anchor, lower(regexp_replace(regexp_extract(regexp_replace(
+        |    regexp_replace(trim(href), '#.*$$', ''),
+        |    '^[A-Za-z][A-Za-z0-9+.\\-]*://', ''), '^([^/?]*)', 1), '^[^@/]*@', '')) AS auth FROM prs),
+        |pa2 AS (SELECT doc_id, url, anchor, regexp_replace(auth, ':[0-9]+$$', '') AS host FROM pa),
+        |pa3 AS (SELECT doc_id, url, anchor, host, string_split(host, '.') AS ls, len(string_split(host, '.')) AS n FROM pa2),
+        |aex AS (SELECT doc_id, url, anchor,
+        |   CASE WHEN n <= 2 THEN host
+        |        WHEN list_contains($suffixListSql, ls[n-1] || '.' || ls[n]) THEN ls[n-2] || '.' || ls[n-1] || '.' || ls[n]
+        |        ELSE ls[n-1] || '.' || ls[n] END AS dst_domain FROM pa3
+        | ),
+        |ex AS (SELECT * FROM aex WHERE dst_domain <> '' AND anchor <> ''),
+        |ba AS (SELECT dst_domain, anchor, count(*) AS n FROM ex GROUP BY 1, 2),
+        |tp AS (SELECT dst_domain, anchor AS top_anchor, n AS top_anchor_n,
+        |  row_number() OVER (PARTITION BY dst_domain ORDER BY n DESC, anchor) AS rn FROM ba)
+        |SELECT e.dst_domain, CAST(count(*) AS BIGINT) AS n_anchors,
+        |  CAST(count(DISTINCT e.url) AS BIGINT) AS n_pages,
+        |  t.top_anchor, CAST(t.top_anchor_n AS BIGINT) AS top_anchor_n
+        |FROM ex e JOIN tp t ON e.dst_domain = t.dst_domain AND t.rn = 1
+        |GROUP BY 1, t.top_anchor, t.top_anchor_n
+        |ORDER BY 1""".stripMargin,
+    "q_url_blocklist" ->
+      // host suffixes generated from dot positions (list_filter over
+      // generate_series ≡ the Spark HOF chain), longest matching entry
+      // via arg_max (suffix lengths are strictly decreasing — unique)
+      s"""$urlDomainCtes,
+        |bl AS (SELECT unnest(['site3.com','www.site3.com','api.site7.io',
+        |   'news.site1.org','site5.co.uk','nohit.example']) AS entry),
+        |sf AS (SELECT doc_id, unnest(list_prepend(host,
+        |   list_transform(list_filter(generate_series(1, length(host)),
+        |     i -> substr(host, i, 1) = '.'),
+        |     p -> substr(host, p + 1, length(host))))) AS suf FROM dom),
+        |ht AS (SELECT s.doc_id, arg_max(s.suf, length(s.suf)) AS blocked_by
+        | FROM sf s JOIN bl b ON s.suf = b.entry GROUP BY s.doc_id)
+        |SELECT COALESCE(h.blocked_by, '') AS blocked_by,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM dom d LEFT JOIN ht h USING (doc_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_pagerank" ->
       // the link-graph CTEs feed the distinct domain edge set; then 8
       // unrolled fixed-point iterations — floor division on longs

@@ -343,4 +343,54 @@ object Domains {
         .floor(col("weight") * lit(1152921504606846976L)).cast("long"))
       .drop(hName)
   }
+
+  /** All dot-suffixes of a host, most-specific first:
+    * "a.b.c" → ["a.b.c", "b.c", "c"]. Built from character positions
+    * with codegen'd HOFs — deliberately NO `split`, which recompiles
+    * its Pattern per row (the round-12 registeredDomain finding), and
+    * no regex at all in this per-row path.
+    */
+  def hostSuffixes(host: Column): Column = {
+    val dots = filter(sequence(lit(1), length(host)),
+      i => host.substr(i, lit(1)) === ".")
+    concat(array(host),
+      transform(dots, p => host.substr(p + 1, length(host))))
+  }
+
+  /** URL blocklist screen — the UT1/"block these domains" move every
+    * web-corpus pipeline runs before quality gates. Matching is
+    * suffix-at-label-boundary: entry `site3.com` blocks host
+    * `site3.com` AND `www.site3.com`, never `notsite3.com`. Each host
+    * is charged to its MOST SPECIFIC (longest) matching entry — the
+    * standard allow/deny-list precedence — or '' when no entry
+    * matches.
+    *
+    * Returns `df` plus a `blocked_by` column (the matched entry, ''
+    * if kept); filter `blocked_by === ""` for the kept corpus.
+    *
+    * Scale shape: the host explodes to its ≤ label-count suffixes
+    * (bounded, tiny strings), the blocklist joins BROADCAST on suffix
+    * equality (a 500k-entry list is a few MB — never shuffle the
+    * corpus against it), hits aggregate map-combinably per row id,
+    * and only HITS come back through the final join. The corpus
+    * itself never shuffles when the optimizer broadcasts the hit side
+    * (hits ≪ corpus); worst case it shuffles once on `idCol`.
+    */
+  def blocklistScreen(df: DataFrame, idCol: String, hostCol: String,
+                      blocklist: DataFrame, entryCol: String): DataFrame = {
+    val sufName = fresh(df, "_suf")
+    val hits = df
+      .select(col(idCol),
+        explode(hostSuffixes(lower(col(hostCol)))).as(sufName))
+      .join(broadcast(blocklist.select(lower(col(entryCol)).as(sufName))),
+        sufName)
+      // a host's suffixes have strictly decreasing lengths, so the
+      // struct-max is unique — longest match wins, no tie possible
+      .groupBy(idCol)
+      .agg(max(struct(length(col(sufName)).as("l"), col(sufName).as("e")))
+        .as("_m"))
+      .select(col(idCol), col("_m.e").as("blocked_by"))
+    df.join(hits, Seq(idCol), "left")
+      .withColumn("blocked_by", coalesce(col("blocked_by"), lit("")))
+  }
 }

@@ -73,6 +73,58 @@ object Html {
   def hrefTargets(html: Column): Column =
     regexp_extract_all(html, lit("href=\"([^\"]*)\""), lit(1))
 
+  /** Simple-anchor (href, text) pairs of a document, in order — the
+    * anchor-text signal web curation aggregates per TARGET domain (a
+    * domain described by many independent pages as "official docs" vs
+    * "cheap pills" is the classic off-page quality prior; search
+    * stacks have used it since anchor-file BM25F).
+    *
+    * "Simple" is the contract: anchors whose text contains markup
+    * (`<a ...><b>bold</b></a>`) do NOT match `([^<]*)` and are
+    * excluded — by design, not accident (their text needs the full
+    * extractor; callers wanting it compose [[htmlToText]] over the
+    * anchor body). One cached two-group pattern, evaluated twice
+    * (group 1, group 2) and zipped positionally — both
+    * `regexp_extract_all` calls see the same match sequence, so the
+    * zip is exact. Map-only scalar work.
+    */
+  def anchorPairs(html: Column): Column = {
+    val re = lit("<a [^>]*href=\"([^\"]*)\"[^>]*>([^<]*)</a>")
+    arrays_zip(
+      regexp_extract_all(html, re, lit(1)).as("href"),
+      regexp_extract_all(html, re, lit(2)).as("anchor"))
+  }
+
+  /** Anchor-text rollup per target domain: for every domain linked by
+    * the corpus, the total anchor count, distinct linking pages, and
+    * the most frequent anchor text (ties → lexicographically first).
+    * Relative/markup/empty anchors drop ([[anchorPairs]] contract).
+    *
+    * Scale shape: explode per anchor, then two aggregations keyed by
+    * (domain, anchor) / domain — the shuffle carries anchor STRINGS
+    * and domains, never page bodies; the top-anchor pick is a
+    * map-combinable struct-min (no window, no per-group lists).
+    */
+  def domainAnchorText(df: DataFrame, urlCol: String, htmlCol: String): DataFrame = {
+    val ex = df
+      .select(col(urlCol).as("src_url"),
+        explode(anchorPairs(col(htmlCol))).as("a"))
+      .select(col("src_url"),
+        Domains.registeredDomain(Domains.hostOf(col("a.href"))).as("dst_domain"),
+        col("a.anchor").as("anchor"))
+      .where(col("dst_domain") =!= "" && col("anchor") =!= "")
+    val byAnchor = ex.groupBy("dst_domain", "anchor")
+      .agg(count(lit(1)).as("n"))
+    val top = byAnchor.groupBy("dst_domain")
+      .agg(min(struct((-col("n")).as("nn"), col("anchor"))).as("m"))
+      .select(col("dst_domain"),
+        col("m.anchor").as("top_anchor"), (-col("m.nn")).as("top_anchor_n"))
+    ex.groupBy("dst_domain")
+      .agg(count(lit(1)).as("n_anchors"),
+        countDistinct(col("src_url")).as("n_pages"))
+      .join(top, "dst_domain")
+  }
+
   /** Domain-level link graph: one row per (src_domain, dst_domain)
     * with the link count and distinct linking pages — the edge list a
     * crawl frontier or a domain-PageRank prior feeds on. `df` carries

@@ -208,4 +208,33 @@ class DomainsSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(s3 != s1, "seed must move the kept set")
   }
+
+  test("hostSuffixes: dot-position form, no split, degenerate hosts") {
+    val got = Seq("a.b.c", "x", "", ".y", "z.").toDF("h")
+      .select(col("h"), Domains.hostSuffixes(col("h")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(got("a.b.c") == Seq("a.b.c", "b.c", "c"))
+    assert(got("x") == Seq("x"))
+    assert(got("") == Seq(""))
+    assert(got(".y") == Seq(".y", "y")) // leading dot: suffix after it
+    assert(got("z.") == Seq("z.", "")) // trailing dot: empty suffix
+  }
+
+  test("blocklistScreen: label-boundary suffix match, most-specific entry wins") {
+    val docs = Seq(
+      (1L, "www.site3.com"),   // matches site3.com AND www.site3.com
+      (2L, "news.site3.com"),  // matches site3.com only
+      (3L, "notsite3.com"),    // must NOT match (label boundary)
+      (4L, "API.Site7.io"),    // case-folds, exact entry
+      (5L, "x.api.site7.io"),  // subdomain of a 3-label entry
+      (6L, "site9.org")        // kept
+    ).toDF("id", "host")
+    val blk = Seq("site3.com", "www.site3.com", "api.site7.io")
+      .toDF("entry")
+    val got = Domains.blocklistScreen(docs, "id", "host", blk, "entry")
+      .select("id", "blocked_by")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "www.site3.com", 2L -> "site3.com",
+      3L -> "", 4L -> "api.site7.io", 5L -> "api.site7.io", 6L -> ""))
+  }
 }

@@ -141,4 +141,44 @@ class HtmlSpec extends SparkSpec {
       ("example.com", "example.com", 1L, 1L), // img.example.com rolls up
       ("example.com", "other.org", 3L, 2L)))
   }
+
+  test("anchorPairs: simple anchors only; markup/relative/empty handling") {
+    val html =
+      """<a href="https://a.com/x">Docs</a> <a class="m" href="https://b.org">B page</a>
+        |<a href="/rel">rel text</a> <a href="https://c.io"><b>bold</b></a>
+        |<a href="https://d.net"></a> <a>no href</a>""".stripMargin
+    val got = Seq(html).toDF("h")
+      .select(explode(Html.anchorPairs(col("h"))).as("p"))
+      .select("p.href", "p.anchor")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    // markup-bodied anchor excluded (([^<]*) can't span <b>), no-href
+    // anchor excluded; relative href and empty anchor text COME OUT
+    // (callers filter) — the pairs stay positionally zipped
+    assert(got == Seq(
+      ("https://a.com/x", "Docs"),
+      ("https://b.org", "B page"),
+      ("/rel", "rel text"),
+      ("https://d.net", "")))
+  }
+
+  test("domainAnchorText: per-target rollup, top anchor by count then lexicographic") {
+    val pages = Seq(
+      ("https://s1.com/a",
+       """<a href="https://t.org/1">Official docs</a> <a href="https://t.org/2">Official docs</a>
+         |<a href="https://u.io">Alpha</a>""".stripMargin),
+      ("https://s2.com/b",
+       """<a href="https://t.org/3">API ref</a> <a href="https://www.u.io">Alpha</a>
+         |<a href="/rel">skip</a> <a href="https://t.org/4"></a>""".stripMargin)
+    ).toDF("url", "html")
+    val got = Html.domainAnchorText(pages, "url", "html")
+      .orderBy("dst_domain")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4))).toSeq
+    // t.org: 3 anchors from 2 pages, "Official docs" ×2 tops "API ref";
+    // u.io: www. rolls up to the registered domain, tie 1-1 → "Alpha"
+    // is its only anchor
+    assert(got == Seq(
+      ("t.org", 3L, 2L, "Official docs", 2L),
+      ("u.io", 2L, 2L, "Alpha", 2L)))
+  }
 }
