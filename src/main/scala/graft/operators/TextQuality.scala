@@ -763,7 +763,18 @@ object TextQuality {
   def ccnetBuckets(scored: DataFrame, langCol: String, idCol: String,
                    scoreCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val s = scored.filter(col(scoreCol).isNotNull)
+    // `scored` is typically a whole LM-scoring pipeline, and this
+    // operator fans it into three consumers (the count frame and both
+    // join sides) — materialize it ONCE behind a checkpoint (reliable
+    // when the session has a checkpoint dir, executor-local otherwise;
+    // the Graph convention). Before this, the q_ccnet_buckets plan
+    // re-evaluated the scorer per consumer: 41 parquet scans, zero
+    // reuse.
+    val reliable =
+      scored.sparkSession.sparkContext.getCheckpointDir.isDefined
+    val s0 = scored.filter(col(scoreCol).isNotNull)
+    val s = if (reliable) s0.checkpoint(eager = true)
+            else s0.localCheckpoint(eager = true)
     val g = s.groupBy(langCol, scoreCol).agg(count(lit(1)).as("_c"))
     // scores are distinct within (lang) after the groupBy, so the
     // RANGE-framed running sum equals a ROWS frame
