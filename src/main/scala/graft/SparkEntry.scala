@@ -1221,6 +1221,37 @@ object SparkEntry {
         "vec_id", "embedding", m = 8, dim = 64, k = 5)
         .orderBy("query_id", "rank")
     }),
+    "q_random_proj" -> ((s, d) => {
+      // JL ±1 random projection 64→8: the md5-derived sign matrix is
+      // re-derived by the oracle (never trusted as a table); each
+      // component is the native sequential dot fold, so raw doubles
+      // match cross-engine (the q_ann_topk convention)
+      val p = Similarity.randomProject(Tables.embeddings(s, d),
+        "vec_id", "embedding", inDim = 64, outDim = 8)
+      p.select(col("vec_id") +:
+          (1 to 8).map(j => element_at(col("proj"), j).as(s"p$j")): _*)
+        .orderBy("vec_id")
+    }),
+    "q_rp_recall" -> ((s, d) => {
+      // the JL payoff measured, never assumed: top-5 recall of
+      // brute-force search in the 8-dim projected space vs exact
+      // 64-dim truth — the q_ann_pq_recall recipe over randomProject
+      val e = Tables.embeddings(s, d)
+      val q10 = e.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(e, q10, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("_e"))
+      val pc = Similarity.randomProject(e, "vec_id", "embedding",
+        inDim = 64, outDim = 8)
+      val approx = Similarity.bruteForceTopK(
+          pc, pc.filter(col("vec_id") < 10), "vec_id", "proj", k = 5)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("_p"))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "full_outer")
+        .agg(count(col("_e")).as("n_exact"), count(col("_p")).as("n_proj"),
+          count(when(col("_e").isNotNull && col("_p").isNotNull, 1)).as("n_hit"))
+        .select(col("n_exact"), col("n_proj"), col("n_hit"),
+          when(col("n_exact") > 0,
+            col("n_hit").cast("double") / col("n_exact")).as("recall"))
+    }),
     "q_ann_pq_recall" -> ((s, d) => {
       // the PQ recall report vs exact brute-force truth — the same
       // measure-don't-assume discipline as q_embed_recall: ADC scores
@@ -4292,6 +4323,53 @@ object SparkEntry {
         | CAST(ntile(4) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS quartile
         |FROM orders QUALIFY rnk <= 20
         |ORDER BY o_orderpriority, rnk, o_orderkey""".stripMargin,
+    "q_random_proj" ->
+      // the sign matrix re-derived cell by cell from md5 parity inside
+      // a nested lambda; the projection is the same left fold as the
+      // native dot (0-init vs first-element-init agree exactly — the
+      // q_ann_topk raw-double convention)
+      """WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |p AS (SELECT vec_id, list_transform(generate_series(1, 8), j ->
+        |  list_reduce(list_transform(generate_series(1, 64), i ->
+        |    e[i] * (CASE WHEN ('0x'||substr(md5(CAST(i AS VARCHAR)||':'||CAST(j AS VARCHAR)||':rp'),1,1))::BIGINT % 2 = 0
+        |            THEN 1.0 ELSE -1.0 END)), (a,b) -> a + b)) AS pr
+        | FROM e0)
+        |SELECT vec_id, pr[1] AS p1, pr[2] AS p2, pr[3] AS p3, pr[4] AS p4,
+        |  pr[5] AS p5, pr[6] AS p6, pr[7] AS p7, pr[8] AS p8
+        |FROM p ORDER BY vec_id""".stripMargin,
+    "q_rp_recall" ->
+      // both searches replayed with the q_ann_topk normalize/top-k
+      // CTEs — exact over the raw 64-dim vectors, approximate over the
+      // re-derived 8-dim projections — then the recall overlap
+      """WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |p AS (SELECT vec_id, list_transform(generate_series(1, 8), j ->
+        |  list_reduce(list_transform(generate_series(1, 64), i ->
+        |    e[i] * (CASE WHEN ('0x'||substr(md5(CAST(i AS VARCHAR)||':'||CAST(j AS VARCHAR)||':rp'),1,1))::BIGINT % 2 = 0
+        |            THEN 1.0 ELSE -1.0 END)), (a,b) -> a + b)) AS e
+        | FROM e0),
+        |eq AS (SELECT vec_id qid, list_transform(e,
+        |  x -> x / sqrt(list_reduce(list_transform(e, y->y*y),(a,b)->a+b))) AS v FROM e0 WHERE vec_id<10),
+        |ec AS (SELECT vec_id nid, list_transform(e,
+        |  x -> x / sqrt(list_reduce(list_transform(e, y->y*y),(a,b)->a+b))) AS v FROM e0),
+        |es AS (SELECT qid, nid, list_reduce(list_transform(list_zip(eq.v, ec.v), x -> x[1]*x[2]), (a,b)->a+b) AS sim
+        | FROM eq, ec WHERE qid<>nid),
+        |er AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM es),
+        |pq AS (SELECT vec_id qid, list_transform(e,
+        |  x -> x / sqrt(list_reduce(list_transform(e, y->y*y),(a,b)->a+b))) AS v FROM p WHERE vec_id<10),
+        |pc AS (SELECT vec_id nid, list_transform(e,
+        |  x -> x / sqrt(list_reduce(list_transform(e, y->y*y),(a,b)->a+b))) AS v FROM p),
+        |ps AS (SELECT qid, nid, list_reduce(list_transform(list_zip(pq.v, pc.v), x -> x[1]*x[2]), (a,b)->a+b) AS sim
+        | FROM pq, pc WHERE qid<>nid),
+        |prr AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM ps),
+        |ee AS (SELECT qid, nid, 1 AS fe FROM er WHERE rank<=5),
+        |pp AS (SELECT qid, nid, 1 AS fp FROM prr WHERE rank<=5)
+        |SELECT CAST(count(fe) AS BIGINT) AS n_exact,
+        |  CAST(count(fp) AS BIGINT) AS n_proj,
+        |  CAST(count(CASE WHEN fe IS NOT NULL AND fp IS NOT NULL THEN 1 END) AS BIGINT) AS n_hit,
+        |  CASE WHEN count(fe) > 0
+        |    THEN CAST(count(CASE WHEN fe IS NOT NULL AND fp IS NOT NULL THEN 1 END) AS DOUBLE) / count(fe)
+        |  END AS recall
+        |FROM ee FULL OUTER JOIN pp USING (qid, nid)""".stripMargin,
     "q_ann_topk" ->
       """WITH q0 AS (SELECT vec_id qid, embedding::DOUBLE[] qe FROM embeddings WHERE vec_id<10),
         |c0 AS (SELECT vec_id nid, embedding::DOUBLE[] ce FROM embeddings),

@@ -60,6 +60,49 @@ object Similarity {
       .select(col(idAs), transform(col("_v"),
         x => coalesce(try_divide(x, col("_n")), lit(0.0))).as(vecAs))
 
+  /** md5-derived ±1 sign for matrix cell (i, j) under `seed`: parity of
+    * the first hex digit of md5("i:j:seed"), 1-based indices — the rule
+    * the q_random_proj oracle re-derives in SQL.
+    */
+  private def rpSign(i: Int, j: Int, seed: String): Double = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$i:$j:$seed".getBytes("UTF-8"))
+    if (((h(0) >> 4) & 0xF) % 2 == 0) 1.0 else -1.0
+  }
+
+  /** Deterministic ±1 random projection (Johnson–Lindenstrauss with an
+    * Achlioptas sign matrix): proj_j(v) = Σ_i v_i · s(i, j), s(i, j)
+    * from [[rpSign]]. The matrix is data-independent and DERIVED from
+    * md5, so the oracle re-computes it in SQL rather than trusting an
+    * embedded table; each proj_j is the native [[dot]] sequential fold,
+    * bit-identical to any engine's left fold over the same index order
+    * (the q_ann_topk raw-double convention).
+    *
+    * The corpus-scale move this enables: a float embedding store
+    * shrinks inDim/outDim-fold BEFORE candidate generation — map-only,
+    * no shuffle, and the output is an ordinary (id, vec) frame, so
+    * every ANN operator here composes with it unchanged. JL preserves
+    * distances in expectation only; MEASURE the retrieval cost with
+    * the q_rp_recall report, never assume it.
+    *
+    * `inDim` is asserted in-plan per row: zip_with would otherwise
+    * silently null-pad a short vector or drop a long one's tail.
+    */
+  def randomProject(df: DataFrame, idCol: String, vecCol: String,
+                    inDim: Int, outDim: Int, seed: String = "rp"): DataFrame = {
+    require(inDim > 0 && outDim > 0,
+      s"randomProject: dims must be positive, got $inDim -> $outDim")
+    val v = asDouble(col(vecCol))
+    val proj = array((1 to outDim).map { j =>
+      val signs = array((1 to inDim).map(i => lit(rpSign(i, j, seed))): _*)
+      dot(v, signs)
+    }: _*)
+    df.select(col(idCol), proj.as("proj"),
+        assert_true(size(col(vecCol)) === inDim,
+          lit(s"randomProject: input vector dimension != $inDim")).as("_ck"))
+      .filter(col("_ck").isNull).drop("_ck")
+  }
+
   /** Exact top-k cosine neighbors for each query vector.
     * `queries`/`corpus`: (idCol, vecCol). Self-matches excluded.
     */

@@ -107,4 +107,34 @@ class SemanticDedupSpec extends SparkSpec {
     assert(Similarity.semanticDedup(corpus, "vec_id", "embedding", none, 0.9).isEmpty)
     assert(Similarity.hashSeedCentroids(none, "vec_id", "embedding", 3).isEmpty)
   }
+
+  test("randomProject: linear, seed-sensitive, deterministic, dim-guarded") {
+    val rnd = new scala.util.Random(7)
+    val data = (1L to 40L).map(i => i -> Seq.fill(6)(rnd.nextGaussian()))
+    val df = data.toDF("vec_id", "embedding")
+    def proj(seed: String) =
+      Similarity.randomProject(df, "vec_id", "embedding", 6, 3, seed)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val p1 = proj("rp"); val p2 = proj("rp"); val p3 = proj("other")
+    assert(p1 == p2, "same seed must reproduce bit-identically")
+    assert(p1 != p3, "seed must move the matrix")
+    assert(p1.values.forall(_.size == 3))
+    // the map IS linear: proj(a) + proj(b) == proj(a + b) up to fold
+    // order (same order here — exact). Verify on two concrete rows.
+    val a = data(0)._2; val b = data(1)._2
+    val sum = a.zip(b).map { case (x, y) => x + y }
+    val pSum = Similarity.randomProject(
+        Seq(9L -> sum).toDF("vec_id", "embedding"), "vec_id", "embedding", 6, 3)
+      .collect().head.getSeq[Double](1)
+    val manual = pSum.indices.map(j => p1(1L)(j) + p1(2L)(j))
+    assert(pSum.zip(manual).forall { case (x, y) => math.abs(x - y) < 1e-9 })
+    // wrong declared inDim fails loudly in-plan, never pads silently
+    val ex = intercept[Exception] {
+      Similarity.randomProject(df, "vec_id", "embedding", 7, 3).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("input vector dimension")), ex.toString)
+  }
 }
