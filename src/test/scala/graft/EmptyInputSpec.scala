@@ -199,4 +199,27 @@ class EmptyInputSpec extends SparkSpec {
     assert(graft.streaming.CorpusStream
       .nearDupScreenStateful(noDocs).isEmpty)
   }
+
+  test("round-12 session-5 additions on zero rows") {
+    val noEdges = Seq.empty[(String, String)].toDF("s", "t")
+    val pr = Graph.pageRank(noEdges, "s", "t")
+    assert(pr.isEmpty && pr.columns.toSeq == Seq("node", "rank_fp"))
+    val noPages = Seq.empty[(String, String)].toDF("url", "html")
+    assert(Html.domainAnchorText(noPages, "url", "html").isEmpty)
+    assert(Html.anchorPairs(lit("")) != null) // scalar; covered via frame:
+    assert(noPages.select(Html.anchorPairs(col("html"))).isEmpty)
+    val noHosts = Seq.empty[(Long, String)].toDF("id", "host")
+    val blk = Seq("x.com").toDF("entry")
+    assert(Domains.blocklistScreen(noHosts, "id", "host", blk, "entry").isEmpty)
+    // empty BLOCKLIST: everything kept with blocked_by ''
+    val hosts = Seq((1L, "a.com")).toDF("id", "host")
+    val noBlk = Seq.empty[String].toDF("entry")
+    val kept = Domains.blocklistScreen(hosts, "id", "host", noBlk, "entry")
+      .select("id", "blocked_by")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(kept == Map(1L -> ""))
+    val noVecs = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "embedding")
+    val rp = Similarity.randomProject(noVecs, "vec_id", "embedding", 4, 2)
+    assert(rp.isEmpty && rp.columns.toSeq == Seq("vec_id", "proj"))
+  }
 }

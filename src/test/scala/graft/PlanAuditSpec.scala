@@ -698,4 +698,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(pre.contains("LeftAnti") && pre.contains("BroadcastHashJoin"),
       s"hot cap should be a broadcast anti join:\n$pre")
   }
+
+  test("q_url_blocklist: blocklist side broadcast — the corpus never shuffles against the list") {
+    // pre-AQE plan: the suffix-equality join must be a broadcast hash
+    // join with the ENTRY side built, and never a nested loop
+    val pre = q("q_url_blocklist").queryExecution.sparkPlan.toString
+    assert(pre.contains("BroadcastHashJoin"),
+      s"blocklist join must broadcast the entry list:\n$pre")
+    assert(!pre.contains("BroadcastNestedLoopJoin") &&
+      !pre.contains("CartesianProduct"),
+      s"suffix match degenerated to all-pairs:\n$pre")
+  }
+
+  test("q_anchor_text: rollups are hash aggregates, no SinglePartition funnel, no cartesian") {
+    val p = plan(q("q_anchor_text"))
+    assert(p.contains("HashAggregate"), "anchor rollup lost partial aggregation")
+    assert(!p.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+      s"top-anchor pick funneled to one partition:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in anchor rollup:\n$p")
+  }
+
+  test("q_random_proj: projection is pure map work — zero exchanges beyond the output sort") {
+    val p = plan(q("q_random_proj"))
+    // formatted output repeats each node in the details section —
+    // count NODES ("(n) Exchange"), not string hits
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    // exactly the final orderBy's range exchange; the projection itself
+    // must add none (map-only dot folds)
+    assert(exchanges <= 1, s"projection added shuffles:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
