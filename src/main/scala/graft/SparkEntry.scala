@@ -1969,6 +1969,34 @@ object SparkEntry {
         .groupBy("blocked_by").agg(count(lit(1)).as("n_docs"))
         .orderBy("blocked_by")
     }),
+    "q_domain_tiered_cap" -> ((s, d) => {
+      // the capstone of the domain family: PageRank authority over the
+      // extracted link graph sets a PER-DOMAIN document budget
+      // (high-authority domains keep 120, the rest 40, unranked 60),
+      // enforced by the md5-deterministic cap — every stage replays
+      // exactly in the oracle (fixed-point ranks, integer tiers,
+      // md5-order keep sets)
+      val pages = Tables.documents(s, d).select(col("doc_id"))
+        .withColumn("url", synthUrl(col("doc_id")))
+        .withColumn("html", linkHtml(col("doc_id")))
+      val pr = Graph.pageRank(
+        Html.domainLinkGraph(pages, "url", "html")
+          .select(col("src_domain"), col("dst_domain")),
+        "src_domain", "dst_domain", iters = 8)
+      val caps = pr.select(col("node").as("cap_domain"),
+        when(col("rank_fp") >= lit(1000000000L), lit(120))
+          .otherwise(lit(40)).as("k"))
+      Domains.domainCapTiered(
+          Tables.documents(s, d).select(col("doc_id"))
+            .withColumn("url", synthUrl(col("doc_id"))),
+          "url", "doc_id", caps, "cap_domain", "k", defaultK = 60)
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_kept"))
+        .join(caps.withColumnRenamed("cap_domain", "domain"), Seq("domain"), "left")
+        .select(col("domain"), coalesce(col("k"), lit(60)).as("k_cap"),
+          col("n_kept"))
+        .orderBy("domain")
+    }),
     "q_pagerank" -> ((s, d) =>
       // domain authority over the extracted link graph: fixed-point
       // PageRank (scaled longs, floor division, dangling mass dropped)
@@ -3099,6 +3127,27 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_docs
         |FROM dom d LEFT JOIN ht h USING (doc_id)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_domain_tiered_cap" ->
+      // PageRank replayed (same unrolled CTEs), integer tier caps,
+      // then the md5-order cap replay with a per-domain k and the
+      // defaultK fallback for unranked domains
+      s"""$linkGraphCtes,
+        |edges AS (SELECT DISTINCT d.domain AS src, t.dst_domain AS dst
+        |  FROM dom d JOIN dstd t USING (doc_id) WHERE t.dst_domain <> ''),
+        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |outd AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+        |prr0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nodes),
+        |$pageRankIterSql,
+        |caps AS (SELECT node AS cdom,
+        |  CASE WHEN r >= 1000000000 THEN 120 ELSE 40 END AS k FROM prr8),
+        |capk AS (SELECT d.doc_id, d.domain, COALESCE(c.k, 60) AS k,
+        |  md5(CAST(d.doc_id AS VARCHAR)) AS o
+        | FROM dom d LEFT JOIN caps c ON d.domain = c.cdom),
+        |rn AS (SELECT *, row_number() OVER (PARTITION BY domain ORDER BY o, doc_id) AS rn FROM capk),
+        |kept AS (SELECT * FROM rn WHERE rn <= k)
+        |SELECT domain, CAST(max(k) AS INT) AS k_cap,
+        |  CAST(count(*) AS BIGINT) AS n_kept
+        |FROM kept GROUP BY domain ORDER BY domain""".stripMargin,
     "q_pagerank" ->
       // the link-graph CTEs feed the distinct domain edge set; then 8
       // unrolled fixed-point iterations — floor division on longs

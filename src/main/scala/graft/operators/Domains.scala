@@ -212,6 +212,69 @@ object Domains {
       .drop(rnName, ordName)
   }
 
+  /** [[domainCap]] with a PER-DOMAIN budget — the authority-tiered
+    * form of the cap: reputable domains keep more documents than
+    * anonymous ones (RefinedWeb-style curation sets the budget from a
+    * domain prior; the natural feed here is a [[Graph.pageRank]] tier
+    * over [[Html.domainLinkGraph]], or [[domainQualityRollup]] means).
+    *
+    * `caps` is a (capDomainCol, kCol: int) table — one row per domain,
+    * duplicates refused loudly (lazy in-plan assert, the
+    * [[Joins.upsert]] discipline); domains absent from `caps` fall to
+    * `defaultK`. Keep rule per domain is [[domainCap]]'s exactly: the
+    * k(domain) md5-smallest ids, so the kept set replays in any
+    * engine. The salted two-phase form stays correct with a per-domain
+    * k because k is constant WITHIN each window partition — each salt
+    * bucket over-keeps its own top-k(domain), and the final window
+    * takes the true top-k(domain) of the union.
+    *
+    * Scale shape: one corpus shuffle on domain (the window the fixed-k
+    * cap already pays); the caps table joins on the same key — at
+    * domain-table size it broadcasts, and even shuffled it
+    * co-partitions with the window exchange.
+    */
+  def domainCapTiered(df: DataFrame, urlCol: String, idCol: String,
+                      caps: DataFrame, capDomainCol: String, kCol: String,
+                      defaultK: Int, salt: Int = 1,
+                      domainOut: String = "domain"): DataFrame = {
+    require(defaultK > 0, "domainCapTiered: defaultK must be positive")
+    require(salt > 0, "domainCapTiered: salt must be positive")
+    require(!df.columns.contains(domainOut),
+      s"domainCapTiered: output column '$domainOut' already exists on " +
+        "the input — pass a different domainOut")
+    val ordName = fresh(df, "_dc_ord")
+    val rn1Name = fresh(df, "_dc_rn1")
+    val rnName = fresh(df, "_dc_rn")
+    val kName = fresh(df, "_dc_k")
+    val chkName = fresh(df, "_dc_chk")
+    val capW = Window.partitionBy(col(domainOut))
+    val capsOne = caps
+      .select(col(capDomainCol).as(domainOut), col(kCol).cast("int").as(kName))
+      .withColumn(chkName, assert_true(count(lit(1)).over(capW) === 1,
+        lit("domainCapTiered: duplicate domains in the caps table")))
+      .filter(col(chkName).isNull).drop(chkName)
+    val withDom = df
+      .withColumn(domainOut, registeredDomain(hostOf(col(urlCol))))
+      .withColumn(ordName, md5(col(idCol).cast("string")))
+      .join(capsOne, Seq(domainOut), "left")
+      .withColumn(kName, coalesce(col(kName), lit(defaultK)))
+    val phase1 =
+      if (salt <= 1) withDom
+      else {
+        val bucket = pmod(
+          conv(substring(col(ordName), 1, 4), 16, 10).cast("long"), lit(salt))
+        val w1 = Window.partitionBy(col(domainOut), bucket)
+          .orderBy(col(ordName), col(idCol))
+        withDom.withColumn(rn1Name, row_number().over(w1))
+          .filter(col(rn1Name) <= col(kName)).drop(rn1Name)
+      }
+    val w = Window.partitionBy(col(domainOut))
+      .orderBy(col(ordName), col(idCol))
+    phase1.withColumn(rnName, row_number().over(w))
+      .filter(col(rnName) <= col(kName))
+      .drop(rnName, ordName, kName)
+  }
+
   /** Per-domain quality rollup — the aggregate that turns the
     * document-level [[TextQuality.hashedLinearScore]] gate into
     * domain-level PRIORS (docs per domain, keep rate, mean score):

@@ -209,6 +209,35 @@ class DomainsSpec extends SparkSpec {
     assert(s3 != s1, "seed must move the kept set")
   }
 
+  test("domainCapTiered: per-domain budget, defaultK fallback, salted ≡ unsalted, dup caps refused") {
+    // 30 docs on a.com, 30 on b.org, 10 on c.io (no cap row → defaultK)
+    val docs = ((1L to 30L).map(i => (i, s"https://a.com/$i")) ++
+      (31L to 60L).map(i => (i, s"https://b.org/$i")) ++
+      (61L to 70L).map(i => (i, s"https://c.io/$i"))).toDF("id", "url")
+    val caps = Seq(("a.com", 25), ("b.org", 5)).toDF("dom", "k")
+    val kept = Domains.domainCapTiered(docs, "url", "id", caps, "dom", "k",
+        defaultK = 7)
+      .groupBy("domain").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept == Map("a.com" -> 25L, "b.org" -> 5L, "c.io" -> 7L))
+    // salted two-phase keeps the IDENTICAL set (not just identical counts)
+    val ids = Domains.domainCapTiered(docs, "url", "id", caps, "dom", "k", 7)
+      .select("id").as[Long].collect().toSet
+    val idsSalted = Domains.domainCapTiered(docs, "url", "id", caps, "dom",
+        "k", 7, salt = 4)
+      .select("id").as[Long].collect().toSet
+    assert(idsSalted == ids, "salted phase changed the kept set")
+    // duplicate cap rows fail loudly at execution
+    val dup = Seq(("a.com", 5), ("a.com", 9)).toDF("dom", "k")
+    val ex = intercept[Exception] {
+      Domains.domainCapTiered(docs, "url", "id", dup, "dom", "k", 7).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("duplicate domains")), ex.toString)
+  }
+
   test("hostSuffixes: dot-position form, no split, degenerate hosts") {
     val got = Seq("a.b.c", "x", "", ".y", "z.").toDF("h")
       .select(col("h"), Domains.hostSuffixes(col("h")).as("s"))
