@@ -1969,6 +1969,24 @@ object SparkEntry {
         .groupBy("blocked_by").agg(count(lit(1)).as("n_docs"))
         .orderBy("blocked_by")
     }),
+    "q_pagerank_resume" -> ((s, d) => {
+      // the daily-drop shape pinned exactly: 5 uniform-start rounds,
+      // persisted, then 3 WARM-START rounds over the same edges — must
+      // equal the 8-round recursion long-for-long, which is exactly
+      // what the oracle replays (the identical unrolled SQL as
+      // q_pagerank)
+      val edges = Html.domainLinkGraph(
+          Tables.documents(s, d).select(col("doc_id"))
+            .withColumn("url", synthUrl(col("doc_id")))
+            .withColumn("html", linkHtml(col("doc_id"))),
+          "url", "html")
+        .select(col("src_domain"), col("dst_domain"))
+      val warm = Graph.pageRank(edges, "src_domain", "dst_domain", iters = 5)
+      Graph.pageRankResume(edges, "src_domain", "dst_domain",
+          warm, "node", "rank_fp", iters = 3)
+        .select(col("node").as("domain"), col("rank_fp"))
+        .orderBy(col("rank_fp").desc, col("domain"))
+    }),
     "q_domain_tiered_cap" -> ((s, d) => {
       // the capstone of the domain family: PageRank authority over the
       // extracted link graph sets a PER-DOMAIN document budget
@@ -2348,6 +2366,22 @@ object SparkEntry {
       |   CASE WHEN n <= 2 THEN host
       |        WHEN list_contains($suffixListSql, ls[n-1] || '.' || ls[n]) THEN ls[n-2] || '.' || ls[n-1] || '.' || ls[n]
       |        ELSE ls[n-1] || '.' || ls[n] END AS dst_domain FROM dd)""".stripMargin
+
+  /** The full q_pagerank/q_pagerank_resume oracle: distinct domain
+    * edges from the link-graph CTEs, then the 8-round unrolled
+    * recursion. The resume query shares it verbatim — warm start over
+    * unchanged edges IS the continued recursion.
+    */
+  private lazy val pageRankOracleSql: String =
+    s"""$linkGraphCtes,
+      |edges AS (SELECT DISTINCT d.domain AS src, t.dst_domain AS dst
+      |  FROM dom d JOIN dstd t USING (doc_id) WHERE t.dst_domain <> ''),
+      |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+      |outd AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+      |prr0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nodes),
+      |$pageRankIterSql
+      |SELECT node AS domain, r AS rank_fp FROM prr8
+      |ORDER BY rank_fp DESC, domain""".stripMargin
 
   /** The q_pagerank oracle's 8 unrolled fixed-point iterations (CTEs
     * prc1/prr1 … prc8/prr8 over `edges`/`nodes`/`outd`/`r0`) — the same
@@ -3154,15 +3188,11 @@ object SparkEntry {
       // (DuckDB `//` ≡ Spark DIV on non-negatives), teleport
       // 0.15·scale, damping 85/100, dangling mass dropped. Bit-exact
       // by construction: no float touches the recursion
-      s"""$linkGraphCtes,
-        |edges AS (SELECT DISTINCT d.domain AS src, t.dst_domain AS dst
-        |  FROM dom d JOIN dstd t USING (doc_id) WHERE t.dst_domain <> ''),
-        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
-        |outd AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
-        |prr0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nodes),
-        |$pageRankIterSql
-        |SELECT node AS domain, r AS rank_fp FROM prr8
-        |ORDER BY rank_fp DESC, domain""".stripMargin,
+      pageRankOracleSql,
+    "q_pagerank_resume" ->
+      // warm start over the SAME edges is exactly the continued
+      // recursion — the oracle is the identical 8-round unrolled SQL
+      pageRankOracleSql,
     "q_dup_spans" ->
       // winnowing replayed list-for-list: per-position 60-bit md5 gram
       // hashes, per-window list_min with FIRST-occurrence position

@@ -165,12 +165,13 @@ class GraphSpec extends SparkSpec {
     * truth the distributed operator must match long-for-long.
     */
   private def prRef(edges: Seq[(String, String)], iters: Int,
-                    scale: Long): Map[String, Long] = {
+                    scale: Long,
+                    init: Map[String, Long] = Map.empty): Map[String, Long] = {
     val e = edges.distinct
     val nodes = e.flatMap(p => Seq(p._1, p._2)).distinct
     val od = e.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
     val teleport = scale / 100 * 15
-    var r = nodes.map(_ -> scale).toMap
+    var r = nodes.map(n => n -> init.getOrElse(n, scale)).toMap
     for (_ <- 1 to iters) {
       val contribs = e.groupBy(_._2).map { case (t, es) =>
         t -> es.map(p => r(p._1) * 85 / (100 * od(p._1))).sum
@@ -210,6 +211,31 @@ class GraphSpec extends SparkSpec {
     assert(pr(raw, 8, threshold = 0L) == want)
     // mass only shrinks: total ≤ N·scale
     assert(got.values.sum <= got.size * 1000000L)
+  }
+
+  test("pageRankResume: warm start == continued recursion; new nodes enter at scale") {
+    val raw = (0 until 40).map(i =>
+      (s"n${i % 7}", s"n${(i * 3 + 1) % 9}")) ++
+      Seq(("n1", "n1"), ("hub", "n0"), ("n0", "sink"))
+    val edgesDf = raw.toDF("s", "t")
+    def resume(init: org.apache.spark.sql.DataFrame, iters: Int,
+               threshold: Long) =
+      Graph.pageRankResume(edgesDf, "s", "t", init, "node", "rank_fp",
+          iters, 1000000L, smallGraphThreshold = threshold)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val warm5 = Graph.pageRank(edgesDf, "s", "t", 5, 1000000L)
+    val full8 = prRef(raw, 8, 1000000L)
+    // both execution paths continue the recursion long-for-long
+    assert(resume(warm5, 3, 1L << 20) == full8)
+    assert(resume(warm5, 3, 0L) == full8)
+    // a node absent from init (fresh domain in today's crawl) starts
+    // at `scale` — the reference replay with a partial init agrees
+    val partial = Seq(("n0", 123456L), ("hub", 500000L))
+      .toDF("node", "rank_fp")
+    val want = prRef(raw, 2, 1000000L,
+      init = Map("n0" -> 123456L, "hub" -> 500000L))
+    assert(resume(partial, 2, 1L << 20) == want)
+    assert(resume(partial, 2, 0L) == want)
   }
 
   test("pageRank overflow guard fails loudly, bad scale refused eagerly") {
