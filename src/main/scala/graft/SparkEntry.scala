@@ -1660,6 +1660,21 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 0), "text", "doc_id")
         .orderBy("doc_id")
     }),
+    "q_score_agreement" -> ((s, d) => {
+      // do the two quality signals rank the corpus the same way?
+      // Spearman over ROW ranks (value, doc_id total order): Σd² is an
+      // exact integer cross-engine, the only IEEE op is the final ρ —
+      // rank correlation is the portable agreement metric where
+      // Pearson's float sums are not
+      val docs = Tables.documents(s, d)
+      val cls = TextQuality.hashedLinearScore(docs, "text", "doc_id")
+        .select(col("doc_id"), col("score"))
+      val lm = TextQuality.bigramLmScore(
+          docs, docs.filter(col("doc_id") % 2 === 0), "text", "doc_id")
+        .select(col("doc_id"), col("avg_logprob"))
+      Aggs.spearmanRank(cls.join(lm, Seq("doc_id")),
+        "doc_id", "score", "avg_logprob")
+    }),
     "q_quality_classifier" -> ((s, d) =>
       // fastText-shaped model-based gate: unigram+bigram hashing trick
       // into 4096 buckets, deterministic centered integer weights
@@ -2926,6 +2941,42 @@ object SparkEntry {
         | CAST(s.slp AS DOUBLE)/s.n_bigrams AS avg_logprob
         |FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 2 = 1) d
         |LEFT JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q_score_agreement" ->
+      // both score replays composed (LM ref = even ids, target = ALL
+      // docs; classifier over all docs), then row ranks under the
+      // (value, doc_id) total order and the exact-integer Σd²; ρ is
+      // one IEEE expression over exact operands
+      """WITH tw AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+        |rp AS (SELECT unnest([ws[i]||' '||ws[i+1] for i in range(1, len(ws))]) AS bg
+        |  FROM tw WHERE doc_id % 2 = 0),
+        |c12 AS (SELECT bg, count(*) AS c12 FROM rp GROUP BY bg),
+        |heads AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+        |vocab AS (SELECT count(DISTINCT w) AS v FROM (
+        |  SELECT split_part(bg,' ',1) AS w FROM c12 UNION SELECT split_part(bg,' ',2) AS w FROM c12)),
+        |tp AS (SELECT doc_id, unnest([ws[i]||' '||ws[i+1] for i in range(1, len(ws))]) AS bg
+        |  FROM tw),
+        |j AS (SELECT t.doc_id,
+        |   CAST(round(ln(CAST(coalesce(c.c12,0)+1 AS DOUBLE)/(coalesce(h.c1,0)+1*v.v)), 9) AS DECIMAL(28,9)) AS lp
+        |  FROM tp t LEFT JOIN c12 c USING (bg)
+        |  LEFT JOIN heads h ON split_part(t.bg,' ',1)=h.w1 CROSS JOIN vocab v),
+        |sagg AS (SELECT doc_id, count(*) AS n_bigrams, sum(lp) AS slp FROM j GROUP BY doc_id),
+        |lmv AS (SELECT doc_id, CAST(slp AS DOUBLE)/n_bigrams AS lm FROM sagg),
+        |cf AS (SELECT doc_id, ws || [ws[i]||'_'||ws[i+1] for i in range(1, len(ws))] AS fs FROM tw),
+        |cs AS (SELECT doc_id, CAST(len(fs) AS BIGINT) AS n_feats,
+        |  CAST(coalesce(list_aggregate(list_transform(fs,
+        |    x -> (('0x' || substr(md5(x), 1, 8))::BIGINT % 4096) % 2001 - 1000), 'sum'), 0) AS BIGINT) AS w_sum
+        | FROM cf),
+        |clv AS (SELECT doc_id, CASE WHEN n_feats > 0 THEN CAST(w_sum AS DOUBLE)/(n_feats * 1000.0) END AS cls FROM cs),
+        |joined AS (SELECT l.doc_id, lm, cls FROM lmv l JOIN clv c USING (doc_id)
+        |  WHERE lm IS NOT NULL AND cls IS NOT NULL),
+        |ra AS (SELECT doc_id, row_number() OVER (ORDER BY cls, doc_id) AS r1 FROM joined),
+        |rb AS (SELECT doc_id, row_number() OVER (ORDER BY lm, doc_id) AS r2 FROM joined),
+        |ag AS (SELECT count(*) AS n, CAST(coalesce(sum((r1 - r2) * (r1 - r2)), 0) AS DECIMAL(38,0)) AS sum_d2
+        |  FROM ra JOIN rb USING (doc_id))
+        |SELECT CAST(n AS BIGINT) AS n, sum_d2,
+        |  CASE WHEN n > 1 THEN 1.0 - (6.0 * CAST(sum_d2 AS DOUBLE)) /
+        |    (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1.0)) END AS spearman_rho
+        |FROM ag""".stripMargin,
     "q_quality_classifier" ->
       // hashing-trick replay: same md5-leading-8-hex bucket, same
       // centered (bucket % 2001 − 1000) integer weights, BIGINT sum →

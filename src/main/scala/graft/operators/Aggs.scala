@@ -365,4 +365,52 @@ object Aggs {
     */
   def kllQuantile(sketch: Column, p: Double): Column =
     graft.plans.KllSketch.quantile(sketch, lit(p))
+
+  /** Spearman rank correlation between two score columns — the
+    * signal-agreement check a curation stack runs before trusting two
+    * quality gates to vote (do the hashed classifier and the LM rank
+    * the corpus the same way?). Pearson over raw doubles is NOT
+    * cross-engine exact (float sums); ranks are. Ranks here are ROW
+    * ranks under the total order (value ASC, id ASC) — deterministic
+    * in any engine without average-rank tie arithmetic — and
+    * Σd² = Σ(rankA − rankB)² is an exact integer, so the only IEEE
+    * operation is the final ρ = 1 − 6Σd²/(n(n²−1)) evaluated
+    * identically from exact operands.
+    *
+    * Rows where either score is null are dropped (unrankable).
+    * Σd² accumulates as DECIMAL(38,0): per-term d² fits a long to
+    * n ≈ 3·10⁹ rows, the sum is exact to 10³⁸ — no silent wrap at any
+    * realistic corpus size.
+    *
+    * Scale shape: two range-partitioned sort+zipWithIndex rank passes
+    * ([[Joins.globalRowIds]] — NO single-partition window), one
+    * equi-join on the id, one all-partial aggregate to a single row.
+    */
+  def spearmanRank(df: DataFrame, idCol: String,
+                   aCol: String, bCol: String): DataFrame = {
+    // both rank passes consume the (possibly whole-scoring-pipeline)
+    // input — materialize it ONCE (the ccnetBuckets rule: an operator
+    // consuming its input N times must materialize it)
+    val reliable = df.sparkSession.sparkContext.getCheckpointDir.isDefined
+    val base0 = df.select(col(idCol), col(aCol), col(bCol))
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+    val base = if (reliable) base0.checkpoint(eager = true)
+               else base0.localCheckpoint(eager = true)
+    val ra = Joins.globalRowIds(base.select(col(idCol), col(aCol)),
+        Seq(col(aCol), col(idCol)), "_ra")
+      .select(col(idCol), col("_ra"))
+    val rb = Joins.globalRowIds(base.select(col(idCol), col(bCol)),
+        Seq(col(bCol), col(idCol)), "_rb")
+      .select(col(idCol), col("_rb"))
+    val d = col("_ra") - col("_rb")
+    val nd = col("n").cast("double")
+    ra.join(rb, Seq(idCol))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum((d * d).cast("decimal(38,0)")),
+          lit(BigDecimal(0)).cast("decimal(38,0)")).as("sum_d2"))
+      .select(col("n"), col("sum_d2"),
+        when(col("n") > 1,
+          lit(1.0) - (lit(6.0) * col("sum_d2").cast("double")) /
+            (nd * (nd * nd - lit(1.0)))).as("spearman_rho"))
+  }
 }

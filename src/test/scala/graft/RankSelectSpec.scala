@@ -72,4 +72,36 @@ class RankSelectSpec extends SparkSpec {
     val m = got.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(m == Map(1L -> 15.0, 2L -> 7.0))
   }
+
+  test("spearmanRank: agreement 1, reversal -1, shuffled vs reference, nulls drop, empty") {
+    def rho(rows: Seq[(Long, java.lang.Double, java.lang.Double)]): (Long, BigDecimal, Option[Double]) = {
+      val r = Aggs.spearmanRank(rows.toDF("id", "a", "b"), "id", "a", "b")
+        .collect().head
+      (r.getLong(0), BigDecimal(r.getDecimal(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+    }
+    val mono = (1L to 20L).map(i => (i, Double.box(i.toDouble), Double.box(i * 2.0 + 1)))
+    assert(rho(mono) == ((20L, BigDecimal(0), Some(1.0))))
+    val rev = (1L to 20L).map(i => (i, Double.box(i.toDouble), Double.box(-i.toDouble)))
+    val (n, s, Some(r)) = rho(rev)
+    // perfect reversal: sum_d2 = n(n^2-1)/3, rho exactly -1
+    assert(n == 20L && s == BigDecimal(20L * 399 / 3) && r == -1.0)
+    // arbitrary permutation vs a driver-side reference replay
+    val rnd = new scala.util.Random(11)
+    val perm = rnd.shuffle((1L to 50L).toVector)
+    val rows = (1L to 50L).map(i =>
+      (i, Double.box(i.toDouble), Double.box(perm((i - 1).toInt).toDouble)))
+    val want = {
+      val d2 = (1L to 50L).map(i => { val d = i - perm((i - 1).toInt); d * d }).sum
+      1.0 - 6.0 * d2 / (50.0 * (50.0 * 50.0 - 1.0))
+    }
+    assert(rho(rows)._3.contains(want))
+    // null on either side drops the ROW (both rank passes see the same set)
+    val withNulls = mono ++ Seq((100L, null.asInstanceOf[java.lang.Double], Double.box(1.0)),
+      (101L, Double.box(1.0), null.asInstanceOf[java.lang.Double]))
+    assert(rho(withNulls) == ((20L, BigDecimal(0), Some(1.0))))
+    // empty and single-row: n <= 1 has no defined rho
+    assert(rho(Seq.empty) == ((0L, BigDecimal(0), None)))
+    assert(rho(Seq((1L, Double.box(1.0), Double.box(2.0)))) == ((1L, BigDecimal(0), None)))
+  }
 }
