@@ -410,8 +410,13 @@ object Similarity {
   def inertia(corpus: DataFrame, idCol: String, vecCol: String,
               centroids: DataFrame): DataFrame = {
     val v = normalized(corpus, idCol, vecCol, "_id", "v")
-    val cent = centroids.select(col("cent_id"),
-      asDouble(col("centroid")).as("centv"))
+    // normalize the CENTROID side too — Lloyd means have norms < 1 that
+    // vary per cluster, and raw data-point centroid sets have norms ≫ 1,
+    // so an unnormalized dot is not the documented cosine and inertia
+    // values were not comparable across centroid SOURCES (caught by
+    // CentroidProbe reading a better-recall fit as "worse" inertia)
+    val cent = normalized(centroids.select(col("cent_id").as("_cid"),
+        col("centroid")), "_cid", "centroid", "cent_id", "centv")
     v.crossJoin(broadcast(cent))
       .groupBy("_id").agg(max(dot(col("v"), col("centv"))).as("closest"))
       .agg(sum(lit(1.0) - col("closest")).as("inertia"))
