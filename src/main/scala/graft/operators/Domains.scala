@@ -248,10 +248,17 @@ object Domains {
     val kName = fresh(df, "_dc_k")
     val chkName = fresh(df, "_dc_chk")
     val capW = Window.partitionBy(col(domainOut))
+    // a caps row with a NULL or non-positive k is a data bug, not a
+    // policy: NULL would silently alias defaultK (masking the broken
+    // upstream join) and k <= 0 would silently delete the whole
+    // domain — refuse both loudly, like domainCap's require(k > 0)
     val capsOne = caps
       .select(col(capDomainCol).as(domainOut), col(kCol).cast("int").as(kName))
-      .withColumn(chkName, assert_true(count(lit(1)).over(capW) === 1,
-        lit("domainCapTiered: duplicate domains in the caps table")))
+      .withColumn(chkName, assert_true(
+        count(lit(1)).over(capW) === 1 &&
+          col(kName).isNotNull && col(kName) > 0,
+        lit("domainCapTiered: caps table must have one row per domain " +
+          "with k > 0 — found a duplicate domain, a null k, or k <= 0")))
       .filter(col(chkName).isNull).drop(chkName)
     val withDom = df
       .withColumn(domainOut, registeredDomain(hostOf(col(urlCol))))
@@ -441,6 +448,10 @@ object Domains {
     */
   def blocklistScreen(df: DataFrame, idCol: String, hostCol: String,
                       blocklist: DataFrame, entryCol: String): DataFrame = {
+    require(!df.columns.contains("blocked_by"),
+      "blocklistScreen: input already has a 'blocked_by' column — " +
+        "drop or rename it before re-screening (the verdict column " +
+        "must never shadow existing data)")
     val sufName = fresh(df, "_suf")
     val hits = df
       .select(col(idCol),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Connected components over an edge list, and the dedup-clustering
@@ -354,11 +355,16 @@ object Graph {
     *     100 M-domain graph runs a budgeted round count anyway.
     *
     * Overflow: ranks are bounded by N·scale, and the per-edge product
-    * r·85 must stay under 2⁶³ — so callers need N·scale·100 < 2⁶³
-    * (default scale 10⁹ is safe to ~9×10¹⁰ nodes; 10¹² to ~9×10⁷). The
-    * bound is enforced IN-PLAN per iteration (lazy `assert_true`, the
-    * [[Joins.upsert]] discipline): a too-big graph fails loudly at
-    * execution, never wraps silently.
+    * r·85 must stay under 2⁶³ — so callers need N·scale·100 < 2⁶³:
+    * default scale 10⁹ is safe to ~9×10⁷ nodes, 10⁸ to ~9×10⁸, and in
+    * general choose scale ≤ 2⁶³/(100·N). The bound is enforced at
+    * EVERY accumulation point: the per-round rank guard (lazy
+    * `assert_true`, the [[Joins.upsert]] discipline), a DECIMAL(38,0)
+    * contribution sum in the distributed path (a long sum of ≤
+    * 0.85·2⁶³/100 addends can wrap 2⁶³ and land back in-range — the
+    * decimal sum cannot), and an as-you-accumulate check in the
+    * single-task loop. A too-big graph fails loudly at execution,
+    * never wraps silently.
     *
     * Scale shape: the edge list (joined once with its out-degrees) is
     * hash-partitioned by src and persisted — each of the `iters` rounds
@@ -407,11 +413,26 @@ object Graph {
                      init: DataFrame, initNodeCol: String,
                      initRankCol: String, iters: Int,
                      scale: Long = 1000000000L,
-                     smallGraphThreshold: Long = 1L << 20): DataFrame =
-    pageRankImpl(edges, srcCol, dstCol,
-      Some(init.select(col(initNodeCol).cast("string").as("node"),
-        col(initRankCol).cast("long").as("r0"))),
+                     smallGraphThreshold: Long = 1L << 20): DataFrame = {
+    // malformed init is REFUSED loudly before either execution path —
+    // a duplicate node row would double-count contributions in the
+    // distributed rounds but last-win-dedupe in the single-task map
+    // (same input, different longs by path), and a null rank is a
+    // data bug, not a new node. The upsert discipline: lazy in-plan
+    // asserts over the node-sized init table.
+    val w = Window.partitionBy("node")
+    val cleaned = init
+      .select(col(initNodeCol).cast("string").as("node"),
+        col(initRankCol).cast("long").as("r0"))
+      .filter(col("node").isNotNull)
+      .withColumn("_ck", assert_true(
+        col("r0").isNotNull && count(lit(1)).over(w) === 1,
+        lit("pageRankResume: init must have one non-null rank per node " +
+          "— found a duplicate node or a null rank")))
+      .filter(col("_ck").isNull).drop("_ck")
+    pageRankImpl(edges, srcCol, dstCol, Some(cleaned),
       iters, scale, smallGraphThreshold)
+  }
 
   private def pageRankImpl(edges: DataFrame, srcCol: String, dstCol: String,
                            init: Option[DataFrame], iters: Int, scale: Long,
@@ -502,7 +523,15 @@ object Graph {
         for (_ <- 1 to iters) {
           val contribs = scala.collection.mutable.HashMap.empty[String, Long]
           es.foreach { case (s, t) =>
-            contribs(t) = contribs.getOrElse(t, 0L) + r(s) * 85L / (100L * od(s))
+            val acc = contribs.getOrElse(t, 0L) + r(s) * 85L / (100L * od(s))
+            // fail as soon as a partial sum passes the rank bound: each
+            // addend is < maxSafe (r guarded ≤ maxSafe), so checking
+            // every accumulation means the sum can never reach 2·maxSafe,
+            // far below the 2⁶³ silent-wrap point
+            if (acc > maxSafe) throw new IllegalStateException(
+              s"pageRank: rank exceeds 2^63/100 = $maxSafe — " +
+                "N*scale*100 must stay under 2^63; lower `scale`")
+            contribs(t) = acc
           }
           r = nodes.map { n =>
             val v = teleport + contribs.getOrElse(n, 0L)
@@ -550,20 +579,27 @@ object Graph {
     }
     var prevFile: Option[String] = None
     for (_ <- 1 to iters) {
+      // contribution sum as DECIMAL(38,0): a LONG sum of many
+      // ≤ 0.85·maxSafe addends can wrap past 2⁶³ and land back inside
+      // [0, maxSafe], slipping through the rank guard — the decimal
+      // sum is exact, so the guard below sees the true total
       val contribs = ew.alias("e")
         .join(ranks.alias("rk"), col("e.src") === col("rk.node"))
         .select(col("e.dst").as("dst"),
-          expr("(r * 85) DIV (100 * od)").as("c"))
+          expr("(r * 85) DIV (100 * od)").cast("decimal(38,0)").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("c"))
       ranks = cpEager(
         nodes.alias("n")
           .join(contribs.alias("ct"), col("n.node") === col("ct.dst"), "left")
           .select(col("n.node").as("node"),
-            (lit(teleport) + coalesce(col("c"), lit(0L))).as("r"))
-          .withColumn("_ovf", assert_true(col("r") <= maxSafe,
+            (lit(BigDecimal(teleport)).cast("decimal(38,0)") +
+              coalesce(col("c"), lit(BigDecimal(0)).cast("decimal(38,0)")))
+              .as("rd"))
+          .withColumn("_ovf", assert_true(col("rd") <= lit(BigDecimal(maxSafe)),
             lit(s"pageRank: rank exceeds 2^63/100 = $maxSafe — " +
               "N*scale*100 must stay under 2^63; lower `scale`")))
-          .filter(col("_ovf").isNull).drop("_ovf"))
+          .filter(col("_ovf").isNull)
+          .select(col("node"), col("rd").cast("long").as("r")))
       deleteCpFile(prevFile)
       prevFile = cpFile(ranks)
     }

@@ -106,13 +106,21 @@ object Html {
     * map-combinable struct-min (no window, no per-group lists).
     */
   def domainAnchorText(df: DataFrame, urlCol: String, htmlCol: String): DataFrame = {
-    val ex = df
+    // the exploded anchor frame feeds TWO aggregations (per-anchor and
+    // per-domain) keyed on different columns — no exchange reuse, so
+    // without materialization the per-page regex extraction (the
+    // expensive stage) would run once per consumer. The ccnetBuckets
+    // rule: an operator consuming its input N times materializes it.
+    val reliable = df.sparkSession.sparkContext.getCheckpointDir.isDefined
+    val ex0 = df
       .select(col(urlCol).as("src_url"),
         explode(anchorPairs(col(htmlCol))).as("a"))
       .select(col("src_url"),
         Domains.registeredDomain(Domains.hostOf(col("a.href"))).as("dst_domain"),
         col("a.anchor").as("anchor"))
       .where(col("dst_domain") =!= "" && col("anchor") =!= "")
+    val ex = if (reliable) ex0.checkpoint(eager = true)
+             else ex0.localCheckpoint(eager = true)
     val byAnchor = ex.groupBy("dst_domain", "anchor")
       .agg(count(lit(1)).as("n"))
     val top = byAnchor.groupBy("dst_domain")

@@ -227,15 +227,32 @@ class DomainsSpec extends SparkSpec {
         "k", 7, salt = 4)
       .select("id").as[Long].collect().toSet
     assert(idsSalted == ids, "salted phase changed the kept set")
-    // duplicate cap rows fail loudly at execution
-    val dup = Seq(("a.com", 5), ("a.com", 9)).toDF("dom", "k")
-    val ex = intercept[Exception] {
-      Domains.domainCapTiered(docs, "url", "id", dup, "dom", "k", 7).collect()
-    }
+    // duplicate, null-k, and non-positive-k cap rows all fail loudly
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Seq.empty
       else Option(t.getMessage).toSeq ++ msgs(t.getCause)
-    assert(msgs(ex).exists(_.contains("duplicate domains")), ex.toString)
+    val bads = Seq(
+      Seq(("a.com", Integer.valueOf(5)), ("a.com", Integer.valueOf(9))),
+      Seq(("a.com", null.asInstanceOf[Integer])),
+      Seq(("a.com", Integer.valueOf(0))),
+      Seq(("a.com", Integer.valueOf(-3))))
+    for (bad <- bads) {
+      val ex = intercept[Exception] {
+        Domains.domainCapTiered(docs, "url", "id", bad.toDF("dom", "k"),
+          "dom", "k", 7).collect()
+      }
+      assert(msgs(ex).exists(_.contains("one row per domain")),
+        s"caps $bad not refused: $ex")
+    }
+  }
+
+  test("blocklistScreen refuses an input that already carries a blocked_by column") {
+    val docs = Seq((1L, "a.com", "old")).toDF("id", "host", "blocked_by")
+    val blk = Seq("a.com").toDF("entry")
+    val ex = intercept[IllegalArgumentException] {
+      Domains.blocklistScreen(docs, "id", "host", blk, "entry")
+    }
+    assert(ex.getMessage.contains("blocked_by"))
   }
 
   test("hostSuffixes: dot-position form, no split, degenerate hosts") {

@@ -256,5 +256,32 @@ class GraphSpec extends SparkSpec {
       assert(msgs(ex).exists(_.contains("pageRank: rank exceeds")),
         s"unexpected failure: $ex")
     }
+    // the silent-wrap window: ~240 sources × floor(0.85·scale) wraps a
+    // LONG sum past 2^63 and lands back in [0, maxSafe] — the
+    // decimal/as-you-accumulate guards must still fail LOUDLY
+    val star = (1 to 240).map(i => (s"s$i", "hub"))
+    for (threshold <- Seq(1L << 20, 0L)) {
+      val ex = intercept[Exception] { pr(star, 1, scale, threshold) }
+      assert(msgs(ex).exists(_.contains("pageRank: rank exceeds")),
+        s"wrap window not guarded (threshold=$threshold): $ex")
+    }
+  }
+
+  test("pageRankResume: duplicate or null-rank init refused on both paths") {
+    val edges = Seq(("a", "b"), ("b", "a")).toDF("s", "t")
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val dup = Seq(("a", 100L), ("a", 200L), ("b", 300L)).toDF("node", "rank_fp")
+    val nul = Seq(("a", java.lang.Long.valueOf(100L)),
+      ("b", null.asInstanceOf[java.lang.Long])).toDF("node", "rank_fp")
+    for (threshold <- Seq(1L << 20, 0L); bad <- Seq(dup, nul)) {
+      val ex = intercept[Exception] {
+        Graph.pageRankResume(edges, "s", "t", bad, "node", "rank_fp",
+          1, 1000000L, smallGraphThreshold = threshold).collect()
+      }
+      assert(msgs(ex).exists(_.contains("one non-null rank per node")),
+        s"malformed init not refused (threshold=$threshold): $ex")
+    }
   }
 }
