@@ -53,7 +53,11 @@ object PlanDump {
       "q_dup_spans" -> "winnowed duplicated spans: native one-pass fingerprints, fp equi-join (never all-pairs), broadcast-anti hot cap, exact substr verify by id joins",
       "q_domain_cap" -> "per-domain doc cap: salted two-phase top-k windows, scan pruned to doc_id, never SinglePartition",
       "q_domain_sample" -> "domain-prior sampling: domain-sized weights broadcast, null-safe derived join key (the chain evaluates once), map-only verdict",
-      "q_ann_pq" -> "product-quantized ANN: per-subspace codebook broadcast, byte-code corpus side, ADC lookup-table scoring")
+      "q_ann_pq" -> "product-quantized ANN: per-subspace codebook broadcast, byte-code corpus side, ADC lookup-table scoring",
+      "q_anchor_text" -> "anchor-text rollup: one extraction materialized for both aggregations, struct-min top pick (no window), partial aggs",
+      "q_url_blocklist" -> "blocklist screen: bounded suffix explode, entry side broadcast (never all-pairs), hits-only join-back",
+      "q_random_proj" -> "JL projection: map-only native dot folds, single output-sort exchange",
+      "q_domain_tiered_cap" -> "authority-tiered cap: PageRank rounds ran at construction (checkpoint leaf), per-domain-k window + cap rollup visible")
     val sb = new StringBuilder
     sb ++= "# PLANS — formatted physical plans of flagship queries\n\n"
     sb ++= "Generated by `graft.PlanDump` at sf0.001 (plan shapes are\n"
