@@ -446,6 +446,28 @@ object Domains {
     * itself never shuffles when the optimizer broadcasts the hit side
     * (hits ≪ corpus); worst case it shuffles once on `idCol`.
     */
+  /** The PER-ROW form of the blocklist verdict — a pure Column over a
+    * literal entry list: the most specific (longest) entry matching the
+    * host at a label boundary, '' if none. Same semantics as
+    * [[blocklistScreen]] (DomainsSpec pins row-for-row equality), but
+    * with no explode/join/aggregate it is usable ANYWHERE a map fits:
+    * Structured Streaming screens (stateless — no watermark, no state
+    * store), filter pushup positions, generated columns. The trade is
+    * list size: cost is O(|entries|) comparisons per row against an
+    * in-plan literal array, right for the usual 10²-10⁴-entry curated
+    * lists; corpus-scale million-entry lists stay on the
+    * explode+broadcast-join form.
+    */
+  def blocklistVerdict(host: Column, entries: Seq[String]): Column = {
+    val arr = array(entries.map(e => lit(e.toLowerCase)): _*)
+    val h = lower(host)
+    val matches = filter(arr,
+      b => h === b || endswith(h, concat(lit("."), b)))
+    // longest match wins — fold instead of sort: one pass, no array copy
+    aggregate(matches, lit(""),
+      (acc, x) => when(length(x) > length(acc), x).otherwise(acc))
+  }
+
   def blocklistScreen(df: DataFrame, idCol: String, hostCol: String,
                       blocklist: DataFrame, entryCol: String): DataFrame = {
     require(!df.columns.contains("blocked_by"),

@@ -246,6 +246,24 @@ class DomainsSpec extends SparkSpec {
     }
   }
 
+  test("blocklistVerdict (per-row form) == blocklistScreen row for row") {
+    val entries = Seq("site3.com", "www.site3.com", "api.site7.io")
+    val docs = Seq(
+      (1L, "www.site3.com"), (2L, "news.site3.com"), (3L, "notsite3.com"),
+      (4L, "API.Site7.io"), (5L, "x.api.site7.io"), (6L, "site9.org"),
+      (7L, "site3.com"), (8L, "")
+    ).toDF("id", "host")
+    val viaScreen = Domains.blocklistScreen(docs, "id", "host",
+        entries.toDF("entry"), "entry")
+      .select("id", "blocked_by")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val viaVerdict = docs
+      .select(col("id"),
+        Domains.blocklistVerdict(col("host"), entries).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaVerdict == viaScreen, s"$viaVerdict != $viaScreen")
+  }
+
   test("blocklistScreen refuses an input that already carries a blocked_by column") {
     val docs = Seq((1L, "a.com", "old")).toDF("id", "host", "blocked_by")
     val blk = Seq("a.com").toDF("entry")

@@ -434,4 +434,33 @@ class StreamingDedupSpec extends SparkSpec {
     assert(rows.forall(_.getLong(3) == 3L))
     assert(DuplicatesReport.lineitemReport(spark, sf).columns.contains("duplicate_count"))
   }
+
+  test("blocklist verdict is stateless and streams: one batch ≡ the batch screen") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Domains
+    val entries = Seq("bad.com", "ads.bad.org")
+    val rows = Seq((1L, "www.bad.com"), (2L, "good.org"),
+      (3L, "x.ads.bad.org"), (4L, "notbad.com"))
+    val batch = Domains.blocklistScreen(rows.toDF("id", "host"), "id",
+        "host", entries.toDF("entry"), "entry")
+      .select("id", "blocked_by")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    src.addData(rows: _*)
+    // a pure Column — no state store, no watermark, append mode
+    val q = src.toDF().toDF("id", "host")
+      .withColumn("blocked_by",
+        Domains.blocklistVerdict(col("host"), entries))
+      .writeStream.format("memory").queryName("blocklist_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("blocklist_stream")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(streamed == batch,
+      s"stream=$streamed batch=$batch")
+    assert(batch == Map(1L -> "bad.com", 2L -> "", 3L -> "ads.bad.org",
+      4L -> ""))
+  }
 }
