@@ -1660,6 +1660,33 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 0), "text", "doc_id")
         .orderBy("doc_id")
     }),
+    "q_cdc_dedup" -> ((s, d) => {
+      // content-defined chunking over a quarter-sample with a planted
+      // shared suffix: the gear-hash cut points are a pure function of
+      // content, so the shared run's interior chunks dedup across docs
+      // at ANY offset — the blob-store dedup primitive, fully replayed
+      // by the oracle (per-char gear md5, Horner window fold, cut rule,
+      // per-chunk md5)
+      // the suffix must comfortably exceed the gear window: only
+      // positions whose whole window lies inside the shared run hash
+      // identically across docs, so interior chunks need hundreds of
+      // shared chars to form (the first 39 positions straddle
+      // doc-specific text by construction)
+      // NON-periodic too: a repeated sentence makes the rolling hash
+      // periodic (cut pattern all-or-nothing across periods); numbered
+      // sections vary the content so cuts land independently
+      val promo = (1 to 9).map(k =>
+        s" CDCPROMO section $k rights reserved contact admin example com item $k end").mkString
+      val docs = Tables.documents(s, d).filter(col("doc_id") % 32 === 0)
+        .select(col("doc_id"), concat(col("text"), lit(promo)).as("t"))
+      TextDedup.contentDefinedChunks(docs, "t", "doc_id", maskBits = 7)
+        .groupBy("chunk_md5", "len")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occurrences"))
+        .filter(col("n_occurrences") >= 2)
+        .orderBy(col("n_occurrences").desc, col("chunk_md5"))
+        .limit(20)
+    }),
     "q_score_agreement" -> ((s, d) => {
       // do the two quality signals rank the corpus the same way?
       // Spearman over ROW ranks (value, doc_id total order): Σd² is an
@@ -2356,6 +2383,13 @@ object SparkEntry {
       | FROM d1)""".stripMargin
   }
 
+  /** The q_cdc_dedup planted suffix, shared verbatim by the Spark query
+    * (as a lit) and the oracle (as a SQL literal — no quotes in the
+    * content by construction).
+    */
+  private lazy val cdcPromoSql: String = (1 to 9).map(k =>
+    s" CDCPROMO section $k rights reserved contact admin example com item $k end").mkString
+
   /** [[urlDomainCtes]] extended with the outlink replay: [[linkHtml]]
     * rebuilt arithmetically, hrefs re-extracted with the same regex,
     * hostOf + registeredDomain replayed per target. Ends in
@@ -2941,6 +2975,33 @@ object SparkEntry {
         | CAST(s.slp AS DOUBLE)/s.n_bigrams AS avg_logprob
         |FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 2 = 1) d
         |LEFT JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q_cdc_dedup" ->
+      // gear table keyed by the character string (md5 per position),
+      // base-31 mod-2^40 Horner over the 16-char window (list_reduce no-init ≡ the
+      // 0-init fold), mod-256 cut rule, conditional end cut, per-chunk
+      // md5 — every branch replayed
+      s"""WITH d AS (SELECT doc_id, text || '$cdcPromoSql' AS t
+        |  FROM documents WHERE doc_id % 32 = 0),
+        |gp AS (SELECT doc_id, t, len(t) AS n,
+        |  list_transform(generate_series(1, len(t)), p ->
+        |    ('0x' || substr(md5('gear:' || substr(t, p, 1)), 1, 4))::BIGINT) AS g
+        | FROM d WHERE len(t) >= 1),
+        |ct AS (SELECT doc_id, t, n,
+        |  list_filter(generate_series(1, n), i ->
+        |    list_reduce(g[greatest(i-15, 1):i], (a, x) -> (a*31 + x) % 1099511627776) % 128 = 0) AS cuts
+        | FROM gp),
+        |ca AS (SELECT doc_id, t,
+        |  CASE WHEN len(cuts) > 0 AND cuts[-1] = n THEN cuts
+        |       ELSE list_append(cuts, n) END AS cu FROM ct),
+        |ch AS (SELECT doc_id, t, unnest(list_transform(generate_series(1, len(cu)), k ->
+        |  struct_pack(pos := (CASE WHEN k = 1 THEN 0 ELSE cu[k-1] END) + 1,
+        |              len := cu[k] - (CASE WHEN k = 1 THEN 0 ELSE cu[k-1] END)))) AS c
+        | FROM ca)
+        |SELECT md5(substr(t, c.pos, c.len)) AS chunk_md5, CAST(c.len AS INT) AS len,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_occurrences
+        |FROM ch GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY n_occurrences DESC, chunk_md5 LIMIT 20""".stripMargin,
     "q_score_agreement" ->
       // both score replays composed (LM ref = even ids, target = ALL
       // docs; classifier over all docs), then row ranks under the

@@ -1170,4 +1170,83 @@ object TextDedup {
         col("_first.pos_new").as("pos_new"),
         col("_first.pos_corpus").as("pos_corpus"))
   }
+
+  /** Content-defined chunking (gear-hash CDC) — the dedup primitive for
+    * content WITHOUT exploitable structure (blobs, transcripts, raw
+    * dumps): cut points are a pure function of a short rolling window
+    * of the content itself, so two payloads sharing a long run produce
+    * IDENTICAL interior chunks at any byte offset — the property
+    * fixed-size blocks lack (one inserted char shifts every later
+    * block) and the reason every backup/dedup store chunks this way.
+    *
+    * Semantics, deliberately engine-portable and embarrassingly
+    * parallel per position:
+    *   - per-character gear value g(p) = first 16 bits of
+    *     md5("gear:" + the character) — keyed by the character STRING
+    *     (no code-point arithmetic to disagree on);
+    *   - rolling fingerprint after position i = the Horner fold
+    *     fold(a, x → (31a + x) mod 2⁴⁰) over g on the window
+    *     [max(i−windowChars+1, 1), i] — bounded below 2⁴⁵ at every
+    *     step, exact in
+    *     any 64-bit engine. Base 31, not 2: with a base-2 fold the cut
+    *     decision h mod 2^maskBits is a function of only the last
+    *     maskBits characters, and text draws those from a ~60-symbol
+    *     alphabet — measured 6× under-occurrence of the cut value (36
+    *     zeros in 29.6k positions at mask 128). An odd base folds the
+    *     WHOLE window into every bit and restores the ≈1/2^maskBits
+    *     cut rate;
+    *   - cut AFTER i when h(i) ≡ 0 (mod 2^maskBits) — expected chunk
+    *     length 2^maskBits; the final position is always a cut.
+    * No min/max chunk clamps: clamps make cut k depend on cut k−1 (a
+    * sequential chain that neither parallelizes nor replays cheaply);
+    * the pure rule keeps every position independent. Degenerate inputs
+    * (a constant run can cut every position or never) are the
+    * documented trade — texts are fine, adversarial blobs want the
+    * clamped sequential variant.
+    *
+    * Returns one row per chunk: (idCol, pos, len, chunk_md5). Map-only
+    * fan-out: no shuffle, no state; at 100 TB the chunk table is the
+    * thing you aggregate/join, text never moves past this projection.
+    * Cost is one tiny md5 + a ≤40-term integer fold per character —
+    * heavy relative to a plain scan, so run it once at ingest and
+    * persist the chunk table (the band-index discipline).
+    */
+  def contentDefinedChunks(df: DataFrame, textCol: String, idCol: String,
+                           maskBits: Int = 8, windowChars: Int = 16): DataFrame = {
+    require(maskBits >= 1 && maskBits <= 30,
+      s"contentDefinedChunks: maskBits must be in [1, 30], got $maskBits")
+    require(windowChars >= 2 && windowChars <= 64,
+      s"contentDefinedChunks: windowChars must be in [2, 64], got $windowChars")
+    val t = col(textCol)
+    val n = length(t)
+    val gp = transform(sequence(lit(1), n), p =>
+      conv(substring(md5(concat(lit("gear:"), t.substr(p, lit(1)))), 1, 4),
+        16, 10).cast("long"))
+    val modulus = lit(1L << maskBits)
+    def hAt(gpCol: Column, i: Column): Column = {
+      val start = greatest(i - (windowChars - 1), lit(1))
+      aggregate(slice(gpCol, start, i - start + 1), lit(0L),
+        (acc, x) => pmod(acc * 31 + x, lit(1L << 40)))
+    }
+    val cuts = filter(sequence(lit(1), n), i => pmod(hAt(col("_gp"), i), modulus) === 0)
+    // final position is always a cut — appended only when the content
+    // didn't already cut there (a conditional, not array_distinct:
+    // DuckDB's list_distinct does not guarantee order, and the oracle
+    // must replay this branch for branch)
+    // try_element_at: element_at(-1) THROWS on an empty cut list under
+    // ANSI; null compares false and the end cut is appended
+    val cutsAll = when(try_element_at(cuts, lit(-1)) === n, cuts)
+      .otherwise(concat(cuts, array(n)))
+    val prevs = concat(array(lit(0)),
+      slice(cutsAll, lit(1), greatest(size(cutsAll) - 1, lit(0))))
+    val chunks = zip_with(cutsAll, prevs, (c, p) =>
+      struct((p + 1).as("pos"), (c - p).as("len")))
+    df.filter(n >= 1)
+      .withColumn("_gp", gp)
+      .select(col(idCol), t.as("_t"), explode(chunks).as("_c"))
+      .select(col(idCol),
+        col("_c.pos").cast("int").as("pos"),
+        col("_c.len").cast("int").as("len"),
+        md5(col("_t").substr(col("_c.pos"), col("_c.len"))).as("chunk_md5"))
+  }
 }

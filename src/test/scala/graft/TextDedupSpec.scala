@@ -337,4 +337,45 @@ class TextDedupSpec extends SparkSpec {
       .select(col("block_text")).distinct().count()
     assert(kept == distinctBlocks, s"kept $kept != distinct $distinctBlocks")
   }
+
+  test("contentDefinedChunks: chunks tile each doc; shared runs chunk identically at any offset") {
+    // a varied (non-periodic) shared run, long relative to the window
+    val shared = (1 to 10).map(k =>
+      s"section $k of the shared body with payload item $k done").mkString(" ")
+    val docs = Seq(
+      (1L, "pfx " + shared + " tail one"),
+      (2L, "a much longer and different prefix here " + shared + " other"),
+      (3L, shared),
+      (4L, "x"), // single char: one chunk covering it
+      (5L, "short doc under the window")
+    ).toDF("id", "t")
+    val ch = TextDedup.contentDefinedChunks(docs, "t", "id",
+        maskBits = 6, windowChars = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    // tiling: per doc, sorted chunks are contiguous from 1 and cover n
+    val lens = Map(1L -> ("pfx " + shared + " tail one").length,
+      2L -> ("a much longer and different prefix here " + shared + " other").length,
+      3L -> shared.length, 4L -> 1, 5L -> "short doc under the window".length)
+    for ((id, n) <- lens) {
+      val cs = ch.filter(_._1 == id).sortBy(_._2)
+      assert(cs.head._2 == 1 && cs.map(_._3).sum == n &&
+        cs.sliding(2).forall {
+          case Array(a, b) => b._2 == a._2 + a._3
+          case _ => true
+        }, s"doc $id chunks don't tile: ${cs.toSeq}")
+    }
+    // offset invariance: interior chunks of the shared run appear in
+    // ALL THREE carriers despite different offsets (expected ~8 cuts
+    // at mask 64 over ~530 shared chars)
+    val byDoc = ch.groupBy(_._1).map { case (k, v) => k -> v.map(_._4).toSet }
+    val common = byDoc(1L) intersect byDoc(2L) intersect byDoc(3L)
+    assert(common.size >= 3,
+      s"shared run did not produce shared interior chunks: ${common.size}")
+    // single char: exactly one chunk, md5 of the char itself
+    val c4 = ch.filter(_._1 == 4L)
+    assert(c4.length == 1 && c4.head._3 == 1)
+    // empty text yields no rows, no throw
+    assert(TextDedup.contentDefinedChunks(
+      Seq((9L, "")).toDF("id", "t"), "t", "id").isEmpty)
+  }
 }
