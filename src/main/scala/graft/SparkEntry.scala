@@ -3034,7 +3034,7 @@ object SparkEntry {
         |rb AS (SELECT doc_id, row_number() OVER (ORDER BY lm, doc_id) AS r2 FROM joined),
         |ag AS (SELECT count(*) AS n, CAST(coalesce(sum((r1 - r2) * (r1 - r2)), 0) AS DECIMAL(38,0)) AS sum_d2
         |  FROM ra JOIN rb USING (doc_id))
-        |SELECT CAST(n AS BIGINT) AS n, sum_d2,
+        |SELECT CAST(n AS BIGINT) AS n, CAST(sum_d2 AS DECIMAL(38,9)) AS sum_d2,
         |  CASE WHEN n > 1 THEN 1.0 - (6.0 * CAST(sum_d2 AS DOUBLE)) /
         |    (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1.0)) END AS spearman_rho
         |FROM ag""".stripMargin,

@@ -407,10 +407,16 @@ object Aggs {
     ra.join(rb, Seq(idCol))
       .agg(count(lit(1)).as("n"),
         coalesce(sum((d * d).cast("decimal(38,0)")),
-          lit(BigDecimal(0)).cast("decimal(38,0)")).as("sum_d2"))
-      .select(col("n"), col("sum_d2"),
+          lit(BigDecimal(0)).cast("decimal(38,0)")).as("_sum_d2_exact"))
+      // output the exact integer at scale 9, not scale 0: a scale-0
+      // decimal canonicalizes to int64 from Spark parquet but float64
+      // from DuckDB (pandas), so cross-engine hash gates split on it —
+      // scale>0 decimals land on float64 from BOTH engines. Integral
+      // headroom at (38,9) is 1e29 ≥ the n≈3e9-row Σd² bound above.
+      .select(col("n"),
+        col("_sum_d2_exact").cast("decimal(38,9)").as("sum_d2"),
         when(col("n") > 1,
-          lit(1.0) - (lit(6.0) * col("sum_d2").cast("double")) /
+          lit(1.0) - (lit(6.0) * col("_sum_d2_exact").cast("double")) /
             (nd * (nd * nd - lit(1.0)))).as("spearman_rho"))
   }
 }

@@ -118,9 +118,33 @@ object Excel {
 
   /** Sheet names in workbook order. */
   def sheetNames(path: String): Seq[String] = {
-    val zf = new ZipFile(path)
+    val zf = openXlsx(path)
     try workbookSheets(zf).map(_._1)
     finally zf.close()
+  }
+
+  /** Open a workbook as XLSX (zip/XML), failing LOUDLY on the legacy
+    * binary `.xls` container instead of with an opaque zip error.
+    * `.xls` is an OLE2 compound document (magic D0CF11E0A1B11AE1) that
+    * pandas routes to xlrd; no reference workbook uses it (every cited
+    * file is `.xlsx`), so parity needs only an explicit unsupported-
+    * format diagnostic pointing at the conversion path.
+    */
+  private def openXlsx(path: String): ZipFile = {
+    val ole2 = Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1).map(_.toByte)
+    val head = {
+      val in = new java.io.FileInputStream(path)
+      try in.readNBytes(8) finally in.close()
+    }
+    if (java.util.Arrays.equals(head, ole2))
+      throw new IllegalArgumentException(
+        s"$path is a legacy binary .xls workbook (OLE2 compound file); " +
+          "this source reads XLSX (zip/XML) only — re-save as .xlsx")
+    try new ZipFile(path)
+    catch { case e: java.util.zip.ZipException =>
+      throw new IllegalArgumentException(
+        s"$path is not an XLSX workbook (not a zip container): ${e.getMessage}", e)
+    }
   }
 
   private def forwardFill(r: Seq[String]): Seq[String] =
@@ -195,7 +219,7 @@ object Excel {
 
   /** All cells of a sheet, row-major, with per-cell kind (sparse → 'e'). */
   private def readSheetCellsTyped(path: String, sheet: Option[String]): Seq[Seq[XCell]] = {
-    val zf = new ZipFile(path)
+    val zf = openXlsx(path)
     try {
       val sheets = workbookSheets(zf)
       val part = sheet match {
@@ -421,7 +445,7 @@ object Excel {
 
   /** Raw worksheet XML of a sheet (introspection for specs / debugging). */
   def rawSheetXml(path: String, sheet: String): String = {
-    val zf = new ZipFile(path)
+    val zf = openXlsx(path)
     try {
       val part = workbookSheets(zf).find(_._1 == sheet).map(_._2).getOrElse(
         throw new IllegalArgumentException(s"sheet '$sheet' not found"))

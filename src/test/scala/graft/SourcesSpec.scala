@@ -105,6 +105,23 @@ class SourcesSpec extends SparkSpec {
       Seq(Seq("1", "2", "3"), Seq("4", "5", "6")))
   }
 
+  test("Excel: legacy binary .xls (OLE2) fails with an explicit unsupported-format error") {
+    val dir = Files.createTempDirectory("xls").toString
+    // OLE2 compound-file magic is the .xls signature (what xlrd sniffs)
+    val ole2 = Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1).map(_.toByte)
+    Files.write(Paths.get(s"$dir/legacy.xls"), ole2 ++ Array.fill[Byte](512)(0))
+    val ex = intercept[IllegalArgumentException] {
+      Excel.read(spark, s"$dir/legacy.xls")
+    }
+    assert(ex.getMessage.contains(".xls") && ex.getMessage.contains("xlsx"), ex.getMessage)
+    // arbitrary non-zip garbage also gets a named diagnostic, not a raw ZipException
+    Files.writeString(Paths.get(s"$dir/garbage.xlsx"), "not a workbook at all")
+    val ex2 = intercept[IllegalArgumentException] {
+      Excel.sheetNames(s"$dir/garbage.xlsx")
+    }
+    assert(ex2.getMessage.contains("not an XLSX workbook"), ex2.getMessage)
+  }
+
   test("Sinks: writeSingleCsv produces exactly one file readable back (K1)") {
     val dir = Files.createTempDirectory("csv").toString
     val df = Seq((1, "a"), (2, "b")).toDF("id", "s")
