@@ -1592,6 +1592,19 @@ object SparkEntry {
       graft.pipelines.CorpusCuration.curateAtScalePortable(
           Tables.documents(s, d), "text", "doc_id")
         .orderBy("doc_id")),
+    "q_curate_fast" -> ((s, d) =>
+      // the PRODUCTION fast path in ISOLATION: xxhash64 MinHash+LSH
+      // pairs → CC → gates, with NO verification twin attached.
+      // q_curate_lsh runs BOTH this and the exact path by construction
+      // (it is a bounded-error verdict), so its bench time is the
+      // verification cost, not the scale path's — this entry is the
+      // number a capacity plan should read. No oracle: the xxhash64
+      // kept set is engine-specific (driver records rows>0); its
+      // correctness rides on q_curate_lsh's ≤1%-disagreement verdict
+      // and the oracled portable twin q_curate_lsh_md5.
+      graft.pipelines.CorpusCuration.curateAtScale(
+          Tables.documents(s, d), "text", "doc_id")
+        .orderBy("doc_id")),
 
     "q_vocab" -> ((s, d) => {
       val tok = Tables.documents(s, d).select(col("doc_id"),
