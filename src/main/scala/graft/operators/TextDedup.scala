@@ -1207,9 +1207,17 @@ object TextDedup {
     * Returns one row per chunk: (idCol, pos, len, chunk_md5). Map-only
     * fan-out: no shuffle, no state; at 100 TB the chunk table is the
     * thing you aggregate/join, text never moves past this projection.
-    * Cost is one tiny md5 + a ≤40-term integer fold per character —
-    * heavy relative to a plain scan, so run it once at ingest and
-    * persist the chunk table (the band-index discipline).
+    *
+    * Cut computation runs as the native one-pass expression
+    * ([[graft.plans.GearCdc]]) — value-identical to the Column
+    * composition it replaced (per-character gear md5s, per-position
+    * windowed Horner fold; GearCdcSpec keeps that composition as the
+    * property witness, and the q_cdc_dedup oracle replays it in SQL),
+    * but with one md5 per DISTINCT character (cached) instead of one
+    * per position, and the window fold updated incrementally instead
+    * of re-folded per position (measured ~10× at sf10 — SCALE.md).
+    * Still heavy relative to a plain scan, so run it once at ingest
+    * and persist the chunk table (the band-index discipline).
     */
   def contentDefinedChunks(df: DataFrame, textCol: String, idCol: String,
                            maskBits: Int = 8, windowChars: Int = 16): DataFrame = {
@@ -1218,35 +1226,12 @@ object TextDedup {
     require(windowChars >= 2 && windowChars <= 64,
       s"contentDefinedChunks: windowChars must be in [2, 64], got $windowChars")
     val t = col(textCol)
-    val n = length(t)
-    val gp = transform(sequence(lit(1), n), p =>
-      conv(substring(md5(concat(lit("gear:"), t.substr(p, lit(1)))), 1, 4),
-        16, 10).cast("long"))
-    val modulus = lit(1L << maskBits)
-    def hAt(gpCol: Column, i: Column): Column = {
-      val start = greatest(i - (windowChars - 1), lit(1))
-      aggregate(slice(gpCol, start, i - start + 1), lit(0L),
-        (acc, x) => pmod(acc * 31 + x, lit(1L << 40)))
-    }
-    val cuts = filter(sequence(lit(1), n), i => pmod(hAt(col("_gp"), i), modulus) === 0)
-    // final position is always a cut — appended only when the content
-    // didn't already cut there (a conditional, not array_distinct:
-    // DuckDB's list_distinct does not guarantee order, and the oracle
-    // must replay this branch for branch)
-    // try_element_at: element_at(-1) THROWS on an empty cut list under
-    // ANSI; null compares false and the end cut is appended
-    val cutsAll = when(try_element_at(cuts, lit(-1)) === n, cuts)
-      .otherwise(concat(cuts, array(n)))
-    val prevs = concat(array(lit(0)),
-      slice(cutsAll, lit(1), greatest(size(cutsAll) - 1, lit(0))))
-    val chunks = zip_with(cutsAll, prevs, (c, p) =>
-      struct((p + 1).as("pos"), (c - p).as("len")))
-    df.filter(n >= 1)
-      .withColumn("_gp", gp)
-      .select(col(idCol), t.as("_t"), explode(chunks).as("_c"))
+    df.filter(length(t) >= 1)
+      .select(col(idCol), t.as("_t"),
+        explode(graft.plans.GearCdc.chunks(t, maskBits, windowChars)).as("_c"))
       .select(col(idCol),
-        col("_c.pos").cast("int").as("pos"),
-        col("_c.len").cast("int").as("len"),
+        col("_c.pos").as("pos"),
+        col("_c.len").as("len"),
         md5(col("_t").substr(col("_c.pos"), col("_c.len"))).as("chunk_md5"))
   }
 }
