@@ -718,6 +718,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian in anchor rollup:\n$p")
   }
 
+  test("q_cdc_dedup: chunking is map-only — one agg exchange plus the output sort, nothing else") {
+    val p = plan(q("q_cdc_dedup"))
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    // the chunk→md5 group-by's hash exchange + the final orderBy's range
+    // exchange; the native GearCdc generate stage must add none (the
+    // 100 TB contract: chunking is scan-side work, only chunk KEYS move)
+    assert(exchanges <= 2, s"CDC chunking added shuffles:\n$p")
+    val aggs = "\\(\\d+\\) HashAggregate".r.findAllIn(p).size
+    assert(aggs >= 2, s"chunk rollup lost partial aggregation:\n$p")
+    assert(p.contains("gear_cdc"), s"native expression missing from plan:\n$p")
+  }
+
   test("q_random_proj: projection is pure map work — zero exchanges beyond the output sort") {
     val p = plan(q("q_random_proj"))
     // formatted output repeats each node in the details section —
