@@ -57,7 +57,8 @@ object PlanDump {
       "q_anchor_text" -> "anchor-text rollup: one extraction materialized for both aggregations, struct-min top pick (no window), partial aggs",
       "q_url_blocklist" -> "blocklist screen: bounded suffix explode, entry side broadcast (never all-pairs), hits-only join-back",
       "q_random_proj" -> "JL projection: map-only native dot folds, single output-sort exchange",
-      "q_domain_tiered_cap" -> "authority-tiered cap: PageRank rounds ran at construction (checkpoint leaf), per-domain-k window + cap rollup visible")
+      "q_domain_tiered_cap" -> "authority-tiered cap: PageRank rounds ran at construction (checkpoint leaf), per-domain-k window + cap rollup visible",
+      "q_cdc_dedup" -> "content-defined chunking: native gear_cdc generate (map-only), one agg exchange + output sort — chunking itself never shuffles")
     val sb = new StringBuilder
     sb ++= "# PLANS — formatted physical plans of flagship queries\n\n"
     sb ++= "Generated by `graft.PlanDump` at sf0.001 (plan shapes are\n"
