@@ -75,6 +75,32 @@ class GearCdcSpec extends SparkSpec {
     compare(texts, maskBits = 2, w = 64)     // window > most docs
   }
 
+  test("seeded fuzz ≡ witness: random strings over mixed alphabets") {
+    // deterministic LCG — no Random seed ambiguity across Scala versions
+    var state = 0x9E3779B97F4A7C15L
+    def nextInt(bound: Int): Int = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      (((state >>> 33) % bound).toInt + bound) % bound
+    }
+    val alphabets = Seq(
+      "ab",                                  // tiny: dense gear collisions
+      "abcdefghijklmnopqrstuvwxyz 0123456789.,;!?",
+      "日本語テキストかなカナ漢字混合",          // multi-byte
+      "a😀b😀c ",                             // surrogate pairs + ascii
+      "αβγδ žščř ąęłń")                      // 2-byte letters
+    val texts = (0 until 60).map { i =>
+      val alpha = alphabets(i % alphabets.length)
+      val chars = alpha.codePoints().toArray
+      val len = 1 + nextInt(400)
+      val sb = new java.lang.StringBuilder
+      (0 until len).foreach(_ => sb.appendCodePoint(chars(nextInt(chars.length))))
+      sb.toString
+    }
+    compare(texts, maskBits = 5, w = 16)
+    compare(texts, maskBits = 8, w = 7)
+    compare(texts, maskBits = 3, w = 33)
+  }
+
   test("corpus slice ≡ witness at the q_cdc_dedup parameters") {
     val sf = "/root/testdata/sf0.001"
     val docs = Tables.documents(spark, sf).filter(col("doc_id") % 8 === 0)
