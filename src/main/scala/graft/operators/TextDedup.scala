@@ -1215,7 +1215,7 @@ object TextDedup {
     * property witness, and the q_cdc_dedup oracle replays it in SQL),
     * but with one md5 per DISTINCT character (cached) instead of one
     * per position, and the window fold updated incrementally instead
-    * of re-folded per position (measured ~10× at sf10 — SCALE.md).
+    * of re-folded per position (measured ~30× at sf10 — SCALE.md).
     * Still heavy relative to a plain scan, so run it once at ingest
     * and persist the chunk table (the band-index discipline).
     */
