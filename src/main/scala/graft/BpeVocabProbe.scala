@@ -20,7 +20,7 @@ object BpeVocabProbe {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val wf = graft.operators.BpeTrain.wordFreqs(docs, "text")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val total = wf.agg(sum("freq")).head.getLong(0)
+    val total = wf.agg(sum("freq")).head().getLong(0)
     val cuts = Seq(1L, 2L, 4L, 8L, 16L).map { mf =>
       mf -> wf.filter(col("freq") >= mf).count()
     }

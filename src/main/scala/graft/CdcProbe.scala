@@ -26,7 +26,7 @@ object CdcProbe {
     val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nDocs = docs.count()
-    val nChars = docs.agg(sum(length(col("text")))).head.getLong(0)
+    val nChars = docs.agg(sum(length(col("text")))).head().getLong(0)
 
     def best(f: => Long): (Double, Long) = {
       var bestT = Double.MaxValue
@@ -45,7 +45,7 @@ object CdcProbe {
     }
     val sample = docs.filter(col("doc_id") % 32 === 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sampleChars = sample.agg(sum(length(col("text")))).head.getLong(0)
+    val sampleChars = sample.agg(sum(length(col("text")))).head().getLong(0)
     val (tNativeS, _) = best {
       TextDedup.contentDefinedChunks(sample, "text", "doc_id", maskBits = 7)
         .count()

@@ -94,7 +94,7 @@ object GraphScaleProbe {
     val t0 = System.nanoTime()
     val cc = Graph.connectedComponents(edges, "src", "dst")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nComp = cc.agg(countDistinct(col("component"))).head.getLong(0)
+    val nComp = cc.agg(countDistinct(col("component"))).head().getLong(0)
     val ccSec = (System.nanoTime() - t0) / 1e9
     val (ccJobs, ccRows) = snapshot()
     require(ccJobs > 3, s"CC issued only $ccJobs jobs — single-task shape? " +
@@ -103,7 +103,7 @@ object GraphScaleProbe {
     // ---- distributed PageRank ---------------------------------------
     val t1 = System.nanoTime()
     val pr = Graph.pageRank(edges, "src", "dst", iters = 8)
-    val prAgg = pr.agg(count(lit(1)), sum(col("rank_fp").cast("decimal(38,0)"))).head
+    val prAgg = pr.agg(count(lit(1)), sum(col("rank_fp").cast("decimal(38,0)"))).head()
     val (prNodes, prMass) = (prAgg.getLong(0), prAgg.getDecimal(1))
     val prSec = (System.nanoTime() - t1) / 1e9
     val (prJobs, prRows) = snapshot()

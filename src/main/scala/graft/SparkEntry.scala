@@ -441,6 +441,16 @@ object SparkEntry {
         col("l_quantity"), Seq(0.5 -> "med_qty"))
       price.join(qty, Seq("l_returnflag")).orderBy("l_returnflag")
     }),
+    "q_percentiles_hist" -> ((s, d) =>
+      // the THIRD exact-percentile regime: low-cardinality values
+      // (l_quantity has 50 distinct) read off a bounded per-group
+      // histogram — two tiny map-combined shuffles, no corpus sort
+      // (rankSelectPercentiles' regime) and no per-group value buffer
+      // (percentile()'s). Same rank/interpolation arithmetic, so the
+      // oracle is plain quantile_cont.
+      Aggs.histogramPercentiles(Tables.lineitem(s, d), "l_returnflag",
+          col("l_quantity"), Seq(0.5 -> "med_qty", 0.95 -> "p95_qty"))
+        .orderBy("l_returnflag")),
     "q_percentiles_approx" -> ((s, d) => {
       // scale variant of q_percentiles: approx_percentile runs in bounded
       // memory (t-digest-style sketch, mergeable map-side) — the form to
@@ -4682,6 +4692,13 @@ object SparkEntry {
         | quantile_cont(l_extendedprice, 0.5) AS med_price,
         | quantile_cont(l_extendedprice, 0.95) AS p95_price,
         | quantile_cont(l_quantity, 0.5) AS med_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_percentiles_hist" ->
+      // the histogram path answers with the SAME interpolation as
+      // quantile_cont — bit-equal, so the oracle is the plain form
+      """SELECT l_returnflag,
+        | quantile_cont(l_quantity, 0.5) AS med_qty,
+        | quantile_cont(l_quantity, 0.95) AS p95_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_stats" ->
       """WITH m AS (SELECT l_returnflag,

@@ -136,7 +136,7 @@ object Aggs {
       "percentiles must be in [0, 1]")
     val spark = df.sparkSession
     val approxGroups =
-      df.select(approx_count_distinct(col(groupCol)).as("_n")).head.getLong(0)
+      df.select(approx_count_distinct(col(groupCol)).as("_n")).head().getLong(0)
     require(approxGroups <= maxGroups,
       s"rankSelectPercentiles: ~$approxGroups distinct '$groupCol' groups exceed " +
         s"maxGroups=$maxGroups. This operator holds O(partitions × groups) driver " +
@@ -241,6 +241,80 @@ object Aggs {
     val schema = StructType(groupField.copy(name = groupCol) +:
       percentiles.map { case (_, alias) => StructField(alias, DoubleType, nullable = false) })
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** EXACT per-group percentiles from a bounded VALUE HISTOGRAM — the
+    * scale path when the value column is low-cardinality (quantities,
+    * ratings, day-of-month, coded categories): a 100 TB column with 50
+    * distinct values needs a 50-row histogram per group, not a sort of
+    * the corpus. Two tiny shuffles total — `groupBy(group, value)`
+    * count (output ≤ groups × distinct values, map-side combined, so
+    * executors stream the corpus once and emit almost nothing) and the
+    * per-group histogram collect — then each percentile reads off the
+    * sorted cumulative counts INSIDE a Column fold.
+    *
+    * Value-identical to [[rankSelectPercentiles]] / Spark `percentile`
+    * / DuckDB `quantile_cont` (spec-pinned): same rank r = p·(n−1),
+    * same symmetric interpolation (⌈r⌉−r)·v_lo + (r−⌊r⌋)·v_hi
+    * evaluated over the same double operands. Nulls ignored; a group
+    * with no non-null values is absent — the same contract as the
+    * other two forms.
+    *
+    * `maxDistinct` enforces the regime: the VALUE cardinality is probed
+    * map-side (approx_count_distinct) before any shuffle and the call
+    * fails fast past the cap, naming the right operator for the other
+    * regime — the mirror of [[rankSelectPercentiles]]' maxGroups guard.
+    * Per-group state is one array of ≤ maxDistinct (value, count)
+    * structs on EXECUTORS (never the driver), so the cap is an executor
+    * memory bound, not a driver one.
+    */
+  def histogramPercentiles(df: DataFrame, groupCol: String, value: Column,
+                           percentiles: Seq[(Double, String)],
+                           maxDistinct: Long = 100000L): DataFrame = {
+    require(percentiles.nonEmpty && percentiles.forall { case (p, _) => p >= 0 && p <= 1 },
+      "percentiles must be in [0, 1]")
+    val approxVals =
+      df.select(approx_count_distinct(value).as("_n")).head().getLong(0)
+    require(approxVals <= maxDistinct,
+      s"histogramPercentiles: ~$approxVals distinct values exceed " +
+        s"maxDistinct=$maxDistinct. This operator materializes one " +
+        "(value, count) histogram row per distinct value per group and is " +
+        "meant for LOW-cardinality value columns; for continuous values " +
+        "use rankSelectPercentiles (huge groups) or percentile() " +
+        "(many small groups)")
+    val hist = df
+      .select(col(groupCol).as("_g"), value.cast("double").as("_v"))
+      .filter(col("_v").isNotNull)
+      .groupBy(col("_g"), col("_v")).agg(count(lit(1)).as("_c"))
+      .groupBy(col("_g"))
+      .agg(sort_array(collect_list(struct(col("_v"), col("_c")))).as("_h"),
+        sum(col("_c")).as("_n"))
+    // per percentile: one fold over the sorted histogram carrying
+    // (cumulative count, value at rank ⌊r⌋, value at rank ⌈r⌉) — the
+    // value at rank k is the first entry whose cumulative count
+    // exceeds k
+    val cols = percentiles.map { case (p, alias) =>
+      val r = lit(p) * (col("_n").cast("double") - lit(1.0))
+      val rf = floor(r)
+      val rc = ceil(r)
+      val picked = aggregate(col("_h"),
+        struct(lit(0L).cast("long").as("cum"),
+          lit(null).cast("double").as("lo"),
+          lit(null).cast("double").as("hi")),
+        (acc, e) => {
+          val cum = acc.getField("cum") + e.getField("_c")
+          struct(cum.as("cum"),
+            coalesce(acc.getField("lo"),
+              when(cum.cast("double") > rf, e.getField("_v"))).as("lo"),
+            coalesce(acc.getField("hi"),
+              when(cum.cast("double") > rc, e.getField("_v"))).as("hi"))
+        })
+      when(rf === rc, picked.getField("hi"))
+        .otherwise((rc - r) * picked.getField("lo") +
+          (r - rf) * picked.getField("hi"))
+        .as(alias)
+    }
+    hist.select((col("_g").as(groupCol) +: cols): _*)
   }
 
   /** Per-group PERSISTABLE distinct-count sketches (HyperLogLog, Apache

@@ -73,6 +73,44 @@ class RankSelectSpec extends SparkSpec {
     assert(m == Map(1L -> 15.0, 2L -> 7.0))
   }
 
+  test("histogramPercentiles ≡ rankSelectPercentiles ≡ percentile() on low-cardinality values") {
+    import graft.operators.Aggs
+    // skewed counts, interpolation between distinct values, negative
+    // values, a single-value group, nulls
+    val rows = Seq.tabulate(500) { i =>
+      (i % 3).toLong -> (i % 7).toDouble
+    } ++ Seq(9L -> -5.0, 9L -> -5.0) ++
+      Seq(2L -> Double.NaN).filter(_ => false)
+    val df = rows.toDF("g", "v")
+      .unionByName(Seq((1L, Option.empty[Double])).toDF("g", "v"))
+    val ps = Seq(0.5 -> "p50", 0.95 -> "p95", 0.0 -> "mn", 1.0 -> "mx")
+    def asMap(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getLong(0) ->
+        (1 to 4).map(i => r.getDouble(i)).toSeq).toMap
+    val hist = asMap(Aggs.histogramPercentiles(df, "g", col("v"), ps))
+    val rank = asMap(Aggs.rankSelectPercentiles(df, "g", col("v"), ps))
+    assert(hist == rank, s"hist=$hist rank=$rank")
+    val builtin = asMap(df.filter(col("v").isNotNull).groupBy("g")
+      .agg(expr("percentile(v, 0.5)"), expr("percentile(v, 0.95)"),
+        expr("percentile(v, 0.0)"), expr("percentile(v, 1.0)")))
+    assert(hist == builtin, s"hist=$hist builtin=$builtin")
+  }
+
+  test("histogramPercentiles fails fast on high-cardinality values") {
+    import graft.operators.Aggs
+    val many = spark.range(0, 5000L).selectExpr("id % 3 as g", "CAST(id AS DOUBLE) as v")
+    val ex = intercept[IllegalArgumentException] {
+      Aggs.histogramPercentiles(many, "g", col("v"),
+        Seq(0.5 -> "p50"), maxDistinct = 1000L)
+    }
+    assert(ex.getMessage.contains("rankSelectPercentiles"), ex.getMessage)
+    // the documented regime still works under the same cap
+    val few = spark.range(0, 5000L).selectExpr("id % 3 as g", "CAST(id % 40 AS DOUBLE) as v")
+    val out = Aggs.histogramPercentiles(few, "g", col("v"),
+      Seq(0.5 -> "p50"), maxDistinct = 1000L)
+    assert(out.count() == 3)
+  }
+
   test("spearmanRank: agreement 1, reversal -1, shuffled vs reference, nulls drop, empty") {
     def rho(rows: Seq[(Long, java.lang.Double, java.lang.Double)]): (Long, BigDecimal, Option[Double]) = {
       val r = Aggs.spearmanRank(rows.toDF("id", "a", "b"), "id", "a", "b")
