@@ -264,9 +264,16 @@ object Aggs {
     * map-side (approx_count_distinct) before any shuffle and the call
     * fails fast past the cap, naming the right operator for the other
     * regime — the mirror of [[rankSelectPercentiles]]' maxGroups guard.
-    * Per-group state is one array of ≤ maxDistinct (value, count)
-    * structs on EXECUTORS (never the driver), so the cap is an executor
-    * memory bound, not a driver one.
+    * The probe is a SEPARATE full scan of the input before the real job
+    * (the same documented cost as rankSelectPercentiles' count pass) —
+    * acceptable because wrong-regime refusal must happen BEFORE the
+    * shuffle materializes executor-crushing histograms, and a scan is
+    * the cheapest full-input pass there is. The HLL estimate carries
+    * ~2% rsd, so a true cardinality slightly above the cap can slip
+    * through — fine: the cap is an order-of-magnitude regime guard
+    * (executor-memory bound, not a driver one), not an exact limit.
+    * Per-group state is one array of ≤ ~maxDistinct (value, count)
+    * structs on EXECUTORS (never the driver).
     */
   def histogramPercentiles(df: DataFrame, groupCol: String, value: Column,
                            percentiles: Seq[(Double, String)],
@@ -482,13 +489,15 @@ object Aggs {
       .agg(count(lit(1)).as("n"),
         coalesce(sum((d * d).cast("decimal(38,0)")),
           lit(BigDecimal(0)).cast("decimal(38,0)")).as("_sum_d2_exact"))
-      // output the exact integer at scale 9, not scale 0: a scale-0
-      // decimal canonicalizes to int64 from Spark parquet but float64
-      // from DuckDB (pandas), so cross-engine hash gates split on it —
-      // scale>0 decimals land on float64 from BOTH engines. Integral
-      // headroom at (38,9) is 1e29 ≥ the n≈3e9-row Σd² bound above.
+      // output the exact integer as DOUBLE, not DECIMAL: Spark parquet
+      // DECIMAL(38,9) reads back as Decimal OBJECTS (object dtype) in
+      // pandas while DuckDB's lands as float64, so cross-engine hash
+      // gates split on the dtype even when values are bit-equal. Both
+      // engines casting the same exact decimal to double use IEEE
+      // round-to-nearest → bit-identical at any magnitude (exact to
+      // 2⁵³ anyway; Σd² ≤ ~1e29 loses only sub-ulp precision).
       .select(col("n"),
-        col("_sum_d2_exact").cast("decimal(38,9)").as("sum_d2"),
+        col("_sum_d2_exact").cast("double").as("sum_d2"),
         when(col("n") > 1,
           lit(1.0) - (lit(6.0) * col("_sum_d2_exact").cast("double")) /
             (nd * (nd * nd - lit(1.0)))).as("spearman_rho"))

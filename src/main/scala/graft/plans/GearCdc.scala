@@ -85,13 +85,26 @@ object GearCdc {
     * bytes with their length ((len << 32) | bytes-as-unsigned-int), so
     * key 0 never occurs (len ≥ 1) and doubles as the empty slot.
     * Open-addressed, grown by rehash at 1/2 load — alphabets are
-    * hundreds of entries, so this stays a few KB per thread.
+    * hundreds of entries, so this stays a few KB per thread for real
+    * text. Adversarial high-diversity input (random Unicode) is capped:
+    * past 2¹⁷ distinct code points new entries are computed directly
+    * instead of cached (long-lived executor threads must not pin ~24 MB
+    * of cache built by one pathological document).
     */
   private final class GearCache {
+    private val maxEntries = 1 << 17
     private var cap = 1 << 10
     private var keys = new Array[Long](cap)
     private var vals = new Array[Int](cap)
     private var n = 0
+    private def digest(bytes: Array[Byte], off: Int, len: Int): Int = {
+      val md = localMd.get()
+      md.reset()
+      md.update(gearPrefix)
+      md.update(bytes, off, len)
+      val d = md.digest()
+      ((d(0) & 0xFF) << 8) | (d(1) & 0xFF)
+    }
     def getOrCompute(key: Long, bytes: Array[Byte], off: Int, len: Int): Int = {
       val mask = cap - 1
       var h = (key ^ (key >>> 29)).toInt & mask
@@ -99,16 +112,13 @@ object GearCdc {
         val k = keys(h)
         if (k == key) return vals(h)
         if (k == 0L) {
-          val md = localMd.get()
-          md.reset()
-          md.update(gearPrefix)
-          md.update(bytes, off, len)
-          val d = md.digest()
-          val g = ((d(0) & 0xFF) << 8) | (d(1) & 0xFF)
-          keys(h) = key
-          vals(h) = g
-          n += 1
-          if (n * 2 > cap) grow()
+          val g = digest(bytes, off, len)
+          if (n < maxEntries) {
+            keys(h) = key
+            vals(h) = g
+            n += 1
+            if (n * 2 > cap) grow()
+          }
           return g
         }
         h = (h + 1) & mask
@@ -161,7 +171,9 @@ object GearCdc {
     var i = 0      // code-point index, 0-based (position = i + 1)
     var bo = 0     // byte offset of the current code point
     while (bo < len) {
-      val cl = UTF8String.numBytesForFirstByte(bytes(bo))
+      // clamp: a truncated multi-byte tail (binary-cast / corrupt data)
+      // must degrade to a short final code point, not overrun the array
+      val cl = math.min(UTF8String.numBytesForFirstByte(bytes(bo)), len - bo)
       var packed = 0L
       var b = 0
       while (b < cl) { packed = (packed << 8) | (bytes(bo + b) & 0xFFL); b += 1 }

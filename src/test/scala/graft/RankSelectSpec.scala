@@ -77,10 +77,12 @@ class RankSelectSpec extends SparkSpec {
     import graft.operators.Aggs
     // skewed counts, interpolation between distinct values, negative
     // values, a single-value group, nulls
+    // NaN is deliberately absent: NaN ordering differs across
+    // sort_array / percentile() / rank-select and is pinned by its own
+    // test below, with NaN-aware comparison (== is false for NaN).
     val rows = Seq.tabulate(500) { i =>
       (i % 3).toLong -> (i % 7).toDouble
-    } ++ Seq(9L -> -5.0, 9L -> -5.0) ++
-      Seq(2L -> Double.NaN).filter(_ => false)
+    } ++ Seq(9L -> -5.0, 9L -> -5.0)
     val df = rows.toDF("g", "v")
       .unionByName(Seq((1L, Option.empty[Double])).toDF("g", "v"))
     val ps = Seq(0.5 -> "p50", 0.95 -> "p95", 0.0 -> "mn", 1.0 -> "mx")
@@ -94,6 +96,31 @@ class RankSelectSpec extends SparkSpec {
       .agg(expr("percentile(v, 0.5)"), expr("percentile(v, 0.95)"),
         expr("percentile(v, 0.0)"), expr("percentile(v, 1.0)")))
     assert(hist == builtin, s"hist=$hist builtin=$builtin")
+  }
+
+  test("NaN pins: all three paths sort NaN greatest and propagate it through interpolation") {
+    // Spark's double ordering places NaN above +Inf, and groupBy/sort
+    // normalize NaN to a single key — so with values [1, 2, NaN]:
+    // p50 → 2.0 (rank 1), p100 → NaN, and p75 (rank 1.5, interpolating
+    // 2.0 with NaN) → NaN via IEEE arithmetic. Pinned across the
+    // histogram, rank-select, and buffering percentile() paths with
+    // NaN-aware comparison (== is false for NaN).
+    val df = Seq((1L, 1.0), (1L, 2.0), (1L, Double.NaN)).toDF("g", "v")
+      .repartition(3)
+    val ps = Seq(0.5 -> "p50", 0.75 -> "p75", 1.0 -> "mx")
+    def vals(d: org.apache.spark.sql.DataFrame): Seq[Double] =
+      d.orderBy("g").collect().map(r => (1 to 3).map(i => r.getDouble(i))).head
+    def same(a: Seq[Double], b: Seq[Double]): Boolean =
+      a.length == b.length &&
+        a.zip(b).forall { case (x, y) => java.lang.Double.compare(x, y) == 0 }
+    val expected = Seq(2.0, Double.NaN, Double.NaN)
+    val hist = vals(Aggs.histogramPercentiles(df, "g", col("v"), ps))
+    val rank = vals(Aggs.rankSelectPercentiles(df, "g", col("v"), ps))
+    val builtin = vals(df.groupBy("g").agg(expr("percentile(v, 0.5)"),
+      expr("percentile(v, 0.75)"), expr("percentile(v, 1.0)")))
+    assert(same(hist, expected), s"hist=$hist")
+    assert(same(rank, expected), s"rank=$rank")
+    assert(same(builtin, expected), s"builtin=$builtin")
   }
 
   test("histogramPercentiles fails fast on high-cardinality values") {
@@ -112,18 +139,22 @@ class RankSelectSpec extends SparkSpec {
   }
 
   test("spearmanRank: agreement 1, reversal -1, shuffled vs reference, nulls drop, empty") {
-    def rho(rows: Seq[(Long, java.lang.Double, java.lang.Double)]): (Long, BigDecimal, Option[Double]) = {
+    // sum_d2 is emitted as DOUBLE (exact to 2^53 — the decimal
+    // accumulator is internal): a DECIMAL(38,9) output column reads
+    // back as Decimal OBJECTS from Spark parquet but float64 from
+    // DuckDB, splitting the driver's dtype-sensitive hash gate
+    def rho(rows: Seq[(Long, java.lang.Double, java.lang.Double)]): (Long, Double, Option[Double]) = {
       val r = Aggs.spearmanRank(rows.toDF("id", "a", "b"), "id", "a", "b")
         .collect().head
-      (r.getLong(0), BigDecimal(r.getDecimal(1)),
+      (r.getLong(0), r.getDouble(1),
         if (r.isNullAt(2)) None else Some(r.getDouble(2)))
     }
     val mono = (1L to 20L).map(i => (i, Double.box(i.toDouble), Double.box(i * 2.0 + 1)))
-    assert(rho(mono) == ((20L, BigDecimal(0), Some(1.0))))
+    assert(rho(mono) == ((20L, 0.0, Some(1.0))))
     val rev = (1L to 20L).map(i => (i, Double.box(i.toDouble), Double.box(-i.toDouble)))
     val (n, s, Some(r)) = rho(rev)
     // perfect reversal: sum_d2 = n(n^2-1)/3, rho exactly -1
-    assert(n == 20L && s == BigDecimal(20L * 399 / 3) && r == -1.0)
+    assert(n == 20L && s == (20L * 399 / 3).toDouble && r == -1.0)
     // arbitrary permutation vs a driver-side reference replay
     val rnd = new scala.util.Random(11)
     val perm = rnd.shuffle((1L to 50L).toVector)
@@ -137,9 +168,9 @@ class RankSelectSpec extends SparkSpec {
     // null on either side drops the ROW (both rank passes see the same set)
     val withNulls = mono ++ Seq((100L, null.asInstanceOf[java.lang.Double], Double.box(1.0)),
       (101L, Double.box(1.0), null.asInstanceOf[java.lang.Double]))
-    assert(rho(withNulls) == ((20L, BigDecimal(0), Some(1.0))))
+    assert(rho(withNulls) == ((20L, 0.0, Some(1.0))))
     // empty and single-row: n <= 1 has no defined rho
-    assert(rho(Seq.empty) == ((0L, BigDecimal(0), None)))
-    assert(rho(Seq((1L, Double.box(1.0), Double.box(2.0)))) == ((1L, BigDecimal(0), None)))
+    assert(rho(Seq.empty) == ((0L, 0.0, None)))
+    assert(rho(Seq((1L, Double.box(1.0), Double.box(2.0)))) == ((1L, 0.0, None)))
   }
 }

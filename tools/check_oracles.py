@@ -15,6 +15,23 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def decimal_cols(df: pd.DataFrame):
+    """Columns holding raw decimal.Decimal objects. The driver's raw-read
+    layer coerces DuckDB decimals to float64 but leaves Spark parquet
+    decimals as objects, so a high-precision DECIMAL output column hash-
+    splits at the driver even when values are bit-equal — queries must
+    cast to double at the output boundary. Flag it here so the local gate
+    FAILS where the driver would (r13 lesson: q_score_agreement)."""
+    import decimal
+    out = []
+    for c in df.columns:
+        s = df[c]
+        if s.dtype == object and any(isinstance(v, decimal.Decimal)
+                                     for v in s.head(20)):
+            out.append(c)
+    return out
+
+
 def canon(df: pd.DataFrame):
     df = df.reindex(sorted(df.columns), axis=1)
 
@@ -66,12 +83,15 @@ def main(out_dir, sf_dir):
             continue
         sc, sr = canon(spark_df)
         oc, orows = canon(ora_df)
+        raw_dec = decimal_cols(spark_df) + decimal_cols(ora_df)
         res = {
             "rows_match": len(sr) == len(orows),
             "schema_match": sc == oc,
-            "hash_match": sr == orows,
+            "hash_match": sr == orows and not raw_dec,
             "spark_rows": len(sr), "oracle_rows": len(orows),
         }
+        if raw_dec:
+            res["raw_decimal_cols"] = sorted(set(raw_dec))
         res["status"] = "pass" if all(
             res[k] for k in ("rows_match", "schema_match", "hash_match")) else "FAIL"
         if res["status"] == "FAIL" and sc == oc and len(sr) == len(orows):
