@@ -72,8 +72,25 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Memoized base relations, keyed by (session, path). Every
+    * `spark.read.parquet` pays a driver-side file listing + a footer
+    * read for schema inference; the suite rebuilds each query's frame
+    * from scratch per pass, so that cost lands on EVERY query
+    * (FixedCostProbe: ~60-100 ms/pass untracked by Catalyst phases —
+    * the dominant per-query fixed cost at sf0.1 where 86/179 queries
+    * run <0.5 s). Reusing the resolved DataFrame is safe because the
+    * logical relation is immutable; the test tables are immutable
+    * input dirs by contract (a dir whose FILES change after first read
+    * must not go through this cache — the resolved FileIndex would
+    * miss additions). Keyed by session identity so a stopped session's
+    * entries can't leak into a new one.
+    */
+  private val relCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    relCache.computeIfAbsent((spark, s"$sfDir/$name.parquet"),
+      { case (s, p) => s.read.parquet(p) })
 
   def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = apply(s, d, "nation")

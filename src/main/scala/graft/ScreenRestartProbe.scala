@@ -64,13 +64,15 @@ object ScreenRestartProbe {
     }
 
     // order-independent checksum over the full hit set, computed in
-    // Spark (the CorpusRecoveryProbe convention)
-    def checksum(out: String): (Long, Long) = {
+    // Spark (the CorpusRecoveryProbe convention — DECIMAL sum: a long
+    // Σ xxhash64 overflows under ANSI)
+    def checksum(out: String): (Long, BigDecimal) = {
       val df = spark.read.parquet(out)
       val r = df.agg(count(lit(1)),
-        coalesce(sum(xxhash64(col("doc_id"), col("dup_of"), col("band"))),
-          lit(0L))).head()
-      (r.getLong(0), r.getLong(1))
+        coalesce(sum(xxhash64(col("doc_id"), col("dup_of"), col("band"))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0))),
+          lit(BigDecimal(0)))).head()
+      (r.getLong(0), BigDecimal(r.getDecimal(1)))
     }
 
     // ---- interrupted run: kill after the first committed batch ----
