@@ -114,4 +114,53 @@ class GearCdcSpec extends SparkSpec {
     assert(native.nonEmpty && native == comp,
       s"native=${native.size} witness=${comp.size}")
   }
+
+  test("malformed UTF-8 (truncated multi-byte tail) degrades, never overruns") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // valid prefix + a lone multi-byte lead byte: numBytesForFirstByte
+    // claims 3 bytes but only 1 remains — the clamp must treat the tail
+    // as one short code point instead of reading past the array
+    val cases = Seq(
+      Array[Byte]('a', 'b', 0xE4.toByte),              // 3-byte lead, 0 continuation
+      Array[Byte]('x', 0xF0.toByte, 0x9F.toByte),      // 4-byte lead, 1 continuation
+      Array[Byte](0xC3.toByte))                        // 2-byte lead alone
+    cases.foreach { bs =>
+      val out = graft.plans.GearCdc.compute(
+        UTF8String.fromBytes(bs), maskBits = 3, windowChars = 4)
+      // chunks must still tile [1, nCodePoints] exactly
+      val chunks = (0 until out.numElements()).map { i =>
+        val r = out.getStruct(i, 2); (r.getInt(0), r.getInt(1)) }
+      assert(chunks.nonEmpty, s"no chunks for ${bs.toSeq}")
+      assert(chunks.head._1 == 1)
+      chunks.sliding(2).foreach {
+        case Seq((p1, l1), (p2, _)) => assert(p1 + l1 == p2)
+        case _ => ()
+      }
+    }
+  }
+
+  test("gear-cache cap: >2^17 distinct code points stays correct and deterministic") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // 140k distinct supplementary-plane code points (> the 2^17 cap) —
+    // past the cap the cache stops inserting and computes md5 directly;
+    // the two paths must be value-identical, so a repeat run (now mixed
+    // cache-hit / compute-direct) must reproduce the first byte for byte
+    val s = {
+      val sb = new java.lang.StringBuilder(140000 * 2)
+      var cp = 0x20000
+      var n = 0
+      while (n < 140000) { sb.appendCodePoint(cp); cp += 1; n += 1 }
+      UTF8String.fromString(sb.toString)
+    }
+    def run() = {
+      val out = graft.plans.GearCdc.compute(s, maskBits = 7, windowChars = 16)
+      (0 until out.numElements()).map { i =>
+        val r = out.getStruct(i, 2); (r.getInt(0), r.getInt(1)) }
+    }
+    val a = run()
+    val b = run()
+    assert(a == b, "cap path diverged from cached path")
+    assert(a.map(_._2.toLong).sum == 140000L, "chunks must tile the doc")
+    assert(a.head._1 == 1 && a.last._1 + a.last._2 - 1 == 140000)
+  }
 }
