@@ -53,6 +53,15 @@ object Engine {
       // (UrlSortProbe, SCALE.md round-12 "the codegen that would not
       // JIT"). Plans under 8000 bytecodes are untouched.
       .config("spark.sql.codegen.hugeMethodLimit", "8000")
+      // Generated-class cache sized above the suite's distinct-plan
+      // count (static conf — must be set before the session exists).
+      // The 100-entry default LRU-thrashes on the wide md5-twin plans:
+      // every pass re-pays multi-second Janino compiles on a rotating
+      // set (the Bench builder has carried this since round 2; probes
+      // built HERE were still paying it — CurateFastProbe measured
+      // 4.67 s for a path Bench times at ~2.4 in-suite before this).
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
       .config("spark.ui.enabled", "false")
     ) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
