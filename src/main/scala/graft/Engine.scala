@@ -91,15 +91,65 @@ object Tables {
     * logical relation is immutable; the test tables are immutable
     * input dirs by contract (a dir whose FILES change after first read
     * must not go through this cache — the resolved FileIndex would
-    * miss additions). Keyed by session identity so a stopped session's
-    * entries can't leak into a new one.
+    * miss additions, and ScaleData writes its outputs BEFORE anything
+    * reads them through here).
+    *
+    * Lifecycle: keyed by session identity so a stopped session's
+    * entries can't be served to a new one, AND evicted when their
+    * session stops — a `SparkListener` registered once per
+    * SparkContext fires [[evictStopped]] on application end (in Spark,
+    * `session.stop()` stops the shared context, so context end is the
+    * session-death signal), and every cache miss also sweeps
+    * already-stopped entries. Without eviction, a long-lived driver
+    * that creates/stops many sessions (the probe pattern) would retain
+    * each dead session's resolved `FileIndex`es for the JVM lifetime.
     */
   private val relCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private val hookedContexts =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[org.apache.spark.SparkContext]
+
+  /** Drop every entry whose session satisfies `p`; returns the count
+    * evicted. The sweep mechanics are predicate-driven so tests can
+    * exercise them against a LIVE session (a spec cannot stop the
+    * suite-shared SparkContext; the listener-fired stop path is
+    * asserted end-to-end in ScreenDrainProbe, which owns its JVM).
+    */
+  def evictWhere(p: SparkSession => Boolean): Int = {
+    var n = 0
+    val it = relCache.keySet.iterator()
+    while (it.hasNext) {
+      if (p(it.next()._1)) { it.remove(); n += 1 }
+    }
+    n
+  }
+
+  /** Drop every entry whose session's context has stopped. Called from
+    * the per-context listener and on each cache miss; public so
+    * long-lived hosts with custom lifecycles can force a sweep.
+    */
+  def evictStopped(): Int = evictWhere(_.sparkContext.isStopped)
+
+  /** Test-visible view of the cached paths for one session. */
+  private[graft] def cachedPaths(spark: SparkSession): Set[String] = {
+    val out = Set.newBuilder[String]
+    relCache.keySet.forEach { case (s, p) => if (s eq spark) out += p }
+    out.result()
+  }
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    relCache.computeIfAbsent((spark, s"$sfDir/$name.parquet"),
-      { case (s, p) => s.read.parquet(p) })
+    relCache.computeIfAbsent((spark, s"$sfDir/$name.parquet"), { case (s, p) =>
+      val sc = s.sparkContext
+      if (hookedContexts.add(sc)) {
+        sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+            evictStopped(); hookedContexts.remove(sc)
+          }
+        })
+      } else evictStopped()
+      s.read.parquet(p)
+    })
 
   def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = apply(s, d, "nation")

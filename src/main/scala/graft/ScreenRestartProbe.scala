@@ -85,19 +85,24 @@ object ScreenRestartProbe {
     q1.awaitTermination()
     val tKill = (System.nanoTime() - t0) / 1e9
     val batchesBefore = q1.recentProgress.length
-    println(f"[screen-restart] killed after $batchesBefore batches, $tKill%.1f s")
+    // prove the kill INTERRUPTED the drain directly, at kill time:
+    // committed input rows so far must be strictly below the source
+    // total (a restarted fully-drained AvailableNow query can still
+    // emit a no-data progress event, so a post-restart batch count
+    // would not prove restart-under-load)
+    val inputAtKill = q1.recentProgress.map(_.numInputRows).sum
+    println(f"[screen-restart] killed after $batchesBefore batches " +
+      f"($inputAtKill/$nDocs rows committed), $tKill%.1f s")
     require(batchesBefore >= 1, "kill landed before any batch committed")
+    require(inputAtKill < nDocs,
+      s"kill missed: all $nDocs rows committed before stop; " +
+        "lower maxFilesPerTrigger so the drain spans more batches")
 
     val t1 = System.nanoTime()
     val q2 = start(ckptA, outA)
     q2.awaitTermination()
     val tResume = (System.nanoTime() - t1) / 1e9
     val batchesAfter = q2.recentProgress.length
-    // the kill must have INTERRUPTED the drain — if the first query
-    // finished everything, this is not a restart-under-load test
-    require(batchesAfter >= 1,
-      s"kill missed: first run drained all batches ($batchesBefore); " +
-        "lower maxFilesPerTrigger so the drain spans more batches")
     val lastProg = q2.recentProgress.lastOption
     val stateRows = lastProg.map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
     val stateBytes = dirBytes(s"$ckptA/state")

@@ -463,6 +463,17 @@ object Aggs {
     * n ≈ 3·10⁹ rows, the sum is exact to 10³⁸ — no silent wrap at any
     * realistic corpus size.
     *
+    * Cross-engine bit-identity contract for the emitted `sum_d2`
+    * DOUBLE: exact while Σd² ≤ 2⁵³ (n ≲ ~3 M joined rows — Σd² grows
+    * as O(n³/3) in the anti-correlated worst case). Beyond that the
+    * value is correct to 1 ulp here (one correctly-rounded
+    * decimal→double cast), but another engine's decimal→double path
+    * may double-round (DuckDB hugeint→double), so a HASH gate on
+    * sum_d2 is only guaranteed flake-free under the 2⁵³ bound; the
+    * oracle gates run at sf ≤ 0.1 (n ≈ 10⁴), five orders inside it.
+    * `spearman_rho` itself is derived from the same exact operands on
+    * both engines and shares the bound.
+    *
     * Scale shape: two range-partitioned sort+zipWithIndex rank passes
     * ([[Joins.globalRowIds]] — NO single-partition window), one
     * equi-join on the id, one all-partial aggregate to a single row.

@@ -26,8 +26,10 @@ def decimal_cols(df: pd.DataFrame):
     out = []
     for c in df.columns:
         s = df[c]
+        # sample NON-NULL values: a decimal column whose first 20 rows
+        # are all null would otherwise slip past the gate
         if s.dtype == object and any(isinstance(v, decimal.Decimal)
-                                     for v in s.head(20)):
+                                     for v in s.dropna().head(20)):
             out.append(c)
     return out
 
