@@ -214,6 +214,127 @@ object CorpusStream {
         })
   }
 
+  /** One bounded-screen event. `kind` is `"hit"` (doc_id collided with
+    * the bucket anchored by dup_of — same meaning as [[ScreenHit]]) or
+    * `"anchor"` (doc_id == dup_of installed itself as the bucket's
+    * anchor this cycle). Anchor events exist so the DRAIN is built
+    * from the stream's own exactly-once sink: compacting a cycle's
+    * state into the at-rest snapshot is `screenSnapshot(sinkDf)`, a
+    * parquet read — no state-store export, no checkpoint surgery.
+    */
+  case class BoundedScreenEvent(doc_id: Long, dup_of: Long, band: Int,
+                                bucket: Long, kind: String)
+
+  /** Schema-correct empty snapshot for a first cycle. */
+  def emptyScreenSnapshot(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Int, Long, Long)].toDF("band", "bucket", "anchor")
+  }
+
+  /** The (band, bucket, anchor) rows a finished cycle adds to the
+    * snapshot — exactly the buckets whose anchors the cycle INSTALLED
+    * (its state), read back from its sink. Disjoint from every earlier
+    * cycle's rows by construction: a bucket already in the snapshot a
+    * cycle ran against never installs state there.
+    */
+  def screenSnapshot(sink: DataFrame): DataFrame =
+    sink.filter(col("kind") === "anchor")
+      .select(col("band"), col("bucket"), col("doc_id").as("anchor"))
+
+  /** [[nearDupScreenStateful]] with BOUNDED state — the drain-cycle
+    * form for corpora where the unbounded twin's state store would
+    * grow without limit (~0.7 KB/doc measured: ~670 GB of RocksDB at
+    * 1 B docs, with checkpoint upload, recovery replay, and compaction
+    * cost all growing with it).
+    *
+    * The bucket→anchor map is split by AGE. Buckets from finished
+    * cycles live in `snapshot`, an at-rest parquet table of
+    * (band, bucket, anchor) — cheap storage, no recovery cost; buckets
+    * first seen in the CURRENT cycle live in the state store. Each
+    * micro-batch's band buckets stream-static LEFT-join the snapshot:
+    * an archived bucket emits hits against its snapshot anchor and
+    * NEVER touches state; only snapshot-miss buckets reach the
+    * stateful path, which anchors/collides exactly like the unbounded
+    * twin and additionally emits an `"anchor"` event on install. State
+    * is therefore bounded by ONE CYCLE'S new buckets regardless of
+    * corpus age — the plateau ScreenDrainProbe measures — while the
+    * accept rule stays bit-identical to the unbounded screen: given
+    * the same batching, hits(bounded, all cycles) ≡ hits(unbounded)
+    * (StreamingDedupSpec pins it; the probe re-proves it at sf10
+    * volume).
+    *
+    * A drain cycle is: stop the query; append `screenSnapshot(sink)`
+    * to the snapshot table (idempotent if partitioned by cycle and
+    * overwritten dynamically); start the NEXT cycle's query over the
+    * next landing directory with a fresh checkpoint and the grown
+    * snapshot — the reference's monthly-drop cadence, generalized.
+    * Invariants the caller owns: the snapshot path is immutable while
+    * a cycle runs (the static side's file listing is pinned at plan
+    * time anyway — mid-cycle appends are invisible), holds at most one
+    * row per (band, bucket), and each landing directory is consumed by
+    * exactly one cycle.
+    *
+    * The honest cost trade vs the unbounded twin: every micro-batch
+    * re-scans the snapshot for the join (narrow 3-long columns — at
+    * 1 B docs × 8 bands ≈ 8 B rows, a few tens of GB of parquet
+    * shuffled per batch). The unbounded twin touches only the buckets
+    * the drop occupies but pays for it in ever-growing live state.
+    * Pick by drop cadence: frequent small drops → unbounded twin with
+    * periodic rotation through THIS form; bulk drops → this form
+    * outright (the join amortizes over the drop).
+    */
+  def nearDupScreenBounded(docs: DataFrame, snapshot: DataFrame,
+                           textCol: String = "text",
+                           idCol: String = "doc_id", n: Int = 3,
+                           k: Int = 32, bands: Int = 8)
+      : org.apache.spark.sql.Dataset[BoundedScreenEvent] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    require(k % bands == 0, "k must be divisible by bands")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(docs.schema(idCol).dataType ==
+        org.apache.spark.sql.types.LongType,
+      s"nearDupScreenBounded keys state by a long id; cast $idCol first")
+    val banded = TextDedup
+      .bandedSignatures(docs, textCol, idCol, n, k, bands)
+      .select(col("band").cast("int").as("band"), col("bucket"),
+        col("doc").as("doc_id"))
+    val joined = banded
+      .join(snapshot.select(col("band").cast("int").as("band"),
+          col("bucket"), col("anchor").cast("long").as("_snap_anchor")),
+        Seq("band", "bucket"), "left")
+      .select(col("band"), col("bucket"), col("doc_id"), col("_snap_anchor"))
+      .as[(Int, Long, Long, Option[Long])]
+    joined.groupByKey { case (band, bucket, _, _) => (band, bucket) }
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: (Int, Long), rows: Iterator[(Int, Long, Long, Option[Long])],
+         state: org.apache.spark.sql.streaming.GroupState[Long]) => {
+          val arr = rows.toArray
+          arr.head._4 match {
+            case Some(snapAnchor) =>
+              // archived bucket: hits against the at-rest anchor, NO
+              // state install — this is what bounds the state
+              arr.iterator.map(_._3).filter(_ != snapAnchor)
+                .map(BoundedScreenEvent(_, snapAnchor, key._1, key._2, "hit"))
+            case None =>
+              val ids = arr.map(_._3)
+              java.util.Arrays.sort(ids)
+              if (state.exists) {
+                val anchor = state.get
+                ids.iterator.filter(_ != anchor)
+                  .map(BoundedScreenEvent(_, anchor, key._1, key._2, "hit"))
+              } else {
+                val anchor = ids(0)
+                state.update(anchor)
+                Iterator.single(BoundedScreenEvent(anchor, anchor, key._1,
+                    key._2, "anchor")) ++
+                  ids.iterator.filter(_ != anchor)
+                    .map(BoundedScreenEvent(_, anchor, key._1, key._2, "hit"))
+              }
+          }
+        })
+  }
+
   /** One cap verdict: `doc_id` of `domain` arrived as the `rank`-th
     * document of its domain (1-based, across the stream's lifetime)
     * and is `accepted` iff rank ≤ k.

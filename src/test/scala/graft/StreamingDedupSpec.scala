@@ -426,6 +426,117 @@ class StreamingDedupSpec extends SparkSpec {
     assert(got == Set((3L, 1L)), s"got $got")
   }
 
+  test("nearDupScreenBounded: archived buckets hit without state; empty snapshot ≡ stateful") {
+    import graft.streaming.CorpusStream
+    implicit val sqlCtx = spark.sqlContext
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val events = CorpusStream.nearDupScreenBounded(
+      src.toDF().toDF("doc_id", "text"),
+      CorpusStream.emptyScreenSnapshot(spark))
+    val q = events.writeStream.format("memory").queryName("bounded_empty_out")
+      .outputMode("append").start()
+    src.addData(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely unrelated second document with different words entirely"))
+    q.processAllAvailable()
+    src.addData(
+      (3L, "the quick brown fox jumps over the lazy dog"),
+      (4L, "a genuinely novel third text sharing nothing with the others"))
+    q.processAllAvailable()
+    q.stop()
+    val sink = spark.table("bounded_empty_out")
+    // hit set ≡ the unbounded twin's on the same batching
+    val hits = sink.filter(col("kind") === "hit")
+      .select("doc_id", "dup_of").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits == Set((3L, 1L)), s"got $hits")
+    // anchor events: installers only (docs 1, 2, 4 — never the dup 3)
+    val anchors = sink.filter(col("kind") === "anchor")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(anchors == Set(1L, 2L, 4L), s"got $anchors")
+    // every anchor event is self-referential
+    assert(sink.filter(col("kind") === "anchor" &&
+      col("doc_id") =!= col("dup_of")).count() == 0)
+  }
+
+  test("nearDupScreenBounded: drain cycles — state plateaus, hit parity with the unbounded twin") {
+    // Three landing dirs, three cycles. Bounded run: fresh checkpoint
+    // per cycle, snapshot grown between cycles from each cycle's OWN
+    // sink (screenSnapshot). Unbounded run: one checkpoint over a
+    // growing dir, drained after each chunk lands — identical batching,
+    // so the hit sets must be IDENTICAL while the bounded run's state
+    // is capped at one cycle's new buckets (cycle 3 installs ZERO).
+    import graft.streaming.CorpusStream
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("bounded-drain")
+    val dupA = "the quick brown fox jumps over the lazy dog by the river bank"
+    val dupB = "completely separate legal boilerplate concerning contracts and parties"
+    val freshC = "a genuinely novel third text sharing nothing with the others"
+    val chunks = Seq(
+      Seq((1L, dupA), (2L, dupB)),
+      Seq((3L, dupA), (4L, freshC)),
+      Seq((5L, freshC), (6L, dupA)))
+    chunks.zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("doc_id", "text").repartition(1)
+        .write.mode("append").parquet(s"$base/chunk$i")
+      rows.toDF("doc_id", "text").repartition(1)
+        .write.mode("append").parquet(s"$base/all")
+    }
+    val schema = spark.read.parquet(s"$base/chunk0").schema
+
+    // ---- bounded: one cycle per chunk, snapshot grown between ----
+    var snapshot = CorpusStream.emptyScreenSnapshot(spark)
+    val stateRowsPerCycle = (0 until 3).map { i =>
+      val q = CorpusStream.nearDupScreenBounded(
+          spark.readStream.schema(schema).parquet(s"$base/chunk$i"), snapshot)
+        .writeStream.format("parquet").option("path", s"$base/sink$i")
+        .option("checkpointLocation", s"$base/ckpt$i")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val cycleSink = spark.read.parquet(s"$base/sink$i")
+      snapshot = snapshot.unionByName(CorpusStream.screenSnapshot(cycleSink))
+      q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    }
+    // cycle 1 installs both docs' buckets; cycle 2 only doc 4's (doc 3
+    // hits archived buckets); cycle 3 installs NOTHING — the plateau
+    assert(stateRowsPerCycle(1) < stateRowsPerCycle(0) ||
+      stateRowsPerCycle(1) > 0, stateRowsPerCycle.toString)
+    assert(stateRowsPerCycle(2) == 0,
+      s"cycle 3 should re-anchor nothing: $stateRowsPerCycle")
+    val boundedHits = (0 until 3).map(i => spark.read.parquet(s"$base/sink$i"))
+      .reduce(_ unionByName _).filter(col("kind") === "hit")
+      .select("doc_id", "dup_of").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // ---- unbounded twin: one checkpoint, growing dir, per-chunk drains
+    // (the source sees exactly one chunk of new files per drain) ----
+    // rebuild the growing dir chunk-by-chunk so drains align
+    val allDir = s"$base/grow"
+    var unboundedLast: org.apache.spark.sql.streaming.StreamingQueryProgress = null
+    chunks.foreach { rows =>
+      rows.toDF("doc_id", "text").repartition(1)
+        .write.mode("append").parquet(allDir)
+      val q = CorpusStream.nearDupScreenStateful(
+          spark.readStream.schema(schema).parquet(allDir))
+        .writeStream.format("parquet").option("path", s"$base/sinkU")
+        .option("checkpointLocation", s"$base/ckptU")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      unboundedLast = q.lastProgress
+    }
+    val unboundedHits = spark.read.parquet(s"$base/sinkU")
+      .select("doc_id", "dup_of").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(boundedHits == unboundedHits,
+      s"bounded=$boundedHits unbounded=$unboundedHits")
+    // and the unbounded twin's state kept EVERYTHING (the growth the
+    // bounded form exists to shed): all buckets ever anchored
+    val unboundedState = unboundedLast.stateOperators.map(_.numRowsTotal).sum
+    assert(unboundedState > stateRowsPerCycle.max,
+      s"unbounded=$unboundedState bounded=$stateRowsPerCycle")
+  }
+
   test("duplicates report: all copies + group sizes on composite key") {
     val df = Seq((1, "a"), (1, "a"), (1, "a"), (2, "b")).toDF("k", "s")
     val rep = DuplicatesReport.report(df, Seq("k", "s"))
