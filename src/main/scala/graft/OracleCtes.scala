@@ -409,4 +409,53 @@ private[graft] object OracleCtes {
       | WHERE l.query_id <> c.vec_id GROUP BY 1, 2),
       |pqr AS (SELECT query_id, neighbor_id, sim_pq, row_number() OVER (
       |  PARTITION BY query_id ORDER BY sim_pq DESC, neighbor_id) AS rank FROM pqs)""".stripMargin
+
+  /** [[pqCtes]] over the PLANTED corpus (q_pq_planted): embeddings ∪
+    * near-identical copies (every 50th vector, ±4% componentwise —
+    * cosine ≈ 0.999, ids +1 000 000), queries = the planted copies.
+    * Codebooks/codes are rebuilt over the planted corpus, so the gate
+    * measures whether PQ8×16 retrieves REAL structure, not hairline
+    * ties on i.i.d. noise (the q_ann_pq_recall 0.24 lesson). The
+    * `(i - 1)` matches Spark's 0-based transform index; the lambda's
+    * `vec_id` resolving to either the source column or the +1 000 000
+    * alias is immaterial (10⁶ ≡ 0 mod 5 — same convention as
+    * q_cross_semantic's planted CTE).
+    */
+  val pqPlantedCtes: String =
+    """WITH eb AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings),
+      |pl AS (SELECT vec_id + 1000000 AS vec_id, list_transform(e, (x, i) ->
+      |  x * (1.0 + 0.02 * CAST((vec_id + (i - 1)) % 5 - 2 AS DOUBLE))) AS e
+      | FROM eb WHERE vec_id % 50 = 0),
+      |e0 AS (SELECT vec_id, e FROM eb UNION ALL SELECT vec_id, e FROM pl),
+      |n0 AS (SELECT vec_id, e,
+      |  sqrt(list_reduce(list_transform(e, y->y*y),(p,q)->p+q)) AS nrm FROM e0),
+      |n AS (SELECT vec_id, list_transform(e,
+      |  x -> CASE WHEN nrm = 0 THEN 0.0 ELSE x / nrm END) AS v FROM n0),
+      |cents0 AS (SELECT v, row_number() OVER (
+      |    ORDER BY md5(CAST(vec_id AS VARCHAR) || ':7'), vec_id) - 1 AS code FROM n),
+      |cents AS (SELECT code, v FROM cents0 WHERE code < 16),
+      |subs AS (SELECT CAST(range AS INTEGER) AS sub FROM range(8)),
+      |cb AS (SELECT sub, code, list_slice(v, sub*8+1, sub*8+8) AS cv
+      |  FROM cents CROSS JOIN subs),
+      |xsub AS (SELECT vec_id, sub, list_slice(v, sub*8+1, sub*8+8) AS xs
+      |  FROM n CROSS JOIN subs),
+      |dists AS (SELECT vec_id, sub, code,
+      |  list_reduce(list_transform(list_zip(xs, cv),
+      |    z -> (z[1]-z[2])*(z[1]-z[2])), (p,q)->p+q) AS d2
+      | FROM xsub JOIN cb USING (sub)),
+      |codes AS (SELECT vec_id, sub, code FROM (
+      |  SELECT vec_id, sub, code, row_number() OVER (
+      |    PARTITION BY vec_id, sub ORDER BY d2, code) AS rn FROM dists)
+      | WHERE rn = 1),
+      |qsub AS (SELECT vec_id AS query_id, sub, list_slice(v, sub*8+1, sub*8+8) AS qs
+      |  FROM n CROSS JOIN subs WHERE vec_id >= 1000000),
+      |lut AS (SELECT query_id, sub, code,
+      |  list_reduce(list_transform(list_zip(qs, cv), z -> z[1]*z[2]),(p,q)->p+q) AS pdot
+      | FROM qsub JOIN cb USING (sub)),
+      |pqs AS (SELECT l.query_id, c.vec_id AS neighbor_id,
+      |  CAST(sum(CAST(round(l.pdot, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sim_pq
+      | FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.code
+      | WHERE l.query_id <> c.vec_id GROUP BY 1, 2),
+      |pqr AS (SELECT query_id, neighbor_id, sim_pq, row_number() OVER (
+      |  PARTITION BY query_id ORDER BY sim_pq DESC, neighbor_id) AS rank FROM pqs)""".stripMargin
 }

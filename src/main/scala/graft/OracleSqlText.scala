@@ -35,6 +35,16 @@ private[graft] object OracleSqlText {
         |    CAST(sum(CASE WHEN in_e AND in_p THEN 1 ELSE 0 END) AS DOUBLE) /
         |    sum(CASE WHEN in_e THEN 1 ELSE 0 END) END AS recall
         |FROM j""".stripMargin,
+    "q_pq_planted" ->
+      s"""$pqPlantedCtes
+        |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |  CAST(sum(CASE WHEN neighbor_id = query_id - 1000000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_top1_hits,
+        |  CAST(sum(CASE WHEN neighbor_id = query_id - 1000000 THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*) AS recall_top1,
+        |  CAST(sum(CASE WHEN neighbor_id = query_id - 1000000 THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*) >= 0.8 AS recall_ok
+        |FROM pqr WHERE rank = 1""".stripMargin,
     "q_embed_neardup" -> lshNearDupOracle(nbits = 14, tables = 4, dim = 64,
       seed = 42L, threshold = 0.9),
     "q_embed_recall" -> embedRecallOracle(nbits = 14, tables = 4, dim = 64,

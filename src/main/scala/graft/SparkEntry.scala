@@ -1284,6 +1284,37 @@ object SparkEntry {
           when(col("n_exact") > 0,
             col("n_hit").cast("double") / col("n_exact")).as("recall"))
     }),
+    "q_pq_planted" -> ((s, d) => {
+      // PLANTED-structure PQ recall gate (r14 verdict item 5): the
+      // i.i.d.-noise corpus makes q_ann_pq_recall honest but
+      // uninformative as a REGRESSION gate (recall 0.24 vs hairline
+      // ties — noise has no recoverable structure). Here every 50th
+      // vector gets a near-identical copy (±4% componentwise, cosine
+      // ≈ 0.999, id +1e6), codebooks/codes rebuild over the planted
+      // corpus, and PQ8×16 ADC top-1 must retrieve the original for
+      // ≥80% of the copies — the PqSpec bar, now driver-oracled so a
+      // quantization regression that loses REAL structure goes red.
+      val base = Tables.embeddings(s, d)
+        .select(col("vec_id").cast("long").as("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+      val dups = base.filter(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            x * (lit(1.0) + lit(0.02) *
+              ((col("vec_id") + i) % 5 - 2).cast("double"))).as("embedding"))
+      val all = base.unionByName(dups)
+      val cb = Similarity.pqCodebooks(all, "vec_id", "embedding",
+        m = 8, ksub = 16, dim = 64, seed = 7)
+      val codes = Similarity.pqEncode(all, cb, "vec_id", "embedding", m = 8, dim = 64)
+      val hit = col("neighbor_id") === col("query_id") - 1000000L
+      Similarity.pqTopK(codes, dups, cb,
+          "vec_id", "embedding", m = 8, dim = 64, k = 1)
+        .agg(count(lit(1)).as("n_queries"),
+          sum(when(hit, 1L).otherwise(0L)).as("n_top1_hits"))
+        .select(col("n_queries"), col("n_top1_hits"),
+          (col("n_top1_hits").cast("double") / col("n_queries")).as("recall_top1"),
+          (col("n_top1_hits").cast("double") / col("n_queries") >= 0.8).as("recall_ok"))
+    }),
     "q_ivf_cells" -> ((s, d) =>
       // the occupancy report itself, oracled: top-20 IVF cells by
       // vector count — the skew observability a 100 TB probe needs
