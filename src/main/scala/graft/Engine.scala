@@ -91,8 +91,8 @@ object Tables {
     * logical relation is immutable; the test tables are immutable
     * input dirs by contract (a dir whose FILES change after first read
     * must not go through this cache — the resolved FileIndex would
-    * miss additions, and ScaleData writes its outputs BEFORE anything
-    * reads them through here).
+    * miss additions; ScaleData, the one in-repo writer that overwrites
+    * a table layout in place, calls [[invalidatePath]] after writing).
     *
     * Lifecycle: keyed by session identity so a stopped session's
     * entries can't be served to a new one, AND evicted when their
@@ -129,6 +129,20 @@ object Tables {
     * long-lived hosts with custom lifecycles can force a sweep.
     */
   def evictStopped(): Int = evictWhere(_.sparkContext.isStopped)
+
+  /** Drop every entry (any session) whose path starts with `prefix` —
+    * for the one sanctioned way an "immutable" input dir changes:
+    * a writer (ScaleData) overwriting a table layout in place calls
+    * this after the write so no session serves the stale FileIndex.
+    */
+  def invalidatePath(prefix: String): Int = {
+    var n = 0
+    val it = relCache.keySet.iterator()
+    while (it.hasNext) {
+      if (it.next()._2.startsWith(prefix)) { it.remove(); n += 1 }
+    }
+    n
+  }
 
   /** Test-visible view of the cached paths for one session. */
   private[graft] def cachedPaths(spark: SparkSession): Set[String] = {

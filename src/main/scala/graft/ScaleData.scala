@@ -125,5 +125,10 @@ object ScaleData {
         col("embedding").getItem(perm(i)) * lit(signs(i))): _*)
       df.withColumn("embedding", rotated.cast("array<float>"))
     }
+
+    // this run just rewrote every table under outDir — drop any cached
+    // relations for it (a session that read outDir BEFORE regenerating
+    // must not be served the stale FileIndex; Tables scaladoc contract)
+    Tables.invalidatePath(outDir)
   }
 }

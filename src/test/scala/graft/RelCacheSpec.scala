@@ -26,6 +26,21 @@ class RelCacheSpec extends SparkSpec {
       "evictWhere must not touch other sessions' entries")
   }
 
+  test("invalidatePath drops entries under the prefix for every session") {
+    val child = spark.newSession()
+    Tables.customer(spark, sf).count()
+    Tables.customer(child, sf).count()
+    val n = Tables.invalidatePath(sf)
+    assert(n >= 2, s"expected both sessions' $sf entries dropped, got $n")
+    // assert emptiness on the child only: a concurrently-running suite
+    // may legitimately repopulate the SHARED session's entries between
+    // the invalidate and this line
+    assert(!Tables.cachedPaths(child).exists(_.startsWith(sf)))
+    // repopulates on next read
+    assert(Tables.customer(child, sf).count() > 0)
+    assert(Tables.cachedPaths(child).exists(_.startsWith(sf)))
+  }
+
   test("evictStopped is a no-op while sessions are live; re-read repopulates") {
     Tables.nation(spark, sf).count()
     assert(Tables.evictStopped() == 0,
