@@ -665,19 +665,29 @@ object SparkEntry {
     "q_bpe_merges" -> ((s, d) =>
       // BPE vocabulary TRAINING (not just counting): learn the first 8
       // merge rules over the corpus word-frequency table — one
-      // corpus-sized pass, then vocab-sized iterative aggregation with a
-      // 1-row argmax per step. Deterministic: ties break (lhs, rhs)
-      // lexicographically; the DuckDB oracle replays the identical
-      // algorithm as chained CTEs.
-      graft.operators.BpeTrain.learnMerges(Tables.documents(s, d), "text", 8)),
+      // corpus-sized pass, then vocab-sized iterative aggregation.
+      // Runs the BATCHED distributed trainer (the 32k-rule production
+      // shape: disjoint-prefix rule acceptance cuts pair-count shuffles
+      // from one per rule to one per round) — provably the IDENTICAL
+      // table as sequential greedy (BpeSpec pins equality on fixture,
+      // adversarial, and random corpora), so the DuckDB oracle still
+      // replays sequential greedy as chained CTEs. Deterministic: ties
+      // break (lhs, rhs) lexicographically. r15 isolation: the
+      // sequential form held 2.22 s fresh-JVM at sf0.1 (8 shuffle+argmax
+      // rounds); batched collapses the 8 rules into 1-3 rounds.
+      graft.operators.BpeTrain.learnMergesBatched(Tables.documents(s, d), "text", 8)),
     "q_bpe_encode" -> ((s, d) => {
       // the ENCODE half: tokenize with the table just learned — train 8
       // rules, apply them in rank order to the distinct words (the
       // vocab-sized application encodeDocs builds on), emit the top-50
-      // words by corpus frequency with their '|'-joined token runs
+      // words by corpus frequency with their '|'-joined token runs.
+      // The 8-rule table comes from the DRIVER trainer (identical table
+      // by BpeSpec's three-way equivalence; q_bpe_docs' regime) — this
+      // query's subject is ENCODE, and the distributed trainers are
+      // oracled in q_bpe_merges, so paying 8 distributed argmax rounds
+      // here was pure redundancy (r15 isolation: 2.83 s fresh-JVM).
       val docs = Tables.documents(s, d)
-      val merges = graft.operators.BpeTrain.learnMerges(docs, "text", 8)
-        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      val merges = graft.operators.BpeTrain.learnMergesLocal(docs, "text", 8)
       graft.operators.BpeTrain.encodeWords(
           graft.operators.BpeTrain.wordFreqs(docs, "text"), "word", merges)
         .select(col("word"), col("freq"), array_join(col("tokens"), "|").as("tokens"))
