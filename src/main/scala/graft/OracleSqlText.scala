@@ -11,6 +11,27 @@ import OracleCtes._
 private[graft] object OracleSqlText {
 
   val sql: Map[String, String] = Map(
+    "q_corpus_diff" ->
+      // replay of Diff.snapshotDiff's portable fingerprint path: md5 of
+      // the NUL-coalesced text (single compare column, so the U+0001
+      // joiner never appears), full outer on doc_id, status rollup
+      """WITH v1 AS (SELECT doc_id, text FROM documents),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM v1 WHERE doc_id % 17 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, text FROM v1 WHERE doc_id % 19 = 0),
+        |o AS (SELECT doc_id, md5(coalesce(CAST(text AS VARCHAR), chr(0))) AS fp FROM v1),
+        |n AS (SELECT doc_id, md5(coalesce(CAST(text AS VARCHAR), chr(0))) AS fp FROM v2),
+        |d AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.fp IS NULL THEN 'added'
+        |       WHEN n.fp IS NULL THEN 'removed'
+        |       WHEN o.fp <> n.fp THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+        |SELECT status, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS key_sum
+        |FROM d GROUP BY status ORDER BY status""".stripMargin,
     "q_ann_pq" ->
       s"""$pqCtes
         |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, sim_pq

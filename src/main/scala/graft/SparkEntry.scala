@@ -1113,6 +1113,24 @@ object SparkEntry {
       TextDedup.crossCorpusNearDupsPortable(drop, corpus, "text", "doc_id")
         .orderBy("new_id", "corpus_id")
     }),
+    "q_corpus_diff" -> ((s, d) => {
+      // corpus release audit (Diff.snapshotDiff): v2 = v1 minus
+      // doc_id%17 (removed), doc_id%13 texts revised (changed),
+      // doc_id%19 re-released under +10M ids (added). The diff joins
+      // (key, fingerprint) projections only — md5 portable twin of the
+      // xxhash64 production fingerprint (DiffSpec pins status parity).
+      val v1 = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val v2 = v1.filter(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(v1.filter(col("doc_id") % 19 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+      Diff.snapshotDiff(v1, v2, Seq("doc_id"), Seq("text"), portable = true)
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("key_sum"))
+        .orderBy("status")
+    }),
     "q_minhash_pairs" -> ((s, d) =>
       // the xxhash64 fast path's pair set is engine-specific, so the
       // query emits its QUALITY verdict against exact-Jaccard ground

@@ -440,6 +440,29 @@ object Sinks {
         .sortBy(_._1)
     }
 
+    /** All published version seqs, ascending — the time-travel index. */
+    def versions(spark: org.apache.spark.sql.SparkSession,
+                 root: String): Seq[Int] =
+      manifests(spark, root).map(_._1)
+
+    /** Read a SPECIFIC published version (time travel — the other half of
+      * the retention story: `vacuum`'s `keep` bounds how far back this
+      * reaches). Resolves through the version's own manifest, same as
+      * [[read]], so an unpublished or vacuumed seq fails loudly rather
+      * than scanning a half-written dir.
+      */
+    def readAt(spark: org.apache.spark.sql.SparkSession, root: String,
+               seq: Int): DataFrame = {
+      val (_, p) = manifests(spark, root).find(_._1 == seq).getOrElse(
+        throw new java.io.FileNotFoundException(
+          s"version $seq not published (or vacuumed) under $root"))
+      val f = fs(spark, root)
+      val in = f.open(p)
+      val dir = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+                finally in.close()
+      spark.read.parquet(s"$root/$dir")
+    }
+
     /** The live version's seq and data dir, from the max-seq manifest. */
     def current(spark: org.apache.spark.sql.SparkSession,
                 root: String): Option[(Int, String)] =
