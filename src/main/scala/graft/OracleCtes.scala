@@ -410,27 +410,42 @@ private[graft] object OracleCtes {
       |pqr AS (SELECT query_id, neighbor_id, sim_pq, row_number() OVER (
       |  PARTITION BY query_id ORDER BY sim_pq DESC, neighbor_id) AS rank FROM pqs)""".stripMargin
 
-  /** [[pqCtes]] over the PLANTED corpus (q_pq_planted): embeddings ∪
-    * near-identical copies (every 50th vector, ±4% componentwise —
-    * cosine ≈ 0.999, ids +1 000 000), queries = the planted copies.
-    * Codebooks/codes are rebuilt over the planted corpus, so the gate
-    * measures whether PQ8×16 retrieves REAL structure, not hairline
-    * ties on i.i.d. noise (the q_ann_pq_recall 0.24 lesson). The
-    * `(i - 1)` matches Spark's 0-based transform index; the lambda's
-    * `vec_id` resolving to either the source column or the +1 000 000
-    * alias is immaterial (10⁶ ≡ 0 mod 5 — same convention as
-    * q_cross_semantic's planted CTE).
+  /** [[pqCtes]] over the PLANTED corpus (q_pq_planted): every 50th
+    * vector gets a near-identical copy (±4% componentwise — cosine
+    * ≈ 0.999, ids +1 000 000). FIXED-BUDGET replay: the probe panel is
+    * the 128 copies that sort first by `md5(vec_id || ':pqq')`, the
+    * corpus is the 4096 base vectors that sort first by
+    * `md5(vec_id || ':pqd')` plus the panel's originals (UNION dedups
+    * the identical overlap rows) — so the gate's cost and difficulty
+    * are scale-invariant. Codebooks/codes rebuild over that capped
+    * corpus; the gate measures whether PQ8×16 retrieves REAL
+    * structure, not hairline ties on i.i.d. noise (the
+    * q_ann_pq_recall 0.24 lesson). The `(i - 1)` matches Spark's
+    * 0-based transform index; the lambda's `vec_id` resolving to
+    * either the source column or the +1 000 000 alias is immaterial
+    * (10⁶ ≡ 0 mod 5 — same convention as q_cross_semantic's planted
+    * CTE).
     */
   val pqPlantedCtes: String =
     """WITH eb AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings),
       |pl AS (SELECT vec_id + 1000000 AS vec_id, list_transform(e, (x, i) ->
       |  x * (1.0 + 0.02 * CAST((vec_id + (i - 1)) % 5 - 2 AS DOUBLE))) AS e
       | FROM eb WHERE vec_id % 50 = 0),
-      |e0 AS (SELECT vec_id, e FROM eb UNION ALL SELECT vec_id, e FROM pl),
+      |panel AS (SELECT vec_id, e FROM pl
+      |  ORDER BY md5(CAST(vec_id AS VARCHAR) || ':pqq'), vec_id LIMIT 128),
+      |orig AS (SELECT eb.vec_id, eb.e FROM eb
+      |  JOIN panel p ON eb.vec_id = p.vec_id - 1000000),
+      |dis AS (SELECT vec_id, e FROM eb
+      |  ORDER BY md5(CAST(vec_id AS VARCHAR) || ':pqd'), vec_id LIMIT 4096),
+      |e0 AS (SELECT vec_id, e FROM dis UNION SELECT vec_id, e FROM orig),
       |n0 AS (SELECT vec_id, e,
       |  sqrt(list_reduce(list_transform(e, y->y*y),(p,q)->p+q)) AS nrm FROM e0),
       |n AS (SELECT vec_id, list_transform(e,
       |  x -> CASE WHEN nrm = 0 THEN 0.0 ELSE x / nrm END) AS v FROM n0),
+      |qn0 AS (SELECT vec_id, e,
+      |  sqrt(list_reduce(list_transform(e, y->y*y),(p,q)->p+q)) AS nrm FROM panel),
+      |qn AS (SELECT vec_id, list_transform(e,
+      |  x -> CASE WHEN nrm = 0 THEN 0.0 ELSE x / nrm END) AS v FROM qn0),
       |cents0 AS (SELECT v, row_number() OVER (
       |    ORDER BY md5(CAST(vec_id AS VARCHAR) || ':7'), vec_id) - 1 AS code FROM n),
       |cents AS (SELECT code, v FROM cents0 WHERE code < 16),
@@ -448,7 +463,7 @@ private[graft] object OracleCtes {
       |    PARTITION BY vec_id, sub ORDER BY d2, code) AS rn FROM dists)
       | WHERE rn = 1),
       |qsub AS (SELECT vec_id AS query_id, sub, list_slice(v, sub*8+1, sub*8+8) AS qs
-      |  FROM n CROSS JOIN subs WHERE vec_id >= 1000000),
+      |  FROM qn CROSS JOIN subs),
       |lut AS (SELECT query_id, sub, code,
       |  list_reduce(list_transform(list_zip(qs, cv), z -> z[1]*z[2]),(p,q)->p+q) AS pdot
       | FROM qsub JOIN cb USING (sub)),

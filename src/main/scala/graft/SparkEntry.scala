@@ -1316,12 +1316,20 @@ object SparkEntry {
       // PLANTED-structure PQ recall gate (r14 verdict item 5): the
       // i.i.d.-noise corpus makes q_ann_pq_recall honest but
       // uninformative as a REGRESSION gate (recall 0.24 vs hairline
-      // ties — noise has no recoverable structure). Here every 50th
-      // vector gets a near-identical copy (±4% componentwise, cosine
-      // ≈ 0.999, id +1e6), codebooks/codes rebuild over the planted
-      // corpus, and PQ8×16 ADC top-1 must retrieve the original for
-      // ≥80% of the copies — the PqSpec bar, now driver-oracled so a
+      // ties — noise has no recoverable structure). Every 50th vector
+      // gets a near-identical copy (±4% componentwise, cosine ≈ 0.999,
+      // id +1e6); PQ8×16 ADC top-1 must retrieve the original for ≥80%
+      // of the probe panel — the PqSpec bar, driver-oracled so a
       // quantization regression that loses REAL structure goes red.
+      //
+      // FIXED-BUDGET panels (the 100 TB recall-gate shape, and the fix
+      // for the r15 sf1 finding — the unbounded form cost 117 s there,
+      // exact-ADC being |Q|×|N|): the probe panel is 128 md5-selected
+      // copies and the corpus is 4096 md5-selected distractors plus
+      // the panel's originals, so gate cost AND difficulty are
+      // SF-invariant — corpus growth no longer masquerades as (or
+      // dilutes) a quantization regression. Only the panel selection
+      // scans the full table (TakeOrdered, one pass, no driver state).
       val base = Tables.embeddings(s, d)
         .select(col("vec_id").cast("long").as("vec_id"),
           col("embedding").cast("array<double>").as("embedding"))
@@ -1330,12 +1338,21 @@ object SparkEntry {
           transform(col("embedding"), (x, i) =>
             x * (lit(1.0) + lit(0.02) *
               ((col("vec_id") + i) % 5 - 2).cast("double"))).as("embedding"))
-      val all = base.unionByName(dups)
-      val cb = Similarity.pqCodebooks(all, "vec_id", "embedding",
+      val panel = dups.orderBy(
+          md5(concat(col("vec_id").cast("string"), lit(":pqq"))), col("vec_id"))
+        .limit(128)
+      val originals = base.join(
+        panel.select((col("vec_id") - 1000000L).as("vec_id")),
+        Seq("vec_id"), "left_semi")
+      val distractors = base.orderBy(
+          md5(concat(col("vec_id").cast("string"), lit(":pqd"))), col("vec_id"))
+        .limit(4096)
+      val corpus = distractors.unionByName(originals).dropDuplicates("vec_id")
+      val cb = Similarity.pqCodebooks(corpus, "vec_id", "embedding",
         m = 8, ksub = 16, dim = 64, seed = 7)
-      val codes = Similarity.pqEncode(all, cb, "vec_id", "embedding", m = 8, dim = 64)
+      val codes = Similarity.pqEncode(corpus, cb, "vec_id", "embedding", m = 8, dim = 64)
       val hit = col("neighbor_id") === col("query_id") - 1000000L
-      Similarity.pqTopK(codes, dups, cb,
+      Similarity.pqTopK(codes, panel, cb,
           "vec_id", "embedding", m = 8, dim = 64, k = 1)
         .agg(count(lit(1)).as("n_queries"),
           sum(when(hit, 1L).otherwise(0L)).as("n_top1_hits"))
