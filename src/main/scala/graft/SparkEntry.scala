@@ -1338,9 +1338,16 @@ object SparkEntry {
           transform(col("embedding"), (x, i) =>
             x * (lit(1.0) + lit(0.02) *
               ((col("vec_id") + i) % 5 - 2).cast("double"))).as("embedding"))
+      // panel and corpus are persisted: they are panel-sized (128 / ~4.2k
+      // rows) but their LINEAGE scans the full embeddings table, and the
+      // codebook/encode/ADC consumers would otherwise inline that lineage
+      // per use — 20 table scans at sf0.1 (measured; 3 after). At 100 TB
+      // the selection scans are the query's only corpus-sized work and
+      // must run ONCE.
       val panel = dups.orderBy(
           md5(concat(col("vec_id").cast("string"), lit(":pqq"))), col("vec_id"))
         .limit(128)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val originals = base.join(
         panel.select((col("vec_id") - 1000000L).as("vec_id")),
         Seq("vec_id"), "left_semi")
@@ -1348,6 +1355,7 @@ object SparkEntry {
           md5(concat(col("vec_id").cast("string"), lit(":pqd"))), col("vec_id"))
         .limit(4096)
       val corpus = distractors.unionByName(originals).dropDuplicates("vec_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cb = Similarity.pqCodebooks(corpus, "vec_id", "embedding",
         m = 8, ksub = 16, dim = 64, seed = 7)
       val codes = Similarity.pqEncode(corpus, cb, "vec_id", "embedding", m = 8, dim = 64)

@@ -740,4 +740,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges <= 1, s"projection added shuffles:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("snapshotDiff: exchanges carry key+fingerprint, never the payload") {
+    // the operator's whole scale contract: diffing two 100 TB snapshots
+    // must shuffle (key, 8-16 B fp) projections, not document text — a
+    // regression that lets the payload reach the full-outer join's
+    // exchanges silently turns a keys-sized diff into a corpus-sized one
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val v2 = docs.withColumn("text",
+      org.apache.spark.sql.functions.concat(col("text"), lit("x")))
+    val p = plan(graft.operators.Diff.snapshotDiff(
+      docs, v2, Seq("doc_id"), Seq("text")))
+    val exchangeInputs =
+      raw"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]".r
+        .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchangeInputs.nonEmpty, s"no exchange found — plan shape changed:\n$p")
+    exchangeInputs.foreach(in =>
+      assert(!in.contains("text#"),
+        s"payload column crossed an exchange: [$in]\n$p"))
+  }
 }
