@@ -1053,7 +1053,8 @@ private[graft] object OracleSqlCore {
         |  sqrt(list_reduce(list_transform(e, y->y*y),(p,q)->p+q)) AS nrm FROM e0),
         |n AS (SELECT vec_id, list_transform(e,
         |  x -> CASE WHEN nrm = 0 THEN 0.0 ELSE x / nrm END) AS v FROM n0),
-        |cents AS (SELECT vec_id AS cent_id, v AS cv FROM n WHERE vec_id % 25 = 0),
+        |cents AS (SELECT vec_id AS cent_id, v AS cv FROM n
+        |  WHERE vec_id % 25 = 0 AND vec_id < 2000),
         |ca AS (SELECT vec_id, cent_id FROM (
         |  SELECT nn.vec_id, c.cent_id, row_number() OVER (
         |    PARTITION BY nn.vec_id ORDER BY

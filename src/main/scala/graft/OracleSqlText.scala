@@ -79,7 +79,8 @@ private[graft] object OracleSqlText {
         |nc AS (SELECT vec_id, list_transform(e,
         |  x -> CASE WHEN nrm = 0 THEN 0.0 ELSE x / nrm END) AS v FROM n0c),
         |seeds AS (SELECT vec_id AS cent_id, v AS cv FROM nc
-        | ORDER BY md5(vec_id::VARCHAR || ':7'), vec_id LIMIT 8),
+        | ORDER BY md5(vec_id::VARCHAR || ':7'), vec_id
+        | LIMIT greatest(8, (SELECT count(*) FROM eb)//250)),
         |ca AS (SELECT vec_id, cent_id FROM (
         |  SELECT nc.vec_id, s.cent_id, row_number() OVER (PARTITION BY nc.vec_id
         |   ORDER BY list_reduce(list_transform(list_zip(nc.v, s.cv), x->x[1]*x[2]),(p,q)->p+q) DESC,
@@ -124,7 +125,8 @@ private[graft] object OracleSqlText {
         |n AS (SELECT vec_id, list_transform(e,
         |  x -> CASE WHEN nrm = 0 THEN 0.0 ELSE x / nrm END) AS v FROM n0),
         |seeds AS (SELECT vec_id AS cent_id, v AS cv FROM n
-        | ORDER BY md5(vec_id::VARCHAR || ':7'), vec_id LIMIT 8),
+        | ORDER BY md5(vec_id::VARCHAR || ':7'), vec_id
+        | LIMIT greatest(8, (SELECT count(*) FROM e0)//250)),
         |scored AS (SELECT n.vec_id, s.cent_id,
         |  list_reduce(list_transform(list_zip(n.v, s.cv), x->x[1]*x[2]),(p,q)->p+q) AS csim
         | FROM n CROSS JOIN seeds s),

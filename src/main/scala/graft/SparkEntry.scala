@@ -1211,10 +1211,16 @@ object SparkEntry {
       // deterministic modulo-sampled centroids (production would pass a
       // fitCentroids k-means|| fit — engine-specific seeding — but this
       // probe is fully replayable: DuckDB re-derives the same centroid
-      // set, assignment argmax, and nprobe=4 probe list bit-exactly)
+      // set, assignment argmax, and nprobe=4 probe list bit-exactly).
+      // The vec_id < 2000 bound caps the centroid COUNT at 80 (a no-op
+      // at the oracle SFs, whose ids all sit below 2000): an unbounded
+      // modulo stride scales centroids WITH the corpus, making the
+      // assign stage N×N/25 — measured 15.5× for 10× data at sf1
+      // before the bound; linear after, like the fixed-k md5 twin.
       val e = Tables.embeddings(s, d)
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 10),
-        e.filter(col("vec_id") % 25 === 0), "vec_id", "embedding", k = 5, nprobe = 4)
+        e.filter(col("vec_id") % 25 === 0 && col("vec_id") < 2000),
+        "vec_id", "embedding", k = 5, nprobe = 4)
         .orderBy("query_id", "rank")
     }),
     "q_ann_ivf_md5" -> ((s, d) => {
@@ -1238,8 +1244,12 @@ object SparkEntry {
       // one. At 100 TB the cap is the knob that bounds per-probe cost
       // when a degenerate centroid swallows the corpus.
       val e = Tables.embeddings(s, d)
-      val cents = e.filter(col("vec_id") % 25 === 0)
+      // bounded centroid count (see q_ann_ivf) + persisted index: the
+      // maxCell action and the probe would otherwise each recompute the
+      // corpus-wide assign stage
+      val cents = e.filter(col("vec_id") % 25 === 0 && col("vec_id") < 2000)
       val assigned = Similarity.assignToCentroids(e, cents, "vec_id", "embedding")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val maxCell = Similarity.ivfCellReport(assigned, topN = 1).head().getLong(1)
       Similarity.ivfTopKAssigned(assigned, e.filter(col("vec_id") < 10), cents,
         "vec_id", "embedding", k = 5, nprobe = 4, maxCellSize = maxCell)
@@ -1371,10 +1381,12 @@ object SparkEntry {
     "q_ivf_cells" -> ((s, d) =>
       // the occupancy report itself, oracled: top-20 IVF cells by
       // vector count — the skew observability a 100 TB probe needs
-      // BEFORE paying Σ|cell| in exact dots (see ivfCellReport scaladoc)
+      // BEFORE paying Σ|cell| in exact dots (see ivfCellReport scaladoc);
+      // centroid count bounded like q_ann_ivf's (linear assign at scale)
       Similarity.ivfCellReport(
         Similarity.assignToCentroids(Tables.embeddings(s, d),
-          Tables.embeddings(s, d).filter(col("vec_id") % 25 === 0),
+          Tables.embeddings(s, d)
+            .filter(col("vec_id") % 25 === 0 && col("vec_id") < 2000),
           "vec_id", "embedding"), topN = 20)
         .orderBy(col("n_vectors").desc, col("cent_id"))),
 
@@ -1932,8 +1944,10 @@ object SparkEntry {
       val corpus = Tables.embeddings(s, d).select(
         col("vec_id").cast("long").as("vec_id"),
         col("embedding").cast("array<double>").as("embedding"))
+      // scaled k, identity at the oracle SFs — see q_semantic_dedup
+      val k = math.max(8L, corpus.count() / 250).toInt
       val cents = Similarity.hashSeedCentroids(corpus, "vec_id", "embedding",
-        k = 8, seed = 7L)
+        k = k, seed = 7L)
       val idx = Similarity.assignToCentroids(corpus, cents, "vec_id", "embedding")
       val drop = corpus.filter(col("vec_id") % 10 === 0)
         .select((col("vec_id") + lit(1000000L)).as("vec_id"),
@@ -1960,8 +1974,15 @@ object SparkEntry {
             x * (lit(1.0) + lit(0.02) *
               ((col("vec_id") + i) % 5 - 2).cast("double"))).as("embedding"))
       val all = base.unionByName(dups)
+      // k grows with the corpus (the SemDeDup contract: cells must stay
+      // ~constant-size or the within-cell quadratic re-approaches
+      // corpus²). greatest(8, N/250) is 8 at both oracle SFs — identity
+      // there — and 88/880 at sf1/sf10, where fixed k=8 measured 4.6×
+      // for 10× data. The count is one bounded driver action; the
+      // oracle replays the same arithmetic in its LIMIT.
+      val k = math.max(8L, all.count() / 250).toInt
       val cents = Similarity.hashSeedCentroids(all, "vec_id", "embedding",
-        k = 8, seed = 7L)
+        k = k, seed = 7L)
       Similarity.semanticDedup(all, "vec_id", "embedding", cents, tau = 0.9)
         .orderBy("vec_id")
     }),
