@@ -1,0 +1,89 @@
+#!/bin/bash
+# Round-16 measurement battery — serialized, direct JVM invocation (no sbt).
+# Artifacts land in /tmp/r16bench/. Mirrors round15_bench.sh with the
+# round-15 additions promoted to standing steps:
+#   - SF-curve sweep (tools/sf_curve.py) after the sf0.1 anchor + sf1 run
+#   - sf1 full-surface bar tightened 350 -> 300 (r15 HEAD observed 236.1 s
+#     post scaling-fixes; 300 = observed + ~25% ambient swing)
+#   - sf10 27-query gate bar stays 170 (r15 median 142.3 but spread was an
+#     unusually tight 3.1%; r14 spread 7.1% — keep the conservative bar,
+#     re-derive only if the composition changes)
+set -u
+cd /root/repo
+OUT=/tmp/r16bench
+mkdir -p $OUT
+JOPTS="--add-opens java.base/java.lang=ALL-UNNAMED --add-opens java.base/java.lang.invoke=ALL-UNNAMED --add-opens java.base/java.lang.reflect=ALL-UNNAMED --add-opens java.base/java.io=ALL-UNNAMED --add-opens java.base/java.net=ALL-UNNAMED --add-opens java.base/java.nio=ALL-UNNAMED --add-opens java.base/java.util=ALL-UNNAMED --add-opens java.base/java.util.concurrent=ALL-UNNAMED --add-opens java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens java.base/sun.nio.ch=ALL-UNNAMED --add-opens java.base/sun.nio.cs=ALL-UNNAMED --add-opens java.base/sun.security.action=ALL-UNNAMED --add-opens java.base/sun.util.calendar=ALL-UNNAMED -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -XX:ReservedCodeCacheSize=512m"
+CP="target/scala-2.13/classes:/opt/spark/jars/*"
+GATE="q_dedup_exact q_seq_pack q_lang_id q_prep_pipeline q_events_hourly q_asof q3_top10 q_block_dedup q_events_sessions_native q_bpe_merges q1_agg q_text_stats q_embed_neardup q_bpe_docs q_bloom_join q_percentiles_scale q_dedup_clusters_sampled q_minhash_pairs_sampled q_curate_lsh_sampled q_minhash_pairs_md5 q_curate_lsh_md5 q_pagerank q_dup_spans q_cross_spans q_cdc_dedup q_domain_tiered_cap q_url_blocklist"
+
+run() { # name, heap, env-sfdir, args...
+  local name=$1; shift
+  local heap=$1; shift
+  local sf=$1; shift
+  echo "=== $name start $(date +%T) ==="
+  SPARK_GRAFT_SF_DIR=$sf SPARK_GRAFT_CPUS=32 \
+    java -Xmx$heap $JOPTS -cp "$CP" "$@" > $OUT/$name.log 2>&1
+  echo "=== $name exit $? $(date +%T) ==="
+  [ -f BENCH_LOCAL.json ] && cp BENCH_LOCAL.json $OUT/$name.json
+}
+
+# 1) fixed-cost breakdown (standing: steady plan wall must read 13-65 ms)
+run fixed_cost 32g /root/testdata/sf0.1 graft.FixedCostProbe /root/testdata/sf0.1
+
+# 2) standing sf10 27-query gate, three runs at 32 g (bar: median <=170 s)
+for i in 1 2 3; do
+  run sf10_gate_$i 32g testdata-sf10 graft.Bench $GATE
+done
+
+# 3) the SAME 27-query gate at 8 g heap (bar: zero failures AND <=2x 32g median)
+run sf10_gate_8g 8g testdata-sf10 graft.Bench $GATE
+
+# 4) sf1 full-surface standing gate (bar: <=300 s total, zero spill)
+run sf1_full 32g testdata-sf1 graft.Bench
+
+# 5) standing sf10 probes
+echo "=== bucket probe ==="
+SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=32g \
+  java $JOPTS -cp "$CP" graft.BucketProbe testdata-sf10 32 > $OUT/bucket.log 2>&1
+echo "bucket exit $?"
+echo "=== stream probe ==="
+SPARK_GRAFT_CPUS=32 \
+  java -Xmx32g $JOPTS -cp "$CP" graft.StreamProbe testdata-sf10 8 250000 7000 > $OUT/stream.log 2>&1
+echo "stream exit $?"
+
+# 6) stateful-screen kill/restart under sf10 volume (standing)
+echo "=== screen restart probe ==="
+SPARK_GRAFT_CPUS=32 \
+  java -Xmx32g $JOPTS -cp "$CP" graft.ScreenRestartProbe testdata-sf10 4 > $OUT/screen_restart.log 2>&1
+echo "screen_restart exit $?"
+
+# 7) bounded-state drain cycles: parity + plateau (standing)
+echo "=== screen drain probe ==="
+SPARK_GRAFT_CPUS=32 \
+  java -Xmx32g $JOPTS -cp "$CP" graft.ScreenDrainProbe testdata-sf10 3 > $OUT/screen_drain.log 2>&1
+echo "screen_drain exit $?"
+
+# 8) graph-scale gate (parity required) -> GRAPH_SCALE.json
+echo "=== graph scale probe ==="
+SPARK_GRAFT_CPUS=32 \
+  java -Xmx32g $JOPTS -cp "$CP" graft.GraphScaleProbe > $OUT/graph_scale.log 2>&1
+echo "graph_scale exit $?"
+
+# 9) the retired q_curate_fast number (probe convention)
+echo "=== curate fast probe ==="
+SPARK_GRAFT_CPUS=32 \
+  java -Xmx32g $JOPTS -cp "$CP" graft.CurateFastProbe /root/testdata/sf0.1 > $OUT/curate_fast.log 2>&1
+echo "curate_fast exit $?"
+
+# 10) full-surface sf0.1 anchor, three runs — LAST so BENCH_LOCAL.json
+#     holds the full sf0.1 map afterwards
+for i in 1 2 3; do
+  run full_sf01_$i 32g /root/testdata/sf0.1 graft.Bench
+done
+
+# 11) SF-curve sweep: anchor (median run is fine — use run 3) vs sf1 full.
+#     Exit 1 here means a superlinear fixture shipped — fix before closing.
+echo "=== sf-curve sweep ==="
+python3 tools/sf_curve.py $OUT/full_sf01_3.json $OUT/sf1_full.json
+echo "sf_curve exit $?"
+echo "ALL DONE $(date +%T)"
