@@ -13,8 +13,8 @@ private[graft] object OracleSqlText {
   val sql: Map[String, String] = Map(
     "q_corpus_diff" ->
       // replay of Diff.snapshotDiff's portable fingerprint path: md5 of
-      // the NUL-coalesced text (single compare column, so the U+0001
-      // joiner never appears), full outer on doc_id, status rollup
+      // the N/V-tagged text (single compare column, so the outer digest
+      // hash is skipped), null-safe full outer on doc_id, status rollup
       """WITH v1 AS (SELECT doc_id, text FROM documents),
         |v2 AS (
         |  SELECT doc_id,
@@ -22,14 +22,16 @@ private[graft] object OracleSqlText {
         |  FROM v1 WHERE doc_id % 17 <> 0
         |  UNION ALL
         |  SELECT doc_id + 10000000, text FROM v1 WHERE doc_id % 19 = 0),
-        |o AS (SELECT doc_id, md5(coalesce(CAST(text AS VARCHAR), chr(0))) AS fp FROM v1),
-        |n AS (SELECT doc_id, md5(coalesce(CAST(text AS VARCHAR), chr(0))) AS fp FROM v2),
+        |o AS (SELECT doc_id, md5(CASE WHEN text IS NULL THEN 'N'
+        |  ELSE 'V' || CAST(text AS VARCHAR) END) AS fp FROM v1),
+        |n AS (SELECT doc_id, md5(CASE WHEN text IS NULL THEN 'N'
+        |  ELSE 'V' || CAST(text AS VARCHAR) END) AS fp FROM v2),
         |d AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
         |  CASE WHEN o.fp IS NULL THEN 'added'
         |       WHEN n.fp IS NULL THEN 'removed'
         |       WHEN o.fp <> n.fp THEN 'changed'
         |       ELSE 'unchanged' END AS status
-        |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+        |  FROM o FULL OUTER JOIN n ON o.doc_id IS NOT DISTINCT FROM n.doc_id)
         |SELECT status, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS key_sum
         |FROM d GROUP BY status ORDER BY status""".stripMargin,
     "q_ann_pq" ->

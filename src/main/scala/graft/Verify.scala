@@ -40,6 +40,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Release intra-query persists (panel/index caches in the ANN
+      // family): a 180-query dump would otherwise accumulate cached
+      // blocks for the whole session (Bench clears per pass already).
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

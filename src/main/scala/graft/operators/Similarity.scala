@@ -129,9 +129,53 @@ object Similarity {
     * or a deterministic sample. Centroid set is broadcast at both stages.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
-              idCol: String, vecCol: String, k: Int = 10, nprobe: Int = 2): DataFrame =
-    ivfTopKAssigned(assignToCentroids(corpus, centroids, idCol, vecCol),
-      queries, centroids, idCol, vecCol, k, nprobe)
+              idCol: String, vecCol: String, k: Int = 10, nprobe: Int = 2,
+              maxCentroids: Int = DefaultMaxCentroids): DataFrame = {
+    // guard ONCE here — the composed stages below take the checked path
+    // flag so a heavy centroid lineage (e.g. a TakeOrdered over the
+    // corpus) is not re-scanned per stage just to re-count it
+    requireBoundedCentroids(centroids, maxCentroids)
+    ivfTopKAssignedUnchecked(
+      assignToCentroidsUnchecked(corpus, centroids, idCol, vecCol),
+      queries, centroids, idCol, vecCol, k, nprobe, 0L)
+  }
+
+  /** Ceiling on the broadcast centroid side of the assign stage.
+    * 65536 centroids × 64-dim doubles ≈ 32 MB broadcast — already at
+    * the edge of what every executor should hold resident; beyond it
+    * the design is wrong, not the knob.
+    */
+  val DefaultMaxCentroids: Int = 65536
+
+  /** Refuse an unbounded centroid side BEFORE paying the assign stage.
+    *
+    * The assign stage is |corpus| × |centroids| exact dot products with
+    * the centroid set broadcast to every task. A centroid frame whose
+    * cardinality scales WITH the corpus turns that linear pass quadratic
+    * silently: the r15 SF-curve sweep caught exactly this (a
+    * modulo-stride centroid pick made assign N×N/25 — 15.5× wall for
+    * 10× data at sf1) and the round-15 fix only bounded the query
+    * FIXTURES. This guard institutionalizes the lesson at the operator:
+    * one early-exit count (`limit(max+1).count()` — stops reading at
+    * max+1 rows, never a full scan of a huge side) and a loud refusal
+    * naming the failure mode. Raise `maxCentroids` explicitly only with
+    * a centroid set whose size is a design constant, never a function
+    * of corpus size.
+    */
+  private def requireBoundedCentroids(centroids: DataFrame,
+                                      maxCentroids: Int): Unit = {
+    require(maxCentroids > 0, "maxCentroids must be positive")
+    val n = centroids.limit(maxCentroids + 1).count()
+    require(n <= maxCentroids,
+      s"Similarity: centroid side has > $maxCentroids rows. The assign " +
+        "stage broadcasts every centroid to every task and pays " +
+        "|corpus| × |centroids| dot products — a centroid count that " +
+        "grows with the corpus makes it quadratic (the N×N/25 assign the " +
+        "r15 SF-curve sweep caught). Pass a bounded, corpus-size-" +
+        "independent centroid set (k-means fit / fixed-budget sample), " +
+        "or raise maxCentroids explicitly if the broadcast+compute cost " +
+        "is truly intended")
+  }
 
   /** The IVF INDEX: each corpus vector normalized and labeled with its
     * nearest centroid — `(neighbor_id, cvec, cent_id)`. This is the
@@ -141,7 +185,14 @@ object Similarity {
     * [[ivfTopKAssigned]] and the round-trip spec.
     */
   def assignToCentroids(corpus: DataFrame, centroids: DataFrame,
-                        idCol: String, vecCol: String): DataFrame = {
+                        idCol: String, vecCol: String,
+                        maxCentroids: Int = DefaultMaxCentroids): DataFrame = {
+    requireBoundedCentroids(centroids, maxCentroids)
+    assignToCentroidsUnchecked(corpus, centroids, idCol, vecCol)
+  }
+
+  private def assignToCentroidsUnchecked(corpus: DataFrame, centroids: DataFrame,
+                                         idCol: String, vecCol: String): DataFrame = {
     val cent = normalized(centroids, idCol, vecCol, "cent_id", "centv")
     assignStage(cent, normalized(corpus, idCol, vecCol, "neighbor_id", "v"),
       "neighbor_id", 1)
@@ -171,7 +222,17 @@ object Similarity {
     */
   def ivfTopKAssigned(corpusAssigned: DataFrame, queries: DataFrame,
                       centroids: DataFrame, idCol: String, vecCol: String,
-                      k: Int = 10, nprobe: Int = 2, maxCellSize: Long = 0L): DataFrame = {
+                      k: Int = 10, nprobe: Int = 2, maxCellSize: Long = 0L,
+                      maxCentroids: Int = DefaultMaxCentroids): DataFrame = {
+    requireBoundedCentroids(centroids, maxCentroids)
+    ivfTopKAssignedUnchecked(corpusAssigned, queries, centroids, idCol, vecCol,
+      k, nprobe, maxCellSize)
+  }
+
+  private def ivfTopKAssignedUnchecked(
+      corpusAssigned: DataFrame, queries: DataFrame,
+      centroids: DataFrame, idCol: String, vecCol: String,
+      k: Int, nprobe: Int, maxCellSize: Long): DataFrame = {
     val cent = normalized(centroids, idCol, vecCol, "cent_id", "centv")
     val queryAssigned = assignStage(cent,
         normalized(queries, idCol, vecCol, "query_id", "v"), "query_id", nprobe)

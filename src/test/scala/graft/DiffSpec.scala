@@ -55,6 +55,43 @@ class DiffSpec extends SparkSpec {
       "unchanged" -> 1L))
   }
 
+  test("fingerprint is injection-proof across column boundaries") {
+    // ("a<X>b","c") vs ("a","b<X>c") must be CHANGED for any would-be
+    // separator X — per-column digests make boundaries unforgeable
+    for (sep <- Seq("\u0001", "\u0000", "N", "V", "")) {
+      val l = Seq((1L, s"a${sep}b", "c")).toDF("id", "p", "q")
+      val r = Seq((1L, "a", s"b${sep}c")).toDF("id", "p", "q")
+      for (portable <- Seq(false, true)) {
+        val st = Diff.snapshotDiff(l, r, Seq("id"), Seq("p", "q"), portable)
+          .select("status").as[String].head()
+        assert(st === "changed", s"sep=${sep.map(_.toInt)} portable=$portable")
+      }
+    }
+  }
+
+  test("NULL cell is distinct from empty string AND from a literal NUL") {
+    val l = Seq((1L, None: Option[String]), (2L, None: Option[String]))
+      .toDF("id", "p")
+    val r = Seq((1L, Some("")), (2L, Some("\u0000"))).toDF("id", "p")
+    for (portable <- Seq(false, true)) {
+      val st = Diff.snapshotDiff(l, r, Seq("id"), Seq("p"), portable)
+        .orderBy("id").select("status").as[String].collect().toSeq
+      assert(st === Seq("changed", "changed"), s"portable=$portable")
+    }
+  }
+
+  test("NULL keys match null-safely: one row, not added+removed") {
+    val l = Seq((None: Option[Long], "x"), (Some(1L), "y")).toDF("id", "p")
+    val r = Seq((None: Option[Long], "x"), (Some(1L), "y2")).toDF("id", "p")
+    val d = Diff.snapshotDiff(l, r, Seq("id"), Seq("p"))
+    val byStatus = d.groupBy("status").count()
+      .as[(String, Long)].collect().toMap
+    assert(byStatus === Map("unchanged" -> 1L, "changed" -> 1L))
+    // and the null key survives the output projection
+    assert(d.filter(col("id").isNull).select("status")
+      .as[String].head() === "unchanged")
+  }
+
   test("multi-column keys join correctly") {
     val o2 = old.withColumn("k2", col("id") % 2)
     val n2 = nu.withColumn("k2", col("id") % 2)

@@ -173,4 +173,50 @@ class RankSelectSpec extends SparkSpec {
     assert(rho(Seq.empty) == ((0L, 0.0, None)))
     assert(rho(Seq((1L, Double.box(1.0), Double.box(2.0)))) == ((1L, 0.0, None)))
   }
+
+  test("sum_d2 2^53 contract: exact below the bound, correctly rounded above") {
+    // The documented cross-engine contract (Aggs.spearmanRank scaladoc):
+    // the emitted DOUBLE sum_d2 is bit-exact while the exact integer
+    // fits 2^53, and correct to 1 ulp (one round-to-nearest
+    // decimal->double cast) beyond — where ANOTHER engine's
+    // decimal->double path may double-round, so hash gates on sum_d2
+    // are only guaranteed flake-free inside the bound. The
+    // anti-correlated worst case (b = -a) maximizes
+    // sum_d2 = n(n^2-1)/3, letting a few hundred thousand rows cross
+    // the bound that a correlated corpus would need billions for.
+    import org.apache.spark.sql.functions.{col, lit}
+    def run(n: Long): (Long, Double, Double) = {
+      val df = spark.range(n).select(col("id"),
+        col("id").cast("double").as("a"),
+        (lit(0L) - col("id")).cast("double").as("b"))
+      val r = Aggs.spearmanRank(df, "id", "a", "b").head()
+      (r.getLong(0), r.getDouble(1), r.getDouble(2))
+    }
+    def exactSumD2(n: Long): BigInt = // n(n^2-1)/3 for a perfect reversal
+      BigInt(n) * (BigInt(n) * BigInt(n) - 1) / 3
+    val bound = BigInt(2).pow(53)
+
+    // n = 300k: exact sum_d2 = 8.99...e15 sits just BELOW 2^53 -> the
+    // double must equal the integer exactly (every |int| <= 2^53 is
+    // representable)
+    val nLo = 300000L
+    assert(exactSumD2(nLo) < bound, "fixture drifted: expected sub-2^53")
+    val (gotNLo, gotSumLo, gotRhoLo) = run(nLo)
+    assert(gotNLo == nLo)
+    assert(BigDecimal(gotSumLo).toBigIntExact.contains(exactSumD2(nLo)),
+      s"below 2^53 sum_d2 must be bit-exact: got $gotSumLo")
+    assert(math.abs(gotRhoLo - (-1.0)) < 1e-12)
+
+    // n = 320k: exact sum_d2 = 1.09e16 crosses 2^53 -> the double is the
+    // correctly-rounded (round-to-nearest) cast of the exact integer,
+    // which BigInt.toDouble also produces
+    val nHi = 320000L
+    assert(exactSumD2(nHi) > bound, "fixture drifted: expected super-2^53")
+    val (gotNHi, gotSumHi, gotRhoHi) = run(nHi)
+    assert(gotNHi == nHi)
+    assert(gotSumHi == exactSumD2(nHi).toDouble,
+      s"above 2^53 sum_d2 must be the round-to-nearest cast: got $gotSumHi " +
+        s"expected ${exactSumD2(nHi).toDouble}")
+    assert(math.abs(gotRhoHi - (-1.0)) < 1e-12)
+  }
 }

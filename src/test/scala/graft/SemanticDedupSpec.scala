@@ -100,6 +100,37 @@ class SemanticDedupSpec extends SparkSpec {
       "self-pairs expected at cosine 1; old-old cross pairs must not appear")
   }
 
+  test("unbounded centroid side is refused before the assign stage") {
+    // The failure mode this guard institutionalizes (r15 SF-curve
+    // finding): a centroid pick that scales WITH the corpus — e.g. the
+    // modulo stride `vec_id % 25 === 0` with no upper bound — makes the
+    // assign stage |N| × |N|/25 dot products, a silent quadratic that
+    // measured 15.5× wall for 10× data at sf1. The operator now counts
+    // the centroid side (early-exit limit scan) and refuses loudly.
+    val corpus = vecs((1L to 40L).map(i => i -> Seq(i.toDouble, 1.0)): _*)
+    val corpusSizedCentroids = corpus // the degenerate "every vector" pick
+    val e = intercept[IllegalArgumentException] {
+      Similarity.assignToCentroids(corpus, corpusSizedCentroids,
+        "vec_id", "embedding", maxCentroids = 10)
+    }
+    assert(e.getMessage.contains("centroid side has > 10 rows"))
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.ivfTopK(corpus, corpus.limit(2), corpusSizedCentroids,
+        "vec_id", "embedding", k = 2, nprobe = 1, maxCentroids = 10)
+    }
+    assert(e2.getMessage.contains("quadratic"))
+    val e3 = intercept[IllegalArgumentException] {
+      Similarity.ivfTopKAssigned(
+        Similarity.assignToCentroids(corpus, axes, "vec_id", "embedding"),
+        corpus.limit(2), corpusSizedCentroids,
+        "vec_id", "embedding", k = 2, nprobe = 1, maxCentroids = 10)
+    }
+    assert(e3.getMessage.contains("centroid side"))
+    // at/below the cap nothing changes
+    assert(Similarity.assignToCentroids(corpus, axes, "vec_id", "embedding",
+      maxCentroids = 2).count() == 40)
+  }
+
   test("empty corpus and empty centroid frame are total") {
     val none = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "embedding")
     assert(Similarity.semanticDedup(none, "vec_id", "embedding", axes, 0.9).isEmpty)

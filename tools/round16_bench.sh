@@ -21,10 +21,19 @@ run() { # name, heap, env-sfdir, args...
   local heap=$1; shift
   local sf=$1; shift
   echo "=== $name start $(date +%T) ==="
+  # BENCH_LOCAL.json is committed, so a crashed/non-Bench step would
+  # silently archive the PREVIOUS step's map under this step's name —
+  # remove it first so a missing output is loud (no $OUT/$name.json).
+  rm -f BENCH_LOCAL.json
   SPARK_GRAFT_SF_DIR=$sf SPARK_GRAFT_CPUS=32 \
     java -Xmx$heap $JOPTS -cp "$CP" "$@" > $OUT/$name.log 2>&1
-  echo "=== $name exit $? $(date +%T) ==="
-  [ -f BENCH_LOCAL.json ] && cp BENCH_LOCAL.json $OUT/$name.json
+  local rc=$?
+  echo "=== $name exit $rc $(date +%T) ==="
+  if [ $rc -eq 0 ] && [ -f BENCH_LOCAL.json ]; then
+    cp BENCH_LOCAL.json $OUT/$name.json
+  else
+    echo "!!! $name: no fresh BENCH_LOCAL.json archived (rc=$rc)"
+  fi
 }
 
 # 1) fixed-cost breakdown (standing: steady plan wall must read 13-65 ms)

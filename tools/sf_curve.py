@@ -27,10 +27,18 @@ def main() -> int:
     small = json.load(open(small_path))["queries"]
     big = json.load(open(big_path))["queries"]
     flagged = []
+    # A query missing from EITHER side is as suspicious as a superlinear
+    # one (it crashed or was dropped from that run) — report both
+    # directions and fail the sweep on any set mismatch.
+    only_small = sorted(set(small) - set(big))
+    only_big = sorted(set(big) - set(small))
+    for q in only_small:
+        print(f"FLAG {q}: present only in {small_path} (missing from big run)")
+    for q in only_big:
+        print(f"FLAG {q}: present only in {big_path} (missing from small run)")
     for q, t_big in sorted(big.items()):
         t_small = small.get(q)
         if t_small is None:
-            print(f"  note: {q} only in {big_path}")
             continue
         ratio = t_big / max(t_small, 0.05)  # floor: fixed-cost noise
         if ratio > sf_ratio:
@@ -38,10 +46,10 @@ def main() -> int:
     for ratio, q, a, b in sorted(flagged, reverse=True):
         print(f"FLAG {q}: {a:.3f}s -> {b:.3f}s = {ratio:.1f}x "
               f"for {sf_ratio:.0f}x data (superlinear)")
-    if not flagged:
+    if not (flagged or only_small or only_big):
         print(f"sf-curve clean: no query above {sf_ratio:.0f}x "
               f"across {len(big)} queries")
-    return 1 if flagged else 0
+    return 1 if (flagged or only_small or only_big) else 0
 
 
 if __name__ == "__main__":
