@@ -312,20 +312,33 @@ private[graft] object OracleCtes {
   }
 
   /** q_embed_recall oracle: the lshNearDupOracle CTEs (planting,
-    * normalize, banding, verified pairs) plus the exact-cosine pair set,
+    * normalize, banding, verified pairs) plus the exact-cosine pair set
+    * RESTRICTED to the fixed md5 truth panel (1024 base vectors + their
+    * planted copies — mirror of the Spark side's fixed-budget truth),
     * full-outer joined into confusion counts — recall/precision as
-    * bigint-over-bigint IEEE divisions.
+    * bigint-over-bigint IEEE divisions. The LSH estimate stays
+    * full-corpus; only truth and the compared subpopulation are
+    * panel-bound.
     */
   def embedRecallOracle(nbits: Int, tables: Int, dim: Int, seed: Long,
-                                threshold: Double): String = {
+                                threshold: Double,
+                                panelBudget: Int = 1024): String = {
     val base = lshNearDupOracle(nbits, tables, dim, seed, threshold)
     // cut the final projection off the base oracle and continue its CTE
     // list (the preceding `p AS (...)` needs the joining comma back)
     val upToP = base.substring(0, base.lastIndexOf("SELECT id_a, id_b, sim"))
       .stripTrailing + ",\n"
-    s"""${upToP}lshp AS (SELECT id_a, id_b FROM p WHERE sim >= $threshold),
+    s"""${upToP}pb AS (SELECT vec_id FROM embeddings
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR) || ':erp'), vec_id LIMIT $panelBudget),
+       |pids AS (SELECT vec_id FROM pb
+       | UNION ALL SELECT vec_id + 1000000 FROM pb WHERE vec_id % 10 = 0),
+       |np AS (SELECT n.vec_id, n.v FROM n JOIN pids USING (vec_id)),
+       |lshp AS (SELECT id_a, id_b FROM p
+       | JOIN pids pa ON p.id_a = pa.vec_id
+       | JOIN pids pb2 ON p.id_b = pb2.vec_id
+       | WHERE sim >= $threshold),
        |ex AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
-       | FROM n a JOIN n b ON a.vec_id < b.vec_id
+       | FROM np a JOIN np b ON a.vec_id < b.vec_id
        | WHERE list_reduce(list_transform(list_zip(a.v, b.v), x -> x[1]*x[2]), (p,q)->p+q) >= $threshold),
        |j AS (SELECT e.id_a AS ea, l.id_a AS la FROM ex e
        | FULL OUTER JOIN lshp l ON e.id_a = l.id_a AND e.id_b = l.id_b),

@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.{Compat, TextFunctions}
 import graft.operators._
-import graft.pipelines.Reconciliation
+import graft.pipelines.{IncrementalCuration, Reconciliation}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -904,6 +904,51 @@ object SparkEntry {
         .select(col("doc_id"),
           coalesce(col("component"), col("doc_id")).as("cluster_id"))
         .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+        .orderBy("doc_id")
+    }),
+    "q_inc_curate" -> ((s, d) => {
+      // INCREMENTAL CURATION capstone (diff → screen-the-delta →
+      // curate), proven against full recompute: three corpus versions
+      // with adds, in-place revisions, and removals at each step; the
+      // engine runs fullEdges(v1) then TWO incremental ledger
+      // transitions (only added/changed docs pay pair generation, via
+      // snapshotDiff's (key, fingerprint)-sized shuffle); the ORACLE is
+      // the full recompute over v3 — a green row is the cross-engine
+      // proof that the incremental path lands row-identical (the
+      // q_inc_clusters discipline lifted from CC to the whole
+      // diff+screen+curate composition). IncrementalCurationSpec proves
+      // the same identity per intermediate version with the Versioned
+      // publish wrapper.
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      // each version frame is consumed by several stages (its own pair
+      // gen, both sides of a diff, the next version's construction) —
+      // checkpoint them like the at-rest parquet snapshots they stand in
+      // for (Versioned.write/read in the pipeline form), so the
+      // compounding union+case lineage isn't re-derived per consumer
+      val v1 = docs.filter(col("doc_id") % 3 =!= 2).localCheckpoint()
+      val v2 = v1.filter(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 13 === 0, concat(col("text"), lit(" r2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 3 === 2 && col("doc_id") % 2 === 0))
+        .localCheckpoint()
+      val v3 = v2.filter(col("doc_id") % 19 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" r3")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 3 === 2 && col("doc_id") % 2 === 1))
+        .localCheckpoint()
+      // each ledger version is edge-sized and feeds the next transition
+      // (in production it is the persisted parquet the pipeline reads
+      // back) — localCheckpoint stands in for that persistence and cuts
+      // the compounding lineage the CC rounds would otherwise replay
+      val e1 = IncrementalCuration.fullEdges(v1, "text", "doc_id")
+        .localCheckpoint()
+      val e2 = IncrementalCuration.incrementEdges(v1, v2, e1, "text", "doc_id")
+        .localCheckpoint()
+      val e3 = IncrementalCuration.incrementEdges(v2, v3, e2, "text", "doc_id")
+      IncrementalCuration.curatedFromEdges(v3, "doc_id", e3)
         .orderBy("doc_id")
     }),
     "q_subset_dup" -> ((s, d) =>
@@ -1877,11 +1922,22 @@ object SparkEntry {
         "lang", "doc_id",
         size(TextFunctions.tokens(col("text"))), k = 10, seed = "s1")
         .orderBy("lang", "doc_id")),
-    "q_cosine_pairs" -> ((s, d) =>
-      // exact embedding near-dup oracle path (quadratic, like
-      // q_jaccard_pairs); the scale path is lshNearDupPairs
-      Similarity.cosinePairsExact(Tables.embeddings(s, d), "vec_id", "embedding", 0.4)
-        .orderBy("id_a", "id_b")),
+    "q_cosine_pairs" -> ((s, d) => {
+      // exact embedding near-dup truth, FIXED-BUDGET panel form (the
+      // q_pq_planted pattern, r15 verdict item 2): cosinePairsExact is
+      // |input|² BY DESIGN, so the full-corpus form's cost rides the
+      // corpus quadratically (6.7× wall for 10× data at sf1). The panel
+      // is 1024 md5-selected vectors — larger than the sf0.01 corpus
+      // (identity there), a genuine replayed selection at sf0.1, and
+      // SF-invariant cost above. Full corpora take the LSH scale path
+      // (q_embed_neardup); its recall is measured by q_embed_recall.
+      val e = Tables.embeddings(s, d)
+      val panel = e.orderBy(
+          md5(concat(col("vec_id").cast("string"), lit(":cosp"))), col("vec_id"))
+        .limit(1024)
+      Similarity.cosinePairsExact(panel, "vec_id", "embedding", 0.4)
+        .orderBy("id_a", "id_b")
+    }),
     "q_embed_neardup" -> ((s, d) => {
       // the VERIFIED multi-table LSH scale path end-to-end. The synthetic
       // corpus has no true near-dups (max pair cosine ≈ 0.51), so every
@@ -1912,6 +1968,16 @@ object SparkEntry {
       // the planted corpus, same threshold. The LSH path verifies with
       // the exact dot, so precision must be 1.0 — the report PROVES it
       // rather than assuming it; recall measures the banding miss rate.
+      //
+      // FIXED-BUDGET truth panel (r15 verdict item 2): exact truth was
+      // |N|² over the whole planted corpus — 9.8× wall for 10× data at
+      // sf1. The ESTIMATE UNDER TEST (LSH) still runs the FULL corpus;
+      // only the truth comparison restricts to the md5-selected panel
+      // subpopulation (1024 base vectors + their planted copies), which
+      // is per-pair unbiased — the minhashVsExactSampledReport recipe
+      // with a fixed budget instead of a fraction, so truth cost is
+      // SF-invariant. Identity at sf0.01 (panel ⊇ corpus); genuine
+      // replayed selection at sf0.1.
       val base = Tables.embeddings(s, d).select(
         col("vec_id").cast("long").as("vec_id"),
         col("embedding").cast("array<double>").as("embedding"))
@@ -1921,10 +1987,20 @@ object SparkEntry {
             x * (lit(1.0) + lit(0.02) *
               ((col("vec_id") + i) % 5 - 2).cast("double"))).as("embedding"))
       val all = base.unionByName(dups)
-      val exact = Similarity.cosinePairsExact(all, "vec_id", "embedding", 0.9)
+      val panelBase = base.orderBy(
+          md5(concat(col("vec_id").cast("string"), lit(":erp"))), col("vec_id"))
+        .limit(1024).select("vec_id")
+      val panelIds = panelBase.unionByName(
+        panelBase.filter(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + lit(1000000L)).as("vec_id")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val panelVecs = all.join(panelIds, Seq("vec_id"), "left_semi")
+      val exact = Similarity.cosinePairsExact(panelVecs, "vec_id", "embedding", 0.9)
         .select(col("id_a"), col("id_b"), lit(1).as("_e"))
       val lsh = Similarity.lshNearDupPairs(all, "vec_id", "embedding",
           threshold = 0.9, nbits = 14, tables = 4)
+        .join(panelIds.withColumnRenamed("vec_id", "id_a"), Seq("id_a"), "left_semi")
+        .join(panelIds.withColumnRenamed("vec_id", "id_b"), Seq("id_b"), "left_semi")
         .select(col("id_a"), col("id_b"), lit(1).as("_l"))
       exact.join(lsh, Seq("id_a", "id_b"), "full_outer")
         .agg(count(col("_e")).as("n_exact"), count(col("_l")).as("n_lsh"),

@@ -99,6 +99,48 @@ object TextDedup {
       TextFunctions.shingles(col(textCol), n).as("set"))
   }
 
+  /** Exact cross-frame Jaccard pairs: every (new, corpus) doc pair with
+    * shingle-Jaccard ≥ threshold, new-side × corpus-side only (the two
+    * id sets must be disjoint; within-side pairs come from
+    * [[jaccardPairs]] on that side). This is the EXACT counterpart of
+    * [[crossCorpusNearDups]] — use it where the incremental result must
+    * be row-identical to a full [[jaccardPairs]] recompute restricted
+    * to pairs touching the delta (the [[graft.pipelines
+    * .IncrementalCuration]] edge-ledger contract); use the banded LSH
+    * form for 100 TB screens that tolerate banding recall.
+    *
+    * Scale shape: both sides reduce to 8-byte shingle hashes before the
+    * join — the shuffle never carries shingle text. The pair population
+    * is DELTA-DRIVEN: a corpus shingle row survives the join only if
+    * the delta shares the hash, and when the delta is small Spark
+    * broadcasts its hashed stream, so the corpus never shuffles at all
+    * (the monthly-drop shape). Quadratic cost exists only inside
+    * shared-shingle groups, exactly like [[jaccardPairs]].
+    */
+  def jaccardPairsCross(newDocs: DataFrame, corpus: DataFrame,
+                        textCol: String, idCol: String,
+                        n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val newSets = shingleSetsGuarded(newDocs, textCol, idCol, n)
+    val corpSets = shingleSetsGuarded(corpus, textCol, idCol, n)
+    def hashed(sets: DataFrame, as: String) =
+      sets.select(col("doc").as(as), explode(col("set")).as("s0"))
+        .select(col(as), xxhash64(col("s0")).as("s"))
+    def sizes(sets: DataFrame, as: String, szAs: String) =
+      sets.select(col("doc").as(as), size(col("set")).as(szAs))
+        .filter(col(szAs) > 0)
+    val common = hashed(newSets, "new_id")
+      .join(hashed(corpSets, "corpus_id"), Seq("s"))
+      .filter(col("new_id") =!= col("corpus_id"))
+      .groupBy("new_id", "corpus_id").agg(count(lit(1)).as("common"))
+    common
+      .join(sizes(newSets, "new_id", "sz_new"), Seq("new_id"))
+      .join(sizes(corpSets, "corpus_id", "sz_corpus"), Seq("corpus_id"))
+      .withColumn("jaccard", col("common").cast("double") /
+        (col("sz_new") + col("sz_corpus") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("new_id", "corpus_id", "jaccard")
+  }
+
   private def pairCommonCountsFromSets(shSets: DataFrame,
                                        maxPostings: Int): DataFrame = {
     val sh = shSets.select(col("doc"), explode(col("set")).as("s0"))

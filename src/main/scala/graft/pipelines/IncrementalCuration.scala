@@ -1,0 +1,155 @@
+package graft.pipelines
+
+import graft.operators.{Diff, Graph, TextDedup}
+import graft.sources.Sinks
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental corpus curation: diff → screen-only-the-delta → versioned
+  * publish. The capstone composing [[graft.operators.Diff.snapshotDiff]],
+  * the exact cross-corpus pair screen, and
+  * [[graft.sources.Sinks.Versioned]] time travel into the cadence the
+  * reference runs by hand each month — archive-compare to find what
+  * changed (`Saoirse Automation.ipynb:325-359`), process only the new
+  * drop (`json_cleaning.ipynb:266-283` latest-file selection), publish
+  * the refreshed output — generalized to "only added/changed documents
+  * pay near-dup screening, and the published corpus is row-identical to
+  * a full recompute".
+  *
+  * == The edge-ledger invariant ==
+  *
+  * Near-dup pair generation is PER-PAIR DETERMINISTIC: whether (a, b)
+  * is a qualifying pair depends only on the two texts, never on the
+  * rest of the corpus (uncapped [[TextDedup.jaccardPairs]] /
+  * [[TextDedup.jaccardPairsCross]]). Therefore the full pair set of
+  * version v+1 decomposes exactly:
+  *
+  *   pairs(v+1) = pairs(v) \ {touching removed∪changed}
+  *              ∪ pairs(delta × delta) ∪ pairs(delta × unchanged)
+  *
+  * where delta = added∪changed docs. The pipeline maintains that pair
+  * set as a persisted EDGE LEDGER per version; curation (transitive
+  * closure → min-id canonical per cluster) is recomputed from the
+  * ledger — connected components cost rides the EDGE count and node
+  * ids, never the document payloads. The expensive text-side work
+  * (shingling the delta, posting-list pair generation) is delta-bound;
+  * the only full-corpus passes are the (key, fingerprint) projection
+  * the diff shuffles (a few dozen bytes per row at any scale) and the
+  * unchanged side's shingle stream feeding the cross join — which the
+  * monthly-drop shape broadcast-prunes to the delta's shingle hashes.
+  * By construction the result is row-identical to a full recompute —
+  * the q_inc_curate oracle IS the full recompute, so the driver's green
+  * row is the cross-engine proof, and the spec asserts it per version.
+  *
+  * Hot-shingle caps are deliberately ABSENT here: a cap's drop decision
+  * depends on corpus-wide posting counts, which breaks the per-pair
+  * determinism the ledger identity needs. The capped/banded production
+  * screen ([[TextDedup.crossCorpusNearDups]] with its persisted band
+  * index) trades that identity for bounded cost — same composition,
+  * documented recall instead of exactness.
+  */
+object IncrementalCuration {
+
+  /** Near-dup edges of a full corpus — the ledger a bootstrap persists.
+    * (doc_a, doc_b) with doc_a < doc_b, exact Jaccard ≥ threshold.
+    */
+  def fullEdges(docs: DataFrame, textCol: String, idCol: String,
+                n: Int = 3, threshold: Double = 0.8): DataFrame =
+    TextDedup.jaccardPairs(docs, textCol, idCol, n, threshold)
+      .select("doc_a", "doc_b")
+
+  /** The incremental ledger transition: pairs(newCorpus) from
+    * pairs(prevCorpus) plus delta-bound pair generation only.
+    */
+  def incrementEdges(prevCorpus: DataFrame, newCorpus: DataFrame,
+                     prevEdges: DataFrame, textCol: String, idCol: String,
+                     n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val diff = Diff.snapshotDiff(prevCorpus, newCorpus,
+      Seq(idCol), Seq(textCol))
+    val affected = diff.filter(col("status").isin("added", "changed"))
+      .select(col(idCol).cast("long").as(idCol))
+    val stale = diff.filter(col("status").isin("removed", "changed"))
+      .select(col(idCol).cast("long").as(idCol))
+    // pairs among unchanged docs are untouched — their texts are
+    // byte-identical, so full recompute would emit exactly these
+    val keptEdges = prevEdges
+      .join(stale.withColumnRenamed(idCol, "doc_a"), Seq("doc_a"), "left_anti")
+      .join(stale.withColumnRenamed(idCol, "doc_b"), Seq("doc_b"), "left_anti")
+      // USING joins front the key column — restore the ledger order
+      .select("doc_a", "doc_b")
+    val delta = newCorpus.join(affected, Seq(idCol), "left_semi")
+    val unchanged = newCorpus.join(affected, Seq(idCol), "left_anti")
+    val within = TextDedup.jaccardPairs(delta, textCol, idCol, n, threshold)
+      .select("doc_a", "doc_b")
+    // delta ids and unchanged ids are disjoint by construction; order
+    // each cross pair to the ledger's (min, max) convention
+    val cross = TextDedup.jaccardPairsCross(delta, unchanged,
+        textCol, idCol, n, threshold)
+      .select(least(col("new_id"), col("corpus_id")).as("doc_a"),
+        greatest(col("new_id"), col("corpus_id")).as("doc_b"))
+    keptEdges.unionByName(within).unionByName(cross)
+  }
+
+  /** Cluster assignment from a ledger: (idCol, cluster_id, is_canonical),
+    * canonical = min id per transitive cluster — identical to
+    * [[Graph.dedupClusters]] over a full-recompute pair set.
+    */
+  def curatedFromEdges(docs: DataFrame, idCol: String,
+                       edges: DataFrame): DataFrame =
+    Graph.dedupClusters(docs, idCol, edges, "doc_a", "doc_b")
+
+  // ---- Versioned persistence (corpus snapshots, ledgers, outputs) ----
+
+  private def corpusRoot(root: String) = s"$root/corpus"
+  private def edgesRoot(root: String) = s"$root/edges"
+  private def curatedRoot(root: String) = s"$root/curated"
+
+  /** Publish version 0: full recompute of the ledger and the curated
+    * assignment; persists corpus snapshot + ledger + curation under
+    * `root`. Returns the published seq (0).
+    */
+  def bootstrap(docs: DataFrame, root: String, textCol: String, idCol: String,
+                n: Int = 3, threshold: Double = 0.8): Int = {
+    val edges = fullEdges(docs, textCol, idCol, n, threshold)
+      .localCheckpoint() // consumed by the ledger write AND the curation
+    val vCorpus = Sinks.Versioned.write(docs, corpusRoot(root))
+    val vEdges = Sinks.Versioned.write(edges, edgesRoot(root))
+    val vCur = Sinks.Versioned.write(
+      curatedFromEdges(docs, idCol, edges), curatedRoot(root))
+    require(vCorpus == vEdges && vEdges == vCur,
+      s"version stores out of step: corpus=$vCorpus edges=$vEdges curated=$vCur")
+    vCorpus
+  }
+
+  /** Publish version v+1 from a new corpus snapshot: only added/changed
+    * documents pay pair generation (against each other and against the
+    * unchanged corpus); removed/changed docs' stale edges are dropped
+    * from the ledger. Returns the new seq.
+    */
+  def publishIncrement(newCorpus: DataFrame, root: String,
+                       textCol: String, idCol: String,
+                       n: Int = 3, threshold: Double = 0.8): Int = {
+    val spark = newCorpus.sparkSession
+    val prevCorpus = Sinks.Versioned.read(spark, corpusRoot(root))
+    val prevEdges = Sinks.Versioned.read(spark, edgesRoot(root))
+    val edges = incrementEdges(prevCorpus, newCorpus, prevEdges,
+      textCol, idCol, n, threshold).localCheckpoint()
+    val vCorpus = Sinks.Versioned.write(newCorpus, corpusRoot(root))
+    val vEdges = Sinks.Versioned.write(edges, edgesRoot(root))
+    val vCur = Sinks.Versioned.write(
+      curatedFromEdges(newCorpus, idCol, edges), curatedRoot(root))
+    require(vCorpus == vEdges && vEdges == vCur,
+      s"version stores out of step: corpus=$vCorpus edges=$vEdges curated=$vCur")
+    vCorpus
+  }
+
+  /** Time-travel read of a published curation (the release audit pairs
+    * this with [[Diff.diffSummary]] over two corpus versions).
+    */
+  def curatedAt(spark: SparkSession, root: String, seq: Int): DataFrame =
+    Sinks.Versioned.readAt(spark, curatedRoot(root), seq)
+
+  /** Time-travel read of a published edge ledger. */
+  def edgesAt(spark: SparkSession, root: String, seq: Int): DataFrame =
+    Sinks.Versioned.readAt(spark, edgesRoot(root), seq)
+}
