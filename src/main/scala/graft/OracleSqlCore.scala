@@ -125,10 +125,13 @@ private[graft] object OracleSqlCore {
         |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey=c.c_custkey)
         |ORDER BY c_custkey""".stripMargin,
     "q_j6_containment" ->
-      """SELECT c_custkey, s_suppkey FROM (
+      // fixed-budget needle side: same md5 selection as the Spark fixture
+      """WITH sup AS (SELECT s_suppkey, s_name FROM supplier
+        |  ORDER BY md5(CAST(s_suppkey AS VARCHAR) || ':j6'), s_suppkey LIMIT 1000)
+        |SELECT c_custkey, s_suppkey FROM (
         | SELECT c.c_custkey, s.s_suppkey,
         |  row_number() OVER (PARTITION BY c.c_custkey ORDER BY s.s_suppkey NULLS LAST) AS rn
-        | FROM customer c LEFT JOIN supplier s ON contains(c.c_name, substr(s.s_name, 9, 10))
+        | FROM customer c LEFT JOIN sup s ON contains(c.c_name, substr(s.s_name, 9, 10))
         |) WHERE rn = 1 ORDER BY c_custkey""".stripMargin,
     "q_j7_key_discovery" ->
       """SELECT * FROM (

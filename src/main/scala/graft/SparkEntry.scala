@@ -180,8 +180,20 @@ object SparkEntry {
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")),
     "q_j6_containment" -> ((s, d) => {
+      // FIXED-BUDGET needle side (r16 SF-curve catch at the tightened
+      // 5× bar): containmentJoin is a BroadcastNestedLoopJoin —
+      // |left| × |right| contains() tests BY DESIGN — and the r15
+      // fixture grew BOTH sides with the corpus, a genuine quadratic
+      // (6.5× wall for 10× data; ~100× cost at sf10). The needle side
+      // is now 1000 md5-selected suppliers: identity at sf0.1 and
+      // below (supplier counts 10/100/1000 there), linear above — the
+      // operator's own "right side must be small" contract, enforced
+      // by the fixture AND by the operator's maxRight guard.
       val c = Tables.customer(s, d).select("c_custkey", "c_name")
       val sup = Tables.supplier(s, d)
+        .orderBy(md5(concat(col("s_suppkey").cast("string"), lit(":j6"))),
+          col("s_suppkey"))
+        .limit(1000)
         .select(col("s_suppkey"), substring(col("s_name"), 9, 10).as("s_code"))
       Joins.containmentJoin(c, sup, col("c_name"), col("s_code"),
         Seq("c_custkey"), Seq(col("s_suppkey").asc_nulls_last))

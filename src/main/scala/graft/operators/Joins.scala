@@ -59,13 +59,30 @@ object Joins {
     * (Saoirse Automation.ipynb:1035-1049: unmatched ids matched where
     * `ReferenceNum in Site Study ID`).
     *
-    * Physical plan: BroadcastNestedLoopJoin (right side must be small).
-    * "First hit" is made deterministic by `pickOrder` over the right side.
+    * Physical plan: BroadcastNestedLoopJoin — every left row tests
+    * EVERY right row, so cost is |left| × |right| contains() calls and
+    * the right side must be bounded and corpus-size-INDEPENDENT (the
+    * reference's use: a small unmatched-id remnant). `maxRight`
+    * enforces that contract with one early-exit count before the join
+    * is built — the r16 SF-curve sweep caught a fixture whose needle
+    * side grew with the corpus, turning this quadratic silently (6.5×
+    * wall for 10× data); the guard makes that failure loud at any call
+    * site. "First hit" is made deterministic by `pickOrder` over the
+    * right side.
     */
   def containmentJoin(left: DataFrame, right: DataFrame,
                       haystack: Column, needle: Column,
                       leftKeyForWindow: Seq[String],
-                      pickOrder: Seq[Column]): DataFrame = {
+                      pickOrder: Seq[Column],
+                      maxRight: Int = 65536): DataFrame = {
+    require(maxRight > 0, "maxRight must be positive")
+    val nRight = right.limit(maxRight + 1).count()
+    require(nRight <= maxRight,
+      s"containmentJoin: needle side has > $maxRight rows. This is a " +
+        "broadcast nested-loop join — |left| × |right| contains() tests — " +
+        "so a needle side that grows with the corpus makes it quadratic. " +
+        "Pass a bounded, corpus-size-independent needle set, or raise " +
+        "maxRight explicitly if the cost is truly intended")
     val joined = left.join(broadcast(right), haystack.contains(needle), "left")
     val w = Window.partitionBy(leftKeyForWindow.map(col): _*).orderBy(pickOrder: _*)
     joined.withColumn("_rn", row_number().over(w))

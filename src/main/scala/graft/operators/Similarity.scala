@@ -360,6 +360,17 @@ object Similarity {
     * quadratic step. Optional `maxBucketSize` drops degenerate buckets
     * (count > cap) with the same cap+observability discipline as
     * TextDedup ([[lshBucketSizeReport]] to see what was dropped).
+    *
+    * SIZE `nbits` WITH THE CORPUS: random-pair candidates are
+    * ~N²·tables/2^nbits (uniformly spread across buckets, so
+    * `maxBucketSize` does NOT bound them) — a fixed nbits makes the
+    * candidate stage quadratic in N. Measured on the sf1→sf10 decade:
+    * 7.1× wall for 10× data at nbits=14 (the r16 gate sweep's top
+    * reading — the quadratic term emerging). Rule: nbits ≈ log₂(N) + c
+    * keeps candidates ∝ N (c ≈ 2–4 sets the per-vector candidate
+    * budget); each +1 bit costs per-table recall ×(1−θ/π), so raise
+    * `tables` alongside (recall = 1−(1−pⁿ)^tables). At 1 B vectors:
+    * nbits ≈ 32, tables 6–8.
     */
   def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                       threshold: Double, nbits: Int = 10, tables: Int = 4,

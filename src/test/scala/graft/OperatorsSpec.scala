@@ -56,6 +56,22 @@ class OperatorsSpec extends SparkSpec {
     assert(got(1).isNullAt(2))          // unmatched row kept (left join)
   }
 
+  test("Joins: containment refuses an unbounded needle side (J6 guard)") {
+    // the r16 SF-curve lesson: BroadcastNestedLoopJoin is |L|×|R|
+    // contains() tests, so a needle side that grows with the corpus is
+    // a silent quadratic — the guard makes it loud at any call site
+    val left = Seq((1, "code ABC123 here")).toDF("id", "hay")
+    val right = (1 to 20).map(i => (i, s"N$i")).toDF("rid", "needle")
+    val e = intercept[IllegalArgumentException] {
+      Joins.containmentJoin(left, right, col("hay"), col("needle"),
+        Seq("id"), Seq(col("rid").asc_nulls_last), maxRight = 10)
+    }
+    assert(e.getMessage.contains("needle side has > 10 rows"))
+    // at/below the cap nothing changes
+    assert(Joins.containmentJoin(left, right, col("hay"), col("needle"),
+      Seq("id"), Seq(col("rid").asc_nulls_last), maxRight = 20).count() == 1)
+  }
+
   test("Joins: unionOnCommon keeps shared columns in left order (J8)") {
     val a = Seq((1, "x", 9.0)).toDF("id", "s", "v")
     val b = Seq((2, 8.0, "y")).toDF("id", "v", "s")

@@ -112,6 +112,11 @@ echo "=== sf-curve sweep sf0.1 -> sf1 ==="
 python3 tools/sf_curve.py $OUT/full_sf01_3.json $OUT/sf1_full.json
 echo "sf_curve exit $?"
 echo "=== sf-curve sweep sf1 -> sf10 (gate list) ==="
-python3 tools/sf_curve.py $OUT/sf1_gate.json $OUT/sf10_gate_3.json
+# Threshold 10 (the linear bound) for THIS decade, not 5: at sf1 the
+# data term already dominates fixed cost, so an honestly-linear query
+# reads close to 10x for 10x data (q1_agg measured 5.3x = fixed-cost
+# dilution alone). 5x is the right bar only for the sf0.1 -> sf1 step,
+# where per-query fixed cost pads the denominator.
+python3 tools/sf_curve.py $OUT/sf1_gate.json $OUT/sf10_gate_3.json 10
 echo "sf_curve_gate exit $?"
 echo "ALL DONE $(date +%T)"
