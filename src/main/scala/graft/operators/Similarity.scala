@@ -107,7 +107,14 @@ object Similarity {
     * `queries`/`corpus`: (idCol, vecCol). Self-matches excluded.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
-                     idCol: String, vecCol: String, k: Int = 10): DataFrame = {
+                     idCol: String, vecCol: String, k: Int = 10,
+                     maxQueries: Int = 65536): DataFrame = {
+    requireBounded(queries, maxQueries, "query side",
+      "bruteForceTopK broadcasts every query to every task and pays " +
+        "|corpus| × |queries| exact dots — a query panel that grows with " +
+        "the corpus makes the exact plan quadratic. Pass a bounded, " +
+        "corpus-size-independent panel (the md5 fixed-budget pattern), " +
+        "or raise maxQueries explicitly if the cost is truly intended")
     val c = normalized(corpus, idCol, vecCol, "neighbor_id", "cvec")
     val q = normalized(queries, idCol, vecCol, "query_id", "qvec")
     val scored = c.crossJoin(broadcast(q))
@@ -163,18 +170,29 @@ object Similarity {
     * of corpus size.
     */
   private def requireBoundedCentroids(centroids: DataFrame,
-                                      maxCentroids: Int): Unit = {
-    require(maxCentroids > 0, "maxCentroids must be positive")
-    val n = centroids.limit(maxCentroids + 1).count()
-    require(n <= maxCentroids,
-      s"Similarity: centroid side has > $maxCentroids rows. The assign " +
-        "stage broadcasts every centroid to every task and pays " +
+                                      maxCentroids: Int): Unit =
+    requireBounded(centroids, maxCentroids, "centroid side",
+      "The assign stage broadcasts every centroid to every task and pays " +
         "|corpus| × |centroids| dot products — a centroid count that " +
         "grows with the corpus makes it quadratic (the N×N/25 assign the " +
         "r15 SF-curve sweep caught). Pass a bounded, corpus-size-" +
         "independent centroid set (k-means fit / fixed-budget sample), " +
         "or raise maxCentroids explicitly if the broadcast+compute cost " +
         "is truly intended")
+
+  /** Shared guard body: one early-exit count (`limit(max+1)` — stops
+    * reading at max+1 rows, never a full scan of a huge side) and a
+    * loud refusal naming the quadratic failure mode. Every exhaustive
+    * operator here has a side that must be bounded and
+    * corpus-size-INDEPENDENT; the r15/r16 SF-curve sweeps each caught
+    * one fixture violating that silently, so the contract now lives at
+    * the operators, not the call sites.
+    */
+  private def requireBounded(side: DataFrame, max: Int, what: String,
+                             consequence: String): Unit = {
+    require(max > 0, s"$what bound must be positive")
+    val n = side.limit(max + 1).count()
+    require(n <= max, s"Similarity: $what has > $max rows. $consequence")
   }
 
   /** The IVF INDEX: each corpus vector normalized and labeled with its
@@ -313,7 +331,13 @@ object Similarity {
     * `sim` = integer dot rescaled by both scales.
     */
   def quantizedTopK(corpus: DataFrame, queries: DataFrame,
-                    idCol: String, vecCol: String, k: Int = 10): DataFrame = {
+                    idCol: String, vecCol: String, k: Int = 10,
+                    maxQueries: Int = 65536): DataFrame = {
+    requireBounded(queries, maxQueries, "query side",
+      "quantizedTopK broadcasts every query to every task and pays " +
+        "|corpus| × |queries| integer dots — a query panel that grows " +
+        "with the corpus makes the exact plan quadratic. Pass a bounded " +
+        "panel or raise maxQueries explicitly")
     val c = quantized(corpus, idCol, vecCol, "neighbor_id", "cscale", "cq")
     val q = quantized(queries, idCol, vecCol, "query_id", "qscale", "qq")
     val scored = c.crossJoin(broadcast(q))
@@ -336,7 +360,13 @@ object Similarity {
     * sides read them), so cosine degrades to a plain dot product.
     */
   def cosinePairsExact(df: DataFrame, idCol: String, vecCol: String,
-                       threshold: Double): DataFrame = {
+                       threshold: Double,
+                       maxInput: Int = 65536): DataFrame = {
+    requireBounded(df, maxInput, "cosinePairsExact input",
+      "this is the |N|²/2 exact-truth path (verification and fixed-budget " +
+        "panels); above the bound the right tool is lshNearDupPairs " +
+        "(banded candidates + exact verify). Raise maxInput explicitly " +
+        "only for a deliberate exact sweep")
     val n = normalized(df, idCol, vecCol, "_id", "_v")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = n.select(col("_id").as("id_a"), col("_v").as("_va"))

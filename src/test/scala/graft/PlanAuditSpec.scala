@@ -230,6 +230,38 @@ class PlanAuditSpec extends SparkSpec {
     // companion pin below bounds the Exchange count instead)
   }
 
+  test("q_inc_curate: delta-bound pair stages, no cartesian, no nested loop") {
+    // the capstone's scale contract: the diff moves (key, fingerprint),
+    // pair generation is posting-list equi-joins on 8-byte hashes
+    // (within-delta AND delta×unchanged), CC rides the edge ledger —
+    // nothing in the composed plan may regress to an all-pairs join
+    val p = plan(q("q_inc_curate"))
+    assert(!p.contains("CartesianProduct"),
+      s"incremental curation regressed to a cartesian:\n${p.take(4000)}")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"incremental curation regressed to a nested-loop join:\n${p.take(4000)}")
+  }
+
+  test("snapshotDiff: the full-outer join inputs carry (key, fingerprint) only") {
+    // the 100 TB contract pinned structurally on the optimized plan:
+    // each join child's output is exactly the key + one fingerprint
+    // column, so two 100 TB snapshots diff by moving keys+digests,
+    // never payloads
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text", "source")
+    val d = graft.operators.Diff.snapshotDiff(
+      docs, docs.limit(10), Seq("doc_id"), Seq("text", "source"))
+    val joins = d.queryExecution.optimizedPlan.collect { case j: LJoin => j }
+    assert(joins.size == 1, s"expected exactly one join:\n${d.queryExecution.optimizedPlan}")
+    joins.head.children.foreach { side =>
+      val names = side.output.map(_.name)
+      assert(names.length == 2 && names.exists(_.startsWith("fp_")) &&
+        names.exists(n => n == "doc_id" || n.endsWith("doc_id")),
+        s"diff join side carries more than (key, fingerprint): $names\n" +
+          d.queryExecution.optimizedPlan.toString.take(3000))
+    }
+  }
+
   test("q_d6_prefer: keep-first window partitioned by the dedup key, never SinglePartition") {
     val p = plan(q("q_d6_prefer"))
     assert(p.contains("Window"), s"expected the keep-first window:\n$p")

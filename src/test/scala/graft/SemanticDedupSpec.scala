@@ -131,6 +131,30 @@ class SemanticDedupSpec extends SparkSpec {
       maxCentroids = 2).count() == 40)
   }
 
+  test("exhaustive ops refuse an unbounded side: queries / exact input") {
+    // same guard class as the centroid one — every exhaustive operator
+    // has a side that must not scale with the corpus
+    val corpus = vecs((1L to 40L).map(i => i -> Seq(i.toDouble, 1.0)): _*)
+    val eq = intercept[IllegalArgumentException] {
+      Similarity.bruteForceTopK(corpus, corpus, "vec_id", "embedding",
+        k = 2, maxQueries = 10)
+    }
+    assert(eq.getMessage.contains("query side has > 10 rows"))
+    val eq2 = intercept[IllegalArgumentException] {
+      Similarity.quantizedTopK(corpus, corpus, "vec_id", "embedding",
+        k = 2, maxQueries = 10)
+    }
+    assert(eq2.getMessage.contains("quadratic"))
+    val ei = intercept[IllegalArgumentException] {
+      Similarity.cosinePairsExact(corpus, "vec_id", "embedding", 0.5,
+        maxInput = 10)
+    }
+    assert(ei.getMessage.contains("lshNearDupPairs"))
+    // at/below the caps nothing changes
+    assert(Similarity.bruteForceTopK(corpus, corpus.limit(3), "vec_id",
+      "embedding", k = 2, maxQueries = 3).count() > 0)
+  }
+
   test("empty corpus and empty centroid frame are total") {
     val none = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "embedding")
     assert(Similarity.semanticDedup(none, "vec_id", "embedding", axes, 0.9).isEmpty)
