@@ -125,6 +125,13 @@ object Bench {
     // nothing.
     val qs = ok.sortBy(_._3).map { case (k, _, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    // Per-query FIRST-PASS times (the cold-start budget, r15 verdict
+    // item 5): cold_total_sec alone cannot localize a cold-pass swing
+    // to a query. Emitted BEFORE "queries" so the headline fields keep
+    // their place at the END of the line (the harness keeps the tail).
+    val qsCold = ok.collect { case (k, Some(c), _) => (k, c) }.sortBy(_._2)
+      .map { case (k, c) => "\"" + k + "\":" + f"$c%.3f" }
+      .mkString("{", ",", "}")
     def jsonArr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = ok.map(_._3).sum
     val coldTotal = ok.flatMap(_._2).sum
@@ -149,7 +156,7 @@ object Bench {
     }
     val nCompiles =
       org.apache.spark.metrics.source.CodegenMetrics.METRIC_COMPILATION_TIME.getCount
-    val line = f"""{"queries":$qs,"failed":${jsonArr(failed)},"cold_failed":${jsonArr(coldFailed)},"sf":"$sfDir","n_queries":${ok.size},"codegen_compiles":$nCompiles,"mem_spilled_bytes":${memSpilled.get},"disk_spilled_bytes":${diskSpilled.get},"cold_total_sec":$coldTotal%.3f,"metric":"total","value":$total%.3f,"unit":"sec"}"""
+    val line = f"""{"queries_cold":$qsCold,"queries":$qs,"failed":${jsonArr(failed)},"cold_failed":${jsonArr(coldFailed)},"sf":"$sfDir","n_queries":${ok.size},"codegen_compiles":$nCompiles,"mem_spilled_bytes":${memSpilled.get},"disk_spilled_bytes":${diskSpilled.get},"cold_total_sec":$coldTotal%.3f,"metric":"total","value":$total%.3f,"unit":"sec"}"""
     // Full, untruncated copy for anyone reading the repo after a run.
     try {
       val p = java.nio.file.Paths.get("BENCH_LOCAL.json")
