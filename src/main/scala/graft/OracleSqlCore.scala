@@ -654,7 +654,7 @@ private[graft] object OracleSqlCore {
       // the q_dedup_clusters CTEs over the md5 quarter-sample — the
       // sf10 gate form (the full exact pair stage is the known JIT-band
       // swinger at 100×; full-exact stays on the oracle gates)
-      s"""WITH RECURSIVE docs_s AS (SELECT * FROM ${sampledDocsSrc(0.25)}),
+      s"""WITH RECURSIVE docs_s AS (SELECT * FROM ${panelDocsSrc(1280, "dcp")}),
         |w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM docs_s),
         |sh AS (SELECT doc_id, unnest(list_distinct(
         |  [ws[i]||'_'||ws[i+1]||'_'||ws[i+2] for i in range(1, len(ws)-1)])) AS s FROM w),
@@ -1344,7 +1344,7 @@ private[graft] object OracleSqlCore {
       // query is itself oracle-exact; verdict booleans asserted
       // in-engine (full-corpus LSH restricted to sampled endpoints
       // equals LSH-on-the-sample: pairwise property)
-      s"""WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM ${sampledDocsSrc(0.25)}),
+      s"""WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM ${panelDocsSrc(1280, "mvp")}),
         |sh AS (SELECT doc_id, unnest(list_distinct(
         |  [ws[i]||'_'||ws[i+1]||'_'||ws[i+2] for i in range(1, len(ws)-1)])) AS s FROM w),
         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
@@ -1397,7 +1397,7 @@ private[graft] object OracleSqlCore {
       // count is md5-deterministic; the fast-vs-exact agreement boolean
       // (both paths on the SAME subcorpus) asserted in-engine
       s"""SELECT (SELECT count(*) FROM documents) AS n_docs,
-         |  (SELECT count(*) FROM (${curateFullSqlOver(sampledDocsSrc(0.25))}) kept) AS n_kept_exact_sampled,
+         |  (SELECT count(*) FROM (${curateFullSqlOver(panelDocsSrc(1280, "clp"))}) kept) AS n_kept_exact_sampled,
          |  true AS fast_path_agrees_ok""".stripMargin,
     "q_curate_lsh_md5" -> curateLshMd5Sql,
     "q_funnel" ->

@@ -850,12 +850,15 @@ object SparkEntry {
     }),
     "q_dedup_clusters_sampled" -> ((s, d) => {
       // the sf10 gate form of q_dedup_clusters: the exact quadratic
-      // pair stage runs only on the md5 quarter-sample (the full-exact
-      // form is the measured JIT-band swinger at 100×); full-corpus CC
-      // at scale stays exercised by the gate's q_curate_lsh_md5, whose
+      // pair stage runs only on a FIXED 1280-doc md5 panel (r16: the
+      // quarter-sample kept pair cost at (N/4)² — quadratic in the
+      // corpus; the fixed budget is SF-invariant); full-corpus CC at
+      // scale stays exercised by the gate's q_curate_lsh_md5, whose
       // pair stage is the banded production path
-      val docs = Tables.documents(s, d)
-        .filter(TextFunctions.md5SampleFilter(col("doc_id"), 0.25))
+      val docs = TextDedup.md5Panel(
+          Tables.documents(s, d).select("doc_id", "text"), "doc_id",
+          budget = 1280, tag = "dcp")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       Graph.dedupClusters(docs, "doc_id",
         TextDedup.jaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.8),
         "doc_a", "doc_b")
@@ -1200,14 +1203,18 @@ object SparkEntry {
         minRecall = 0.9, minPrecision = 0.9)),
     "q_minhash_pairs_sampled" -> ((s, d) =>
       // the 100 TB form of the q_minhash_pairs verdict: exact-Jaccard
-      // truth on a deterministic md5 quarter-sample (pair population
-      // 1/16th), fast-path LSH still over the WHOLE corpus, confusion
-      // matrix on the sampled subpopulation (unbiased per-pair — see
-      // minhashVsExactSampledReport). This is the sf10 gate's query;
-      // the full-exact q_minhash_pairs stays on the oracle gates.
-      TextDedup.minhashVsExactSampledReport(Tables.documents(s, d), "text", "doc_id",
+      // truth on a FIXED 1280-doc md5 panel (r16: the quarter-sample
+      // form kept truth cost at (N/4)² — quadratic in the corpus,
+      // 5.2× for 10× data on the sf1→sf10 decade; a fixed budget is
+      // SF-invariant), fast-path LSH still over the WHOLE corpus,
+      // confusion matrix on the panel subpopulation (unbiased
+      // per-pair — see minhashVsExactBudgetReport). This is the sf10
+      // gate's query; full-exact q_minhash_pairs stays on the oracle
+      // gates.
+      TextDedup.minhashVsExactBudgetReport(Tables.documents(s, d), "text", "doc_id",
         n = 3, k = 32, bands = 8, threshold = 0.5,
-        minRecall = 0.9, minPrecision = 0.9, sampleFrac = 0.25)),
+        minRecall = 0.9, minPrecision = 0.9, panelBudget = 1280,
+        panelTag = "mvp")),
     "q_minhash_pairs_md5" -> ((s, d) =>
       // the engine-portable LSH twin: md5 hash family, every stage
       // (shingle → signature minima → banding → verify) DuckDB-oracled
@@ -1740,14 +1747,16 @@ object SparkEntry {
         Tables.documents(s, d), "text", "doc_id")),
     "q_curate_lsh_sampled" -> ((s, d) =>
       // the 100 TB form of the q_curate_lsh verdict: BOTH curation
-      // paths over a deterministic md5 quarter-sample (kept sets are
-      // whole-corpus-clustering-dependent, so the sound sampled
-      // comparison runs both paths on the same subcorpus — see
-      // curateAgreementSampledReport). The sf10 gate runs this plus
-      // q_curate_lsh_md5 (full-corpus portable fast path); the
-      // full-exact q_curate_lsh stays on the oracle gates.
-      graft.pipelines.CorpusCuration.curateAgreementSampledReport(
-        Tables.documents(s, d), "text", "doc_id", sampleFrac = 0.25)),
+      // paths over a FIXED 1280-doc md5 panel (kept sets are
+      // whole-subcorpus-clustering-dependent, so the sound comparison
+      // runs both paths on the same panel — see
+      // curateAgreementBudgetReport; r16 converted the quarter-sample
+      // form, whose exact path stayed (N/4)²-quadratic). The sf10 gate
+      // runs this plus q_curate_lsh_md5 (full-corpus portable fast
+      // path); the full-exact q_curate_lsh stays on the oracle gates.
+      graft.pipelines.CorpusCuration.curateAgreementBudgetReport(
+        Tables.documents(s, d), "text", "doc_id",
+        panelBudget = 1280, panelTag = "clp")),
     "q_curate_lsh_md5" -> ((s, d) =>
       // the SAME 100 TB curation composition with the portable LSH pair
       // stage — every phase (LSH pairs → transitive closure →

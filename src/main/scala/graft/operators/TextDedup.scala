@@ -881,6 +881,71 @@ object TextDedup {
           col("n_hit") >= col("n_lsh") * minPrecision).as("precision_ok"))
   }
 
+  /** Deterministic FIXED-BUDGET document panel: the md5-top-`budget`
+    * ids under `tag` (ties broken by id). The fixed-budget counterpart
+    * of [[graft.functions.TextFunctions.md5SampleFilter]]: a FRACTION
+    * keeps truth-twin cost a constant share of N² — still quadratic in
+    * the corpus — while a fixed budget makes it SF-invariant (the
+    * q_pq_planted pattern). Selection is one TakeOrdered pass; the SQL
+    * replay is `ORDER BY md5(CAST(id AS VARCHAR) || ':tag'), id LIMIT
+    * budget`.
+    */
+  def md5Panel(df: DataFrame, idCol: String, budget: Int,
+               tag: String): DataFrame = {
+    require(budget > 0, "panel budget must be positive")
+    df.orderBy(md5(concat(col(idCol).cast("string"), lit(s":$tag"))),
+        col(idCol))
+      .limit(budget)
+  }
+
+  /** [[minhashVsExactReport]] with BOTH twins run on a FIXED md5
+    * document panel — the SF-invariant form of
+    * [[minhashVsExactSampledReport]] (whose fractional truth cost is
+    * still (frac·N)², quadratic in the corpus — measured 5.2× for 10×
+    * data on the sf1→sf10 decade). Restricting full-corpus LSH to
+    * panel×panel EQUALS LSH-on-the-panel exactly (band/bucket
+    * membership and signature-agreement verification are pairwise
+    * properties), so the confusion matrix is per-pair unbiased on the
+    * panel subpopulation either way — and the fractional form was
+    * already evaluated this way in practice: Catalyst pushed its
+    * doc_a/doc_b md5 filters below the candidate self-join, so the
+    * "full-corpus" LSH side physically ran sample-sized (an explicit
+    * post-hoc semi-join blocks that rewrite and measured corpus-sized,
+    * 17 s at sf10 vs 3 s). Full-corpus LSH at scale stays exercised by
+    * the gate's portable twins (q_minhash_pairs_md5 /
+    * q_curate_lsh_md5).
+    */
+  def minhashVsExactBudgetReport(df: DataFrame, textCol: String, idCol: String,
+                                 n: Int = 3, k: Int = 32, bands: Int = 8,
+                                 threshold: Double = 0.5,
+                                 minRecall: Double = 0.9,
+                                 minPrecision: Double = 0.9,
+                                 panelBudget: Int = 1280,
+                                 panelTag: String = "mvp"): DataFrame = {
+    // both twins consume the panel — select it once; project to the
+    // two consumed columns BEFORE the persist so the scan stays pruned
+    val panel = df.select(col(idCol), col(textCol)).join(
+        md5Panel(df.select(col(idCol)), idCol, panelBudget, panelTag),
+        Seq(idCol), "left_semi")
+      // persist, not localCheckpoint: same select-once effect for the
+      // two consumers, but the lineage (and its pruned scans) stays
+      // visible to plan audits
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val truth = jaccardPairs(panel, textCol, idCol, n, threshold)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("_e"))
+    val lsh = minhashLshPairs(panel, textCol, idCol, n, k, bands, threshold)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("_l"))
+    truth.join(lsh, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(count(col("_e")).as("n_exact_sampled"),
+        count(col("_l")).as("n_lsh"),
+        count(when(col("_e").isNotNull && col("_l").isNotNull, 1)).as("n_hit"))
+      .select(col("n_exact_sampled"),
+        (col("n_exact_sampled") === 0 ||
+          col("n_hit") >= col("n_exact_sampled") * minRecall).as("recall_ok"),
+        (col("n_lsh") === 0 ||
+          col("n_hit") >= col("n_lsh") * minPrecision).as("precision_ok"))
+  }
+
   /** [[minhashVsExactReport]] with the exact-Jaccard truth twin run on a
     * deterministic md5 document sample — the shape the verdict takes at
     * 100 TB, where the full quadratic truth set is not computable. The

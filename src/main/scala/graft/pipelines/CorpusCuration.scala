@@ -145,6 +145,29 @@ object CorpusCuration {
       maxDisagreeFrac)
   }
 
+  /** [[curateAgreementSampledReport]] with a FIXED md5 document panel
+    * instead of a fraction — the SF-invariant form (a fractional
+    * subcorpus keeps the exact path's pair stage at (frac·N)², still
+    * quadratic in the corpus). Same soundness argument: kept sets are
+    * whole-subcorpus-clustering-dependent, so both paths run over the
+    * SAME md5-uniform panel; the verdict is an exact fast-vs-exact
+    * agreement on that panel at constant cost regardless of corpus
+    * size. `n_docs` stays the full corpus count.
+    */
+  def curateAgreementBudgetReport(docs: DataFrame, textCol: String, idCol: String,
+                                  maxDisagreeFrac: Double = 0.01,
+                                  panelBudget: Int = 1280,
+                                  panelTag: String = "clp"): DataFrame = {
+    val panel = graft.operators.TextDedup.md5Panel(
+        docs.select(col(idCol), col(textCol)), idCol, panelBudget, panelTag)
+      // both curation paths consume the panel; persist so the
+      // TakeOrdered selection runs once while the lineage stays
+      // visible to plan audits
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    agreementVerdict(docs, panel, textCol, idCol, "n_kept_exact_sampled",
+      maxDisagreeFrac)
+  }
+
   /** Shared tail of the at-scale curation forms: transitive-closure
     * canonical set from the (doc_a, doc_b) pair frame, then the
     * repetition gates over the survivors only.
