@@ -154,17 +154,32 @@ object ScreenDrainProbe {
 
     // ---- bucketed snapshot table: same cycle partitioning + dynamic
     // overwrite (idempotent re-drain), bucketed on the join key so the
-    // static side's per-batch shuffle disappears
+    // static side's per-batch shuffle disappears. Cycle 0 creates the
+    // table; later cycles insertInto under dynamic partition overwrite
+    // so a re-drained cycle REPLACES its own partition — a plain append
+    // would duplicate snapshot rows (the option("partitionOverwriteMode")
+    // shortcut only applies to overwrite mode — r16 ADVICE finding);
+    // bucketing/sort come from the table metadata on insert.
     val tbl = "screen_snapshot_probe"
     val (buckStats, buckPlan) = boundedPass("buck",
       () => spark.table(tbl),
       (rows, i) => {
-        val w = rows.withColumn("cycle", lit(i)).write
-          .mode(if (i == 0) "overwrite" else "append")
-          .option("partitionOverwriteMode", "dynamic")
-          .format("parquet").partitionBy("cycle")
-          .bucketBy(cpus, "band", "bucket").sortBy("band", "bucket")
-        w.saveAsTable(tbl)
+        val df = rows.withColumn("cycle", lit(i))
+        if (i == 0) {
+          df.write.mode("overwrite")
+            .format("parquet").partitionBy("cycle")
+            .bucketBy(cpus, "band", "bucket").sortBy("band", "bucket")
+            .saveAsTable(tbl)
+        } else {
+          val key = "spark.sql.sources.partitionOverwriteMode"
+          val prev = spark.conf.getOption(key)
+          spark.conf.set(key, "dynamic")
+          try df.write.mode("overwrite").insertInto(tbl)
+          finally prev match {
+            case Some(v) => spark.conf.set(key, v)
+            case None => spark.conf.unset(key)
+          }
+        }
       })
     val buckSinks = (0 until nChunks)
       .map(i => spark.read.parquet(s"$base/sink-buck-$i"))

@@ -69,6 +69,15 @@ object Joins {
     * wall for 10× data); the guard makes that failure loud at any call
     * site. "First hit" is made deterministic by `pickOrder` over the
     * right side.
+    *
+    * Guard caveat (shared with `Similarity.requireBounded`): the bound
+    * is checked EAGERLY at call time with its own `limit(max+1).count()`
+    * job, and the join re-evaluates the right side's lineage — two
+    * instantiations. For a deterministic needle frame that is only an
+    * extra scan; a NONDETERMINISTIC one (an unseeded sample, a
+    * `first()` without ordering) can pass the guard on one
+    * instantiation and materialize larger in the join. Pass
+    * deterministic (or persisted/checkpointed) needle sides.
     */
   def containmentJoin(left: DataFrame, right: DataFrame,
                       haystack: Column, needle: Column,

@@ -188,6 +188,12 @@ object Similarity {
     * one fixture violating that silently, so the contract now lives at
     * the operators, not the call sites.
     */
+  /** Guard caveat (shared with `Joins.containmentJoin`): the check is
+    * an EAGER extra job at call time, and the guarded operator
+    * re-evaluates the side's lineage — a nondeterministic side can pass
+    * the guard on one instantiation and materialize larger in the
+    * operator. Pass deterministic (or persisted) bounded sides.
+    */
   private def requireBounded(side: DataFrame, max: Int, what: String,
                              consequence: String): Unit = {
     require(max > 0, s"$what bound must be positive")

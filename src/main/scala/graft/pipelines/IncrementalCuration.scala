@@ -64,6 +64,21 @@ object IncrementalCuration {
   def incrementEdges(prevCorpus: DataFrame, newCorpus: DataFrame,
                      prevEdges: DataFrame, textCol: String, idCol: String,
                      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    // Loud id-type contract (mirror of jaccardPairs' packed-key guard):
+    // the ledger's doc_a/doc_b are longs, so the affected/stale id
+    // frames are cast to long to join against it. A silent cast of a
+    // non-numeric id would yield NULLs, the semi/anti joins would match
+    // nothing, and the function would return the PREVIOUS ledger —
+    // a silent identity break. Refuse non-integral ids instead.
+    Seq(prevCorpus, newCorpus).foreach { c =>
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      val dt = c.schema(idCol).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"incrementEdges: id column '$idCol' is $dt; the edge ledger " +
+          "keys on long ids (jaccardPairs packs them into 64-bit pair " +
+          "keys), and a lossy cast here would silently return a stale " +
+          "ledger. Map the id to an integral type first")
+    }
     val diff = Diff.snapshotDiff(prevCorpus, newCorpus,
       Seq(idCol), Seq(textCol))
     val affected = diff.filter(col("status").isin("added", "changed"))

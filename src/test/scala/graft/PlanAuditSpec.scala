@@ -234,12 +234,55 @@ class PlanAuditSpec extends SparkSpec {
     // the capstone's scale contract: the diff moves (key, fingerprint),
     // pair generation is posting-list equi-joins on 8-byte hashes
     // (within-delta AND delta×unchanged), CC rides the edge ledger —
-    // nothing in the composed plan may regress to an all-pairs join
+    // nothing in the composed plan may regress to an all-pairs join.
+    // COVERAGE NOTE: the query localCheckpoint()s each version frame
+    // and each intermediate ledger, so THIS plan covers only the final
+    // incrementEdges transition + CC; the bootstrap fullEdges and the
+    // first transition are audited un-checkpointed by the companion
+    // test below.
     val p = plan(q("q_inc_curate"))
     assert(!p.contains("CartesianProduct"),
       s"incremental curation regressed to a cartesian:\n${p.take(4000)}")
     assert(!p.contains("BroadcastNestedLoopJoin"),
       s"incremental curation regressed to a nested-loop join:\n${p.take(4000)}")
+  }
+
+  test("IncrementalCuration.fullEdges/incrementEdges: no all-pairs plan, un-checkpointed") {
+    // the r16 ADVICE finding: q_inc_curate's localCheckpoint()s truncate
+    // lineage, so its plan audit sees only the LAST transition. Audit
+    // the raw builders directly — every stage (bootstrap pair-gen, diff,
+    // kept-edge anti-joins, within-delta and delta×unchanged pair-gen)
+    // lives in ONE un-truncated plan here.
+    import graft.pipelines.IncrementalCuration
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val prev = docs.filter(col("doc_id") % 7 =!= 0)
+    val full = IncrementalCuration.fullEdges(prev, "text", "doc_id")
+    val pFull = plan(full)
+    assert(!pFull.contains("CartesianProduct") &&
+      !pFull.contains("BroadcastNestedLoopJoin"),
+      s"fullEdges regressed to an all-pairs plan:\n${pFull.take(4000)}")
+    val inc = IncrementalCuration.incrementEdges(
+      prev, docs, full, "text", "doc_id")
+    val pInc = plan(inc)
+    assert(!pInc.contains("CartesianProduct") &&
+      !pInc.contains("BroadcastNestedLoopJoin"),
+      s"incrementEdges regressed to an all-pairs plan:\n${pInc.take(4000)}")
+  }
+
+  test("incrementEdges: non-integral id refused loudly, not a silent stale ledger") {
+    // casting a string id to long yields NULLs, the stale anti-joins
+    // match nothing, and the previous ledger comes back unchanged — the
+    // guard turns that silent identity break into an error at call time
+    import graft.pipelines.IncrementalCuration
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id").cast("string").as("doc_id"), col("text"))
+    val edges = docs.sparkSession.emptyDataFrame
+    val e = intercept[IllegalArgumentException] {
+      IncrementalCuration.incrementEdges(docs, docs, edges, "text", "doc_id")
+    }
+    assert(e.getMessage.contains("integral") || e.getMessage.contains("stale"),
+      s"unexpected refusal message: ${e.getMessage}")
   }
 
   test("snapshotDiff: the full-outer join inputs carry (key, fingerprint) only") {

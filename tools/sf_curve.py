@@ -49,8 +49,16 @@ def main() -> int:
         # not the data term. A true quadratic still flags overwhelmingly
         # (0.1 s -> 10 s reads 33x against the floor).
         ratio = t_big / max(t_small, 0.3)
-        if ratio > sf_ratio:
-            flagged.append((ratio, q, t_small, t_big))
+        # Blind-spot closure (r16 ADVICE): the floor alone lets a
+        # genuinely superlinear query whose big-SF reading is still
+        # under floor*sf_ratio pass silently (0.02 s -> 1.2 s = 60x raw
+        # reads 4x against the floor). Also flag on the RAW ratio when
+        # it is extreme (> 3x the threshold), floor notwithstanding —
+        # sub-floor denominators are noisy, so only a 3x-threshold raw
+        # reading is treated as signal rather than jitter.
+        raw = t_big / max(t_small, 1e-3)
+        if ratio > sf_ratio or raw > 3 * sf_ratio:
+            flagged.append((max(ratio, raw), q, t_small, t_big))
     for ratio, q, a, b in sorted(flagged, reverse=True):
         print(f"FLAG {q}: {a:.3f}s -> {b:.3f}s = {ratio:.1f}x "
               f"for {sf_ratio:.0f}x data (superlinear)")
