@@ -285,17 +285,30 @@ private[graft] object OracleCtes {
     * (DuckDB lambda index is 1-based → i-1), computes each table's
     * sign bucket, unions candidates across tables, and verifies with
     * the same sequential-fold cosine. Bit-exact cross-engine.
+    *
+    * DYNAMIC nbits (r16 verdict item 2): the Spark side auto-sizes
+    * nbits = ⌈log₂N⌉ + 3 clamped to [8, 30] ([[Similarity.autoNbits]])
+    * from the planted-union count, so the replay derives the SAME
+    * integer from `count(*) OVER e0` — as a MIN over shifted powers of
+    * two, never a float log2 — and gates each bit term by `b < nbits`.
+    * Plane literals are carried up to `maxBits` bits per table (planes
+    * stride by the constant [[graft.plans.LshSig.PlaneStride]], so a
+    * smaller nbits reads a bit-prefix of the same literals); a corpus
+    * whose auto size exceeds maxBits fails LOUDLY via error() rather
+    * than silently mismatching. maxBits 24 covers N ≤ 2^21 ≈ 2 M
+    * vectors — two decades above the largest local SF.
     */
-  def lshNearDupOracle(nbits: Int, tables: Int, dim: Int, seed: Long,
-                               threshold: Double): String = {
-    def bitTerms(t: Int): String = (0 until nbits).map { b =>
+  def lshNearDupOracle(tables: Int, dim: Int, seed: Long,
+                               threshold: Double, maxBits: Int = 24): String = {
+    def bitTerms(t: Int): String = (0 until maxBits).map { b =>
       val plane = (0 until dim)
-        .map(d => Similarity.planeComponent(seed, t * nbits + b, d))
+        .map(d => Similarity.planeComponent(
+          seed, t * graft.plans.LshSig.PlaneStride + b, d))
         .mkString("[", ",", "]")
-      s"(CASE WHEN list_reduce(list_transform(list_zip(v, $plane::DOUBLE[]), x->x[1]*x[2]),(p,q)->p+q) >= 0 THEN ${1L << b} ELSE 0 END)"
+      s"(CASE WHEN $b < nbits AND list_reduce(list_transform(list_zip(v, $plane::DOUBLE[]), x->x[1]*x[2]),(p,q)->p+q) >= 0 THEN ${1L << b} ELSE 0 END)"
     }.mkString("\n  + ")
     val tableSelects = (0 until tables).map(t =>
-      s"SELECT vec_id, $t AS t, ${bitTerms(t)} AS bucket FROM n")
+      s"SELECT vec_id, $t AS t, ${bitTerms(t)} AS bucket FROM n, nb")
       .mkString("\nUNION ALL\n")
     s"""WITH eb AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings),
        |e0 AS (SELECT vec_id, e FROM eb
@@ -308,6 +321,13 @@ private[graft] object OracleCtes {
        |  sqrt(list_reduce(list_transform(e, y->y*y),(p,q)->p+q)) AS nrm FROM e0),
        |n AS (SELECT vec_id, list_transform(e,
        |  x -> CASE WHEN nrm = 0 THEN 0.0 ELSE x / nrm END) AS v FROM n0),
+       |nb AS (SELECT CASE WHEN nbits0 > $maxBits
+       |    THEN CAST(error('lsh replay: auto nbits ' || nbits0 ||
+       |      ' exceeds the $maxBits-bit plane-literal budget') AS INTEGER)
+       |    ELSE nbits0 END AS nbits
+       |  FROM (SELECT LEAST(30, GREATEST(8,
+       |    (SELECT MIN(k) FROM range(0, 40) t(k)
+       |     WHERE (1::BIGINT << k) >= (SELECT count(*) FROM e0)) + 3)) AS nbits0)),
        |bk AS ($tableSelects),
        |cand AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
        | FROM bk a JOIN bk b2 ON a.t = b2.t AND a.bucket = b2.bucket
@@ -327,10 +347,10 @@ private[graft] object OracleCtes {
     * full-corpus; only truth and the compared subpopulation are
     * panel-bound.
     */
-  def embedRecallOracle(nbits: Int, tables: Int, dim: Int, seed: Long,
+  def embedRecallOracle(tables: Int, dim: Int, seed: Long,
                                 threshold: Double,
                                 panelBudget: Int = 1024): String = {
-    val base = lshNearDupOracle(nbits, tables, dim, seed, threshold)
+    val base = lshNearDupOracle(tables, dim, seed, threshold)
     // cut the final projection off the base oracle and continue its CTE
     // list (the preceding `p AS (...)` needs the joining comma back)
     val upToP = base.substring(0, base.lastIndexOf("SELECT id_a, id_b, sim"))

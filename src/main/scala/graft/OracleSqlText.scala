@@ -68,9 +68,9 @@ private[graft] object OracleSqlText {
         |  CAST(sum(CASE WHEN neighbor_id = query_id - 1000000 THEN 1 ELSE 0 END)
         |    AS DOUBLE) / count(*) >= 0.8 AS recall_ok
         |FROM pqr WHERE rank = 1""".stripMargin,
-    "q_embed_neardup" -> lshNearDupOracle(nbits = 14, tables = 4, dim = 64,
+    "q_embed_neardup" -> lshNearDupOracle(tables = 4, dim = 64,
       seed = 42L, threshold = 0.9),
-    "q_embed_recall" -> embedRecallOracle(nbits = 14, tables = 4, dim = 64,
+    "q_embed_recall" -> embedRecallOracle(tables = 4, dim = 64,
       seed = 42L, threshold = 0.9),
     "q_cross_semantic" ->
       // corpus normalize + md5 seed pick + argmax assignment for BOTH

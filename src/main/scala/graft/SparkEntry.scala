@@ -1975,11 +1975,16 @@ object SparkEntry {
           transform(col("embedding"), (x, i) =>
             x * (lit(1.0) + lit(0.02) *
               ((col("vec_id") + i) % 5 - 2).cast("double"))).as("embedding"))
-      // 14-bit tables: random-pair collision ~4/2¹⁴ (≈0.3M candidates on
-      // 50k vectors, not 5M at 10 bits); per-table planted-pair recall
-      // 0.9856¹⁴ = 0.87 → miss-all-4 ≈ 3·10⁻⁴
+      // AUTO-SIZED nbits (r16 verdict item 2): fixed 14 bits left the
+      // candidate term N²·tables/2¹⁴ quadratic in the corpus (7.1× wall
+      // for 10× data on the sf1→sf10 decade). nbits = ⌈log₂N⌉+3 keeps
+      // candidates ∝ N at every SF; the oracle replays the identical
+      // sizing from count(*) over the planted union, and the same
+      // plan-time plane constants, so the pair set stays bit-exact
+      // cross-engine at any SF (recall at the auto size is measured by
+      // q_embed_recall, not assumed)
       Similarity.lshNearDupPairs(base.unionByName(dups), "vec_id", "embedding",
-        threshold = 0.9, nbits = 14, tables = 4)
+        threshold = 0.9, nbits = 0, tables = 4)
         .select(col("id_a"), col("id_b"), col("sim"))
         .orderBy("id_a", "id_b")
     }),
@@ -2018,8 +2023,10 @@ object SparkEntry {
       val panelVecs = all.join(panelIds, Seq("vec_id"), "left_semi")
       val exact = Similarity.cosinePairsExact(panelVecs, "vec_id", "embedding", 0.9)
         .select(col("id_a"), col("id_b"), lit(1).as("_e"))
+      // auto-sized nbits — the same sizing q_embed_neardup runs (and
+      // whose banding miss rate this report MEASURES at each SF)
       val lsh = Similarity.lshNearDupPairs(all, "vec_id", "embedding",
-          threshold = 0.9, nbits = 14, tables = 4)
+          threshold = 0.9, nbits = 0, tables = 4)
         .join(panelIds.withColumnRenamed("vec_id", "id_a"), Seq("id_a"), "left_semi")
         .join(panelIds.withColumnRenamed("vec_id", "id_b"), Seq("id_b"), "left_semi")
         .select(col("id_a"), col("id_b"), lit(1).as("_l"))

@@ -402,19 +402,26 @@ object Similarity {
     * `maxBucketSize` does NOT bound them) — a fixed nbits makes the
     * candidate stage quadratic in N. Measured on the sf1→sf10 decade:
     * 7.1× wall for 10× data at nbits=14 (the r16 gate sweep's top
-    * reading — the quadratic term emerging). Rule: nbits ≈ log₂(N) + c
-    * keeps candidates ∝ N (c ≈ 2–4 sets the per-vector candidate
-    * budget); each +1 bit costs per-table recall ×(1−θ/π), so raise
-    * `tables` alongside (recall = 1−(1−pⁿ)^tables). At 1 B vectors:
-    * nbits ≈ 32, tables 6–8.
+    * reading — the quadratic term emerging). The rule is now CODE, not
+    * prose: `nbits <= 0` (the default) auto-sizes via [[autoNbits]] —
+    * nbits = ⌈log₂N⌉ + 3, clamped to [8, 30] — from one count of the
+    * persisted normalized frame (which the bucket pass and both verify
+    * joins reuse, so the count pre-pays materialization rather than
+    * adding a scan). That keeps candidates ∝ N at every corpus size.
+    * Each +1 bit costs per-table recall ×(1−θ/π), so deliberate
+    * high-recall regimes should raise `tables` alongside
+    * (recall = 1−(1−pⁿ)^tables); explicit nbits remains honored for
+    * oracle-replay twins and tuned deployments. At 1 B vectors auto
+    * gives nbits 30 (the clamp), tables 6–8 recommended.
     */
   def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-                      threshold: Double, nbits: Int = 10, tables: Int = 4,
+                      threshold: Double, nbits: Int = 0, tables: Int = 4,
                       dim: Int = 64, seed: Long = 42L,
                       maxBucketSize: Option[Int] = None): DataFrame = {
     val n = normalized(df, idCol, vecCol, "_id", "_v")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val buckets = lshBucketsBanded(n, "_id", "_v", nbits, tables, dim, seed)
+    val bits = if (nbits > 0) nbits else autoNbits(n.count())
+    val buckets = lshBucketsBanded(n, "_id", "_v", bits, tables, dim, seed)
     val kept = maxBucketSize match {
       case Some(cap) =>
         val sizes = buckets.groupBy("t", "bucket")
@@ -432,6 +439,28 @@ object Similarity {
       .select(col("id_a"), col("id_b"), dot(col("_va"), col("_vb")).as("sim"))
       .filter(col("sim") >= threshold)
   }
+
+  /** Smallest k with 2^k ≥ n (n ≥ 1) — integer-exact on both engines
+    * (the DuckDB oracle replays it as a MIN over a shifted-powers
+    * range, never a float log2, so a count one past a power of two
+    * can't round differently across engines).
+    */
+  def ceilLog2(n: Long): Int = {
+    require(n >= 1, s"ceilLog2: n must be >= 1, got $n")
+    64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))
+  }
+
+  /** The log₂N sizing rule for [[lshNearDupPairs]] as code: random-pair
+    * candidates are ~N²·tables/2^nbits, so nbits = ⌈log₂N⌉ + slack
+    * keeps them ∝ N·tables/2^slack (slack 3 ⇒ ~N·tables/8 — a per-vector
+    * candidate budget under 1). Clamped to [8, 30]: 8 so tiny corpora
+    * keep useful buckets, 30 because the DuckDB replay oracle carries
+    * plane literals up to 30 bits (and 2^30 buckets ≈ 1 B already
+    * out-buckets any single-cluster corpus; beyond that pass nbits
+    * explicitly and raise `tables`).
+    */
+  def autoNbits(n: Long, slack: Int = 3): Int =
+    math.min(30, math.max(8, ceilLog2(math.max(1L, n)) + slack))
 
   /** Bucket-size distribution per table — the observability surface for
     * tuning `maxBucketSize` (same discipline as TextDedup's

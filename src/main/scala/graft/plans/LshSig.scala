@@ -26,7 +26,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * oracle mirror):
   *   - projection = strict index-order sum starting at 0.0 (IEEE-
   *     deterministic);
-  *   - bit b of table t set iff dot(v, plane(t·nbits+b)) >= 0;
+  *   - bit b of table t set iff dot(v, plane(t·[[LshSig.PlaneStride]]+b))
+  *     >= 0 — the global plane index strides by a CONSTANT 64, not by
+  *     nbits, so a table's planes are nbits-INDEPENDENT: the nbits=13
+  *     bucket is a bit-prefix of the nbits=24 bucket for the same
+  *     table. That is what lets [[graft.operators.Similarity.autoNbits]]
+  *     size nbits from the corpus count while the DuckDB oracle replays
+  *     the identical pairing from ONE fixed literal set gated by a
+  *     dynamic `b < nbits` (an nbits-dependent index would need
+  *     different plane literals per corpus size);
   *   - wrong vector length throws loudly (a silent fallback would land
   *     every row in bucket 0 and degenerate the candidate join to
   *     O(n²) — same contract as the previous assert_true guard).
@@ -38,9 +46,12 @@ case class LshSig(child: Expression, nbits: Int, tables: Int, dim: Int,
   require(tables > 0 && tables <= 256, "tables must be in (0, 256]")
   require(dim > 0, "dim must be positive")
 
+  // local layout stays [t * nbits + b] (dense for the codegen loop);
+  // only the hash-space index strides by PlaneStride
   @transient private lazy val planes: Array[Array[Double]] =
     Array.tabulate(tables * nbits)(g =>
-      Array.tabulate(dim)(d => LshSig.planeComponent(seed, g, d)))
+      Array.tabulate(dim)(d => LshSig.planeComponent(
+        seed, (g / nbits) * LshSig.PlaneStride + (g % nbits), d)))
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
@@ -113,6 +124,14 @@ case class LshSig(child: Expression, nbits: Int, tables: Int, dim: Int,
 }
 
 object LshSig {
+  /** Global plane-index stride per table: plane of (table t, bit b) is
+    * [[planeComponent]] at gbit = t·PlaneStride + b. A constant stride
+    * (not nbits) keeps every table's plane set independent of nbits —
+    * see the class scaladoc. 64 > the 62-bit nbits ceiling, so tables
+    * never collide.
+    */
+  val PlaneStride = 64
+
   /** The deterministic hyperplane component for (global) bit `gbit`,
     * dimension `d`, in [-1, 1] — the SINGLE source of truth shared by
     * the expression, the composed spec form, and the DuckDB oracle

@@ -14,16 +14,31 @@ class LshSigSpec extends SparkSpec {
     Array.tabulate(dim)(d =>
       scala.util.hashing.MurmurHash3.productHash((i, d)).toDouble / Int.MaxValue)
 
-  /** Reference computation straight from the plane definition. */
+  /** Reference computation straight from the plane definition: planes
+    * stride by the CONSTANT PlaneStride (not nbits), so a table's
+    * buckets at nbits=k are a bit-prefix of its buckets at nbits>k —
+    * the property the dynamic-nbits DuckDB replay rides on.
+    */
   private def reference(v: Array[Double], nbits: Int, tables: Int,
                         seed: Long): Seq[Long] =
     (0 until tables).map { t =>
       (0 until nbits).foldLeft(0L) { (acc, b) =>
         val proj = v.indices.foldLeft(0.0)((s, d) =>
-          s + v(d) * LshSig.planeComponent(seed, t * nbits + b, d))
+          s + v(d) * LshSig.planeComponent(seed, t * LshSig.PlaneStride + b, d))
         if (proj >= 0.0) acc | (1L << b) else acc
       }
     }
+
+  test("nbits-prefix property: same table's bucket truncates, planes nbits-independent") {
+    val dim = 8; val seed = 42L
+    val v = pseudoVec(7, dim)
+    val wide = reference(v, 24, 3, seed)
+    val narrow = reference(v, 13, 3, seed)
+    (0 until 3).foreach { t =>
+      assert((wide(t) & ((1L << 13) - 1)) == narrow(t),
+        s"table $t: nbits=13 bucket is not a prefix of nbits=24 bucket")
+    }
+  }
 
   test("codegen and interpreted agree with the reference on random vectors") {
     val dim = 16; val nbits = 8; val tables = 3; val seed = 42L

@@ -154,6 +154,31 @@ class Round2FeaturesSpec extends SparkSpec {
     assert(lsh.subsetOf(exact), s"false positives: ${lsh -- exact}")
     val recall = lsh.intersect(exact).size.toDouble / exact.size
     assert(recall >= 0.8, s"LSH recall $recall below 0.8 (${lsh.size}/${exact.size})")
+
+    // default nbits (0 = auto-sized from the corpus count) keeps the
+    // same no-false-positive + recall contract — the r16 verdict item 2
+    // sizing rule made code; 40 vectors → autoNbits = ceil(log2 40)+3 = 9
+    val auto = Similarity.lshNearDupPairs(rows, "vec_id", "embedding", 0.99,
+      dim = dim)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto.subsetOf(exact), s"auto-nbits false positives: ${auto -- exact}")
+    assert(auto.intersect(exact).size.toDouble / exact.size >= 0.8,
+      s"auto-nbits recall below 0.8 (${auto.size}/${exact.size})")
+  }
+
+  test("autoNbits pins the ceil-log2+3 rule with its [8, 30] clamp") {
+    // the DuckDB replay derives the SAME integer from count(*) (MIN over
+    // shifted powers of two) — these pins are the cross-engine contract
+    assert(Similarity.ceilLog2(2) == 1 && Similarity.ceilLog2(1024) == 10 &&
+      Similarity.ceilLog2(1025) == 11)
+    assert(Similarity.autoNbits(1) == 8)       // clamp floor
+    assert(Similarity.autoNbits(40) == 9)      // ceil(log2 40)=6, +3
+    assert(Similarity.autoNbits(550) == 13)    // sf0.01 planted union
+    assert(Similarity.autoNbits(2200) == 15)   // sf0.1 planted union
+    assert(Similarity.autoNbits(22000) == 18)  // sf1
+    assert(Similarity.autoNbits(220000) == 21) // sf10
+    assert(Similarity.autoNbits(1024) == 13 && Similarity.autoNbits(1025) == 14)
+    assert(Similarity.autoNbits(1L << 40) == 30) // clamp ceiling
   }
 
   test("walkFiles inventories a nested tree with depth and metadata (S15)") {
