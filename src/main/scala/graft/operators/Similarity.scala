@@ -374,6 +374,7 @@ object Similarity {
         "(banded candidates + exact verify). Raise maxInput explicitly " +
         "only for a deliberate exact sweep")
     val n = normalized(df, idCol, vecCol, "_id", "_v")
+      // release: caller-scope, ≤ maxInput rows (SCALE.md r17 persist audit)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = n.select(col("_id").as("id_a"), col("_v").as("_va"))
     val b = n.select(col("_id").as("id_b"), col("_v").as("_vb"))
@@ -419,6 +420,7 @@ object Similarity {
                       dim: Int = 64, seed: Long = 42L,
                       maxBucketSize: Option[Int] = None): DataFrame = {
     val n = normalized(df, idCol, vecCol, "_id", "_v")
+      // release: caller-scope (SCALE.md r17 persist audit)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bits = if (nbits > 0) nbits else autoNbits(n.count())
     val buckets = lshBucketsBanded(n, "_id", "_v", bits, tables, dim, seed)
@@ -734,6 +736,8 @@ object Similarity {
     val cent = normalized(centroids, idCol, vecCol, "cent_id", "centv")
     val assigned = assignStage(cent,
         normalized(df, idCol, vecCol, "_sd_id", "v"), "_sd_id", 1)
+      // both sides of the within-cell self-join read the assignment.
+      // release: caller-scope (SCALE.md r17 persist audit)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = assigned.select(col("cent_id"), col("_sd_id").as("id_a"),
       col("v").as("_va"))

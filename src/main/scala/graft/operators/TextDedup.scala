@@ -237,6 +237,7 @@ object TextDedup {
       .select(col(idCol).as("doc"),
         explode(TextFunctions.shingles(col(textCol), n)).as("g0"))
       .select(col("doc"), xxhash64(col("g0")).as("g"))
+      // release: caller-scope (SCALE.md r17 persist audit)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val eg = evalSet
       .select(explode(TextFunctions.shingles(col(textCol), n)).as("g0"))
@@ -361,6 +362,7 @@ object TextDedup {
     val corpusSigs0 = minhashSignatures(corpus, textCol, idCol, n, k)
     val corpusSigs =
       if (maxBucketSize == Int.MaxValue) corpusSigs0
+      // release: caller-scope (SCALE.md r17 persist audit)
       else corpusSigs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     crossCorpusNearDupsBanded(newDocs, bandSigFrame(corpusSigs, k, bands),
       textCol, idCol, n, k, bands, threshold, maxBucketSize)
@@ -418,7 +420,8 @@ object TextDedup {
                       maxBucketSize: Int = Int.MaxValue): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     // persist: the banded frame feeds both sides of the candidate
-    // self-join — without it the whole shingle+signature pipeline runs twice
+    // self-join — without it the whole shingle+signature pipeline runs
+    // twice. release: caller-scope (SCALE.md r17 persist audit)
     val sigs = minhashSignatures(df, textCol, idCol, n, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded0 = bandSigFrame(sigs, k, bands)
@@ -476,7 +479,8 @@ object TextDedup {
   private def minhashLshPairsPortableBanded(banded0: DataFrame, k: Int,
                                             threshold: Double): DataFrame = {
     // persist: the banded frame feeds both sides of the candidate
-    // self-join (same discipline as minhashLshPairs' signature persist)
+    // self-join (same discipline as minhashLshPairs' signature persist).
+    // release: caller-scope (SCALE.md r17 persist audit)
     val banded = banded0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = banded.as("a"); val b = banded.as("b")
@@ -609,6 +613,7 @@ object TextDedup {
         (0 until bits).map(b =>
           when(col(s"_v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"))
+      // release: caller-scope (SCALE.md r17 persist audit)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandCols = (0 until 4).map(b =>
       shiftright(col("simhash"), b * 14).bitwiseAND(lit(0x3FFFL)))
@@ -929,7 +934,8 @@ object TextDedup {
         Seq(idCol), "left_semi")
       // persist, not localCheckpoint: same select-once effect for the
       // two consumers, but the lineage (and its pruned scans) stays
-      // visible to plan audits
+      // visible to plan audits.
+      // release: caller-scope (SCALE.md r17 persist audit)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val truth = jaccardPairs(panel, textCol, idCol, n, threshold)
       .select(col("doc_a"), col("doc_b"), lit(1).as("_e"))

@@ -227,6 +227,7 @@ object TextQuality {
     // vocabulary derive from it (persisted — it feeds three consumers)
     val c12 = ref.select(explode(pairs(col(textCol))).as("bg"))
       .groupBy("bg").agg(count(lit(1)).as("c12"))
+      // release: caller-scope (SCALE.md r17 persist audit)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val heads = c12
       .groupBy(substring_index(col("bg"), " ", 1).as("w1"))
@@ -273,6 +274,7 @@ object TextQuality {
     def counts(df: DataFrame) = df
       .select(explode(graft.functions.TextFunctions.tokens(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
+      // release: caller-scope (SCALE.md r17 persist audit)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ca = counts(a); val cb = counts(b)
     val joined = ca.withColumnRenamed("cnt", "ca")

@@ -162,7 +162,8 @@ object CorpusCuration {
         docs.select(col(idCol), col(textCol)), idCol, panelBudget, panelTag)
       // both curation paths consume the panel; persist so the
       // TakeOrdered selection runs once while the lineage stays
-      // visible to plan audits
+      // visible to plan audits.
+      // release: caller-scope, ≤ panelBudget docs (SCALE.md r17 persist audit)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     agreementVerdict(docs, panel, textCol, idCol, "n_kept_exact_sampled",
       maxDisagreeFrac)
