@@ -82,7 +82,7 @@ private[graft] object OracleSqlText {
         |  x -> CASE WHEN nrm = 0 THEN 0.0 ELSE x / nrm END) AS v FROM n0c),
         |seeds AS (SELECT vec_id AS cent_id, v AS cv FROM nc
         | ORDER BY md5(vec_id::VARCHAR || ':7'), vec_id
-        | LIMIT greatest(8, (SELECT count(*) FROM eb)//250)),
+        | LIMIT 8),
         |ca AS (SELECT vec_id, cent_id FROM (
         |  SELECT nc.vec_id, s.cent_id, row_number() OVER (PARTITION BY nc.vec_id
         |   ORDER BY list_reduce(list_transform(list_zip(nc.v, s.cv), x->x[1]*x[2]),(p,q)->p+q) DESC,
@@ -91,7 +91,9 @@ private[graft] object OracleSqlText {
         |nw AS (SELECT vec_id + 1000000 AS vec_id,
         |  list_transform(e, (x, i) ->
         |    x * (1.0 + 0.02 * CAST((vec_id + (i - 1)) % 5 - 2 AS DOUBLE))) AS e
-        | FROM eb WHERE vec_id % 10 = 0),
+        | FROM eb WHERE vec_id % 10 = 0
+        | ORDER BY md5((vec_id + 1000000)::VARCHAR || ':xsp'), vec_id + 1000000
+        | LIMIT 1024),
         |n0n AS (SELECT vec_id, e,
         |  sqrt(list_reduce(list_transform(e, y->y*y),(p,q)->p+q)) AS nrm FROM nw),
         |nn AS (SELECT vec_id, list_transform(e,
@@ -844,22 +846,28 @@ private[graft] object OracleSqlText {
          |FROM orders""".stripMargin)
       .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\""),
     "q_interval_join" ->
+      // b side replays the fixed 1024-order md5 panel (r17 bound)
       """WITH a AS (SELECT o_orderkey AS a_id,
         |  CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS a_start
         | FROM orders WHERE o_orderkey % 97 = 0),
         |b AS (SELECT o_orderkey AS b_id,
         |  CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS b_start
-        | FROM orders WHERE o_orderkey % 199 = 0)
+        | FROM orders WHERE o_orderkey % 199 = 0
+        | ORDER BY md5(CAST(o_orderkey AS VARCHAR) || ':ivj'), o_orderkey
+        | LIMIT 1024)
         |SELECT a_id, b_id, a_start, b_start
         |FROM a JOIN b ON a_start <= b_start + 30 AND b_start <= a_start + 21
         |ORDER BY a_id, b_id""".stripMargin,
     "q_range_join" ->
+      // interval side replays the fixed 1024-order md5 panel (r17 bound)
       """WITH p AS (SELECT o_orderkey AS point_id,
         |  CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day
         | FROM orders WHERE o_orderkey % 7 = 0),
         |i AS (SELECT o_orderkey AS interval_id,
         |  CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS start_day
-        | FROM orders WHERE o_orderkey % 199 = 0)
+        | FROM orders WHERE o_orderkey % 199 = 0
+        | ORDER BY md5(CAST(o_orderkey AS VARCHAR) || ':rji'), o_orderkey
+        | LIMIT 1024)
         |SELECT point_id, interval_id, day
         |FROM p JOIN i ON day BETWEEN start_day AND start_day + 30
         |ORDER BY point_id, interval_id""".stripMargin,

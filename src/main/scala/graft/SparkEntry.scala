@@ -414,16 +414,32 @@ object SparkEntry {
           col("total"), col("n"))
         .orderBy("status", "priority")),
     "q_rank" -> ((s, d) => {
+      // top-20 per priority WITHOUT sorting whole priorities: the naive
+      // rank window partitions by a 5-value column — 3 M rows per sort
+      // task at sf10, parallelism 5, measured 14× wall for 10× data
+      // (r17 full-surface sweep). Aggs.topKByRank salts the sort across
+      // 160 tasks and re-ranks the ≤ 5·32·20 survivors exactly;
+      // dense_rank/row_number over the survivor frame are exact for
+      // every kept row (all strictly-better rows and all ties survive),
+      // and ntile(4) OF THE FULL PRIORITY is recovered arithmetically
+      // from (row_number, group count) — bit-identical to the window
+      // (the unchanged full-set DuckDB oracle is the proof).
+      val ords = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      val sizes = ords.groupBy("o_orderpriority").agg(count(lit(1)).as("_n"))
+      val top = Aggs.topKByRank(ords, Seq("o_orderpriority"),
+        Seq(col("o_totalprice").desc), k = 20, saltBy = xxhash64(col("o_orderkey")))
       val byPrice = Window.partitionBy("o_orderpriority")
         .orderBy(col("o_totalprice").desc)
       val stable = Window.partitionBy("o_orderpriority")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      Tables.orders(s, d).select(
-        col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
-        rank().over(byPrice).as("rnk"),
-        dense_rank().over(byPrice).as("drnk"),
-        ntile(4).over(stable).as("quartile"))
-        .filter(col("rnk") <= 20)
+      top
+        .withColumn("drnk", dense_rank().over(byPrice))
+        .withColumn("_rn", row_number().over(stable))
+        .join(broadcast(sizes), Seq("o_orderpriority"))
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+          col("rnk"), col("drnk"),
+          Aggs.ntileOf(col("_rn"), col("_n"), 4).as("quartile"))
         .orderBy("o_orderpriority", "rnk", "o_orderkey")
     }),
     "q_percentiles" -> ((s, d) =>
@@ -1621,14 +1637,25 @@ object SparkEntry {
     "q_range_join" -> ((s, d) => {
       // point-in-interval via the grid-bucketized equi-join (never a
       // nested loop): order dates landing inside 30-day promotion
-      // windows anchored at every 199th order
+      // windows anchored at promotion orders.
+      // FIXED-BUDGET interval side (r17 full-surface sf10 sweep catch,
+      // the q_j6 discipline): with BOTH sides riding the corpus over
+      // the FIXED ~2,400-day date domain, the true overlap count —
+      // the join's own output — is N_points·N_intervals·L/T ∝ N²
+      // (measured 89× wall for 10× data at sf10, 225 s). Promotion
+      // windows are corpus-size-independent in the production shape,
+      // so the interval side is a 1024-order md5 panel: identity at
+      // sf0.1 and below (the %199 stratum holds ≤754 orders there),
+      // a genuine replayed selection above; output ∝ N linear.
       val ords = Tables.orders(s, d)
       val pts = ords.filter(col("o_orderkey") % 7 === 0)
         .select(col("o_orderkey").as("point_id"),
           datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("day"))
-      val ivs = ords.filter(col("o_orderkey") % 199 === 0)
-        .select(col("o_orderkey").as("interval_id"),
-          datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("start_day"))
+      val ivs = TextDedup.md5Panel(
+          ords.filter(col("o_orderkey") % 199 === 0)
+            .select(col("o_orderkey").as("interval_id"),
+              datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("start_day")),
+          "interval_id", 1024, "rji")
         .withColumn("end_day", col("start_day") + 30)
       Joins.rangeJoin(pts, ivs, "day", "start_day", "end_day", grid = 32)
         .select("point_id", "interval_id", "day")
@@ -1636,14 +1663,20 @@ object SparkEntry {
     }),
     "q_interval_join" -> ((s, d) => {
       // overlapping 21- and 30-day windows from two order strata — the
-      // interval×interval companion to q_range_join, same grid plan
+      // interval×interval companion to q_range_join, same grid plan.
+      // Same r17 fixed-budget bound as q_range_join (both sides over
+      // the fixed date domain = quadratic output, measured 201× for
+      // 10× data): the b side is a 1024-order md5 panel (identity at
+      // sf0.1 and below), the a side stays corpus-sized — linear.
       val ords = Tables.orders(s, d)
       def days(c: Column) = datediff(c, lit("1970-01-01")).cast("long")
       val a = ords.filter(col("o_orderkey") % 97 === 0)
         .select(col("o_orderkey").as("a_id"), days(col("o_orderdate")).as("a_start"))
         .withColumn("a_end", col("a_start") + 21)
-      val b = ords.filter(col("o_orderkey") % 199 === 0)
-        .select(col("o_orderkey").as("b_id"), days(col("o_orderdate")).as("b_start"))
+      val b = TextDedup.md5Panel(
+          ords.filter(col("o_orderkey") % 199 === 0)
+            .select(col("o_orderkey").as("b_id"), days(col("o_orderdate")).as("b_start")),
+          "b_id", 1024, "ivj")
         .withColumn("b_end", col("b_start") + 30)
       Joins.intervalOverlapJoin(a, b, "a_id", "a_start", "a_end",
           "b_id", "b_start", "b_end", grid = 32)
@@ -2045,19 +2078,32 @@ object SparkEntry {
       // is assigned and compared only within its cell against corpus
       // vectors — old×old is structurally excluded. Every stage
       // (seeding, argmax assignment, exact dots) replays in DuckDB.
+      //
+      // FIXED BUDGETS (r17 full-surface sf10 sweep catch): the previous
+      // k = N/250 made the IN-QUERY index build N²/250 (11.3× isolated
+      // for 10× data — the assign stage was 90% of the cost), and the
+      // %10 drop rode the corpus. k is now the FIXED 8 the oracle SFs
+      // already used (bit-identical oracles), and the drop is a fixed
+      // 1024-doc md5 panel (identity at sf0.1 and below — a daily drop
+      // is corpus-size-independent in production, same argument as
+      // q_j6/q_range_join). Every stage is linear in N. At 100 TB the
+      // cell count DOES ride the corpus — but its assignment cost is
+      // paid once at INDEX BUILD (assignToCentroids' persisted-index
+      // contract) and amortized across screens; the screen itself costs
+      // |drop|·(k + cell) whatever built the index.
       val corpus = Tables.embeddings(s, d).select(
         col("vec_id").cast("long").as("vec_id"),
         col("embedding").cast("array<double>").as("embedding"))
-      // scaled k, identity at the oracle SFs — see q_semantic_dedup
-      val k = math.max(8L, corpus.count() / 250).toInt
       val cents = Similarity.hashSeedCentroids(corpus, "vec_id", "embedding",
-        k = k, seed = 7L)
+        k = 8, seed = 7L)
       val idx = Similarity.assignToCentroids(corpus, cents, "vec_id", "embedding")
-      val drop = corpus.filter(col("vec_id") % 10 === 0)
-        .select((col("vec_id") + lit(1000000L)).as("vec_id"),
-          transform(col("embedding"), (x, i) =>
-            x * (lit(1.0) + lit(0.02) *
-              ((col("vec_id") + i) % 5 - 2).cast("double"))).as("embedding"))
+      val drop = TextDedup.md5Panel(
+        corpus.filter(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+            transform(col("embedding"), (x, i) =>
+              x * (lit(1.0) + lit(0.02) *
+                ((col("vec_id") + i) % 5 - 2).cast("double"))).as("embedding")),
+        "vec_id", 1024, "xsp")
       Similarity.crossCorpusSemanticPairs(drop, "vec_id", "embedding",
           idx, cents, tau = 0.9)
         .orderBy("new_id", "corpus_id")

@@ -12,6 +12,70 @@ import org.apache.spark.sql.functions._
   */
 object Aggs {
 
+  /** Exact top-k rows BY RANK per group without sorting whole groups —
+    * the low-cardinality-window fix (r17 full-surface sf10 sweep: a
+    * rank window partitioned by a 5-value column sorts 3 M rows per
+    * task at sf10, parallelism capped at the group count; 14× wall for
+    * 10× data). Two phases:
+    *
+    *   1. SALTED local window: partition by (group, hash-salt) — the
+    *      sort parallelism becomes groups × salts — and keep rows with
+    *      local rank ≤ k. Correct superset: a row with GLOBAL rank ≤ k
+    *      has < k rows strictly above it anywhere, so < k in its own
+    *      salt.
+    *   2. exact rank window over the ≤ groups·salts·k survivors
+    *      (window input is now k-sized, not corpus-sized), filter ≤ k.
+    *      Exact because every row strictly above a global top-k row is
+    *      itself global top-k and therefore survived phase 1 — and a
+    *      non-top-k survivor still sees ≥ k kept rows above it, so the
+    *      final filter drops it (ties included: a row tied with a kept
+    *      row shares its rank).
+    *
+    * The same argument makes dense_rank / row_number computed OVER THE
+    * RETURNED FRAME exact for every returned row (all strictly-above
+    * rows and all same-key ties are present). `saltBy` must be a
+    * deterministic per-row expression (hash of a unique id).
+    */
+  def topKByRank(df: DataFrame, groupCols: Seq[String], order: Seq[Column],
+                 k: Int, saltBy: Column, salts: Int = 32,
+                 rankAlias: String = "rnk"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0 && salts > 0, "k and salts must be positive")
+    val salted = df.withColumn("_tk_salt", pmod(saltBy, lit(salts)))
+    val wLocal = Window
+      .partitionBy((groupCols.map(col) :+ col("_tk_salt")): _*)
+      .orderBy(order: _*)
+    val cand = salted.withColumn("_tk_lr", rank().over(wLocal))
+      .filter(col("_tk_lr") <= k).drop("_tk_lr", "_tk_salt")
+    val wGlobal = Window.partitionBy(groupCols.map(col): _*).orderBy(order: _*)
+    cand.withColumn(rankAlias, rank().over(wGlobal))
+      .filter(col(rankAlias) <= k)
+  }
+
+  /** SQL-standard NTILE(buckets) as arithmetic over (row_number, group
+    * size) — for reports that already bound their rows (e.g. via
+    * [[topKByRank]]) but must label them with tiles of the FULL group:
+    * ntile itself is a window over every row of the partition, which is
+    * exactly the full-group sort the top-k path exists to avoid. With
+    * n = q·buckets + r, the first r tiles hold q+1 rows:
+    * tile(rn) = ceil(rn/(q+1)) for rn ≤ r(q+1), else
+    * r + ceil((rn − r(q+1))/q). Matches Spark's and DuckDB's ntile
+    * bit-for-bit (oracle-pinned via q_rank).
+    */
+  def ntileOf(rn: Column, n: Column, buckets: Int): Column = {
+    // Column `/` is fractional — integer ceil-div via floor((a+b-1)/b);
+    // all operands ≤ group sizes ≪ 2^53, so the doubles are exact
+    def ceilDiv(a: Column, b: Column) = floor((a + b - lit(1L)) / b).cast("long")
+    val q = floor(n / buckets).cast("long")
+    val r = pmod(n.cast("long"), lit(buckets.toLong))
+    val boundary = r * (q + lit(1L))
+    when(rn <= boundary, ceilDiv(rn, q + lit(1L)))
+      // q = 0 only when n < buckets, where rn ≤ n = boundary keeps every
+      // row in the first branch — greatest() just guards the dead /0
+      .otherwise(r + ceilDiv(rn - boundary, greatest(q, lit(1L))))
+      .cast("int")
+  }
+
   /** A2: group-by with sum + sorted-distinct string concatenation —
     * pandas `.agg({amt: "sum", code: lambda s: "; ".join(sorted(set(s)))})`
     * (DOP VP Compare.py:125-134). No UDAF: collect_set → sort_array →

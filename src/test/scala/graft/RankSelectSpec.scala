@@ -219,4 +219,49 @@ class RankSelectSpec extends SparkSpec {
         s"expected ${exactSumD2(nHi).toDouble}")
     assert(math.abs(gotRhoHi - (-1.0)) < 1e-12)
   }
+
+  test("topKByRank + ntileOf reproduce the naive full-group windows exactly") {
+    import org.apache.spark.sql.expressions.Window
+    // heavy ties across salts: prices drawn from a tiny value set so
+    // rank/dense_rank tie groups straddle salt boundaries, group sizes
+    // chosen to hit n % 4 = 0,1,2,3 AND an n < buckets group (q = 0)
+    val rows = Seq.tabulate(641) { i =>
+      val g = if (i < 3) "tiny" else s"g${i % 3}"
+      (i.toLong, g, (i * 7 % 11).toDouble)
+    }
+    val df = rows.toDF("id", "g", "price")
+    val byPrice = Window.partitionBy("g").orderBy(col("price").desc)
+    val stable = Window.partitionBy("g").orderBy(col("price").desc, col("id"))
+    val naive = df.select(col("id"), col("g"), col("price"),
+        rank().over(byPrice).as("rnk"),
+        dense_rank().over(byPrice).as("drnk"),
+        ntile(4).over(stable).as("quartile"))
+      .filter(col("rnk") <= 20)
+    val sizes = df.groupBy("g").agg(count(lit(1)).as("_n"))
+    val top = Aggs.topKByRank(df, Seq("g"), Seq(col("price").desc),
+        k = 20, saltBy = xxhash64(col("id")), salts = 8)
+      .withColumn("drnk", dense_rank().over(byPrice))
+      .withColumn("_rn", row_number().over(stable))
+      .join(broadcast(sizes), Seq("g"))
+      .select(col("id"), col("g"), col("price"), col("rnk"), col("drnk"),
+        Aggs.ntileOf(col("_rn"), col("_n"), 4).as("quartile"))
+    val a = naive.orderBy("g", "rnk", "id").collect().toSeq
+    val b = top.orderBy("g", "rnk", "id").collect().toSeq
+    assert(a == b, s"salted top-k diverged from the naive window:\n" +
+      s"naive ${a.take(5)}...\nsalted ${b.take(5)}...")
+    // the tiny group (3 rows < 4 buckets) exercised the q = 0 branch
+    assert(a.exists(_.getString(1) == "tiny"))
+  }
+
+  test("ntileOf matches the ntile window on every (n, rn) up to 40") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (1 to 40).flatMap(n => (1 to n).map(rn => (n, rn.toLong)))
+      .toDF("g", "rn")
+    val got = df.select(col("g"), col("rn"),
+        Aggs.ntileOf(col("rn"), col("g").cast("long"), 4).as("t"))
+    val want = df.select(col("g"), col("rn"),
+        ntile(4).over(Window.partitionBy("g").orderBy("rn")).as("t"))
+    assert(got.except(want).isEmpty && want.except(got).isEmpty,
+      "ntileOf arithmetic diverged from the ntile window")
+  }
 }
