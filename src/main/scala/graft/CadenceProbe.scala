@@ -86,11 +86,19 @@ object CadenceProbe {
       val t0 = System.nanoTime()
       if (c == killCycle) {
         // kill mid-drain: stop after the first committed batch, prove
-        // the source had NOT drained, restart from the checkpoint
+        // the source had NOT drained, restart from the checkpoint.
+        // Wait for a progress entry with numInputRows > 0, not just ANY
+        // entry — the first recentProgress can be a zero-input batch,
+        // which would make the killCommitted < chunkRows guard pass
+        // vacuously on a kill that never interrupted anything
         val q1 = drainOnce()
-        while (q1.recentProgress.length < 1 && q1.isActive) Thread.sleep(50)
+        while (q1.isActive &&
+            q1.recentProgress.map(_.numInputRows).sum < 1) Thread.sleep(50)
         q1.stop(); q1.awaitTermination()
         killCommitted = q1.recentProgress.map(_.numInputRows).sum
+        require(killCommitted > 0,
+          "kill vacuous: no rows committed before stop — the kill did " +
+            "not land between a committed batch and remaining input")
         require(killCommitted < chunkRows,
           s"kill missed: all $chunkRows rows committed before stop — " +
             "lower maxFilesPerTrigger or enlarge the corpus")

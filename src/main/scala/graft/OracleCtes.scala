@@ -287,7 +287,7 @@ private[graft] object OracleCtes {
     * the same sequential-fold cosine. Bit-exact cross-engine.
     *
     * DYNAMIC nbits (r16 verdict item 2): the Spark side auto-sizes
-    * nbits = ⌈log₂N⌉ + 3 clamped to [8, 30] ([[Similarity.autoNbits]])
+    * nbits = ⌈log₂N⌉ + 3, floor 8, refusal past 30 ([[Similarity.autoNbits]])
     * from the planted-union count, so the replay derives the SAME
     * integer from `count(*) OVER e0` — as a MIN over shifted powers of
     * two, never a float log2 — and gates each bit term by `b < nbits`.

@@ -405,15 +405,17 @@ object Similarity {
     * 7.1× wall for 10× data at nbits=14 (the r16 gate sweep's top
     * reading — the quadratic term emerging). The rule is now CODE, not
     * prose: `nbits <= 0` (the default) auto-sizes via [[autoNbits]] —
-    * nbits = ⌈log₂N⌉ + 3, clamped to [8, 30] — from one count of the
-    * persisted normalized frame (which the bucket pass and both verify
-    * joins reuse, so the count pre-pays materialization rather than
-    * adding a scan). That keeps candidates ∝ N at every corpus size.
-    * Each +1 bit costs per-table recall ×(1−θ/π), so deliberate
-    * high-recall regimes should raise `tables` alongside
+    * nbits = ⌈log₂N⌉ + 3, floor 8, LOUD REFUSAL past 30 — from one
+    * count of the persisted normalized frame (which the bucket pass
+    * and both verify joins reuse, so the count pre-pays
+    * materialization rather than adding a scan). That keeps candidates
+    * ∝ N at every corpus size the auto rule covers; past ~2^27 vectors
+    * it refuses instead of silently pinning at 30 bits (which would
+    * re-quadratic the join) — pass nbits explicitly there. Each +1 bit
+    * costs per-table recall ×(1−θ/π), so deliberate high-recall
+    * regimes should raise `tables` alongside
     * (recall = 1−(1−pⁿ)^tables); explicit nbits remains honored for
-    * oracle-replay twins and tuned deployments. At 1 B vectors auto
-    * gives nbits 30 (the clamp), tables 6–8 recommended.
+    * oracle-replay twins and tuned deployments.
     */
   def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                       threshold: Double, nbits: Int = 0, tables: Int = 4,
@@ -445,24 +447,41 @@ object Similarity {
   /** Smallest k with 2^k ≥ n (n ≥ 1) — integer-exact on both engines
     * (the DuckDB oracle replays it as a MIN over a shifted-powers
     * range, never a float log2, so a count one past a power of two
-    * can't round differently across engines).
+    * can't round differently across engines). n = 1 returns 0
+    * (2^0 ≥ 1), exactly like the oracle's MIN-over-powers form — the
+    * earlier `64 - nlz(max(1, n-1))` returned 1 there, a latent
+    * cross-engine divergence masked only by autoNbits' floor clamp.
     */
   def ceilLog2(n: Long): Int = {
     require(n >= 1, s"ceilLog2: n must be >= 1, got $n")
-    64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))
+    if (n == 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
   }
 
   /** The log₂N sizing rule for [[lshNearDupPairs]] as code: random-pair
     * candidates are ~N²·tables/2^nbits, so nbits = ⌈log₂N⌉ + slack
     * keeps them ∝ N·tables/2^slack (slack 3 ⇒ ~N·tables/8 — a per-vector
-    * candidate budget under 1). Clamped to [8, 30]: 8 so tiny corpora
-    * keep useful buckets, 30 because the DuckDB replay oracle carries
-    * plane literals up to 30 bits (and 2^30 buckets ≈ 1 B already
-    * out-buckets any single-cluster corpus; beyond that pass nbits
-    * explicitly and raise `tables`).
+    * candidate budget under 1). Floor-clamped to 8 so tiny corpora keep
+    * useful buckets. Above 30 bits (n ≳ 2^27 vectors at slack 3) the
+    * sizing REFUSES LOUDLY instead of clamping: a silent pin at 30
+    * returns the candidate term to the quadratic regime — exactly the
+    * failure class [[requireBounded]] guards everywhere else. Beyond
+    * that scale pass `nbits` explicitly and raise `tables` for recall
+    * (recall = 1−(1−pⁿ)^tables). Note the DuckDB replay oracle
+    * ([[graft.OracleCtes.lshNearDupOracle]]) carries plane literals up
+    * to its `maxBits` parameter, DEFAULT 24 — enough for N ≤ ~2 M
+    * vectors; replaying a larger corpus needs a larger explicit
+    * maxBits (planes stride nbits-independently, so the literals are a
+    * prefix-compatible superset at any size).
     */
-  def autoNbits(n: Long, slack: Int = 3): Int =
-    math.min(30, math.max(8, ceilLog2(math.max(1L, n)) + slack))
+  def autoNbits(n: Long, slack: Int = 3): Int = {
+    val raw = ceilLog2(math.max(1L, n)) + slack
+    require(raw <= 30,
+      s"autoNbits: $n vectors need nbits=$raw > 30 — auto-sizing cannot " +
+        "keep LSH candidates ∝ N past 2^30 buckets, and clamping would " +
+        "silently re-quadratic the candidate join. Pass nbits explicitly " +
+        "and raise `tables` to buy recall back (recall = 1-(1-p^nbits)^tables)")
+    math.max(8, raw)
+  }
 
   /** Bucket-size distribution per table — the observability surface for
     * tuning `maxBucketSize` (same discipline as TextDedup's
@@ -470,10 +489,15 @@ object Similarity {
     * shows up here as a hot bucket before it becomes a quadratic join.
     */
   def lshBucketSizeReport(df: DataFrame, idCol: String, vecCol: String,
-                          nbits: Int = 10, tables: Int = 4, dim: Int = 64,
+                          nbits: Int = 0, tables: Int = 4, dim: Int = 64,
                           seed: Long = 42L): DataFrame = {
     val n = normalized(df, idCol, vecCol, "_id", "_v")
-    lshBucketsBanded(n, "_id", "_v", nbits, tables, dim, seed)
+    // nbits <= 0 resolves through the SAME auto-sizing as
+    // lshNearDupPairs' default, so the reported bucket distribution is
+    // the one production actually runs with — a report at a fixed 10
+    // bits can look healthy while production runs at autoNbits(N)
+    val bits = if (nbits > 0) nbits else autoNbits(n.count())
+    lshBucketsBanded(n, "_id", "_v", bits, tables, dim, seed)
       .groupBy("t", "bucket").agg(count(lit(1)).as("bucket_size"))
       .groupBy("t").agg(
         max(col("bucket_size")).as("max_bucket"),

@@ -166,9 +166,11 @@ class Round2FeaturesSpec extends SparkSpec {
       s"auto-nbits recall below 0.8 (${auto.size}/${exact.size})")
   }
 
-  test("autoNbits pins the ceil-log2+3 rule with its [8, 30] clamp") {
+  test("autoNbits pins the ceil-log2+3 rule: floor clamp, loud refusal past 30") {
     // the DuckDB replay derives the SAME integer from count(*) (MIN over
     // shifted powers of two) — these pins are the cross-engine contract
+    assert(Similarity.ceilLog2(1) == 0)        // 2^0 >= 1, same as the
+    // oracle's MIN-over-powers form (the old 64-nlz form returned 1)
     assert(Similarity.ceilLog2(2) == 1 && Similarity.ceilLog2(1024) == 10 &&
       Similarity.ceilLog2(1025) == 11)
     assert(Similarity.autoNbits(1) == 8)       // clamp floor
@@ -178,7 +180,15 @@ class Round2FeaturesSpec extends SparkSpec {
     assert(Similarity.autoNbits(22000) == 18)  // sf1
     assert(Similarity.autoNbits(220000) == 21) // sf10
     assert(Similarity.autoNbits(1024) == 13 && Similarity.autoNbits(1025) == 14)
-    assert(Similarity.autoNbits(1L << 40) == 30) // clamp ceiling
+    assert(Similarity.autoNbits(1L << 27) == 30) // largest auto-sizable corpus
+    // past 2^27 vectors the auto rule REFUSES instead of silently
+    // clamping at 30 (which would re-quadratic the candidate join) —
+    // the r17 verdict item 3 guard
+    val refusal = intercept[IllegalArgumentException] {
+      Similarity.autoNbits((1L << 27) + 1)
+    }
+    assert(refusal.getMessage.contains("nbits explicitly"))
+    intercept[IllegalArgumentException] { Similarity.autoNbits(1L << 40) }
   }
 
   test("walkFiles inventories a nested tree with depth and metadata (S15)") {
