@@ -392,9 +392,18 @@ object Sinks {
     *     v00001/part-... .parquet  # being written, unreferenced until its manifest lands
     * }}}
     *
+    * A manifest names its version's data either as one whole dir (the
+    * `vNNNNN` line [[write]]/[[compact]]/[[snapshot]] emit) or as an
+    * explicit FILE list (`#f` lines) — the delta-publish shape
+    * ([[writeDelta]]/[[snapshotDelta]]) where a new version writes only
+    * its delta's files and references the previous version's for the
+    * rest, so publish cost is ∝ delta instead of corpus. Files are
+    * shared across manifests, never copied.
+    *
     * Invariants that make mid-rewrite reads safe:
     *   - data dirs are IMMUTABLE once their manifest exists: a rewrite
-    *     always targets a fresh `v{seq}` dir, never a referenced one;
+    *     always targets a fresh `v{seq}` dir, never a referenced one
+    *     (delta manifests only ADD files in the new version's own dir);
     *   - a manifest is published by writing `.tmp-manifest-{seq}` and
     *     renaming it to `_manifest-{seq}` — a rename to a FRESH name in
     *     the same directory, atomic on POSIX and HDFS, so a reader
@@ -425,6 +434,30 @@ object Sinks {
   object Versioned {
     private val ManifestPrefix = "_manifest-"
 
+    /** Parsed manifest: data refs (whole dirs and/or individual files,
+      * both relative to the root) plus absorbed-source bookkeeping for
+      * [[snapshotDelta]]. Two generations share one parser:
+      *
+      *   - v1 (the original format): a single bare line `vNNNNN` — the
+      *     whole dir is the version's data. [[write]] and [[compact]]
+      *     still emit this shape, so everything that worked keeps
+      *     working byte-for-byte.
+      *   - v2 (delta publish): `#f <relpath>` lines name the version's
+      *     data FILES — a new version carries the previous version's
+      *     file list plus the delta's freshly-written files, so a
+      *     publish WRITES only the delta and REFERENCES the rest
+      *     (publish cost ∝ delta, never corpus). `#src <relpath>`
+      *     lines record which source files a [[snapshotDelta]] has
+      *     absorbed (bookkeeping only — readers ignore them).
+      *
+      * Unknown `#`-prefixed lines are ignored (forward compatibility).
+      */
+    private[sources] case class ManifestRefs(dirs: Seq[String],
+                                             files: Seq[String],
+                                             srcs: Seq[String]) {
+      def isEmptyData: Boolean = dirs.isEmpty && files.isEmpty
+    }
+
     private def fs(spark: org.apache.spark.sql.SparkSession, root: String) =
       new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -440,6 +473,54 @@ object Sinks {
         .sortBy(_._1)
     }
 
+    private def readManifest(spark: org.apache.spark.sql.SparkSession,
+                             root: String, p: Path): ManifestRefs = {
+      val f = fs(spark, root)
+      val in = f.open(p)
+      val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                    finally in.close()
+      val lines = content.split('\n').map(_.trim).filter(_.nonEmpty).toSeq
+      ManifestRefs(
+        dirs = lines.filterNot(_.startsWith("#")),
+        files = lines.collect { case l if l.startsWith("#f ") => l.stripPrefix("#f ") },
+        srcs = lines.collect { case l if l.startsWith("#src ") => l.stripPrefix("#src ") })
+    }
+
+    private def refsAt(spark: org.apache.spark.sql.SparkSession,
+                       root: String, seq: Int): ManifestRefs = {
+      val (_, p) = manifests(spark, root).find(_._1 == seq).getOrElse(
+        throw new java.io.FileNotFoundException(
+          s"version $seq not published (or vacuumed) under $root"))
+      readManifest(spark, root, p)
+    }
+
+    /** Part files of a version dir, as root-relative paths. The dir is
+      * immutable once its manifest exists, so the listing is stable.
+      */
+    private def listPartFiles(spark: org.apache.spark.sql.SparkSession,
+                              root: String, dirName: String): Seq[String] = {
+      val f = fs(spark, root)
+      val d = new Path(root, dirName)
+      if (!f.exists(d)) Seq.empty
+      else f.listStatus(d).toSeq.map(_.getPath)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(p => s"$dirName/${p.getName}").sorted
+    }
+
+    /** A version's data refs EXPANDED to file granularity — dir refs
+      * become their (immutable) dirs' part-file lists. This is the
+      * carried-forward list a delta publish references.
+      */
+    private def expandedFiles(spark: org.apache.spark.sql.SparkSession,
+                              root: String, refs: ManifestRefs): Seq[String] =
+      refs.dirs.flatMap(d => listPartFiles(spark, root, d)) ++ refs.files
+
+    /** Absolute scan paths for a version (dirs stay dirs — exactly the
+      * legacy read shape; file refs become absolute file paths).
+      */
+    private def scanPaths(root: String, refs: ManifestRefs): Seq[String] =
+      refs.dirs.map(d => s"$root/$d") ++ refs.files.map(fp => s"$root/$fp")
+
     /** All published version seqs, ascending — the time-travel index. */
     def versions(spark: org.apache.spark.sql.SparkSession,
                  root: String): Seq[Int] =
@@ -453,29 +534,48 @@ object Sinks {
       */
     def readAt(spark: org.apache.spark.sql.SparkSession, root: String,
                seq: Int): DataFrame = {
-      val (_, p) = manifests(spark, root).find(_._1 == seq).getOrElse(
-        throw new java.io.FileNotFoundException(
-          s"version $seq not published (or vacuumed) under $root"))
-      val f = fs(spark, root)
-      val in = f.open(p)
-      val dir = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-                finally in.close()
-      spark.read.parquet(s"$root/$dir")
+      val refs = refsAt(spark, root, seq)
+      require(!refs.isEmptyData, s"version $seq under $root has no data refs")
+      spark.read.parquet(scanPaths(root, refs): _*)
     }
 
-    /** The live version's seq and data dir, from the max-seq manifest. */
+    /** The live version's seq and data dir, from the max-seq manifest.
+      * Defined for single-dir manifests ([[write]]/[[compact]]/
+      * [[snapshot]] output); a multi-file delta manifest has no single
+      * data dir — use [[read]]/[[readAt]] there (this accessor throws
+      * loudly rather than inventing one).
+      */
     def current(spark: org.apache.spark.sql.SparkSession,
                 root: String): Option[(Int, String)] =
       manifests(spark, root).lastOption.map { case (seq, p) =>
-        val f = fs(spark, root)
-        val in = f.open(p)
-        val dir = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-                  finally in.close()
-        (seq, s"$root/$dir")
+        val refs = readManifest(spark, root, p)
+        require(refs.dirs.size == 1 && refs.files.isEmpty,
+          s"version $seq under $root is a multi-file delta manifest " +
+            "with no single data dir — read it via read/readAt")
+        (seq, s"$root/${refs.dirs.head}")
       }
 
     private def publish(spark: org.apache.spark.sql.SparkSession,
-                        root: String, seq: Int): Unit = {
+                        root: String, seq: Int): Unit =
+      publishContent(spark, root, seq, f"v$seq%05d")
+
+    private def publishRefs(spark: org.apache.spark.sql.SparkSession,
+                            root: String, seq: Int,
+                            files: Seq[String], srcs: Seq[String],
+                            dirFallback: Option[String] = None): Unit = {
+      // an all-empty file list cannot be scanned (spark.read.parquet of
+      // zero paths throws) — fall back to a dir ref on the version's own
+      // (possibly schema-only) dir, the legacy empty-table shape
+      val dataLines =
+        if (files.nonEmpty) files.map(fp => s"#f $fp")
+        else Seq(dirFallback.getOrElse(f"v$seq%05d"))
+      val content = (dataLines ++ srcs.map(s => s"#src $s")).mkString("\n")
+      publishContent(spark, root, seq, content)
+    }
+
+    private def publishContent(spark: org.apache.spark.sql.SparkSession,
+                               root: String, seq: Int,
+                               content: String): Unit = {
       val f = fs(spark, root)
       val tmp = new Path(root, f".tmp-manifest-$seq%05d")
       // self-heal: a crash between create and rename leaves a stale tmp
@@ -483,7 +583,7 @@ object Sinks {
       // must replace it rather than wedge on create(overwrite = false)
       if (f.exists(tmp)) f.delete(tmp, false)
       val out = f.create(tmp, false)
-      try out.write(f"v$seq%05d".getBytes("UTF-8")) finally out.close()
+      try out.write(content.getBytes("UTF-8")) finally out.close()
       val fin = new Path(root, f"$ManifestPrefix$seq%05d")
       if (!f.rename(tmp, fin))
         throw new java.io.IOException(s"manifest publish failed: $tmp -> $fin")
@@ -518,26 +618,76 @@ object Sinks {
     }
 
     /** Read the live version. Scan set resolves NOW: the returned frame
-      * keeps reading this complete dir even if a newer version lands.
+      * keeps reading this complete layout even if a newer version lands.
       */
-    def read(spark: org.apache.spark.sql.SparkSession, root: String): DataFrame =
-      spark.read.parquet(current(spark, root)
-        .getOrElse(throw new java.io.FileNotFoundException(
-          s"no published version under $root"))._2)
+    def read(spark: org.apache.spark.sql.SparkSession, root: String): DataFrame = {
+      val (seq, _) = manifests(spark, root).lastOption.getOrElse(
+        throw new java.io.FileNotFoundException(
+          s"no published version under $root"))
+      readAt(spark, root, seq)
+    }
+
+    /** Write `delta` as the next version's ONLY new data and publish a
+      * manifest that references the previous version's files plus the
+      * delta's — the delta-proportional publish for append-only rolls
+      * (a corpus that only accretes, an edge ledger under pure-add
+      * drops). Publish cost ∝ delta at any corpus size, where [[write]]
+      * rewrites the full frame. The previous version's files are never
+      * touched (they stay immutable and shared across manifests), so
+      * time travel, the concurrent-reader guarantee, and [[vacuum]]'s
+      * grace window all hold unchanged — vacuum is reachability-based
+      * and keeps a dir alive while ANY kept manifest references its
+      * files. [[compact]] remains the maintenance pass that folds a
+      * long delta chain back into one dir. Same single-writer contract
+      * as every other mutation here.
+      */
+    def writeDelta(delta: DataFrame, root: String): Int = {
+      val spark = delta.sparkSession
+      val prev = manifests(spark, root).lastOption
+      val seq = prev.map(_._1 + 1).getOrElse(0)
+      clearOrphan(spark, root, seq)
+      delta.write.mode(SaveMode.ErrorIfExists).parquet(f"$root/v$seq%05d")
+      val carried = prev.map { case (_, p) =>
+        val refs = readManifest(spark, root, p)
+        (expandedFiles(spark, root, refs), refs.srcs)
+      }.getOrElse((Seq.empty[String], Seq.empty[String]))
+      publishRefs(spark, root, seq,
+        carried._1 ++ listPartFiles(spark, root, f"v$seq%05d"), carried._2)
+      seq
+    }
 
     /** [[Sinks.compact]] against a versioned root: compacts the live
       * version into the next one and publishes it. Readers mid-flight
-      * stay on the old complete dir; new readers get the new one.
+      * stay on the old complete layout; new readers get the new one.
+      * After a [[writeDelta]]/[[snapshotDelta]] chain this is the
+      * maintenance pass that folds the accumulated delta files back
+      * into ~targetBytes files (and lets [[vacuum]] reclaim the old
+      * dirs once they fall out of the grace window). Absorbed-source
+      * bookkeeping is carried forward so a subsequent [[snapshotDelta]]
+      * keeps absorbing only genuinely new source files.
       */
     def compact(spark: org.apache.spark.sql.SparkSession, root: String,
                 targetBytes: Long = 128L << 20,
                 sortCol: Option[String] = None): Int = {
-      val (seq, dir) = current(spark, root).getOrElse(
+      val (seq, p) = manifests(spark, root).lastOption.getOrElse(
         throw new java.io.FileNotFoundException(s"no published version under $root"))
+      val refs = readManifest(spark, root, p)
       clearOrphan(spark, root, seq + 1)
-      Sinks.compact(spark.read.parquet(dir), dir, f"$root/v${seq + 1}%05d",
-        targetBytes, sortCol)
-      publish(spark, root, seq + 1)
+      val f = fs(spark, root)
+      val totalBytes = expandedFiles(spark, root, refs)
+        .map(fp => f.getFileStatus(new Path(root, fp)).getLen).sum
+      val numFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+      val df = readAt(spark, root, seq)
+      val out = sortCol match {
+        case Some(c) =>
+          import org.apache.spark.sql.functions.col
+          df.repartitionByRange(numFiles, col(c)).sortWithinPartitions(c)
+        case None => df.coalesce(numFiles)
+      }
+      out.write.mode(SaveMode.ErrorIfExists).parquet(f"$root/v${seq + 1}%05d")
+      // dir-style manifest (current() keeps working) + carried srcs
+      publishRefs(spark, root, seq + 1, Seq.empty, refs.srcs,
+        dirFallback = Some(f"v${seq + 1}%05d"))
       seq + 1
     }
 
@@ -574,9 +724,120 @@ object Sinks {
       seq
     }
 
-    /** Drop all but the newest `keep` versions (dirs + manifests). `keep`
-      * is the reader grace window: never vacuum below 2 while readers may
-      * hold last-version scan sets.
+    /** Recursive srcDir-relative parquet file listing — the unit of
+      * [[snapshotDelta]]'s absorbed-source bookkeeping.
+      */
+    private def listSrcFiles(spark: org.apache.spark.sql.SparkSession,
+                             srcDir: String): Seq[String] = {
+      val f = new Path(srcDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val base = new Path(srcDir)
+      if (!f.exists(base)) return Seq.empty
+      val baseUri = f.getFileStatus(base).getPath.toUri
+      val it = f.listFiles(base, true)
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet"))
+          out += baseUri.relativize(st.getPath.toUri).getPath
+      }
+      out.toSeq.sorted
+    }
+
+    /** [[snapshot]] with DELTA-PROPORTIONAL cost: compacts only the
+      * source files not yet absorbed by an earlier snapshot of this
+      * root (tracked as `#src` manifest lines) into the next version's
+      * dir, and REFERENCES the previous version's data files for the
+      * rest. The continuous-cadence publish step this repairs used to
+      * rewrite the full corpus per cycle (publish_sec riding the corpus
+      * in CADENCE.json); now a 125k-doc drop publishes 125k docs' worth
+      * of bytes no matter how large the corpus has grown, and
+      * [[compact]]+[[vacuum]] remain the occasional maintenance passes
+      * that fold the file list back down.
+      *
+      * Contracts (on top of [[snapshot]]'s coordination contract):
+      *   - the source must be APPEND-ONLY at file granularity between
+      *     snapshots — absorbed files must not be rewritten or removed
+      *     (for the AvailableNow ingest used here that holds between
+      *     drains: only an uncommitted batch ever replays, and an
+      *     uncommitted batch's files were never absorbed);
+      *   - one schema across versions (the scan unions file lists).
+      *
+      * First call on an empty root — or on a root whose latest
+      * manifest predates source tracking (a legacy [[snapshot]]) —
+      * falls back to one full compaction and starts tracking from
+      * there. A call that finds no new source files publishes a new
+      * manifest referencing the previous version unchanged (O(1)).
+      * Partitioned sources keep their partition columns (files are
+      * read under `basePath = srcDir`), materialized as plain columns
+      * in the versioned layout exactly like [[snapshot]]'s compaction
+      * does. Returns the new seq.
+      */
+    def snapshotDelta(spark: org.apache.spark.sql.SparkSession, srcDir: String,
+                      root: String, targetBytes: Long = 128L << 20,
+                      sortCol: Option[String] = None): Int = {
+      val prev = manifests(spark, root).lastOption
+      val seq = prev.map(_._1 + 1).getOrElse(0)
+      val prevRefs = prev.map { case (_, p) => readManifest(spark, root, p) }
+      val srcFiles = listSrcFiles(spark, srcDir)
+      val legacyPrev = prevRefs.exists(r => r.srcs.isEmpty && !r.isEmptyData)
+      if (prevRefs.isEmpty || legacyPrev) {
+        // no absorbed-source bookkeeping to diff against: one full
+        // snapshot that STARTS the bookkeeping (legacy manifests can't
+        // say what they already absorbed — re-absorbing would duplicate)
+        clearOrphan(spark, root, seq)
+        Sinks.compact(spark.read.parquet(srcDir), srcDir, f"$root/v$seq%05d",
+          targetBytes, sortCol)
+        publishRefs(spark, root, seq,
+          listPartFiles(spark, root, f"v$seq%05d"), srcFiles,
+          dirFallback = Some(f"v$seq%05d"))
+        return seq
+      }
+      val absorbed = prevRefs.get.srcs.toSet
+      val gone = absorbed -- srcFiles.toSet
+      require(gone.isEmpty,
+        s"snapshotDelta: ${gone.size} absorbed source file(s) vanished from " +
+          s"$srcDir (e.g. ${gone.take(3).mkString(", ")}) — the source must " +
+          "be append-only at file granularity between snapshots; a rewritten " +
+          "source needs a full snapshot() to re-baseline")
+      val newSrc = srcFiles.filterNot(absorbed)
+      val carried = expandedFiles(spark, root, prevRefs.get)
+      if (newSrc.isEmpty) {
+        // nothing new: publish a version referencing the previous one
+        publishRefs(spark, root, seq, carried, prevRefs.get.srcs)
+        return seq
+      }
+      clearOrphan(spark, root, seq)
+      val srcFs = new Path(srcDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val deltaBytes = newSrc
+        .map(fp => srcFs.getFileStatus(new Path(srcDir, fp)).getLen).sum
+      val numFiles = math.max(1, math.ceil(deltaBytes.toDouble / targetBytes).toInt)
+      val df = spark.read.option("basePath", srcDir)
+        .parquet(newSrc.map(fp => s"$srcDir/$fp"): _*)
+      val out = sortCol match {
+        case Some(c) =>
+          import org.apache.spark.sql.functions.col
+          df.repartitionByRange(numFiles, col(c)).sortWithinPartitions(c)
+        case None => df.coalesce(numFiles)
+      }
+      out.write.mode(SaveMode.ErrorIfExists).parquet(f"$root/v$seq%05d")
+      publishRefs(spark, root, seq,
+        carried ++ listPartFiles(spark, root, f"v$seq%05d"),
+        prevRefs.get.srcs ++ newSrc)
+      seq
+    }
+
+    /** Drop all but the newest `keep` versions (manifests + any data
+      * dirs no kept version still references). `keep` is the reader
+      * grace window: never vacuum below 2 while readers may hold
+      * last-version scan sets.
+      *
+      * Reachability, not seq-number, decides dir deletion: a delta
+      * manifest ([[writeDelta]]/[[snapshotDelta]]) references files in
+      * EARLIER versions' dirs, so `v00000` may stay on disk long after
+      * manifest 0 is vacuumed — it is reclaimed only once a [[compact]]
+      * folds the chain into a fresh dir and that compacted version ages
+      * past the grace window. Returns the number of manifests removed
+      * (the `versions()` count delta, as before).
       */
     def vacuum(spark: org.apache.spark.sql.SparkSession, root: String,
                keep: Int = 2): Int = {
@@ -584,10 +845,19 @@ object Sinks {
       val ms = manifests(spark, root)
       val f = fs(spark, root)
       val stale = ms.dropRight(keep)
-      stale.foreach { case (seq, p) =>
-        f.delete(new Path(root, f"v$seq%05d"), true)
-        f.delete(p, false): Unit
-      }
+      val kept = ms.takeRight(keep)
+      stale.foreach { case (_, p) => f.delete(p, false): Unit }
+      // dirs still reachable from any kept manifest survive
+      val keptRefs = kept.map { case (_, p) => readManifest(spark, root, p) }
+      val liveDirs = (keptRefs.flatMap(_.dirs) ++
+        keptRefs.flatMap(_.files).map(_.takeWhile(_ != '/'))).toSet
+      f.listStatus(new Path(root)).toSeq.map(_.getPath)
+        .filter(p => p.getName.matches("v\\d{5}") && !liveDirs(p.getName))
+        // never touch an in-flight dir for the NEXT seq (an orphan or a
+        // write racing this maintenance pass in the same job)
+        .filter(p => kept.lastOption.forall { case (maxSeq, _) =>
+          p.getName.stripPrefix("v").toInt <= maxSeq })
+        .foreach(p => f.delete(p, true): Unit)
       stale.size
     }
   }
