@@ -11,6 +11,46 @@ import OracleCtes._
   */
 private[graft] object OracleSqlCore {
 
+  // FULL RECOMPUTE over the v3 corpus — the Spark side runs the
+  // incremental path (edge ledger carried v1 → v2 → v3, only
+  // added/changed docs pay pair generation), so a green row IS the
+  // cross-engine identity proof. CC via the q_dedup_clusters
+  // reachability CTE. Shared verbatim by q_inc_curate (in-flight
+  // unchanged-side shingling) and q_inc_curate_store (persisted
+  // shingle-store twin) — one truth, two engine paths.
+  private val incCurateFullRecompute: String =
+    """WITH RECURSIVE v1 AS (SELECT CAST(doc_id AS BIGINT) doc_id, text FROM documents WHERE doc_id % 3 <> 2),
+      |v2 AS (
+      | SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN text || ' r2' ELSE text END AS text
+      | FROM v1 WHERE doc_id % 11 <> 0
+      | UNION ALL
+      | SELECT CAST(doc_id AS BIGINT), text FROM documents WHERE doc_id % 3 = 2 AND doc_id % 2 = 0),
+      |v3 AS (
+      | SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' r3' ELSE text END AS text
+      | FROM v2 WHERE doc_id % 19 <> 0
+      | UNION ALL
+      | SELECT CAST(doc_id AS BIGINT), text FROM documents WHERE doc_id % 3 = 2 AND doc_id % 2 = 1),
+      |w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM v3),
+      |sh AS (SELECT doc_id, unnest(list_distinct(
+      |  [ws[i]||'_'||ws[i+1]||'_'||ws[i+2] for i in range(1, len(ws)-1)])) AS s FROM w),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      | FROM sh a JOIN sh b ON a.s=b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |pairs AS (SELECT doc_a, doc_b FROM cand
+      | JOIN sizes sa ON doc_a=sa.doc_id JOIN sizes sb ON doc_b=sb.doc_id
+      | WHERE CAST(common AS DOUBLE)/(sa.sz + sb.sz - common) >= 0.8),
+      |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+      | UNION SELECT doc_b, doc_a FROM pairs),
+      |reach(node, comp) AS (
+      | SELECT u, u FROM edges
+      | UNION
+      | SELECT e.u, r.comp FROM edges e JOIN reach r ON e.v = r.node),
+      |comps AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node)
+      |SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cluster_id,
+      | COALESCE(c.comp, d.doc_id) = d.doc_id AS is_canonical
+      |FROM v3 d LEFT JOIN comps c ON d.doc_id = c.node
+      |ORDER BY doc_id""".stripMargin
+
   val sql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -753,43 +793,12 @@ private[graft] object OracleSqlCore {
         | COALESCE(c.comp, d.doc_id) = d.doc_id AS is_canonical
         |FROM documents d LEFT JOIN comps c ON d.doc_id = c.node
         |ORDER BY doc_id""".stripMargin,
-    "q_inc_curate" ->
-      // FULL RECOMPUTE over the v3 corpus — the Spark side runs the
-      // incremental path (edge ledger carried v1 → v2 → v3, only
-      // added/changed docs pay pair generation), so a green row IS the
-      // cross-engine identity proof. CC via the q_dedup_clusters
-      // reachability CTE.
-      """WITH RECURSIVE v1 AS (SELECT CAST(doc_id AS BIGINT) doc_id, text FROM documents WHERE doc_id % 3 <> 2),
-        |v2 AS (
-        | SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN text || ' r2' ELSE text END AS text
-        | FROM v1 WHERE doc_id % 11 <> 0
-        | UNION ALL
-        | SELECT CAST(doc_id AS BIGINT), text FROM documents WHERE doc_id % 3 = 2 AND doc_id % 2 = 0),
-        |v3 AS (
-        | SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' r3' ELSE text END AS text
-        | FROM v2 WHERE doc_id % 19 <> 0
-        | UNION ALL
-        | SELECT CAST(doc_id AS BIGINT), text FROM documents WHERE doc_id % 3 = 2 AND doc_id % 2 = 1),
-        |w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM v3),
-        |sh AS (SELECT doc_id, unnest(list_distinct(
-        |  [ws[i]||'_'||ws[i+1]||'_'||ws[i+2] for i in range(1, len(ws)-1)])) AS s FROM w),
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-        |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-        | FROM sh a JOIN sh b ON a.s=b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
-        |pairs AS (SELECT doc_a, doc_b FROM cand
-        | JOIN sizes sa ON doc_a=sa.doc_id JOIN sizes sb ON doc_b=sb.doc_id
-        | WHERE CAST(common AS DOUBLE)/(sa.sz + sb.sz - common) >= 0.8),
-        |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
-        | UNION SELECT doc_b, doc_a FROM pairs),
-        |reach(node, comp) AS (
-        | SELECT u, u FROM edges
-        | UNION
-        | SELECT e.u, r.comp FROM edges e JOIN reach r ON e.v = r.node),
-        |comps AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node)
-        |SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cluster_id,
-        | COALESCE(c.comp, d.doc_id) = d.doc_id AS is_canonical
-        |FROM v3 d LEFT JOIN comps c ON d.doc_id = c.node
-        |ORDER BY doc_id""".stripMargin,
+    "q_inc_curate" -> incCurateFullRecompute,
+    // the STORE-backed incremental path (persisted shingle segments +
+    // tombstones instead of re-shingling the unchanged side) against
+    // the SAME full-recompute oracle — a green row proves the store
+    // twin lands row-identical too
+    "q_inc_curate_store" -> incCurateFullRecompute,
     "q_subset_dup" ->
       """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct(

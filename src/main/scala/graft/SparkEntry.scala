@@ -982,6 +982,45 @@ object SparkEntry {
       IncrementalCuration.curatedFromEdges(v3, "doc_id", e3)
         .orderBy("doc_id")
     }),
+    "q_inc_curate_store" -> ((s, d) => {
+      // the SHINGLE-STORE twin of q_inc_curate (r17 verdict item 2):
+      // same three corpus versions, same incremental ledger semantics,
+      // but the delta×unchanged screen reads the persisted hashed-
+      // shingle segments (maintained by tombstoned transitions) instead
+      // of re-shingling the unchanged side's text — and is proven
+      // against the SAME full-recompute DuckDB oracle. Per-release
+      // state checkpoints stand in for the at-rest segment parquet
+      // exactly like q_inc_curate's ledger checkpoints.
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val v1 = docs.filter(col("doc_id") % 3 =!= 2).localCheckpoint()
+      val v2 = v1.filter(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 13 === 0, concat(col("text"), lit(" r2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 3 === 2 && col("doc_id") % 2 === 0))
+        .localCheckpoint()
+      val v3 = v2.filter(col("doc_id") % 19 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" r3")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 3 === 2 && col("doc_id") % 2 === 1))
+        .localCheckpoint()
+      val st1 = {
+        val b = IncrementalCuration.bootstrapState(v1, "text", "doc_id")
+        b.copy(edges = b.edges.localCheckpoint(),
+          shingles = b.shingles.localCheckpoint(),
+          sizes = b.sizes.localCheckpoint())
+      }
+      val st2 = IncrementalCuration.applyTransition(st1,
+        IncrementalCuration.transitionState(v1, v2, st1, "text", "doc_id"),
+        _.localCheckpoint())
+      val st3 = IncrementalCuration.applyTransition(st2,
+        IncrementalCuration.transitionState(v2, v3, st2, "text", "doc_id"),
+        _.localCheckpoint())
+      IncrementalCuration.curatedFromEdges(v3, "doc_id", st3.edges)
+        .orderBy("doc_id")
+    }),
     "q_subset_dup" -> ((s, d) =>
       TextDedup.containmentPairs(Tables.documents(s, d), "text", "doc_id",
         n = 3, threshold = 0.8)

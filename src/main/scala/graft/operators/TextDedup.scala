@@ -141,6 +141,77 @@ object TextDedup {
       .select("new_id", "corpus_id", "jaccard")
   }
 
+  /** (doc, s) hashed-shingle rows — the persistable EXACT-screen
+    * analogue of [[bandedSignatures]]: write it once per corpus state
+    * and every release's delta×unchanged screen reads pre-hashed longs
+    * instead of re-shingling the unchanged side's text
+    * ([[jaccardPairsCrossStored]]). Bit-compatible with the streams
+    * [[jaccardPairs]]/[[jaccardPairsCross]] build in-flight (same
+    * shingling, same xxhash64), including their collision behavior —
+    * a hash shared by two distinct shingles of one doc emits two rows
+    * here exactly as the in-flight explode does, so a screen over the
+    * store is row-identical to one over the text.
+    */
+  def hashedShingles(docs: DataFrame, textCol: String, idCol: String,
+                     n: Int = 3): DataFrame =
+    shingleSetsGuarded(docs, textCol, idCol, n)
+      .select(col("doc"), explode(col("set")).as("s0"))
+      .select(col("doc"), xxhash64(col("s0")).as("s"))
+
+  /** (doc, sz) distinct-shingle-set sizes, sz > 0 — the denominator
+    * side of the persisted exact screen (pairs with [[hashedShingles]]).
+    */
+  def shingleSizes(docs: DataFrame, textCol: String, idCol: String,
+                   n: Int = 3): DataFrame =
+    shingleSetsGuarded(docs, textCol, idCol, n)
+      .select(col("doc"), size(col("set")).as("sz"))
+      .filter(col("sz") > 0)
+
+  /** [[jaccardPairsCross]] against a PERSISTED corpus shingle store —
+    * `corpusShingles` (doc, s) and `corpusSizes` (doc, sz) as built by
+    * [[hashedShingles]]/[[shingleSizes]] (usually reloaded from
+    * parquet). Row-identical to the in-flight form on the same inputs;
+    * the corpus text is never touched.
+    *
+    * Scale shape: the store side is first pruned by a BROADCAST
+    * semi-join on the delta's distinct shingle hashes — the corpus
+    * stream is scanned (pre-hashed longs, columnar) but never
+    * shuffled; only rows sharing a hash with the delta reach the pair
+    * join, so the shuffle is ∝ delta + matches, not corpus. The
+    * broadcast is delta-sized by contract (a monthly drop's distinct
+    * hashes); a release whose delta rivals the corpus should run the
+    * full [[jaccardPairs]] recompute instead — the prune buys nothing
+    * there and the broadcast would be corpus-sized. The sizes join
+    * stays unhinted: `common` is delta-bound, so AQE broadcasts it
+    * against the store's (doc, sz) scan.
+    */
+  def jaccardPairsCrossStored(newDocs: DataFrame, corpusShingles: DataFrame,
+                              corpusSizes: DataFrame,
+                              textCol: String, idCol: String,
+                              n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val newSets = shingleSetsGuarded(newDocs, textCol, idCol, n)
+    val newHashed = newSets
+      .select(col("doc").as("new_id"), explode(col("set")).as("s0"))
+      .select(col("new_id"), xxhash64(col("s0")).as("s"))
+    val newSizes = newSets
+      .select(col("doc").as("new_id"), size(col("set")).as("sz_new"))
+      .filter(col("sz_new") > 0)
+    val deltaKeys = newHashed.select("s").distinct()
+    val pruned = corpusShingles.select(col("doc").as("corpus_id"), col("s"))
+      .join(broadcast(deltaKeys), Seq("s"), "left_semi")
+    val common = newHashed.join(pruned, Seq("s"))
+      .filter(col("new_id") =!= col("corpus_id"))
+      .groupBy("new_id", "corpus_id").agg(count(lit(1)).as("common"))
+    common
+      .join(newSizes, Seq("new_id"))
+      .join(corpusSizes.select(col("doc").as("corpus_id"),
+        col("sz").as("sz_corpus")), Seq("corpus_id"))
+      .withColumn("jaccard", col("common").cast("double") /
+        (col("sz_new") + col("sz_corpus") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("new_id", "corpus_id", "jaccard")
+  }
+
   private def pairCommonCountsFromSets(shSets: DataFrame,
                                        maxPostings: Int): DataFrame = {
     val sh = shSets.select(col("doc"), explode(col("set")).as("s0"))

@@ -109,4 +109,94 @@ class IncrementalCurationSpec extends SparkSpec {
     val x = graft.operators.TextDedup.jaccardPairsCross(v1, v1, "text", "doc_id")
     assert(x.filter(col("new_id") === col("corpus_id")).count() === 0)
   }
+
+  test("shingle store: valid segments ≡ in-flight shingles at every version") {
+    // the r17-item-2 induction: segments + tombstones replayed through
+    // validShingles/validSizes must be ROW-IDENTICAL (incl. multiplicity)
+    // to hashing each version's corpus text directly
+    import graft.operators.TextDedup
+    var st = IncrementalCuration.bootstrapState(v1, "text", "doc_id")
+    for ((prev, cur, label) <- Seq((v1, v2, "v1"), (v2, v3, "v2"))) {
+      assert(sortedRows(IncrementalCuration.validShingles(st)) ===
+        sortedRows(TextDedup.hashedShingles(prev, "text", "doc_id")),
+        s"$label: shingle store diverged from in-flight hashing")
+      assert(sortedRows(IncrementalCuration.validSizes(st)) ===
+        sortedRows(TextDedup.shingleSizes(prev, "text", "doc_id")),
+        s"$label: size store diverged")
+      st = IncrementalCuration.applyTransition(st,
+        IncrementalCuration.transitionState(prev, cur, st, "text", "doc_id"),
+        _.localCheckpoint())
+    }
+    assert(sortedRows(IncrementalCuration.validShingles(st)) ===
+      sortedRows(TextDedup.hashedShingles(v3, "text", "doc_id")))
+    // and the transitioned ledger matches the full recompute at v3
+    assert(sortedRows(st.edges) ===
+      sortedRows(IncrementalCuration.fullEdges(v3, "text", "doc_id")))
+  }
+
+  test("jaccardPairsCrossStored ≡ jaccardPairsCross on the same inputs") {
+    import graft.operators.TextDedup
+    val delta = v2.filter(col("doc_id").isin(7L, 8L))
+    val unchanged = v2.filter(!col("doc_id").isin(7L, 8L))
+    assert(sortedRows(TextDedup.jaccardPairsCrossStored(delta,
+        TextDedup.hashedShingles(unchanged, "text", "doc_id"),
+        TextDedup.shingleSizes(unchanged, "text", "doc_id"),
+        "text", "doc_id")) ===
+      sortedRows(TextDedup.jaccardPairsCross(delta, unchanged, "text", "doc_id")))
+  }
+
+  test("pure-add release publishes corpus and ledger as deltas, not rewrites") {
+    val root = java.nio.file.Files.createTempDirectory("inc-cur-delta").toString
+    IncrementalCuration.bootstrap(v1, root, "text", "doc_id")
+    // a pure-add drop: v1 plus two docs (one twin of 1, one singleton)
+    val v1plus = v1.unionByName(Seq(
+      doc(7L, "lima mike"), doc(8L, "one two three")).toDF("doc_id", "text"))
+    assert(IncrementalCuration.publishIncrement(v1plus, root, "text", "doc_id") === 1)
+    // delta-proportional: the corpus v00001 dir holds ONLY the 2 new docs
+    assert(spark.read.parquet(s"$root/corpus/v00001").count() === 2)
+    // but the published version reads as the full corpus
+    assert(graft.sources.Sinks.Versioned.read(spark, s"$root/corpus").count() === 8)
+    assertIdentity(v1plus,
+      IncrementalCuration.edgesAt(spark, root, 1),
+      IncrementalCuration.curatedAt(spark, root, 1), "pure-add v1")
+  }
+
+  test("heal rolls a torn publish forward to an identical version") {
+    // simulate every crash window: publish v1 fully, then write ONLY a
+    // prefix of v2's stores (corpus, or corpus+edges, ...) and let heal
+    // complete the rest — the healed version must equal a clean publish
+    val cleanRoot = java.nio.file.Files.createTempDirectory("inc-heal-clean").toString
+    IncrementalCuration.bootstrap(v1, cleanRoot, "text", "doc_id")
+    IncrementalCuration.publishIncrement(v2, cleanRoot, "text", "doc_id")
+
+    for (prefixLen <- 1 to 5) {
+      val root = java.nio.file.Files.createTempDirectory(s"inc-heal-$prefixLen").toString
+      IncrementalCuration.bootstrap(v1, root, "text", "doc_id")
+      // a torn publish = the first prefixLen stores at seq 1 (write
+      // order corpus, edges, sh, sz, tomb, curated)
+      val st = IncrementalCuration.readState(spark, root)
+      val t = IncrementalCuration.transitionState(v1, v2, st, "text", "doc_id")
+      val Sinks = graft.sources.Sinks
+      val stores: Seq[() => Unit] = Seq(
+        () => { Sinks.Versioned.write(v2, s"$root/corpus"): Unit },
+        () => { Sinks.Versioned.write(t.edges, s"$root/edges"): Unit },
+        () => { Sinks.Versioned.writeDelta(t.shingleDelta, s"$root/sh"): Unit },
+        () => { Sinks.Versioned.writeDelta(t.sizeDelta, s"$root/sz"): Unit },
+        () => { Sinks.Versioned.writeDelta(t.tombDelta, s"$root/tomb"): Unit })
+      stores.take(prefixLen).foreach(_.apply())
+      // ...crash here; heal completes the suffix
+      val healed = IncrementalCuration.heal(spark, root, "text", "doc_id")
+      assert(healed === 6 - prefixLen, s"prefix $prefixLen healed $healed")
+      assert(IncrementalCuration.heal(spark, root, "text", "doc_id") === 0)
+      for (store <- Seq("edges", "curated", "sh", "sz", "tomb"))
+        assert(sortedRows(Sinks.Versioned.readAt(spark, s"$root/$store", 1)) ===
+          sortedRows(Sinks.Versioned.readAt(spark, s"$cleanRoot/$store", 1)),
+          s"prefix $prefixLen: healed $store diverged from a clean publish")
+      // and the pipeline continues normally after the heal
+      assert(IncrementalCuration.publishIncrement(v3, root, "text", "doc_id") === 2)
+      assertIdentity(v3,
+        IncrementalCuration.edgesAt(spark, root, 2),
+        IncrementalCuration.curatedAt(spark, root, 2), s"prefix $prefixLen v3")
+    }
+  }
 }
