@@ -19,9 +19,12 @@ import graft.sources.Sinks
   * `runMain graft.CadenceProbe [sfDir] [nCycles]` (defaults
   * testdata-sf10, 4) splits the documents table into nCycles drops.
   * One mid-loop cycle is KILLED mid-drain (query.stop() after the
-  * first committed batch, re-asserted to have landed before the
-  * source drained) and restarted — the loop must carry on as if
-  * uninterrupted. Verdicts, all `require`d:
+  * first committed batch with input rows, re-asserted to have landed
+  * before the source drained) and restarted; ANOTHER cycle's PUBLISH
+  * is killed twice (orphan data dir + stale tmp manifest, then a hard
+  * stop after 3 of the 6 lockstep store writes) and must heal forward
+  * to an identical version with an idempotent re-publish — the loop
+  * must carry on as if uninterrupted. Verdicts, all `require`d:
   *
   *   - no double-accept across the kill (accepted ids distinct);
   *   - input coverage: every dropped doc is accepted or named in a
@@ -70,6 +73,17 @@ object CadenceProbe {
     val nInput = docs.count()
     val schema = spark.read.parquet(s"$base/chunk0").schema
     val killCycle = nCycles / 2
+    // a SECOND kill (r17 verdict item 6) lands inside the PUBLISH, not
+    // the drain: cycle 1's publish is torn twice — a garbage orphan
+    // data dir + stale tmp manifest (crash between data write and
+    // manifest rename), then a hard stop after the corpus/edges/sh
+    // writes with sz/tomb/curated never written. The restart must heal
+    // forward to an identical version, a re-publish of the same drop
+    // must NOT stamp a duplicate, and no torn or orphan state may ever
+    // be readable.
+    val pubKillCycle = 1
+    require(nCycles >= 4 && killCycle != pubKillCycle,
+      "need >= 4 cycles: bootstrap, a killed publish, a killed drain, a clean close")
 
     def drainOnce(): org.apache.spark.sql.streaming.StreamingQuery =
       streaming.CorpusStream.ingest(spark, dropDir, schema, statePath,
@@ -111,18 +125,68 @@ object CadenceProbe {
       val newCorpus = spark.read.parquet(s"$statePath/accepted")
         .select("doc_id", "text")
       val t1 = System.nanoTime()
+      var healedStores = 0
       val seq =
         if (c == 0) IncrementalCuration.bootstrap(newCorpus, root, "text", "doc_id")
-        else IncrementalCuration.publishIncrement(newCorpus, root, "text", "doc_id")
+        else if (c == pubKillCycle) {
+          val corpusRoot = s"$root/corpus"
+          // publish-window kill A: crash between a data write and its
+          // manifest rename — a garbage orphan dir + stale tmp manifest
+          // that the retry must replace, never expose
+          spark.range(13).selectExpr("id AS doc_id", "'garbage' AS text")
+            .write.mode("overwrite").parquet(f"$corpusRoot/v$c%05d")
+          java.nio.file.Files.createFile(java.nio.file.Paths.get(
+            corpusRoot, f".tmp-manifest-$c%05d")): Unit
+          // publish-window kill B: hard stop mid-publish — the first
+          // three stores (corpus, edges, sh) land at the new seq,
+          // sz/tomb/curated never do
+          val prev = graft.sources.Sinks.Versioned.read(spark, corpusRoot)
+          val st = IncrementalCuration.readState(spark, root)
+          val t = IncrementalCuration.transitionState(prev, newCorpus,
+            st, "text", "doc_id")
+          require(t.staleIds.isEmpty, "cadence drops must be pure-add")
+          require(graft.sources.Sinks.Versioned.writeDelta(t.delta, corpusRoot) == c)
+          graft.sources.Sinks.Versioned.writeDelta(t.newEdges, s"$root/edges"): Unit
+          graft.sources.Sinks.Versioned.writeDelta(t.shingleDelta, s"$root/sh"): Unit
+          // ---- "crash" here; the restart heals forward ----
+          healedStores = IncrementalCuration.heal(spark, root, "text", "doc_id")
+          require(healedStores == 3,
+            s"publish kill: expected 3 healed stores (sz/tomb/curated), got $healedStores")
+          // the drop's re-publish is idempotent: same corpus, same seq,
+          // no duplicate version stamped
+          val again = IncrementalCuration.publishIncrement(newCorpus, root, "text", "doc_id")
+          require(again == c,
+            s"re-publish after heal stamped a duplicate version: $again != $c")
+          // kill A's garbage must not be readable through any manifest
+          require(graft.sources.Sinks.Versioned.read(spark, corpusRoot)
+            .filter(col("text") === "garbage").isEmpty,
+            "orphan garbage leaked into the published corpus")
+          c
+        }
+        else {
+          // the streaming cadence KNOWS its drop — this cycle's chunk
+          // minus the screen's rejections — so the clean cycles take
+          // the publishDrop fast path (no full-corpus discovery diff);
+          // the killed-publish cycle above keeps exercising the
+          // diff-based publishIncrement at volume
+          val rejectedIds = spark.read.parquet(s"$statePath/dup_pairs")
+            .select(col("new_id").cast("long").as("doc_id")).distinct()
+          val dropDocs = spark.read.parquet(s"$base/chunk$c")
+            .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+            .join(rejectedIds, Seq("doc_id"), "left_anti")
+          IncrementalCuration.publishDrop(dropDocs, root, "text", "doc_id")
+        }
       val publishSec = (System.nanoTime() - t1) / 1e9
       val nAccepted = Sinks.Versioned.read(spark, s"$root/corpus").count()
       val nEdges = IncrementalCuration.edgesAt(spark, root, seq).count()
       println(f"[cadence] cycle $c: ingest $ingestSec%.1f s, publish v$seq " +
         f"in $publishSec%.1f s, corpus $nAccepted docs, ledger $nEdges edges" +
-        (if (c == killCycle) " (killed+restarted mid-drain)" else ""))
+        (if (c == killCycle) " (killed+restarted mid-drain)" else "") +
+        (if (c == pubKillCycle) " (killed mid-publish, healed+republished)" else ""))
       f"""{"cycle":$c,"ingest_sec":$ingestSec%.2f,"publish_sec":$publishSec%.2f,""" +
         f""""version":$seq,"corpus_docs":$nAccepted,"ledger_edges":$nEdges,""" +
-        f""""killed":${c == killCycle}}"""
+        f""""killed":${c == killCycle},"killed_publish":${c == pubKillCycle},""" +
+        f""""healed_stores":$healedStores}"""
     }
 
     // ---- verdicts ----
@@ -171,6 +235,7 @@ object CadenceProbe {
     val line =
       f"""{"probe":"cadence","sf_dir":"$dir","cycles":$nCycles,"input_docs":$nInput,""" +
       f""""accepted_docs":$nAcc,"kill_cycle":$killCycle,"kill_committed_rows":$killCommitted,""" +
+      f""""publish_kill_cycle":$pubKillCycle,""" +
       f""""per_cycle":[${cycleRows.mkString(",")}],""" +
       f""""ledger_parity":$ledgerParity,"curation_parity":$curationParity,""" +
       f""""vacuumed_versions":$vacuumed,"stale_version_refused":$staleRefused}"""

@@ -14,8 +14,11 @@ import graft.pipelines.IncrementalCuration
   * runs a bootstrap + one incremental release PER FRACTION over the
   * corpus and records, per release:
   *
-  *   - wall seconds for the ledger transition (incrementEdges
-  *     materialized) and for the curation pass (CC over the ledger);
+  *   - wall seconds for the ledger transition (the store-backed
+  *     transitionState materialized, INCLUDING the release's shingle
+  *     segments — since r18 the unchanged side reads the persisted
+  *     store instead of re-shingling text, so release shuffle rides
+  *     the delta) and for the curation pass (CC over the ledger);
   *   - delta rows (added+changed), removed rows, ledger edge count;
   *   - shuffle read/write bytes for the release window;
   *   - the diff stage ALONE: rows moved and shuffle bytes → bytes/row,
@@ -73,16 +76,23 @@ object IncCurationProbe {
     val pool = docs.filter(col("doc_id") % 5 >= 3)
     def h(salt: Int) = pmod(xxhash64(col("doc_id"), lit(salt)), lit(1000L))
 
-    // ---- bootstrap: v1 = 60% of the corpus, full ledger ----
+    // ---- bootstrap: v1 = 60% of the corpus, full ledger + shingle
+    // store (r17 item 2: the store is part of the bootstrap's price;
+    // every release then reads it instead of re-shingling) ----
     val v1 = docs.filter(col("doc_id") % 5 < 3).localCheckpoint()
     val n1 = v1.count()
     val (r0, w0) = settle()
     val tB = System.nanoTime()
-    val e1 = IncrementalCuration.fullEdges(v1, "text", "doc_id").localCheckpoint()
-    val e1n = e1.count()
+    var state = {
+      val b = IncrementalCuration.bootstrapState(v1, "text", "doc_id")
+      b.copy(edges = b.edges.localCheckpoint(),
+        shingles = b.shingles.localCheckpoint(),
+        sizes = b.sizes.localCheckpoint())
+    }
+    val e1n = state.edges.count()
     val bootEdgeSec = (System.nanoTime() - tB) / 1e9
     val tBC = System.nanoTime()
-    val curN = IncrementalCuration.curatedFromEdges(v1, "doc_id", e1).count()
+    val curN = IncrementalCuration.curatedFromEdges(v1, "doc_id", state.edges).count()
     val bootCurSec = (System.nanoTime() - tBC) / 1e9
     val (r1, w1) = settle()
     println(f"[inc-curation] bootstrap: $n1 docs, $e1n edges in $bootEdgeSec%.1f s " +
@@ -90,7 +100,6 @@ object IncCurationProbe {
 
     // ---- one incremental release per fraction ----
     var prevCorpus = v1
-    var prevEdges = e1
     var rel = 0
     val relRows = fracs.map { f =>
       rel += 1
@@ -120,12 +129,19 @@ object IncCurationProbe {
 
       val (er0, ew0) = settle()
       val tE = System.nanoTime()
-      val edges = IncrementalCuration.incrementEdges(prevCorpus, cur,
-        prevEdges, "text", "doc_id").localCheckpoint()
-      val eN = edges.count()
+      // store-backed transition: the unchanged side is read from the
+      // checkpointed shingle segments (the at-rest parquet's stand-in),
+      // pruned map-side by the delta's hashes — release shuffle rides
+      // the delta, not the corpus. applyTransition's localCheckpoint
+      // materializes the new ledger AND the release's store segments,
+      // so edge_sec is the FULL release cost including store upkeep.
+      val t = IncrementalCuration.transitionState(prevCorpus, cur,
+        state, "text", "doc_id")
+      state = IncrementalCuration.applyTransition(state, t, _.localCheckpoint())
+      val eN = state.edges.count()
       val edgeSec = (System.nanoTime() - tE) / 1e9
       val tC = System.nanoTime()
-      val cN = IncrementalCuration.curatedFromEdges(cur, "doc_id", edges).count()
+      val cN = IncrementalCuration.curatedFromEdges(cur, "doc_id", state.edges).count()
       val curSec = (System.nanoTime() - tC) / 1e9
       val (er1, ew1) = settle()
 
@@ -135,7 +151,6 @@ object IncCurationProbe {
         f"curate $cN in $curSec%.1f s, shuffle r ${(er1 - er0) / 1e6}%.0f / " +
         f"w ${(ew1 - ew0) / 1e6}%.0f MB, diff ${diffShuffleB / diffRows} B/row")
       prevCorpus = cur
-      prevEdges = edges
       f"""{"frac":$f,"delta_rows":$nDelta,"added":$nAdded,"changed":$nChanged,""" +
         f""""removed":$nRemoved,"ledger_edges":$eN,"edge_sec":$edgeSec%.2f,""" +
         f""""curate_sec":$curSec%.2f,"curated_rows":$cN,""" +
@@ -148,7 +163,7 @@ object IncCurationProbe {
     val fullFinalEdges = IncrementalCuration.fullEdges(prevCorpus, "text", "doc_id")
       .localCheckpoint()
     val fullEdgeSec = (System.nanoTime() - tP) / 1e9
-    val incCur = IncrementalCuration.curatedFromEdges(prevCorpus, "doc_id", prevEdges)
+    val incCur = IncrementalCuration.curatedFromEdges(prevCorpus, "doc_id", state.edges)
       .localCheckpoint()
     val fullCur = IncrementalCuration.curatedFromEdges(prevCorpus, "doc_id", fullFinalEdges)
       .localCheckpoint()
@@ -156,8 +171,8 @@ object IncCurationProbe {
       fullCur.count() == incCur.count()
     require(parity, "incremental curated assignment diverged from the " +
       "full recompute on the final version — the edge-ledger identity broke")
-    val ledgerParity = prevEdges.unionByName(fullFinalEdges).distinct().count() == prevEdges.count() &&
-      fullFinalEdges.count() == prevEdges.count()
+    val ledgerParity = state.edges.unionByName(fullFinalEdges).distinct().count() == state.edges.count() &&
+      fullFinalEdges.count() == state.edges.count()
     require(ledgerParity, "incremental LEDGER diverged from the full " +
       "recompute's pair set on the final version")
 

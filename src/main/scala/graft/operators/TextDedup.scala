@@ -190,20 +190,35 @@ object TextDedup {
                               textCol: String, idCol: String,
                               n: Int = 3, threshold: Double = 0.8): DataFrame = {
     val newSets = shingleSetsGuarded(newDocs, textCol, idCol, n)
-    val newHashed = newSets
-      .select(col("doc").as("new_id"), explode(col("set")).as("s0"))
-      .select(col("new_id"), xxhash64(col("s0")).as("s"))
-    val newSizes = newSets
-      .select(col("doc").as("new_id"), size(col("set")).as("sz_new"))
-      .filter(col("sz_new") > 0)
-    val deltaKeys = newHashed.select("s").distinct()
+    jaccardPairsCrossStoredFromHashed(
+      newSets.select(col("doc"), explode(col("set")).as("s0"))
+        .select(col("doc"), xxhash64(col("s0")).as("s")),
+      newSets.select(col("doc"), size(col("set")).as("sz"))
+        .filter(col("sz") > 0),
+      corpusShingles, corpusSizes, threshold)
+  }
+
+  /** [[jaccardPairsCrossStored]] with the NEW side also pre-hashed —
+    * (doc, s) / (doc, sz) frames, usually one checkpointed
+    * [[hashedShingles]] pass shared with the within-delta pairs and
+    * the store's new segments, so a release shingles its delta's text
+    * exactly once.
+    */
+  def jaccardPairsCrossStoredFromHashed(newHashed: DataFrame,
+                                        newSizes: DataFrame,
+                                        corpusShingles: DataFrame,
+                                        corpusSizes: DataFrame,
+                                        threshold: Double = 0.8): DataFrame = {
+    val nh = newHashed.select(col("doc").as("new_id"), col("s"))
+    val deltaKeys = nh.select("s").distinct()
     val pruned = corpusShingles.select(col("doc").as("corpus_id"), col("s"))
       .join(broadcast(deltaKeys), Seq("s"), "left_semi")
-    val common = newHashed.join(pruned, Seq("s"))
+    val common = nh.join(pruned, Seq("s"))
       .filter(col("new_id") =!= col("corpus_id"))
       .groupBy("new_id", "corpus_id").agg(count(lit(1)).as("common"))
     common
-      .join(newSizes, Seq("new_id"))
+      .join(newSizes.select(col("doc").as("new_id"), col("sz").as("sz_new")),
+        Seq("new_id"))
       .join(corpusSizes.select(col("doc").as("corpus_id"),
         col("sz").as("sz_corpus")), Seq("corpus_id"))
       .withColumn("jaccard", col("common").cast("double") /
@@ -211,6 +226,23 @@ object TextDedup {
       .filter(col("jaccard") >= threshold)
       .select("new_id", "corpus_id", "jaccard")
   }
+
+  /** [[jaccardPairs]] over a PRE-HASHED (doc, s) stream and its (doc,
+    * sz) set sizes — the share-one-hash-pass entry point: a release
+    * that already checkpointed [[hashedShingles]] of its delta (for
+    * the cross screen and the store segments) gets its within-delta
+    * pairs from the same frame instead of re-shingling the text.
+    * Row-identical to [[jaccardPairs]] on the frames [[hashedShingles]]
+    * / [[shingleSizes]] produce.
+    */
+  def jaccardPairsFromHashed(hashed: DataFrame, sizes: DataFrame,
+                             threshold: Double = 0.8,
+                             maxPostings: Int = Int.MaxValue): DataFrame =
+    pairCommonCountsFromHashed(hashed, sizes, maxPostings)
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
 
   private def pairCommonCountsFromSets(shSets: DataFrame,
                                        maxPostings: Int): DataFrame = {
@@ -227,6 +259,11 @@ object TextDedup {
     // reads the materialized sets instead: cheaper still.)
     val sizes = shSets.select(col("doc"), size(col("set")).as("sz"))
       .filter(col("sz") > 0)
+    pairCommonCountsFromHashed(sh, sizes, maxPostings)
+  }
+
+  private def pairCommonCountsFromHashed(sh: DataFrame, sizes: DataFrame,
+                                         maxPostings: Int): DataFrame = {
     // Group each shingle's posting list once and emit doc pairs from it,
     // instead of a self-join: one shuffle on the shingle hash, no
     // sort-merge of the exploded table against itself. Singleton

@@ -164,7 +164,13 @@ object IncrementalCuration {
 
   private def validRows(seg: DataFrame, tomb: DataFrame): DataFrame = {
     val br = tomb.groupBy("doc").agg(max("before_rel").as("_br"))
-    seg.join(br, Seq("doc"), "left")
+    // PLAN-TIME broadcast, not AQE: the static plan would SMJ here and
+    // AQE's late conversion still pays the store side's shuffle WRITE
+    // (measured: the sf10 2% release shuffled ~570 MB — the whole
+    // store — before this hint). The tombstone aggregate is cumulative-
+    // churn-sized by contract; compaction resets it before it could
+    // outgrow a broadcast.
+    seg.join(broadcast(br), Seq("doc"), "left")
       .filter(col("_br").isNull || col("rel") >= col("_br"))
       .drop("_br")
   }
@@ -223,32 +229,47 @@ object IncrementalCuration {
           "ledger. Map the id to an integral type first")
     }
     val rel = st.rel + 1
+    // ONE diff pass, materialized as (id, status) — the affected/stale
+    // id frames and the publisher's stale count are all cheap filters
+    // over it (checkpointing the id frames separately re-ran the
+    // full-outer fingerprint join once per frame)
     val diff = Diff.snapshotDiff(prevCorpus, newCorpus, Seq(idCol), Seq(textCol))
-    // id frames are delta-sized metadata consumed by several joins and
-    // the publisher's stale count — materialize once
+      .filter(col("status") =!= "unchanged")
+      .select(col(idCol).cast("long").as(idCol), col("status"))
+      .localCheckpoint()
     val affected = diff.filter(col("status").isin("added", "changed"))
-      .select(col(idCol).cast("long").as(idCol)).localCheckpoint()
+      .select(idCol)
     val stale = diff.filter(col("status").isin("removed", "changed"))
-      .select(col(idCol).cast("long").as(idCol)).localCheckpoint()
+      .select(idCol)
+    // delta-sized right sides get plan-time broadcast hints: the ledger
+    // and the shingle store must not shuffle for an anti-join against a
+    // monthly drop's ids (same rationale as validRows' hint)
     val keptEdges = st.edges
-      .join(stale.withColumnRenamed(idCol, "doc_a"), Seq("doc_a"), "left_anti")
-      .join(stale.withColumnRenamed(idCol, "doc_b"), Seq("doc_b"), "left_anti")
+      .join(broadcast(stale.withColumnRenamed(idCol, "doc_a")), Seq("doc_a"), "left_anti")
+      .join(broadcast(stale.withColumnRenamed(idCol, "doc_b")), Seq("doc_b"), "left_anti")
       .select("doc_a", "doc_b")
-    val delta = newCorpus.join(affected, Seq(idCol), "left_semi")
-    val within = TextDedup.jaccardPairs(delta, textCol, idCol, n, threshold)
+    val delta = newCorpus.join(broadcast(affected), Seq(idCol), "left_semi")
+    // ONE shingle+hash pass over the delta's text, shared by the
+    // within-delta pairs, the cross screen's new side, AND the store's
+    // new segments (unshared, the release re-shingled the delta ~6× —
+    // measured as the dominant delta-side term at sf10). Sizes come
+    // from a count over the checkpointed hashes: explode emits one row
+    // per distinct shingle string, so the count IS size(set).
+    val dh = TextDedup.hashedShingles(delta, textCol, idCol, n).localCheckpoint()
+    val dsz = dh.groupBy("doc").agg(count(lit(1)).cast("int").as("sz"))
+      .localCheckpoint()
+    val within = TextDedup.jaccardPairsFromHashed(dh, dsz, threshold)
       .select("doc_a", "doc_b")
     val staleDocs = stale.withColumnRenamed(idCol, "doc")
-    val cross = TextDedup.jaccardPairsCrossStored(delta,
-        validShingles(st).join(staleDocs, Seq("doc"), "left_anti"),
-        validSizes(st).join(staleDocs, Seq("doc"), "left_anti"),
-        textCol, idCol, n, threshold)
+    val cross = TextDedup.jaccardPairsCrossStoredFromHashed(dh, dsz,
+        validShingles(st).join(broadcast(staleDocs), Seq("doc"), "left_anti"),
+        validSizes(st).join(broadcast(staleDocs), Seq("doc"), "left_anti"),
+        threshold)
       .select(least(col("new_id"), col("corpus_id")).as("doc_a"),
         greatest(col("new_id"), col("corpus_id")).as("doc_b"))
     Transition(rel, keptEdges, within.unionByName(cross), delta, stale,
-      TextDedup.hashedShingles(delta, textCol, idCol, n)
-        .withColumn("rel", lit(rel)),
-      TextDedup.shingleSizes(delta, textCol, idCol, n)
-        .withColumn("rel", lit(rel)),
+      dh.withColumn("rel", lit(rel)),
+      dsz.withColumn("rel", lit(rel)),
       staleDocs.withColumn("before_rel", lit(rel)))
   }
 
@@ -347,6 +368,12 @@ object IncrementalCuration {
     val t = transitionState(prevCorpus, newCorpus,
       readState(spark, root), textCol, idCol, n, threshold)
     val nStale = t.staleIds.count()
+    // idempotent re-publish: a restart that retries a publish whose
+    // corpus already landed (heal above completed any torn suffix)
+    // finds an empty diff — return the live seq instead of stamping a
+    // contentless duplicate version
+    if (nStale == 0 && t.delta.isEmpty)
+      return Sinks.Versioned.versions(spark, corpusRoot(root)).last
     // the new ledger rows feed the ledger write AND the curation pass
     val newEdges = t.newEdges.localCheckpoint()
     val edgesAll = t.keptEdges.unionByName(newEdges)
@@ -361,6 +388,72 @@ object IncrementalCuration {
     val vTomb = Sinks.Versioned.writeDelta(t.tombDelta, tombRoot(root))
     val vCur = Sinks.Versioned.write(
       curatedFromEdges(newCorpus, idCol, edgesAll), curatedRoot(root))
+    val seqs = Seq(vCorpus, vEdges, vSh, vSz, vTomb, vCur)
+    require(seqs.forall(_ == vCorpus), s"version stores out of step: $seqs")
+    vCorpus
+  }
+
+  /** Publish version v+1 from a KNOWN pure-add drop — the streaming-
+    * cadence fast path. [[publishIncrement]] diffs two full corpus
+    * snapshots to DISCOVER the delta (one (key, fingerprint) pass over
+    * each side — payload-free, but still a full-text scan per publish);
+    * a continuous-ingest cadence already knows exactly which docs the
+    * drop added, so this entry point skips the diff entirely. Publish
+    * cost: delta shingling + one columnar scan of the (pruned) shingle
+    * store + CC over the ledger + delta-file writes — nothing rewrites
+    * or re-fingerprints the corpus.
+    *
+    * Contract: `delta` must be NEW docs only (ids not in the live
+    * corpus, integral ids). A re-publish of an already-landed drop is
+    * detected (all ids present) and returns the live seq idempotently —
+    * the restart-after-crash shape; PARTIAL overlap refuses loudly.
+    * Self-heals a torn earlier publish first. Returns the new seq.
+    */
+  def publishDrop(delta: DataFrame, root: String,
+                  textCol: String, idCol: String,
+                  n: Int = 3, threshold: Double = 0.8): Int = {
+    val spark = delta.sparkSession
+    heal(spark, root, textCol, idCol, n, threshold): Unit
+    val st = readState(spark, root)
+    val rel = st.rel + 1
+    val dIds = delta.select(col(idCol).cast("long").as(idCol)).localCheckpoint()
+    val nDelta = dIds.count()
+    if (nDelta == 0)
+      return Sinks.Versioned.versions(spark, corpusRoot(root)).last
+    // pure-add check rides the corpus ID COLUMN only (pruned columnar
+    // scan, broadcast delta ids — no shuffle, no text)
+    val present = Sinks.Versioned.read(spark, corpusRoot(root))
+      .select(col(idCol).cast("long").as(idCol))
+      .join(broadcast(dIds), Seq(idCol), "left_semi").count()
+    if (present == nDelta)
+      return Sinks.Versioned.versions(spark, corpusRoot(root)).last
+    require(present == 0,
+      s"publishDrop: $present of $nDelta drop ids already live — not a " +
+        "pure-add drop (changed/removed docs need publishIncrement's diff)")
+    // one shingle+hash pass over the drop, shared four ways (within
+    // pairs, cross screen, both store segments) — see transitionState
+    val dh = TextDedup.hashedShingles(delta, textCol, idCol, n).localCheckpoint()
+    val dsz = dh.groupBy("doc").agg(count(lit(1)).cast("int").as("sz"))
+      .localCheckpoint()
+    val within = TextDedup.jaccardPairsFromHashed(dh, dsz, threshold)
+      .select("doc_a", "doc_b")
+    val cross = TextDedup.jaccardPairsCrossStoredFromHashed(dh, dsz,
+        validShingles(st), validSizes(st), threshold)
+      .select(least(col("new_id"), col("corpus_id")).as("doc_a"),
+        greatest(col("new_id"), col("corpus_id")).as("doc_b"))
+    val newEdges = within.unionByName(cross).localCheckpoint()
+    val emptyTombDelta = st.tomb.limit(0)
+    val vCorpus = Sinks.Versioned.writeDelta(delta, corpusRoot(root))
+    val vEdges = Sinks.Versioned.writeDelta(newEdges, edgesRoot(root))
+    val vSh = Sinks.Versioned.writeDelta(
+      dh.withColumn("rel", lit(rel)), shRoot(root))
+    val vSz = Sinks.Versioned.writeDelta(
+      dsz.withColumn("rel", lit(rel)), szRoot(root))
+    val vTomb = Sinks.Versioned.writeDelta(emptyTombDelta, tombRoot(root))
+    val newCorpus = Sinks.Versioned.read(spark, corpusRoot(root))
+    val vCur = Sinks.Versioned.write(
+      curatedFromEdges(newCorpus, idCol, st.edges.unionByName(newEdges)),
+      curatedRoot(root))
     val seqs = Seq(vCorpus, vEdges, vSh, vSz, vTomb, vCur)
     require(seqs.forall(_ == vCorpus), s"version stores out of step: $seqs")
     vCorpus

@@ -161,6 +161,37 @@ class IncrementalCurationSpec extends SparkSpec {
       IncrementalCuration.curatedAt(spark, root, 1), "pure-add v1")
   }
 
+  test("publishDrop ≡ publishIncrement on a pure-add drop; idempotent; partial overlap refused") {
+    val drop = Seq(doc(7L, "lima mike"), doc(8L, "one two three"))
+      .toDF("doc_id", "text")
+    val v1plus = v1.unionByName(drop)
+
+    // reference: the diff-based publish of the same drop
+    val refRoot = java.nio.file.Files.createTempDirectory("drop-ref").toString
+    IncrementalCuration.bootstrap(v1, refRoot, "text", "doc_id")
+    IncrementalCuration.publishIncrement(v1plus, refRoot, "text", "doc_id")
+
+    val root = java.nio.file.Files.createTempDirectory("drop-fast").toString
+    IncrementalCuration.bootstrap(v1, root, "text", "doc_id")
+    assert(IncrementalCuration.publishDrop(drop, root, "text", "doc_id") === 1)
+    for (store <- Seq("corpus", "edges", "curated", "sh", "sz"))
+      assert(sortedRows(graft.sources.Sinks.Versioned.readAt(spark, s"$root/$store", 1)) ===
+        sortedRows(graft.sources.Sinks.Versioned.readAt(spark, s"$refRoot/$store", 1)),
+        s"publishDrop diverged from publishIncrement on $store")
+
+    // re-publishing the SAME drop (the restart-after-crash shape) is a
+    // no-op returning the live seq — no duplicate version
+    assert(IncrementalCuration.publishDrop(drop, root, "text", "doc_id") === 1)
+    assert(graft.sources.Sinks.Versioned.versions(spark, s"$root/corpus") === Seq(0, 1))
+
+    // partial overlap is a contract violation, refused loudly
+    val partial = drop.unionByName(Seq(doc(9L, "brand new")).toDF("doc_id", "text"))
+    val e = intercept[IllegalArgumentException] {
+      IncrementalCuration.publishDrop(partial, root, "text", "doc_id")
+    }
+    assert(e.getMessage.contains("pure-add"))
+  }
+
   test("heal rolls a torn publish forward to an identical version") {
     // simulate every crash window: publish v1 fully, then write ONLY a
     // prefix of v2's stores (corpus, or corpus+edges, ...) and let heal

@@ -270,6 +270,51 @@ class PlanAuditSpec extends SparkSpec {
       s"incrementEdges regressed to an all-pairs plan:\n${pInc.take(4000)}")
   }
 
+  test("store-backed transition: the shingle store is never shuffled") {
+    // r18: the r17 probe measured the store path STILL shuffling ~570 MB
+    // at sf10 because the static plan SMJ'd the store against the tomb
+    // aggregate / stale ids and AQE's late broadcast conversion happens
+    // only after the store side's shuffle WRITE is paid. The fix is
+    // plan-time broadcast hints; this pin asserts the structural
+    // consequence with AQE off (so EnsureRequirements' exchanges are
+    // visible): no ShuffleExchange may sit above a shingle-store scan
+    // (an RDD scan carrying the hash column `s`). The sizes store
+    // (doc, sz — a documented metadata-sized pass) and the tomb
+    // aggregate are allowed their tiny exchanges.
+    import org.apache.spark.sql.execution.RDDScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import graft.pipelines.IncrementalCuration
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = graft.Tables.documents(spark, sf)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val prev = docs.filter(col("doc_id") % 7 =!= 0)
+      val st0 = IncrementalCuration.bootstrapState(prev, "text", "doc_id")
+      val st = st0.copy(edges = st0.edges.localCheckpoint(),
+        shingles = st0.shingles.localCheckpoint(),
+        sizes = st0.sizes.localCheckpoint())
+      val t = IncrementalCuration.transitionState(prev, docs, st, "text", "doc_id")
+      // an exchange is an offender only if it moves RAW store rows —
+      // its own output still carries the hash column `s` AND a STORE
+      // segment scan feeds it (the store's RDD scans are the ones
+      // carrying the `rel` column; the delta's checkpointed hash frame
+      // is (doc, s) only). Downstream exchanges over match-bound
+      // join/agg outputs and the delta's own posting/distinct shuffles
+      // are legitimate.
+      val offenders = t.newEdges.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec
+          if e.child.output.exists(_.name == "s") && e.collectLeaves().exists {
+            case r: RDDScanExec =>
+              r.output.exists(_.name == "s") && r.output.exists(_.name == "rel")
+            case _ => false
+          } => e
+      }
+      assert(offenders.isEmpty,
+        s"shingle store shuffled by:\n${offenders.map(_.simpleStringWithNodeId()).mkString("\n")}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+  }
+
   test("incrementEdges: non-integral id refused loudly, not a silent stale ledger") {
     // casting a string id to long yields NULLs, the stale anti-joins
     // match nothing, and the previous ledger comes back unchanged — the
