@@ -5,10 +5,15 @@ import graft.pipelines.IncrementalCuration
 import graft.sources.Sinks
 import graft.operators.TextDedup
 
-/** Throwaway: decompose publishDrop's wall time at cadence cycle-3 shape
-  * (360k-doc corpus, 115k-doc drop) into its phases.
+/** Decompose publishDrop's wall time at cadence cycle-3 shape
+  * (~375k-doc corpus, ~125k-doc drop) into its phases — the diagnosis
+  * record behind the r18 publish-cost work (BASELINE.md round 18):
+  * which terms ride the delta (hash pass, segment writes, pair
+  * shuffles) vs the corpus (the store's shuffle-free columnar scan,
+  * the metadata-narrow curated write). Writes DROP_PHASES.json.
   */
 object DropPhaseProbe {
+  private val phases = scala.collection.mutable.LinkedHashMap.empty[String, Double]
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("testdata-sf10")
     val spark = Engine.session("graft-dropphase",
@@ -21,7 +26,9 @@ object DropPhaseProbe {
     val drop = docs.filter(col("doc_id") % 4 === 0)
     def t[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f
-      println(f"[phase] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+      val sec = (System.nanoTime() - t0) / 1e9
+      phases(label) = sec
+      println(f"[phase] $label: $sec%.2f s"); r
     }
     t("bootstrap total") {
       IncrementalCuration.bootstrap(corpus, root, "text", "doc_id")
@@ -60,6 +67,12 @@ object DropPhaseProbe {
       Sinks.Versioned.write(IncrementalCuration.curatedFromEdges(
         newCorpus, "doc_id", st.edges.unionByName(newEdges)), s"$root/curated")
     }
+    val line = s"""{"probe":"drop_phases","sf_dir":"$dir","phases":{""" +
+      phases.map { case (k, v) => f""""$k":$v%.2f""" }.mkString(",") + "}}"
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("DROP_PHASES.json"), line.getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    println(line)
     spark.stop()
   }
 }

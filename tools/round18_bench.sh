@@ -112,6 +112,12 @@ SPARK_GRAFT_CPUS=32 \
   java -Xmx32g $JOPTS -cp "$CP" graft.IncCurationProbe testdata-sf10 > $OUT/inc_curation.log 2>&1
 echo "inc_curation exit $?"
 
+# 9c2) publishDrop phase decomposition (r18) -> DROP_PHASES.json
+echo "=== drop phase probe ==="
+SPARK_GRAFT_CPUS=32 \
+  java -Xmx32g $JOPTS -cp "$CP" graft.DropPhaseProbe testdata-sf10 > $OUT/drop_phases.log 2>&1
+echo "drop_phases exit $?"
+
 # 9c) NEW: cadence probe — ingest -> publish -> incremental curation ->
 #     versioned v+1 -> vacuum, with a mid-loop kill (r16 item 6; parity
 #     required) -> CADENCE.json
