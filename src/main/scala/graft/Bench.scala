@@ -21,6 +21,12 @@ object Bench {
       // micros not INT96 on write: INT96 has no min/max stats (see Engine)
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.adaptive.enabled", "true")
+      // data-volume-sized initial shuffle buckets, AQE owns the final
+      // count (see Engine.session — the 8 g sf10 OOM fix: 32 buckets
+      // put ~2^24 hash-agg keys in one task on q_inc_clusters' sf10
+      // pair stream, a 128 MiB pointer array × 32 concurrent tasks)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (cpus.toInt * 8).toString)
       .config("spark.ui.enabled", "false")
       // The suite compiles well over the default 100 generated-class
       // cache entries (spark.sql.codegen.cache.maxEntries); at 100 the

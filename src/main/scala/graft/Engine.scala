@@ -25,6 +25,23 @@ object Engine {
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Pre-coalesce shuffle bucket count ABOVE the core count, so AQE
+      // sizes reduce-side partitions from data volume instead of being
+      // pinned at `cpus`. With 32 buckets a 10×-scale hash aggregate
+      // lands ~2^24 keys in ONE task (its BytesToBytesMap doubles to a
+      // 128 MiB pointer array; 32 such tasks under an 8 GiB heap OOM'd
+      // the r18 full-surface rehearsal on q_inc_clusters' pair stream).
+      // With 8×cpus initial buckets the same stage's per-task state is
+      // 8× smaller and spills incrementally; small shuffles still
+      // coalesce back to ~cpus (parallelismFirst), so sf0.1 plans keep
+      // their shape. Streaming state-store layout is untouched — it
+      // keys on spark.sql.shuffle.partitions, which stays `cpus`, so
+      // existing checkpoints keep restoring. This is the local stand-in
+      // for the cluster-side rule: initial shuffle partitions track
+      // data scale (files.maxPartitionBytes-ish), AQE owns the final
+      // count.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (cpus * 8).toString)
       .config("spark.sql.session.timeZone", "UTC")
       // testdata events.parquet carries TIMESTAMP(NANOS); Spark only
       // supports micros — read nanos as long, Tables.events converts.

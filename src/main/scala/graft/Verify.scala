@@ -23,6 +23,11 @@ object Verify {
       // tz-AWARE dtypes and then refuses naive comparisons. INT96 reads
       // back tz-naive. Stats don't matter on one-shot correctness dumps.
       .config("spark.sql.adaptive.enabled", "true")
+      // data-volume-sized initial shuffle buckets, AQE owns the final
+      // count (see Engine.session — the 8 g sf10 OOM fix); set here so
+      // correctness dumps run the SAME plans the bench measures
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (cpus.toInt * 8).toString)
       // WSCG bailout at the JIT huge-method limit (see Engine.session);
       // set here too so Verify exercises the SAME execution paths the
       // bench and production sessions use (the non-WSCG fallback must
