@@ -22,11 +22,13 @@ object Bench {
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.adaptive.enabled", "true")
       // data-volume-sized initial shuffle buckets, AQE owns the final
-      // count (see Engine.session — the 8 g sf10 OOM fix: 32 buckets
-      // put ~2^24 hash-agg keys in one task on q_inc_clusters' sf10
-      // pair stream, a 128 MiB pointer array × 32 concurrent tasks)
+      // count: derived from the sf dir's on-disk size (sf0.1 → cpus,
+      // sf10 → ~220 — the 8 g sf10 OOM regime where 32 buckets put
+      // ~2^24 hash-agg keys in one task; a flat 8×cpus taxed every
+      // sf0.1 shuffle ~15% in block count — see
+      // Engine.initialShufflePartitions)
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        (cpus.toInt * 8).toString)
+        Engine.initialShufflePartitions(cpus.toInt, sfDir).toString)
       .config("spark.ui.enabled", "false")
       // The suite compiles well over the default 100 generated-class
       // cache entries (spark.sql.codegen.cache.maxEntries); at 100 the

@@ -11,6 +11,56 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * hand rather than the 200 default.
   */
 object Engine {
+  /** Scale-adaptive initial shuffle bucket count (pre-AQE-coalesce).
+    *
+    * The r18 8 GiB sf10 rehearsal OOM'd with buckets pinned at `cpus`
+    * (one task held ~2^24 hash-agg keys), but a flat `cpus * 8` fix
+    * taxed EVERY sf0.1 shuffle ~10-20% (8× the shuffle blocks, 8× the
+    * reduce-task fixed cost on shuffles AQE cannot coalesce — sorts
+    * feeding windows, repartitions) for data that fits comfortably in
+    * `cpus` buckets. So derive the bucket count from the INPUT VOLUME
+    * the session is about to process: one initial bucket per ~8 MiB of
+    * on-disk input (parquet-compressed; intermediate explosions like
+    * shingle streams expand ~10×, which is what the divisor prices in),
+    * floored at `cpus` (never under-parallelize) and capped at
+    * `cpus * 32` (bucket count stops mattering once every task's state
+    * fits; more buckets just multiply block count, §2.2). Measured at
+    * sf0.1 (17.5 MB → `cpus`): the flat-256 regression reverts; at
+    * sf10 (~1.75 GB → ~219): same regime as the flat 8× OOM fix.
+    *
+    * `SPARK_GRAFT_INITIAL_SHUFFLE` overrides for cluster tuning and
+    * A/B runs; callers that cannot name a data dir keep the `cpus * 8`
+    * middle ground.
+    */
+  def initialShufflePartitions(cpus: Int, dataDir: String): Int =
+    sys.env.get("SPARK_GRAFT_INITIAL_SHUFFLE").map(_.toInt).getOrElse {
+      val bytes =
+        try {
+          val p = java.nio.file.Paths.get(dataDir)
+          if (java.nio.file.Files.isDirectory(p)) {
+            val s = java.nio.file.Files.walk(p)
+            try {
+              val it = s.iterator()
+              var sum = 0L
+              while (it.hasNext) {
+                val f = it.next()
+                if (java.nio.file.Files.isRegularFile(f))
+                  sum += java.nio.file.Files.size(f)
+              }
+              sum
+            } finally s.close()
+          } else 0L
+        } catch { case _: Throwable => 0L }
+      sizeInitialPartitions(cpus, bytes)
+    }
+
+  /** The pure sizing rule behind [[initialShufflePartitions]]:
+    * one initial bucket per 8 MiB of on-disk input, clamped to
+    * [cpus, cpus*32]. Exposed for the spec. */
+  private[graft] def sizeInitialPartitions(cpus: Int, bytes: Long): Int =
+    math.max(cpus.toLong,
+      math.min(bytes / (8L << 20), cpus.toLong * 32L)).toInt
+
   /** `extraConfs` are applied LAST (they win over the defaults) — for
     * probe-specific static confs that must be set before the session
     * exists (e.g. codegen cache sizing), so probes can reuse this
@@ -40,8 +90,12 @@ object Engine {
       // for the cluster-side rule: initial shuffle partitions track
       // data scale (files.maxPartitionBytes-ish), AQE owns the final
       // count.
+      // (callers with a known input dir — Bench, Verify — pass the
+      // size-derived count via extraConfs / their own builders; see
+      // initialShufflePartitions above. The env override applies here
+      // too so probes can be A/B'd without a rebuild.)
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        (cpus * 8).toString)
+        sys.env.getOrElse("SPARK_GRAFT_INITIAL_SHUFFLE", (cpus * 8).toString))
       .config("spark.sql.session.timeZone", "UTC")
       // testdata events.parquet carries TIMESTAMP(NANOS); Spark only
       // supports micros — read nanos as long, Tables.events converts.

@@ -24,10 +24,11 @@ object Verify {
       // back tz-naive. Stats don't matter on one-shot correctness dumps.
       .config("spark.sql.adaptive.enabled", "true")
       // data-volume-sized initial shuffle buckets, AQE owns the final
-      // count (see Engine.session — the 8 g sf10 OOM fix); set here so
-      // correctness dumps run the SAME plans the bench measures
+      // count (see Engine.initialShufflePartitions — the 8 g sf10 OOM
+      // fix without the flat-8× sf0.1 tax); set here so correctness
+      // dumps run the SAME plans the bench measures
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        (cpus.toInt * 8).toString)
+        Engine.initialShufflePartitions(cpus.toInt, sfDir).toString)
       // WSCG bailout at the JIT huge-method limit (see Engine.session);
       // set here too so Verify exercises the SAME execution paths the
       // bench and production sessions use (the non-WSCG fallback must
