@@ -258,5 +258,27 @@ object Tables {
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+
+  /** [[documents]] behind a parallelism repair for single-split scans
+    * (see [[graft.operators.Partitioning.fanOutSmallScan]]) — OPT-IN
+    * for queries whose downstream is one or two compute-dense
+    * full-corpus passes (shingling, n-gram LM scoring, pair
+    * generation), where one wide stage amortizes the task launches.
+    * Multi-stage delta pipelines must keep the RAW loader: measured on
+    * q_inc_curate, fan-out there ACCUMULATES partitions through the
+    * version unions (32→64→96) and its ~50 tiny stages then pay 2,286
+    * task launches instead of 170 (sum executor time 272 s vs 25 s) —
+    * +2.2 s wall. The wide form is a no-op at scale (fanOutSmallScan
+    * decides from file metadata).
+    */
+  def documentsWide(s: SparkSession, d: String): DataFrame =
+    graft.operators.Partitioning.fanOutSmallScan(
+      apply(s, d, "documents"), s"$d/documents.parquet")
+
+  /** embeddings stays loader-wide: every consumer is a full-corpus
+    * vector pass (index builds, dot products) — no delta pipelines.
+    */
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    graft.operators.Partitioning.fanOutSmallScan(
+      apply(s, d, "embeddings"), s"$d/embeddings.parquet")
 }

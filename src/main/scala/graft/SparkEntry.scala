@@ -843,7 +843,7 @@ object SparkEntry {
 
     // ---- training-data: dedup ----------------------------------------
     "q_jaccard_pairs" -> ((s, d) =>
-      TextDedup.jaccardPairs(Tables.documents(s, d), "text", "doc_id", n = 3, threshold = 0.8)
+      TextDedup.jaccardPairs(Tables.documentsWide(s, d), "text", "doc_id", n = 3, threshold = 0.8)
         .orderBy("doc_a", "doc_b")),
     "q_contamination" -> ((s, d) => {
       // synthetic eval set = every 50th doc; the screen flags their
@@ -858,7 +858,7 @@ object SparkEntry {
     "q_dedup_clusters" -> ((s, d) => {
       // transitive closure of the exact near-dup pairs → one canonical
       // doc per cluster (the keep-one step of a curation pipeline)
-      val docs = Tables.documents(s, d)
+      val docs = Tables.documentsWide(s, d)
       Graph.dedupClusters(docs, "doc_id",
         TextDedup.jaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.8),
         "doc_a", "doc_b")
@@ -884,7 +884,7 @@ object SparkEntry {
       // evidence-preserving dedup: each near-dup cluster keeps ONE doc
       // but the rollup attaches the whole cluster's signals to it —
       // total chars, source diversity, member list
-      val docs = Tables.documents(s, d)
+      val docs = Tables.documentsWide(s, d)
       val assign = Graph.dedupClusters(docs, "doc_id",
         TextDedup.jaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.8),
         "doc_a", "doc_b")
@@ -901,7 +901,7 @@ object SparkEntry {
       // prefer-keep survivor rule over near-dup clusters: keep the
       // LONGEST member (n_chars), not the smallest id — the curation
       // default when near-dups differ in completeness
-      val docs = Tables.documents(s, d)
+      val docs = Tables.documentsWide(s, d)
       Graph.dedupClustersBy(docs, "doc_id", col("n_chars"),
         TextDedup.jaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.8),
         "doc_a", "doc_b")
@@ -915,7 +915,7 @@ object SparkEntry {
       // recompute (q_dedup_clusters' oracle, replayed verbatim). The
       // query recomputes all pairs only to DERIVE the new-edge set; a
       // real deployment feeds crossCorpusNearDups output instead.
-      val docs = Tables.documents(s, d)
+      val docs = Tables.documentsWide(s, d)
       val oldDocs = docs.filter(col("doc_id") % 2 === 0)
       // one pair-gen feeds both sides: pairs among even docs ARE the
       // old-corpus pairs (jaccard is per-pair), new edges are the rest.
@@ -1022,13 +1022,13 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     "q_subset_dup" -> ((s, d) =>
-      TextDedup.containmentPairs(Tables.documents(s, d), "text", "doc_id",
+      TextDedup.containmentPairs(Tables.documentsWide(s, d), "text", "doc_id",
         n = 3, threshold = 0.8)
         .orderBy("doc_a", "doc_b")),
     "q_cluster_stats" -> ((s, d) => {
       // dedup observability: how big do near-dup clusters get (the
       // distribution that decides whether a hot cluster needs attention)
-      val docs = Tables.documents(s, d)
+      val docs = Tables.documentsWide(s, d)
       Graph.dedupClusters(docs, "doc_id",
         TextDedup.jaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.8),
         "doc_a", "doc_b")
@@ -1059,7 +1059,7 @@ object SparkEntry {
       // assignment (the q_split stage) — cells with split_a != split_b
       // are test/val documents with a train near-twin, the leakage a
       // content-blind split cannot prevent
-      val docs = Tables.documents(s, d)
+      val docs = Tables.documentsWide(s, d)
       val assigned = TextQuality.hashSplit(docs, "doc_id",
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
       val pairs = TextDedup.minhashLshPairsPortable(docs, "text", "doc_id",
@@ -1071,7 +1071,7 @@ object SparkEntry {
       // the actionable half of q_split_leakage: the quarantine list —
       // test docs with a cross-split near-twin, with partner counts;
       // anti-join this against the corpus to restore independence
-      val docs = Tables.documents(s, d)
+      val docs = Tables.documentsWide(s, d)
       val assigned = TextQuality.hashSplit(docs, "doc_id",
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
       val pairs = TextDedup.minhashLshPairsPortable(docs, "text", "doc_id",
@@ -1187,7 +1187,7 @@ object SparkEntry {
       // pair found (identical text → identical signatures → guaranteed),
       // and recall vs the exact truth ≥ 0.9. The raw screen stays
       // oracled via q_cross_dedup_md5.
-      val corpus = Tables.documents(s, d)
+      val corpus = Tables.documentsWide(s, d)
       val drop = corpus.filter(col("doc_id") % 7 === 0)
         .select((col("doc_id") + lit(500000L)).as("doc_id"), col("text"))
       val reported = TextDedup.crossCorpusNearDups(drop, corpus, "text", "doc_id")
@@ -1222,7 +1222,7 @@ object SparkEntry {
       // engine-portable twin of q_cross_dedup: same drop construction,
       // md5 double-hashing signatures — the asymmetric incremental
       // screen proven cross-engine end to end
-      val corpus = Tables.documents(s, d)
+      val corpus = Tables.documentsWide(s, d)
       val drop = corpus.filter(col("doc_id") % 7 === 0)
         .select((col("doc_id") + lit(500000L)).as("doc_id"), col("text"))
       TextDedup.crossCorpusNearDupsPortable(drop, corpus, "text", "doc_id")
@@ -1253,7 +1253,7 @@ object SparkEntry {
       // precision ≥ 0.9 booleans (measured 1.0/1.0 at both test SFs —
       // the fixture's near-dups sit far from the 0.5 boundary). The
       // raw-pairs surface stays oracled via q_minhash_pairs_md5.
-      TextDedup.minhashVsExactReport(Tables.documents(s, d), "text", "doc_id",
+      TextDedup.minhashVsExactReport(Tables.documentsWide(s, d), "text", "doc_id",
         n = 3, k = 32, bands = 8, threshold = 0.5,
         minRecall = 0.9, minPrecision = 0.9)),
     "q_minhash_pairs_sampled" -> ((s, d) =>
@@ -1273,7 +1273,7 @@ object SparkEntry {
     "q_minhash_pairs_md5" -> ((s, d) =>
       // the engine-portable LSH twin: md5 hash family, every stage
       // (shingle → signature minima → banding → verify) DuckDB-oracled
-      TextDedup.minhashLshPairsPortable(Tables.documents(s, d), "text", "doc_id",
+      TextDedup.minhashLshPairsPortable(Tables.documentsWide(s, d), "text", "doc_id",
         n = 3, k = 16, bands = 4, threshold = 0.5)
         .orderBy("doc_a", "doc_b")),
     "q_simhash_pairs" -> ((s, d) =>
@@ -1289,7 +1289,7 @@ object SparkEntry {
     "q_simhash_pairs_md5" -> ((s, d) =>
       // the engine-portable SimHash twin: 56-bit md5 token hashes,
       // per-bit vote, 4×14-bit banding, popcount verify — DuckDB-oracled
-      TextDedup.simhashPairsPortable(Tables.documents(s, d), "text", "doc_id",
+      TextDedup.simhashPairsPortable(Tables.documentsWide(s, d), "text", "doc_id",
         maxHamming = 3)
         .orderBy("doc_a", "doc_b")),
     "q_lsh_recall" -> ((s, d) =>
@@ -1297,7 +1297,7 @@ object SparkEntry {
       // recall/precision of the md5 LSH screen vs exact-Jaccard truth
       // at the same 0.8 threshold — both pipelines and the confusion
       // counts oracle-checked end to end
-      TextDedup.lshRecallReport(Tables.documents(s, d), "text", "doc_id",
+      TextDedup.lshRecallReport(Tables.documentsWide(s, d), "text", "doc_id",
         n = 3, k = 16, bands = 4, threshold = 0.8)),
     "q_block_dedup" -> ((s, d) =>
       // block-level exact substring dedup (Lee et al. 2022 regime):
@@ -1805,7 +1805,7 @@ object SparkEntry {
         Seq("spark", "window", "join"), k = 20)
         .orderBy("rank")),
     "q_curate_full" -> ((s, d) =>
-      graft.pipelines.CorpusCuration.curate(Tables.documents(s, d), "text", "doc_id")
+      graft.pipelines.CorpusCuration.curate(Tables.documentsWide(s, d), "text", "doc_id")
         .orderBy("doc_id")),
     "q_curate_lsh" -> ((s, d) =>
       // the documented 100 TB swap EXECUTED: identical gates to
@@ -1816,7 +1816,7 @@ object SparkEntry {
       // agreement verdict: fast-path kept set within 1% symmetric
       // difference of the portable one (measured 0 at both test SFs).
       graft.pipelines.CorpusCuration.curateAgreementReport(
-        Tables.documents(s, d), "text", "doc_id")),
+        Tables.documentsWide(s, d), "text", "doc_id")),
     "q_curate_lsh_sampled" -> ((s, d) =>
       // the 100 TB form of the q_curate_lsh verdict: BOTH curation
       // paths over a FIXED 1280-doc md5 panel (kept sets are
@@ -1834,7 +1834,7 @@ object SparkEntry {
       // stage — every phase (LSH pairs → transitive closure →
       // repetition gates) reproduced in the DuckDB oracle
       graft.pipelines.CorpusCuration.curateAtScalePortable(
-          Tables.documents(s, d), "text", "doc_id")
+          Tables.documentsWide(s, d), "text", "doc_id")
         .orderBy("doc_id")),
     // The PRODUCTION fast path in isolation (xxhash64 MinHash+LSH →
     // CC → gates, no verification twin) is measured by

@@ -669,8 +669,14 @@ class PlanAuditSpec extends SparkSpec {
     // pair appears below the banding)
     val p = plan(q("q_minhash_pairs_md5"))
     assert(p.contains("md5_minhash_sig"), s"native signature expression missing:\n$p")
-    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
-    assert(exchanges <= 3, s"expected <= 3 Exchanges, got $exchanges:\n$p")
+    // the r18 parallelism repair (Tables.documentsWide) adds ONE
+    // round-robin repartition of (doc_id, text) rows — doc-grained and
+    // deliberate, not the per-shingle regression this pin guards
+    // against, so count only KEYED exchanges (hash/range): the
+    // explode → groupBy(min×k) regression shows up as an extra
+    // hashpartitioning over shingle rows
+    val keyed = "Arguments: (hash|range)partitioning".r.findAllIn(p).size
+    assert(keyed <= 3, s"expected <= 3 keyed Exchanges, got $keyed:\n$p")
   }
 
   test("sampled gate twins: no cartesian, corpus scans pruned to doc_id/text") {
@@ -853,11 +859,13 @@ class PlanAuditSpec extends SparkSpec {
   test("q_random_proj: projection is pure map work — zero exchanges beyond the output sort") {
     val p = plan(q("q_random_proj"))
     // formatted output repeats each node in the details section —
-    // count NODES ("(n) Exchange"), not string hits
-    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
-    // exactly the final orderBy's range exchange; the projection itself
-    // must add none (map-only dot folds)
-    assert(exchanges <= 1, s"projection added shuffles:\n$p")
+    // count NODES via their Arguments lines, not string hits. The r18
+    // embeddings loader fan-out adds ONE round-robin repartition
+    // (doc-grained parallelism repair, not data movement keyed by the
+    // projection); the projection itself must still add no KEYED
+    // exchange beyond the final orderBy's range partitioning.
+    val keyed = "Arguments: (hash|range)partitioning".r.findAllIn(p).size
+    assert(keyed <= 1, s"projection added keyed shuffles:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
 
