@@ -799,7 +799,7 @@ object SparkEntry {
     }),
     "q_text_stats" -> ((s, d) => {
       val q = TextFunctions.qualityStruct(col("text"))
-      Tables.documents(s, d).select(
+      Tables.documentsWide(s, d).select(
         col("doc_id"),
         length(col("text")).as("char_len"),
         q.getField("n_tokens").cast("long").as("n_tokens"),
@@ -828,7 +828,7 @@ object SparkEntry {
         .orderBy("doc_id", "seq_id")
     }),
     "q_repetition" -> ((s, d) =>
-      TextQuality.repetitionReport(Tables.documents(s, d), "text", "doc_id", n = 2)
+      TextQuality.repetitionReport(Tables.documentsWide(s, d), "text", "doc_id", n = 2)
         .orderBy("doc_id")),
     "q_lang_id" -> ((s, d) =>
       Tables.documents(s, d).select(
@@ -848,7 +848,7 @@ object SparkEntry {
     "q_contamination" -> ((s, d) => {
       // synthetic eval set = every 50th doc; the screen flags their
       // near-dup leaks in the remaining corpus
-      val docs = Tables.documents(s, d)
+      val docs = Tables.documentsWide(s, d)
       TextDedup.contaminationReport(
         docs.filter(col("doc_id") % 50 =!= 0),
         docs.filter(col("doc_id") % 50 === 0),
@@ -1534,7 +1534,7 @@ object SparkEntry {
       // RGB measured from the pixels; the oracle recomputes the frame
       // colors arithmetically — any decode drift hash-mismatches
       import s.implicits._
-      val ids = Tables.documents(s, d)
+      val ids = Tables.documentsWide(s, d)
         .select(col("doc_id").cast("long").as("doc_id")).as[Long]
       val media = ids.mapPartitions(_.map { id =>
           val frames = (0 to (id % 4).toInt).map { f =>
@@ -1571,7 +1571,7 @@ object SparkEntry {
       // exactly 11 cycles — equal-amplitude frames are sample-identical,
       // so the sign-of-delta bits are closed-form: bit f = b(f+1)∧¬b(f)
       import s.implicits._
-      val ids = Tables.documents(s, d)
+      val ids = Tables.documentsWide(s, d)
         .select(col("doc_id").cast("long").as("doc_id")).as[Long]
       val media = ids.mapPartitions(_.map { id =>
           val amps = (0 until 16).map(f =>
@@ -1586,7 +1586,7 @@ object SparkEntry {
       // 56-bit dHash over REAL decoded pixels of the synthetic PNGs; the
       // oracle recomputes the luma plane and difference bits closed-form
       Multimodal.imagePHash(s,
-          Multimodal.syntheticImages(s, Tables.documents(s, d), "doc_id"), "id")
+          Multimodal.syntheticImages(s, Tables.documentsWide(s, d), "doc_id"), "id")
         .select(col("id").as("doc_id"), col("phash"))
         .orderBy("doc_id")),
     "q_image_frames" -> ((s, d) =>
@@ -1594,7 +1594,7 @@ object SparkEntry {
       // doc, decoded with ImageIO; exact channel means + integer-luma
       // histogram recomputed closed-form in SQL over the pixel grid
       Multimodal.imageFrameFeatures(s,
-        Multimodal.syntheticImages(s, Tables.documents(s, d), "doc_id"), "id", 1)
+        Multimodal.syntheticImages(s, Tables.documentsWide(s, d), "doc_id"), "id", 1)
         .select(col("id").as("doc_id"), col("frame_idx"), col("width"), col("height"),
           col("mean_r"), col("mean_g"), col("mean_b"),
           col("h0"), col("h1"), col("h2"), col("h3"),
@@ -1605,7 +1605,7 @@ object SparkEntry {
       // PNG re-encode → re-decode and measure. Resized pixel (x,y) is
       // the original at (2x, 2y), so the means are closed-form in SQL
       val resized = Multimodal.resizeImages(s,
-        Multimodal.syntheticImages(s, Tables.documents(s, d), "doc_id"),
+        Multimodal.syntheticImages(s, Tables.documentsWide(s, d), "doc_id"),
         "id", outW = 4, outH = 4)
       Multimodal.imageFrameFeatures(s, resized, "id", 1)
         .select(col("id").as("doc_id"), col("width"), col("height"),
@@ -1636,7 +1636,7 @@ object SparkEntry {
       // recomputes the expected header values arithmetically — any parse
       // drift hash-mismatches
       import s.implicits._
-      val ids = Tables.documents(s, d)
+      val ids = Tables.documentsWide(s, d)
         .select(col("doc_id").cast("long").as("doc_id")).as[Long]
       val media = ids.mapPartitions(_.map(id =>
           (id, Multimodal.WavCodec.synthesize(
@@ -1657,7 +1657,7 @@ object SparkEntry {
       // source verbatim, so the headers are pure arithmetic:
       // n = 16·ms even → n_samples = 8·ms, duration unchanged
       import s.implicits._
-      val ids = Tables.documents(s, d)
+      val ids = Tables.documentsWide(s, d)
         .select(col("doc_id").cast("long").as("doc_id")).as[Long]
       val media = ids.mapPartitions(_.map(id =>
           (id, Multimodal.WavCodec.synthesize(
@@ -1906,7 +1906,7 @@ object SparkEntry {
       // on the even-id half (the "reference" slice), score the odd-id
       // half by mean bigram log-probability — ln rounds to 9dp into a
       // DECIMAL sum, so the scores hash-match DuckDB exactly
-      val docs = Tables.documents(s, d)
+      val docs = Tables.documentsWide(s, d)
       TextQuality.bigramLmScore(
         docs.filter(col("doc_id") % 2 === 1),
         docs.filter(col("doc_id") % 2 === 0), "text", "doc_id")
@@ -1945,7 +1945,7 @@ object SparkEntry {
       // exact integer cross-engine, the only IEEE op is the final ρ —
       // rank correlation is the portable agreement metric where
       // Pearson's float sums are not
-      val docs = Tables.documents(s, d)
+      val docs = Tables.documentsWide(s, d)
       val cls = TextQuality.hashedLinearScore(docs, "text", "doc_id")
         .select(col("doc_id"), col("score"))
       val lm = TextQuality.bigramLmScore(
@@ -1976,7 +1976,7 @@ object SparkEntry {
       // naive corpus-wide per-lang sort — per-(lang,score) count
       // compression + straddle-only ranking, proven ≡ the window form
       // (which the oracle replays)
-      val docs = Tables.documents(s, d)
+      val docs = Tables.documentsWide(s, d)
       val scored = TextQuality.bigramLmScore(
           docs, docs.filter(col("doc_id") % 2 === 0), "text", "doc_id")
         .join(docs.select("doc_id", "lang"), Seq("doc_id"))
@@ -1991,7 +1991,7 @@ object SparkEntry {
       // MODEL, then score every doc with the zero-shuffle native fold —
       // logw is an integer sum ÷ 1e6, so DuckDB refitting the same
       // table replays it bit-exactly
-      val docs = Tables.documents(s, d)
+      val docs = Tables.documentsWide(s, d)
       val fx = TextQuality.dsirFitFx(docs, col("doc_id") % 13 === 0, "text")
       TextQuality.dsirWeights(docs, "text", "doc_id", fx).orderBy("doc_id")
     }),
@@ -2001,7 +2001,7 @@ object SparkEntry {
       // uniform is a 60-bit md5 prefix over a power-of-two divide
       // (exact in both engines); the key orders membership only, output
       // values are the exact integers/division from q_dsir_weights
-      val docs = Tables.documents(s, d)
+      val docs = Tables.documentsWide(s, d)
       val fx = TextQuality.dsirFitFx(docs, col("doc_id") % 13 === 0, "text")
       TextQuality.dsirResample(docs, "text", "doc_id", fx, k = 100, seed = "s1")
     }),
@@ -2206,7 +2206,7 @@ object SparkEntry {
       // Domain derivation and the HashedFeatScore fold ride ONE corpus
       // scan; the only shuffle is the partial-aggregated groupBy.
       Domains.domainQualityRollup(
-          Tables.documents(s, d).select(col("doc_id"), col("text"))
+          Tables.documentsWide(s, d).select(col("doc_id"), col("text"))
             .withColumn("url", synthUrl(col("doc_id"))),
           "url", "text")
         .orderBy("domain")),
@@ -2233,7 +2233,7 @@ object SparkEntry {
       // iff its 60-bit md5 prefix clears floor(weight·2^60) — an
       // INTEGER comparison, so the kept set replays bit-for-bit
       Domains.domainPriorSample(
-          Tables.documents(s, d).select(col("doc_id"), col("text"))
+          Tables.documentsWide(s, d).select(col("doc_id"), col("text"))
             .withColumn("url", synthUrl(col("doc_id"))),
           "url", "doc_id", "text")
         .select("doc_id", "domain", "weight")
@@ -2277,7 +2277,7 @@ object SparkEntry {
       val corrupted = replace(replace(replace(replace(injected,
           lit("é"), lit("Ã©")), lit("’"), lit("â€™")),
           lit("“"), lit("â€œ")), lit("”"), lit("â€\u009d"))
-      Tables.documents(s, d).select(col("doc_id"), col("text"))
+      Tables.documentsWide(s, d).select(col("doc_id"), col("text"))
         .withColumn("bad", corrupted)
         .withColumn("fixed", graft.plans.FixMojibake.of(col("bad")))
         .select(col("doc_id"),
@@ -2392,7 +2392,7 @@ object SparkEntry {
       // candidates equi-joined on fingerprint, every candidate span
       // verified CHARACTER-EXACTLY at its recorded positions
       TextDedup.dupSpanPairs(
-          Tables.documents(s, d).select(col("doc_id"), col("text")),
+          Tables.documentsWide(s, d).select(col("doc_id"), col("text")),
           "text", "doc_id", k = 30, w = 10, maxDocFreq = 64)
         .orderBy("id_a", "id_b")),
     "q_dup_span_strip" -> ((s, d) =>
@@ -2402,7 +2402,7 @@ object SparkEntry {
       // strip is a per-char mask over the sorted span starts, identical
       // list algebra in both engines
       TextDedup.stripDupSpans(
-          Tables.documents(s, d).select(col("doc_id"), col("text")),
+          Tables.documentsWide(s, d).select(col("doc_id"), col("text")),
           "text", "doc_id", k = 30, w = 10, maxDocFreq = 64)
         .orderBy("doc_id")),
     "q_cross_spans" -> ((s, d) => {
