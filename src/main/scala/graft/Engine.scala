@@ -257,6 +257,20 @@ object Tables {
       case _        => raw
     }
   }
+  /** [[lineitem]]/[[events]] behind the opt-in parallelism repair —
+    * for the few heavy-per-row consumers (per-group value-buffering
+    * percentile aggregation, six-way DECIMAL moment sums, per-row JSON
+    * parsing) where the serialized single-split scan dominates; plain
+    * aggregates keep the raw scan (measured net loss, see
+    * [[graft.operators.Partitioning]]).
+    */
+  def lineitemWide(s: SparkSession, d: String): DataFrame =
+    graft.operators.Partitioning.fanOutSmallScan(
+      apply(s, d, "lineitem"), s"$d/lineitem.parquet")
+  def eventsWide(s: SparkSession, d: String): DataFrame =
+    graft.operators.Partitioning.fanOutSmallScan(
+      events(s, d), s"$d/events.parquet")
+
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
 
   /** [[documents]] behind a parallelism repair for single-split scans
@@ -275,10 +289,15 @@ object Tables {
     graft.operators.Partitioning.fanOutSmallScan(
       apply(s, d, "documents"), s"$d/documents.parquet")
 
-  /** embeddings stays loader-wide: every consumer is a full-corpus
-    * vector pass (index builds, dot products) — no delta pipelines.
+  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+
+  /** [[embeddings]] behind the same opt-in parallelism repair as
+    * [[documentsWide]] — for index builds and full-corpus vector
+    * passes. Panel-restricted (1024-vector md5 truth panels) and
+    * single-projection queries measured the exchange as a net loss
+    * and keep the raw scan.
     */
-  def embeddings(s: SparkSession, d: String): DataFrame =
+  def embeddingsWide(s: SparkSession, d: String): DataFrame =
     graft.operators.Partitioning.fanOutSmallScan(
       apply(s, d, "embeddings"), s"$d/embeddings.parquet")
 }

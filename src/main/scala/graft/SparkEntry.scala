@@ -99,7 +99,7 @@ object SparkEntry {
 
     // ---- §2.5 cleaning / scalar expressions ---------------------------
     "q_c_clean" -> ((s, d) =>
-      Tables.events(s, d).select(
+      Tables.eventsWide(s, d).select(
         col("event_id"),
         // from_json with a declared schema parses once into a typed
         // struct — measured ~2× cheaper than get_json_object's per-call
@@ -538,7 +538,7 @@ object SparkEntry {
       // double — deterministic under any partitioning, unlike stddev/corr
       // aggregates whose float accumulation order varies
       val x = col("l_quantity"); val y = col("l_extendedprice")
-      Tables.lineitem(s, d).groupBy("l_returnflag")
+      Tables.lineitemWide(s, d).groupBy("l_returnflag")
         .agg(
           count(lit(1)).cast("double").as("n"),
           Compat.exactSum(x, 6).as("sx"),
@@ -1317,12 +1317,12 @@ object SparkEntry {
 
     // ---- training-data: similarity search ----------------------------
     "q_ann_topk" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
+      val e = Tables.embeddingsWide(s, d)
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
         .orderBy("query_id", "rank")
     }),
     "q_ann_quantized" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
+      val e = Tables.embeddingsWide(s, d)
       Similarity.quantizedTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
         .orderBy("query_id", "rank")
     }),
@@ -1336,7 +1336,7 @@ object SparkEntry {
       // modulo stride scales centroids WITH the corpus, making the
       // assign stage N×N/25 — measured 15.5× for 10× data at sf1
       // before the bound; linear after, like the fixed-k md5 twin.
-      val e = Tables.embeddings(s, d)
+      val e = Tables.embeddingsWide(s, d)
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 10),
         e.filter(col("vec_id") % 25 === 0 && col("vec_id") < 2000),
         "vec_id", "embedding", k = 5, nprobe = 4)
@@ -1362,7 +1362,7 @@ object SparkEntry {
       // TextDedupSpec proves the drop + recall-loss report on a skewed
       // one. At 100 TB the cap is the knob that bounds per-probe cost
       // when a degenerate centroid swallows the corpus.
-      val e = Tables.embeddings(s, d)
+      val e = Tables.embeddingsWide(s, d)
       // bounded centroid count (see q_ann_ivf) + persisted index: the
       // maxCell action and the probe would otherwise each recompute the
       // corpus-wide assign stage
@@ -1380,7 +1380,7 @@ object SparkEntry {
       // raw doubles), exact sub-L2 encoding, ADC lookup-table search.
       // Every stage is deterministic arithmetic the oracle replays:
       // codes by (d2, code) argmin, scores by 9dp-round→DECIMAL sums.
-      val e = Tables.embeddings(s, d)
+      val e = Tables.embeddingsWide(s, d)
       val cb = Similarity.pqCodebooks(e, "vec_id", "embedding",
         m = 8, ksub = 16, dim = 64, seed = 7)
       val codes = Similarity.pqEncode(e, cb, "vec_id", "embedding", m = 8, dim = 64)
@@ -1403,7 +1403,7 @@ object SparkEntry {
       // the JL payoff measured, never assumed: top-5 recall of
       // brute-force search in the 8-dim projected space vs exact
       // 64-dim truth — the q_ann_pq_recall recipe over randomProject
-      val e = Tables.embeddings(s, d)
+      val e = Tables.embeddingsWide(s, d)
       val q10 = e.filter(col("vec_id") < 10)
       val exact = Similarity.bruteForceTopK(e, q10, "vec_id", "embedding", k = 5)
         .select(col("query_id"), col("neighbor_id"), lit(1).as("_e"))
@@ -1424,7 +1424,7 @@ object SparkEntry {
       // measure-don't-assume discipline as q_embed_recall: ADC scores
       // are approximations, so the overlap of the two top-5 sets is
       // REPORTED (and oracle-verified), never presumed
-      val e = Tables.embeddings(s, d)
+      val e = Tables.embeddingsWide(s, d)
       val q10 = e.filter(col("vec_id") < 10)
       val exact = Similarity.bruteForceTopK(e, q10, "vec_id", "embedding", k = 5)
         .select(col("query_id"), col("neighbor_id"), lit(1).as("_e"))
@@ -1503,8 +1503,8 @@ object SparkEntry {
       // BEFORE paying Σ|cell| in exact dots (see ivfCellReport scaladoc);
       // centroid count bounded like q_ann_ivf's (linear assign at scale)
       Similarity.ivfCellReport(
-        Similarity.assignToCentroids(Tables.embeddings(s, d),
-          Tables.embeddings(s, d)
+        Similarity.assignToCentroids(Tables.embeddingsWide(s, d),
+          Tables.embeddingsWide(s, d)
             .filter(col("vec_id") % 25 === 0 && col("vec_id") < 2000),
           "vec_id", "embedding"), topN = 20)
         .orderBy(col("n_vectors").desc, col("cent_id"))),
@@ -2076,7 +2076,7 @@ object SparkEntry {
       // with a fixed budget instead of a fraction, so truth cost is
       // SF-invariant. Identity at sf0.01 (panel ⊇ corpus); genuine
       // replayed selection at sf0.1.
-      val base = Tables.embeddings(s, d).select(
+      val base = Tables.embeddingsWide(s, d).select(
         col("vec_id").cast("long").as("vec_id"),
         col("embedding").cast("array<double>").as("embedding"))
       val dups = base.filter(col("vec_id") % 10 === 0)
