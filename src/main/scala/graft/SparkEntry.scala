@@ -957,19 +957,28 @@ object SparkEntry {
       // checkpoint them like the at-rest parquet snapshots they stand in
       // for (Versioned.write/read in the pipeline form), so the
       // compounding union+case lineage isn't re-derived per consumer
-      val v1 = docs.filter(col("doc_id") % 3 =!= 2).localCheckpoint()
+      // bounded fan on the version checkpoints: the single-split scan
+      // would otherwise serialize every shingle pass over v1/v2/v3,
+      // while a full 32-way fan accumulates partitions through the
+      // unions (32->64->96) and drowns this ~50-stage pipeline in task
+      // launches (measured both ways; defaultParallelism/4 is the
+      // interleaved-A/B sweet spot — versions re-materialize at a
+      // FIXED width, so nothing accumulates)
+      val fan = math.max(1, s.sparkContext.defaultParallelism / 4)
+      val v1 = docs.filter(col("doc_id") % 3 =!= 2)
+        .repartition(fan).localCheckpoint()
       val v2 = v1.filter(col("doc_id") % 11 =!= 0)
         .select(col("doc_id"),
           when(col("doc_id") % 13 === 0, concat(col("text"), lit(" r2")))
             .otherwise(col("text")).as("text"))
         .unionByName(docs.filter(col("doc_id") % 3 === 2 && col("doc_id") % 2 === 0))
-        .localCheckpoint()
+        .repartition(fan).localCheckpoint()
       val v3 = v2.filter(col("doc_id") % 19 =!= 0)
         .select(col("doc_id"),
           when(col("doc_id") % 7 === 0, concat(col("text"), lit(" r3")))
             .otherwise(col("text")).as("text"))
         .unionByName(docs.filter(col("doc_id") % 3 === 2 && col("doc_id") % 2 === 1))
-        .localCheckpoint()
+        .repartition(fan).localCheckpoint()
       // each ledger version is edge-sized and feeds the next transition
       // (in production it is the persisted parquet the pipeline reads
       // back) — localCheckpoint stands in for that persistence and cuts
@@ -993,19 +1002,28 @@ object SparkEntry {
       // exactly like q_inc_curate's ledger checkpoints.
       val docs = Tables.documents(s, d)
         .select(col("doc_id").cast("long").as("doc_id"), col("text"))
-      val v1 = docs.filter(col("doc_id") % 3 =!= 2).localCheckpoint()
+      // bounded fan on the version checkpoints: the single-split scan
+      // would otherwise serialize every shingle pass over v1/v2/v3,
+      // while a full 32-way fan accumulates partitions through the
+      // unions (32->64->96) and drowns this ~50-stage pipeline in task
+      // launches (measured both ways; defaultParallelism/4 is the
+      // interleaved-A/B sweet spot — versions re-materialize at a
+      // FIXED width, so nothing accumulates)
+      val fan = math.max(1, s.sparkContext.defaultParallelism / 4)
+      val v1 = docs.filter(col("doc_id") % 3 =!= 2)
+        .repartition(fan).localCheckpoint()
       val v2 = v1.filter(col("doc_id") % 11 =!= 0)
         .select(col("doc_id"),
           when(col("doc_id") % 13 === 0, concat(col("text"), lit(" r2")))
             .otherwise(col("text")).as("text"))
         .unionByName(docs.filter(col("doc_id") % 3 === 2 && col("doc_id") % 2 === 0))
-        .localCheckpoint()
+        .repartition(fan).localCheckpoint()
       val v3 = v2.filter(col("doc_id") % 19 =!= 0)
         .select(col("doc_id"),
           when(col("doc_id") % 7 === 0, concat(col("text"), lit(" r3")))
             .otherwise(col("text")).as("text"))
         .unionByName(docs.filter(col("doc_id") % 3 === 2 && col("doc_id") % 2 === 1))
-        .localCheckpoint()
+        .repartition(fan).localCheckpoint()
       val st1 = {
         val b = IncrementalCuration.bootstrapState(v1, "text", "doc_id")
         b.copy(edges = b.edges.localCheckpoint(),
