@@ -13,15 +13,30 @@ import org.apache.spark.sql.functions._
   */
 class PartitioningSpec extends SparkSpec {
 
-  test("small single-file scan fans out to default parallelism") {
+  test("small single-file scan fans out to the byte-sized width") {
     val docs = Tables.documents(spark, sf)
+    val bytes = java.nio.file.Files.size(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"))
     val wide = Partitioning.fanOutSmallScan(docs, s"$sf/documents.parquet")
     assert(wide.rdd.getNumPartitions ==
-      spark.sparkContext.defaultParallelism,
-      "single-split scan was not repartitioned")
+      Partitioning.fanWidth(spark.sparkContext.defaultParallelism, bytes),
+      "single-split scan was not repartitioned to the byte-sized width")
     // value-identity: same rows either way
     assert(wide.exceptAll(docs).isEmpty && docs.exceptAll(wide).isEmpty,
       "fanOut changed the row multiset")
+  }
+
+  test("fanWidth: floor 2, linear in bytes, capped at the core count") {
+    // floor: even a 1-byte table fans to 2 (never 0/1 — the repair must
+    // actually add parallelism when it fires)
+    assert(Partitioning.fanWidth(32, 1L) == 2)
+    // linear region: one partition per 128 KiB (ceil)
+    assert(Partitioning.fanWidth(32, 128L << 10) == 2)
+    assert(Partitioning.fanWidth(32, (128L << 10) * 10) == 10)
+    assert(Partitioning.fanWidth(32, (128L << 10) * 10 + 1) == 11)
+    // cap: width never exceeds the session parallelism
+    assert(Partitioning.fanWidth(32, 1L << 30) == 32)
+    assert(Partitioning.fanWidth(8, 1L << 30) == 8)
   }
 
   test("no-op when the table exceeds the byte cap or path is missing") {

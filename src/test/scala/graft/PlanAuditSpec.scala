@@ -859,11 +859,12 @@ class PlanAuditSpec extends SparkSpec {
   test("q_random_proj: projection is pure map work — zero exchanges beyond the output sort") {
     val p = plan(q("q_random_proj"))
     // formatted output repeats each node in the details section —
-    // count NODES via their Arguments lines, not string hits. The r18
-    // embeddings loader fan-out adds ONE round-robin repartition
-    // (doc-grained parallelism repair, not data movement keyed by the
-    // projection); the projection itself must still add no KEYED
-    // exchange beyond the final orderBy's range partitioning.
+    // count NODES via their Arguments lines, not string hits. Counted
+    // as KEYED exchanges so the pin stays valid whether or not the
+    // loader ever gains a round-robin parallelism repair (q_random_proj
+    // kept the RAW embeddings loader in r18 — single projection, the
+    // exchange measured as a net loss); the projection itself must add
+    // no KEYED exchange beyond the final orderBy's range partitioning.
     val keyed = "Arguments: (hash|range)partitioning".r.findAllIn(p).size
     assert(keyed <= 1, s"projection added keyed shuffles:\n$p")
     assert(!p.contains("CartesianProduct"))
