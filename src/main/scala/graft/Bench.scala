@@ -29,6 +29,10 @@ object Bench {
       // Engine.initialShufflePartitions)
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         Engine.initialShufflePartitions(cpus.toInt, sfDir).toString)
+      // AQE coalesce floor 128 KiB (see Engine.session): the 1 MiB
+      // default folds sub-MiB compute-dense reduce stages to one task
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION", "131072"))
       .config("spark.ui.enabled", "false")
       // The suite compiles well over the default 100 generated-class
       // cache entries (spark.sql.codegen.cache.maxEntries); at 100 the

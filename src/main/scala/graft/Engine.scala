@@ -96,6 +96,21 @@ object Engine {
       // too so probes can be A/B'd without a rebuild.)
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         sys.env.getOrElse("SPARK_GRAFT_INITIAL_SHUFFLE", (cpus * 8).toString))
+      // AQE coalesce floor 1 MiB → 128 KiB: the default folds every
+      // sub-MiB shuffle to ONE task, serializing compute-dense reduce
+      // stages (posting-list pair explode, CC star rounds, banded
+      // verify) whose per-byte CPU is huge — QStagesProbe showed
+      // q_inc_curate's 0.8-1.0 MB pair stages each running 0.2-0.65 s
+      // in a single task. 128 KiB keeps those stages at ~6-8 tasks
+      // while still folding genuinely tiny (<128 KiB) shuffles to one.
+      // Measured (18-query cluster/curate family, sf0.1, two runs per
+      // arm, per-query min): 45.6 s → 40.8 s (−10%), 15/18 queries
+      // improve, worst regression +0.5 s (md5 panel twins). Scale-safe:
+      // a fixed per-task byte floor, not a core-count constant — at
+      // production shuffle sizes the 64 MiB advisory target governs
+      // and this floor is unreachable. Env override for A/B.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION", "131072"))
       .config("spark.sql.session.timeZone", "UTC")
       // testdata events.parquet carries TIMESTAMP(NANOS); Spark only
       // supports micros — read nanos as long, Tables.events converts.

@@ -242,6 +242,19 @@ object SparkEntry {
     "q_salted_join" -> ((s, d) => {
       // salted skew join must produce exactly the plain-join result —
       // proven here against the plain-join oracle
+      // KEEP the raw loader (r19 A/B): lineitemWide measured −18%
+      // isolated (2.71 → 2.22 s — the scan+join is evaluated twice
+      // under the output sort's range sampling, and the fan
+      // parallelizes both), but the output sort is TIE-AMBIGUOUS in
+      // this fixture ((l_orderkey, l_linenumber) is not unique) and
+      // the oracle's row hash rides the raw scan's arrival order —
+      // the repartition scrambles tie order and fails the oracle.
+      // Stage decomposition (QStagesProbe): broadcast build 0.3 s +
+      // scan+join 0.6 s ×2 (range-sample pass + shuffle-write pass) +
+      // 7.4 MB sort — no salt-keyed exchange exists at this scale
+      // (the replicated side broadcasts), so the salting itself costs
+      // only the 8× broadcast build; the floor is the total-order
+      // output contract.
       val l = Tables.lineitem(s, d).select("l_orderkey", "l_linenumber", "l_quantity")
       val o = Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
       Joins.saltedJoin(l, o.withColumnRenamed("o_orderkey", "l_orderkey"),
@@ -964,6 +977,10 @@ object SparkEntry {
       // launches (measured both ways; defaultParallelism/4 is the
       // interleaved-A/B sweet spot — versions re-materialize at a
       // FIXED width, so nothing accumulates)
+      // (r19: collapsing the 3 version checkpoints into ONE tagged
+      // union job was A/B'd 3× interleaved and measured a wash —
+      // q_inc_curate −0.4 s once, store twin +0.2/+0.9 — reverted;
+      // every consumer would read 3× the checkpointed blocks)
       val fan = math.max(1, s.sparkContext.defaultParallelism / 4)
       val v1 = docs.filter(col("doc_id") % 3 =!= 2)
         .repartition(fan).localCheckpoint()

@@ -29,6 +29,10 @@ object Verify {
       // dumps run the SAME plans the bench measures
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         Engine.initialShufflePartitions(cpus.toInt, sfDir).toString)
+      // AQE coalesce floor 128 KiB (see Engine.session) — same plans
+      // as the bench measures
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION", "131072"))
       // WSCG bailout at the JIT huge-method limit (see Engine.session);
       // set here too so Verify exercises the SAME execution paths the
       // bench and production sessions use (the non-WSCG fallback must
