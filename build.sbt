@@ -34,4 +34,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // random queries show 3-4x spikes (measured: bench total 55→77s with
   // a rotating outlier). 512m keeps every generated class compiled.
   "-XX:ReservedCodeCacheSize=512m",
+  // G1's GCLocker allocation retry defaults to 2: under a small heap
+  // with heavy spill, 32 executor threads allocating while lz4/snappy
+  // JNI critical sections hold the GCLocker hit "Retried waiting for
+  // GCLocker too often" and throw a SPURIOUS OutOfMemoryError with
+  // free heap available (JDK-8137099 family — observed: the sf10
+  // full-surface run at -Xmx8g died in q_salted_join's shuffle write
+  // allocating 8 WORDS). More retries just wait for the pending GC;
+  // no effect on measurements or large-heap runs.
+  "-XX:GCLockerRetryAllocationCount=64",
 )
