@@ -41,6 +41,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // free heap available (JDK-8137099 family — observed: the sf10
   // full-surface run at -Xmx8g died in q_salted_join's shuffle write
   // allocating 8 WORDS). More retries just wait for the pending GC;
-  // no effect on measurements or large-heap runs.
+  // no effect on measurements or large-heap runs. (Diagnostic VM
+  // option — the unlock flag must precede it.)
+  "-XX:+UnlockDiagnosticVMOptions",
   "-XX:GCLockerRetryAllocationCount=64",
 )
